@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Fixture-table access + hash-oracle-stable expression helpers.
+  *
+  * Every `SparkEntry.queries` entry is differentially tested against DuckDB
+  * executing `SparkEntry.oracleSql` on the same parquet files, comparing a
+  * hash of (column-name-sorted) values. Two classes of nondeterminism would
+  * flap that hash and are neutralized here:
+  *
+  *   - float addition order: `sum(double)` depends on partial-aggregation
+  *     order, which differs between Spark and DuckDB (and across runs).
+  *     [[Tables.dsum]] casts to DecimalType(38,6) first — exact, associative,
+  *     order-independent — then back to double. Oracle SQL mirrors with
+  *     `CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)`.
+  *   - row order: every query ends in a total ORDER BY over its output
+  *     columns (rows tying on all columns are identical, so the multiset
+  *     hash is stable). Catalyst's EliminateSorts removes the sort when a
+  *     downstream agg (e.g. Bench's `.count()`) makes it redundant.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Session configs every graft session needs. `nanosAsLong` lets the
+    * parquet reader accept TIMESTAMP(NANOS) columns (events.ts) as long,
+    * which [[load]] converts to a µs timestamp — matching DuckDB's
+    * CAST(ts AS TIMESTAMP) truncation. */
+  val sessionConfs: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.adaptive.enabled" -> "true")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    df.schema.fields.find(f => f.name == "ts" &&
+        f.dataType == org.apache.spark.sql.types.LongType) match {
+      // ns→µs via integer division (a double division would lose precision
+      // at 1.7e18 ns); truncation matches DuckDB CAST(ts_ns AS TIMESTAMP).
+      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case None => df
+    }
+  }
+
+  /** Register all fixture tables as temp views (for spark.sql paths). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** Order-independent double sum: exact decimal accumulation. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(38, 6))).cast(DoubleType)
+
+  /** Order-independent double avg: exact decimal sum cast to double, then
+    * one IEEE division by the count — bit-identical in Spark and DuckDB
+    * (decimal/decimal division scale rules differ between engines, so the
+    * division must happen in double space). */
+  def davg(c: Column): Column =
+    sum(c.cast(DecimalType(38, 6))).cast(DoubleType) / count(c)
+
+  /** DuckDB twin of [[dsum]]. */
+  def sqlDsum(expr: String): String =
+    s"CAST(SUM(CAST(($expr) AS DECIMAL(38,6))) AS DOUBLE)"
+
+  /** DuckDB twin of [[davg]]. */
+  def sqlDavg(expr: String): String =
+    s"CAST(SUM(CAST(($expr) AS DECIMAL(38,6))) AS DOUBLE) / COUNT($expr)"
+}
