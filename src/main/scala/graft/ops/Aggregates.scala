@@ -1,0 +1,129 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Aggregation parity surface (SURVEY.md §2.4): hash group-by with partial
+  * (map-side) aggregation, distinct / approx-distinct, rollup / cube /
+  * grouping sets, percentiles. All Catalyst built-ins — partial aggregation
+  * means the shuffle carries one row per (task, group), not per input row,
+  * which is what keeps these viable at 100 TB.
+  */
+object Aggregates {
+  import Relational.{totalOrder, orderAll}
+
+  /** Canonical hash group-by: count/sum/avg/min/max in one pass. */
+  def aggHashGroupby(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(load(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("sum_price"),
+        davg(col("o_totalprice")).as("avg_price"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        min(col("o_orderdate")).as("first_date"),
+        max(col("o_orderdate")).as("last_date")))
+
+  /** Exact distinct counting (expand + two-phase agg under the hood). */
+  def aggDistinct(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows")))
+
+  /** HyperLogLog++ approximate distinct — the 100 TB answer to countDistinct
+    * (constant memory, one pass, mergeable partials). No DuckDB oracle: the
+    * sketch estimate is engine-specific → rows-only check; the ScalaTest spec
+    * bounds its error against the exact count instead. */
+  def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        count(lit(1)).as("n_rows")))
+
+  /** Hierarchical subtotals: (status, priority) → (status) → grand total. */
+  def aggRollup(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(load(spark, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price")))
+
+  /** All grouping combinations over two low-cardinality dims. */
+  def aggCube(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(load(spark, dir, "events")
+      .withColumn("user_bucket", col("user_id") % 4)
+      .cube(col("event_type"), col("user_bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")))
+
+  /** Explicit GROUPING SETS via SQL (Catalyst Expand). */
+  def aggGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    load(spark, dir, "orders").createOrReplaceTempView("orders_gs")
+    totalOrder(spark.sql(
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+         |FROM orders_gs
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |""".stripMargin))
+  }
+
+  /** Exact percentiles (sort-based; both engines linearly interpolate over
+    * the ordered set, so values are bit-comparable). At 100 TB the same
+    * query would switch to approx_percentile's mergeable KLL/GK sketch —
+    * shipped alongside as agg_approx_distinct's sibling in the spec. */
+  def aggPercentile(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90_price")))
+
+  // ----------------------------------------------------------------- wiring
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_hash_groupby" -> aggHashGroupby,
+    "agg_distinct" -> aggDistinct,
+    "agg_approx_distinct" -> aggApproxDistinct,
+    "agg_rollup" -> aggRollup,
+    "agg_cube" -> aggCube,
+    "agg_grouping_sets" -> aggGroupingSets,
+    "agg_percentile" -> aggPercentile)
+
+  val oracle: Map[String, String] = Map(
+    "agg_hash_groupby" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+         |  ${sqlDsum("o_totalprice")} AS sum_price,
+         |  ${sqlDavg("o_totalprice")} AS avg_price,
+         |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+         |  MIN(o_orderdate) AS first_date, MAX(o_orderdate) AS last_date
+         |FROM orders GROUP BY o_orderpriority
+         |${orderAll("o_orderpriority", "n", "sum_price")}""".stripMargin,
+    "agg_distinct" ->
+      s"""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+         |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+         |FROM lineitem GROUP BY l_returnflag
+         |${orderAll("l_returnflag", "n_parts", "n_supps", "n_rows")}""".stripMargin,
+    "agg_rollup" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         |  ${sqlDsum("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         |${orderAll("o_orderstatus", "o_orderpriority", "n", "sum_price")}""".stripMargin,
+    "agg_cube" ->
+      s"""SELECT event_type, user_id % 4 AS user_bucket, COUNT(*) AS n,
+         |  ${sqlDsum("value")} AS sum_value
+         |FROM events GROUP BY CUBE (event_type, user_id % 4)
+         |${orderAll("event_type", "user_bucket", "n", "sum_value")}""".stripMargin,
+    "agg_grouping_sets" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |${orderAll("o_orderstatus", "o_orderpriority", "n")}""".stripMargin,
+    "agg_percentile" ->
+      s"""SELECT l_returnflag,
+         |  quantile_cont(l_quantity, 0.25) AS p25,
+         |  quantile_cont(l_quantity, 0.5) AS p50,
+         |  quantile_cont(l_quantity, 0.75) AS p75,
+         |  quantile_cont(l_extendedprice, 0.9) AS p90_price
+         |FROM lineitem GROUP BY l_returnflag
+         |${orderAll("l_returnflag", "p25", "p50", "p75", "p90_price")}""".stripMargin)
+}

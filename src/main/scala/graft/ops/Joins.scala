@@ -1,0 +1,177 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join surface (SURVEY.md §2.3). The reference joins nothing itself (InfluxQL
+  * 1.x has no joins; its closest analog is the hand-rolled new-vs-seen file
+  * sync, transfer_manager.py:199-217 → semi/anti below), so these demonstrate
+  * the full Spark join surface on the TPC-H fixtures with the physical
+  * strategies a 100 TB deployment needs:
+  *
+  *  - broadcast for small dims (tag-metadata joins) — no shuffle of the fact;
+  *  - shuffled hash / sort-merge for fact-fact, keyed on the join column so
+  *    AQE can re-plan skew;
+  *  - as-of composed from union+window (single shuffle, no point-lookup loop
+  *    and no O(n²) range explosion — the InfluxDB "last value at t" idiom).
+  */
+object Joins {
+  import Relational.{totalOrder, orderAll}
+
+  /** Fact-fact equi join; Catalyst picks SMJ/shuffled-hash; AQE handles skew.
+    * Aggregated after the join so the demo output is stable and small. */
+  def joinInnerHash(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+    val o = load(spark, dir, "orders")
+    totalOrder(li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue")))
+  }
+
+  /** Small-dim broadcast join chain (the tag-metadata pattern): the fact side
+    * never shuffles; dims replicate to every task. */
+  def joinBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    val c = load(spark, dir, "customer")
+    val n = load(spark, dir, "nation")
+    val r = load(spark, dir, "region")
+    totalOrder(c
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_acctbal")))
+  }
+
+  /** Explicit sort-merge path (hint suppresses broadcast) — the strategy that
+    * scales when both sides are large and neither fits in memory. */
+  def joinSortmerge(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem").hint("merge")
+    val o = load(spark, dir, "orders")
+    totalOrder(li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderstatus"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty")))
+  }
+
+  /** Left outer keeping zero-order customers (nulls from the right side). */
+  def joinLeftOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = load(spark, dir, "customer")
+    val o = load(spark, dir, "orders").filter(col("o_totalprice") > 100000.0)
+    totalOrder(c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_big_orders")))
+  }
+
+  /** Semi join: customers having at least one 'F' order (the "seen files"
+    * side of transfer_manager.py:199-217 expressed relationally). */
+  def joinLeftSemi(spark: SparkSession, dir: String): DataFrame = {
+    val c = load(spark, dir, "customer")
+    val o = load(spark, dir, "orders").filter(col("o_orderstatus") === "F")
+    totalOrder(c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment")))
+  }
+
+  /** Anti join: customers with no orders at all (the "new files" side). */
+  def joinLeftAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = load(spark, dir, "customer")
+    val o = load(spark, dir, "orders")
+    totalOrder(c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name")))
+  }
+
+  /** Equi key + range residual (interval-join shape): same nation, supplier
+    * balance strictly above the customer's. Hash join on the equi key with
+    * the theta predicate as residual — never a cross product. */
+  def joinThetaRange(spark: SparkSession, dir: String): DataFrame = {
+    val s = load(spark, dir, "supplier")
+    val c = load(spark, dir, "customer")
+    totalOrder(s.join(c,
+        s("s_nationkey") === c("c_nationkey") && s("s_acctbal") > c("c_acctbal"))
+      .groupBy(col("s_suppkey"))
+      .agg(count(lit(1)).as("n_below")))
+  }
+
+  /** As-of join: for each click, the latest view of the same user at-or-before
+    * the click. Composed as union → single window (one shuffle, sorted once,
+    * streams at any scale) instead of a per-row point lookup or a range join
+    * that explodes. Ordering (ts, kind, event_id) makes equal-ts view-before-
+    * click deterministic; InfluxDB's implicit "last value at t" semantics
+    * (SURVEY.md §2.3 join_asof). */
+  def joinAsof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_type") === "view", lit(0)).otherwise(lit(1)).as("kind"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    totalOrder(ev
+      .withColumn("last_view_ts",
+        last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"), col("last_view_ts")))
+  }
+
+  // ----------------------------------------------------------------- wiring
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_inner_hash" -> joinInnerHash,
+    "join_broadcast" -> joinBroadcast,
+    "join_sortmerge" -> joinSortmerge,
+    "join_left_outer" -> joinLeftOuter,
+    "join_left_semi" -> joinLeftSemi,
+    "join_left_anti" -> joinLeftAnti,
+    "join_theta_range" -> joinThetaRange,
+    "join_asof" -> joinAsof)
+
+  val oracle: Map[String, String] = Map(
+    "join_inner_hash" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_lines,
+         |  ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority
+         |${orderAll("o_orderpriority", "n_lines", "revenue")}""".stripMargin,
+    "join_broadcast" ->
+      s"""SELECT r_name, COUNT(*) AS n_customers,
+         |  ${sqlDsum("c_acctbal")} AS sum_acctbal
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name
+         |${orderAll("r_name", "n_customers", "sum_acctbal")}""".stripMargin,
+    "join_sortmerge" ->
+      s"""SELECT o_orderstatus, l_linestatus, COUNT(*) AS n,
+         |  ${sqlDsum("l_quantity")} AS sum_qty
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderstatus, l_linestatus
+         |${orderAll("o_orderstatus", "l_linestatus", "n", "sum_qty")}""".stripMargin,
+    "join_left_outer" ->
+      s"""SELECT c_custkey, COUNT(o_orderkey) AS n_big_orders
+         |FROM customer LEFT JOIN (
+         |  SELECT * FROM orders WHERE o_totalprice > 100000.0) o
+         |  ON c_custkey = o_custkey
+         |GROUP BY c_custkey
+         |${orderAll("c_custkey", "n_big_orders")}""".stripMargin,
+    "join_left_semi" ->
+      s"""SELECT c_custkey, c_mktsegment FROM customer
+         |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+         |${orderAll("c_custkey", "c_mktsegment")}""".stripMargin,
+    "join_left_anti" ->
+      s"""SELECT c_custkey, c_name FROM customer
+         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+         |${orderAll("c_custkey", "c_name")}""".stripMargin,
+    "join_theta_range" ->
+      s"""SELECT s_suppkey, COUNT(*) AS n_below
+         |FROM supplier JOIN customer
+         |  ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+         |GROUP BY s_suppkey
+         |${orderAll("s_suppkey", "n_below")}""".stripMargin,
+    "join_asof" ->
+      s"""SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS ts,
+         |  (SELECT MAX(CAST(v.ts AS TIMESTAMP)) FROM events v
+         |   WHERE v.event_type = 'view' AND v.user_id = c.user_id
+         |     AND v.ts <= c.ts) AS last_view_ts
+         |FROM events c WHERE c.event_type = 'click'
+         |${orderAll("event_id", "user_id", "ts", "last_view_ts")}""".stripMargin)
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class JoinsAggSpec extends SparkTestBase {
+
+  test("broadcast join plans BroadcastHashJoin, no shuffle of dims") {
+    val plan = ops.Joins.joinBroadcast(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+  }
+
+  test("sortmerge hint plans SortMergeJoin") {
+    val plan = ops.Joins.joinSortmerge(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(1500))
+  }
+
+  test("semi + anti partition the customer set") {
+    val c = Tables.load(spark, sf, "customer").count()
+    val o = Tables.load(spark, sf, "orders")
+    val semiAll = Tables.load(spark, sf, "customer")
+      .join(o, col("c_custkey") === col("o_custkey"), "left_semi").count()
+    val anti = ops.Joins.joinLeftAnti(spark, sf).count()
+    assert(semiAll + anti == c)
+  }
+
+  test("asof: matched view ts is <= click ts") {
+    val bad = ops.Joins.joinAsof(spark, sf)
+      .filter(col("last_view_ts") > col("ts")).count()
+    assert(bad == 0)
+  }
+
+  test("approx distinct within 10% of exact") {
+    val approx = ops.Aggregates.aggApproxDistinct(spark, sf)
+      .select("l_returnflag", "approx_parts")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.load(spark, sf, "lineitem")
+      .groupBy("l_returnflag").agg(countDistinct("l_partkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k).toDouble / n - 1.0) < 0.10,
+        s"$k: approx=${approx(k)} exact=$n")
+    }
+  }
+
+  test("rollup row count = groups + subtotals + grand total") {
+    val o = Tables.load(spark, sf, "orders")
+    val g2 = o.select("o_orderstatus", "o_orderpriority").distinct.count()
+    val g1 = o.select("o_orderstatus").distinct.count()
+    assert(ops.Aggregates.aggRollup(spark, sf).count() == g2 + g1 + 1)
+  }
+}
