@@ -1,0 +1,254 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series layer (SURVEY.md §2.5, §2.8) — the tsdb identity of the
+  * engine: pulse-interval rates with back-fill (the reference's single
+  * analytical computation, get_hot_intake_interval.py:121-147), LOCF
+  * gap-fill (InfluxQL fill(previous)), time-bucket downsampling (InfluxQL
+  * GROUP BY time(1h)), session windows, staleness monitoring
+  * (datalogger_health_check.py:88-94), retention
+  * (memory_manager.py:3-17), and the upsert/dedup law (InfluxDB point
+  * upsert on (measurement, tags, time)).
+  *
+  * All formulations are single-shuffle windows or hash aggregations keyed by
+  * the series tag — per-key state never leaves one partition, so the plans
+  * scale linearly with tag cardinality.
+  */
+object TimeSeries {
+  import Relational.{totalOrder, orderAll}
+
+  /** A pulse is a "large" reading; the fixture analog of a nonzero meter
+    * pulse (events.value is never exactly 0). */
+  private val PulseThreshold = 100.0
+
+  /** Pulse→rate transform with back-fill: bug-compatible replica of the
+    * reference's state machine (get_hot_intake_interval.py:121-147) as one
+    * Catalyst plan. Per user (building analog) in time order:
+    *   - a "run start" is a sub-threshold row whose immediate predecessor is
+    *     a pulse (`dataset_flag` sets startTime on the first zero AFTER a
+    *     pulse, :143-145 — NOT on the pulse itself);
+    *   - each pulse from the second onward emits
+    *     rate = 60 / (t_pulse − t_lastRunStart + 1)   (time_elapsed's +1,
+    *     :61-65; determine_interval, :56-58) — consecutive pulses with no
+    *     zero between reuse the stale run start, exactly like the reference;
+    *   - sub-threshold rows after the first pulse receive the NEXT pulse's
+    *     rate (write_data :68-71 overwrites the whole buffered zero-run);
+    *   - the first pulse is never emitted (it is never appended to the
+    *     buffer, :126-131), rows before it are dropped (warm-up), and a
+    *     trailing zero-run is dropped (never-flushed buffer).
+    * One shuffle on user_id; all four window functions share the same sort.
+    */
+  def winLagInterval(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val ev = load(spark, dir, "events")
+      .withColumn("is_pulse", col("value") >= PulseThreshold)
+      .withColumn("prev_is_pulse", lag(col("is_pulse"), 1).over(w))
+      .withColumn("pulse_seq",
+        sum(when(col("is_pulse"), 1).otherwise(0)).over(wCum))
+    val marked = ev
+      .withColumn("run_start_ts", last(
+        when(!col("is_pulse") && col("prev_is_pulse"), col("ts")),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("own_rate",
+        when(col("is_pulse") && col("pulse_seq") >= 2 && col("run_start_ts").isNotNull,
+          lit(60.0) / (unix_timestamp(col("ts")) - unix_timestamp(col("run_start_ts")) + 1)))
+    totalOrder(marked
+      .withColumn("rate",
+        when(col("is_pulse"), col("own_rate"))
+          .otherwise(when(col("pulse_seq") >= 1,
+            first(col("own_rate"), ignoreNulls = true).over(wNext))))
+      .filter(col("rate").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts"), col("rate")))
+  }
+
+  /** LOCF gap-fill (InfluxQL fill(previous); SURVEY §2.5 win_backfill):
+    * readings below 0.2 are treated as missing and carry the last good
+    * value forward per user. */
+  def winBackfill(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    totalOrder(load(spark, dir, "events")
+      .withColumn("reading", when(col("value") >= 0.2, col("value")))
+      .withColumn("filled", last(col("reading"), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("reading"), col("filled")))
+  }
+
+  /** Hourly downsample (InfluxQL GROUP BY time(1h); SURVEY §2.5
+    * win_time_bucket): tumbling window + per-bucket aggregates. Uses the
+    * window() tumbling helper — the same expression Structured Streaming
+    * uses, so batch and stream share semantics. */
+  def winTimeBucket(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(load(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+      .select(col("w.start").as("bucket"), col("event_type"),
+        col("n"), col("sum_value"), col("min_value"), col("max_value")))
+
+  /** Session windows: bursts of activity per user separated by >30 min gaps
+    * (the pulse-run grouping of get_hot_intake_interval.py:121-147 as a
+    * session; SURVEY §2.8). session_window is the streaming-native operator;
+    * the oracle reproduces it with the lag/cumsum island idiom. */
+  def tsSessionWindow(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(load(spark, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes").as("s"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"),
+        max(col("ts")).as("last_ts"))
+      .select(col("s.start").as("session_start"), col("user_id"),
+        col("n_events"), col("sum_value"), col("last_ts")))
+
+  /** Staleness monitor (datalogger_health_check.py:88-94): series whose
+    * newest point is >2 days older than the dataset frontier. The frontier
+    * replaces wall-clock now() so the check is deterministic. */
+  def tsStaleness(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+    val frontier = ev.agg(max(col("ts")).as("frontier"))
+    totalOrder(ev.groupBy(col("user_id")).agg(max(col("ts")).as("last_seen"))
+      .crossJoin(broadcast(frontier))
+      .filter(col("last_seen") < col("frontier") - expr("INTERVAL 2 DAYS"))
+      .select(col("user_id"), col("last_seen")))
+  }
+
+  /** Retention planner (memory_manager.py:3-17: delete-oldest-until-budget):
+    * newest-first cumulative size over daily partitions; a partition is kept
+    * while the running total stays within budget. Returns the keep/drop
+    * decision per day — the driver of a partition-drop job. */
+  def tsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("day").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    totalOrder(load(spark, dir, "events")
+      .groupBy(date_trunc("DAY", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("cum_rows", sum(col("n_rows")).over(w))
+      .withColumn("keep", col("cum_rows") <= 4000)
+      .select(col("day"), col("n_rows"), col("cum_rows"), col("keep")))
+  }
+
+  /** The idempotent-ingest law (InfluxDB upsert on (tags, time);
+    * transfer_manager.py:199-208 re-ingests changed files safely): writing
+    * a batch twice ≡ once. Union of the batch with itself deduped on the
+    * point key; last-write-wins by the highest event_id per key. */
+  def tsUpsertDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+      .select(col("event_type"), col("user_id"), col("ts"),
+        col("value"), col("event_id"))
+    val twice = ev.unionAll(ev)
+    totalOrder(twice
+      .groupBy(col("event_type"), col("user_id"), col("ts"))
+      .agg(max_by(col("value"), col("event_id")).as("value"),
+        max(col("event_id")).as("version")))
+  }
+
+  // ----------------------------------------------------------------- wiring
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_lag_interval" -> winLagInterval,
+    "win_backfill" -> winBackfill,
+    "win_time_bucket" -> winTimeBucket,
+    "ts_session_window" -> tsSessionWindow,
+    "ts_staleness" -> tsStaleness,
+    "ts_retention" -> tsRetention,
+    "ts_upsert_dedup" -> tsUpsertDedup)
+
+  val oracle: Map[String, String] = Map(
+    "win_lag_interval" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         |    value >= $PulseThreshold AS is_pulse
+         |  FROM events),
+         |m1 AS (
+         |  SELECT *,
+         |    LAG(is_pulse) OVER w AS prev_is_pulse,
+         |    SUM(CASE WHEN is_pulse THEN 1 ELSE 0 END) OVER (
+         |      PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pulse_seq
+         |  FROM ev
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |m2 AS (
+         |  SELECT *,
+         |    LAST_VALUE(CASE WHEN NOT is_pulse AND prev_is_pulse THEN ts END
+         |      IGNORE NULLS) OVER (
+         |      PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_start_ts
+         |  FROM m1),
+         |rated AS (
+         |  SELECT *,
+         |    CASE WHEN is_pulse AND pulse_seq >= 2 AND run_start_ts IS NOT NULL
+         |      THEN 60.0 / (date_diff('second', run_start_ts, ts) + 1)
+         |    END AS own_rate
+         |  FROM m2),
+         |filled AS (
+         |  SELECT user_id, event_id, ts,
+         |    CASE WHEN is_pulse THEN own_rate
+         |         WHEN pulse_seq >= 1 THEN
+         |           FIRST_VALUE(own_rate IGNORE NULLS) OVER (
+         |             PARTITION BY user_id ORDER BY ts, event_id
+         |             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+         |    END AS rate
+         |  FROM rated)
+         |SELECT * FROM filled WHERE rate IS NOT NULL
+         |${orderAll("user_id", "event_id", "ts", "rate")}""".stripMargin,
+    "win_backfill" ->
+      s"""SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         |  CASE WHEN value >= 0.2 THEN value END AS reading,
+         |  LAST_VALUE(CASE WHEN value >= 0.2 THEN value END IGNORE NULLS) OVER (
+         |    PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+         |FROM events
+         |${orderAll("user_id", "event_id", "ts", "reading", "filled")}""".stripMargin,
+    "win_time_bucket" ->
+      s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, event_type,
+         |  COUNT(*) AS n, ${sqlDsum("value")} AS sum_value,
+         |  MIN(value) AS min_value, MAX(value) AS max_value
+         |FROM events GROUP BY 1, 2
+         |${orderAll("bucket", "event_type", "n", "sum_value")}""".stripMargin,
+    "ts_session_window" ->
+      s"""WITH gaps AS (
+         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         |    CASE WHEN CAST(ts AS TIMESTAMP)
+         |      - LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts)
+         |      > INTERVAL 30 MINUTE OR
+         |      LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         |    THEN 1 ELSE 0 END AS is_new
+         |  FROM events),
+         |sess AS (
+         |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM gaps)
+         |SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n_events,
+         |  ${sqlDsum("value")} AS sum_value, MAX(ts) AS last_ts
+         |FROM sess GROUP BY user_id, session_id
+         |${orderAll("session_start", "user_id", "n_events")}""".stripMargin,
+    "ts_staleness" ->
+      s"""SELECT user_id, MAX(CAST(ts AS TIMESTAMP)) AS last_seen
+         |FROM events GROUP BY user_id
+         |HAVING MAX(CAST(ts AS TIMESTAMP)) <
+         |  (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events) - INTERVAL 2 DAY
+         |${orderAll("user_id", "last_seen")}""".stripMargin,
+    "ts_retention" ->
+      s"""WITH daily AS (
+         |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         |    COUNT(*) AS n_rows
+         |  FROM events GROUP BY 1)
+         |SELECT day, n_rows,
+         |  SUM(n_rows) OVER (ORDER BY day DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rows,
+         |  SUM(n_rows) OVER (ORDER BY day DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 4000 AS keep
+         |FROM daily
+         |${orderAll("day", "n_rows", "cum_rows", "keep")}""".stripMargin,
+    "ts_upsert_dedup" ->
+      s"""SELECT event_type, user_id, CAST(ts AS TIMESTAMP) AS ts,
+         |  MAX_BY(value, event_id) AS value, MAX(event_id) AS version
+         |FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+         |GROUP BY event_type, user_id, ts
+         |${orderAll("event_type", "user_id", "ts", "value", "version")}""".stripMargin)
+}

@@ -16,7 +16,7 @@ class RelationalSpec extends SparkTestBase {
   test("all queries run non-empty on sf0.001") {
     // set_except / join_left_anti can legitimately be empty at tiny SF;
     // everything else must produce rows for the demo to mean anything.
-    val allowEmpty = Set("set_except", "join_left_anti")
+    val allowEmpty = Set("set_except", "join_left_anti", "ts_staleness")
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
       assert(allowEmpty(name) || n > 0, s"$name returned 0 rows")
