@@ -1,0 +1,194 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Text-analysis operators for LLM training-data pipelines (SURVEY.md §2.10;
+  * driver extension scope): tokenization + term frequency, token counting
+  * (whitespace and BPE-ish regex), language identification (stopword n-gram
+  * heuristic), quality scoring, and content fingerprinting.
+  *
+  * All pure codegen'd expressions — `explode` is Spark's Generator (UDTF
+  * surface, SURVEY §2.9); the token shuffle is keyed by token, so term
+  * aggregation scales like any hash agg. At 100 TB the only change is
+  * bucketing the documents table by doc_id.
+  */
+object Text {
+  import Relational.{totalOrder, orderAll}
+
+  /** Word tokens: split on any non-[a-z0-9'] run after lowercasing. */
+  private val TokenPattern = "[^a-z0-9']+"
+
+  private def tokens(c: org.apache.spark.sql.Column) =
+    filter(split(lower(c), TokenPattern), t => t =!= "")
+
+  /** Term frequency across the corpus (explode → hash agg, SURVEY §2.10
+    * text_tokenize_tf). doc_freq counts distinct docs per token. */
+  def textTokenizeTf(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(load(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df")))
+
+  /** Per-document token counts: whitespace tokens and a BPE-ish regex
+    * (contractions / word / number / punct-run classes). */
+  def textTokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val bpe = "'(?:s|d|m|t|ll|ve|re)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+"
+    totalOrder(load(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        size(tokens(col("text"))).as("n_ws_tokens"),
+        size(regexp_extract_all(lower(col("text")), lit(bpe), lit(0)))
+          .as("n_bpe_tokens")))
+  }
+
+  /** Quality scoring (length / punctuation / stopword ratios): the standard
+    * pre-training filter features. All ratios are integer-count / integer-
+    * count divisions, so the doubles are engine-independent. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val stopPat = "\\b(the|a|and|of|to|in|is|for|on|it)\\b"
+    totalOrder(load(spark, dir, "documents")
+      .withColumn("n_tokens", size(tokens(col("text"))).cast(DoubleType))
+      .withColumn("n_stop",
+        size(regexp_extract_all(lower(col("text")), lit(stopPat), lit(0)))
+          .cast(DoubleType))
+      .withColumn("n_punct",
+        size(regexp_extract_all(col("text"), lit("[^a-z0-9\\s']"), lit(0)))
+          .cast(DoubleType))
+      .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+        (col("n_stop") / col("n_tokens")).as("stop_ratio"),
+        (col("n_punct") / col("n_chars")).as("punct_ratio"),
+        (col("n_chars") / col("n_tokens")).as("chars_per_token"),
+        ((col("n_stop") / col("n_tokens")) * 0.5
+          - (col("n_punct") / col("n_chars")) * 0.3
+          + when(col("n_tokens") >= 20.0, 0.2).otherwise(0.0)).as("quality")))
+  }
+
+  /** Language ID by stopword-list hits (the n-gram heuristic of SURVEY
+    * §2.10): count per-language function-word matches, argmax with a fixed
+    * tie order. Emits the guess and agreement with the labeled lang. */
+  def textLangId(spark: SparkSession, dir: String): DataFrame = {
+    def hits(pat: String) =
+      size(regexp_extract_all(lower(col("text")), lit(s"\\b($pat)\\b"), lit(0)))
+    totalOrder(load(spark, dir, "documents")
+      .withColumn("en_hits", hits("the|and|of|to|a|in|is"))
+      .withColumn("es_hits", hits("el|la|de|que|y|en|los"))
+      .withColumn("fr_hits", hits("le|la|de|et|les|des|un"))
+      .withColumn("de_hits", hits("der|die|und|das|ist|von|den"))
+      .withColumn("lang_guess",
+        when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("fr_hits")
+          && col("en_hits") >= col("de_hits"), "en")
+          .when(col("es_hits") >= col("fr_hits") && col("es_hits") >= col("de_hits"), "es")
+          .when(col("fr_hits") >= col("de_hits"), "fr")
+          .otherwise("de"))
+      .select(col("doc_id"), col("lang"), col("en_hits"), col("es_hits"),
+        col("fr_hits"), col("de_hits"), col("lang_guess"),
+        (col("lang_guess") === col("lang")).as("agree")))
+  }
+
+  /** Top-3 sources per language by document count (groupBy + rank top-k
+    * per group, SURVEY §2.10 text_lang_topk). */
+  def textLangTopk(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_docs").desc, col("source"))
+    totalOrder(load(spark, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3))
+  }
+
+  /** Document fingerprinting: content hash of the normalized text plus the
+    * minimum 8-char-shingle digest (a 1-hash MinHash — the building block
+    * the dedup ops expand on). sha256 keeps it engine-portable. */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(load(spark, dir, "documents")
+      .withColumn("norm", regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
+      .select(col("doc_id"),
+        sha2(col("norm"), 256).as("content_hash"),
+        array_min(transform(
+          sequence(lit(1), greatest(length(col("norm")) - 7, lit(1))),
+          i => sha2(col("norm").substr(i, lit(8)), 256)))
+          .as("min_shingle_hash")))
+
+  // ----------------------------------------------------------------- wiring
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokenize_tf" -> textTokenizeTf,
+    "text_token_count" -> textTokenCount,
+    "text_quality" -> textQuality,
+    "text_lang_id" -> textLangId,
+    "text_lang_topk" -> textLangTopk,
+    "text_fingerprint" -> textFingerprint)
+
+  val oracle: Map[String, String] = Map(
+    "text_tokenize_tf" ->
+      s"""SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+         |FROM (SELECT doc_id,
+         |        unnest(regexp_split_to_array(lower(text), '[^a-z0-9'']+')) AS token
+         |      FROM documents)
+         |WHERE token <> '' GROUP BY token
+         |${orderAll("token", "tf", "df")}""".stripMargin,
+    "text_token_count" ->
+      s"""SELECT doc_id, n_chars,
+         |  len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+         |      t -> t <> '')) AS n_ws_tokens,
+         |  len(regexp_extract_all(lower(text),
+         |      '''(?:s|d|m|t|ll|ve|re)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s'']+'))
+         |    AS n_bpe_tokens
+         |FROM documents
+         |${orderAll("doc_id", "n_chars", "n_ws_tokens", "n_bpe_tokens")}""".stripMargin,
+    "text_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+         |        x -> x <> '')) AS DOUBLE) AS n_tokens,
+         |    CAST(len(regexp_extract_all(lower(text),
+         |        '\\b(the|a|and|of|to|in|is|for|on|it)\\b')) AS DOUBLE) AS n_stop,
+         |    CAST(len(regexp_extract_all(text, '[^a-z0-9\\s'']')) AS DOUBLE) AS n_punct
+         |  FROM documents)
+         |SELECT doc_id, n_chars, n_tokens,
+         |  n_stop / n_tokens AS stop_ratio,
+         |  n_punct / n_chars AS punct_ratio,
+         |  n_chars / n_tokens AS chars_per_token,
+         |  (n_stop / n_tokens) * 0.5 - (n_punct / n_chars) * 0.3
+         |    + (CASE WHEN n_tokens >= 20.0 THEN 0.2 ELSE 0.0 END) AS quality
+         |FROM t
+         |${orderAll("doc_id", "n_chars", "n_tokens", "stop_ratio")}""".stripMargin,
+    "text_lang_id" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, lang,
+         |    len(regexp_extract_all(lower(text), '\\b(the|and|of|to|a|in|is)\\b')) AS en_hits,
+         |    len(regexp_extract_all(lower(text), '\\b(el|la|de|que|y|en|los)\\b')) AS es_hits,
+         |    len(regexp_extract_all(lower(text), '\\b(le|la|de|et|les|des|un)\\b')) AS fr_hits,
+         |    len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist|von|den)\\b')) AS de_hits
+         |  FROM documents)
+         |SELECT doc_id, lang, en_hits, es_hits, fr_hits, de_hits,
+         |  CASE WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= de_hits THEN 'en'
+         |       WHEN es_hits >= fr_hits AND es_hits >= de_hits THEN 'es'
+         |       WHEN fr_hits >= de_hits THEN 'fr' ELSE 'de' END AS lang_guess,
+         |  (CASE WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= de_hits THEN 'en'
+         |       WHEN es_hits >= fr_hits AND es_hits >= de_hits THEN 'es'
+         |       WHEN fr_hits >= de_hits THEN 'fr' ELSE 'de' END) = lang AS agree
+         |FROM h
+         |${orderAll("doc_id", "lang", "lang_guess", "agree")}""".stripMargin,
+    "text_lang_topk" ->
+      s"""SELECT lang, source, n_docs, rk FROM (
+         |  SELECT lang, source, COUNT(*) AS n_docs,
+         |    ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY COUNT(*) DESC, source) AS rk
+         |  FROM documents GROUP BY lang, source)
+         |WHERE rk <= 3
+         |${orderAll("lang", "source", "n_docs", "rk")}""".stripMargin,
+    "text_fingerprint" ->
+      s"""WITH n AS (
+         |  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS norm
+         |  FROM documents)
+         |SELECT doc_id, sha256(norm) AS content_hash,
+         |  list_min(list_transform(range(1, greatest(len(norm) - 7, 1) + 1),
+         |    i -> sha256(substr(norm, i, 8)))) AS min_shingle_hash
+         |FROM n
+         |${orderAll("doc_id", "content_hash", "min_shingle_hash")}""".stripMargin)
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Specs for the non-oracle extension paths: MinHash/SimHash (engine-hash
+  * based, so DuckDB can't mirror them) and the mapPartitions decode stub. */
+class ExtensionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  lazy val exactPairs: Set[(Long, Long)] =
+    ops.Dedup.dedupNgramJaccard(spark, sf)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+  lazy val minhashPairs: Set[(Long, Long)] =
+    ops.Dedup.dedupMinhash(spark, sf)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+  test("minhash pairs are exact-verified (precision 1.0)") {
+    // every emitted pair passed the exact-Jaccard verification step
+    assert(minhashPairs.subsetOf(exactPairs),
+      s"false positives: ${minhashPairs -- exactPairs}")
+  }
+
+  test("minhash recall on planted near-dups") {
+    // fixture has planted near-dups with jaccard ~0.99; at j>=0.3 and
+    // 4 bands x 4 rows, P[candidate] = 1-(1-j^4)^4 is ~1 for j>0.7 —
+    // require we find at least the high-similarity pairs
+    val high = ops.Dedup.dedupNgramJaccard(spark, sf)
+      .filter(col("jaccard") >= 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val missed = high -- minhashPairs
+    assert(missed.isEmpty, s"missed high-jaccard pairs: $missed")
+  }
+
+  test("simhash is deterministic and 63-bit") {
+    val a = ops.Dedup.dedupSimhash(spark, sf)
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    val b = ops.Dedup.dedupSimhash(spark, sf)
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    assert(a == b)
+    assert(a.values.forall(_ >= 0L), "bit 63 must be clear")
+  }
+
+  test("exact dedup groups hold identical normalized text") {
+    val dups = ops.Dedup.dedupExact(spark, sf)
+    // every reported group really has n>=2 members with one hash
+    assert(dups.filter(col("n_dups") < 2).count() == 0)
+  }
+
+  test("knn: rank 1 neighbor has the max cosine; no self matches") {
+    val knn = ops.Vectors.simKnnBruteforce(spark, sf)
+    assert(knn.filter(col("q_id") === col("neighbor_id")).count() == 0)
+    val perQ = knn.groupBy("q_id")
+      .agg(max(when(col("rk") === 1, col("cosine"))).as("r1"),
+        max(col("cosine")).as("mx"))
+    assert(perQ.filter(col("r1") =!= col("mx")).count() == 0)
+  }
+
+  test("lsh pairs are a subset of all >=0.4 cosine pairs and nonempty") {
+    val n = ops.Vectors.simCosineLsh(spark, sf).count()
+    assert(n > 0, "expected some near pairs at threshold 0.4")
+    val bad = ops.Vectors.simCosineLsh(spark, sf)
+      .filter(col("cosine") < 0.4).count()
+    assert(bad == 0)
+  }
+
+  test("decode stub: deterministic, partition-count independent") {
+    val a = ops.MultimodalLib.mmDecodeFeatures(spark, sf)
+      .select("doc_id", "f0").as[(Long, Double)].collect().toMap
+    val docs = Tables.load(spark, sf, "documents").repartition(7)
+    docs.createOrReplaceTempView("unused") // ensure no caching illusions
+    val b = ops.MultimodalLib.mmDecodeFeatures(spark, sf)
+      .select("doc_id", "f0").as[(Long, Double)].collect().toMap
+    assert(a == b)
+    assert(a.values.forall(v => v >= 0.0 && !v.isNaN))
+  }
+
+  test("tokenize tf: total tf equals total token count") {
+    val tf = ops.Text.textTokenizeTf(spark, sf)
+      .agg(sum("tf")).as[Long].head()
+    val direct = ops.Text.textTokenCount(spark, sf)
+      .agg(sum("n_ws_tokens")).as[Long].head()
+    assert(tf == direct)
+  }
+
+  test("lang id guess is the argmax of the hit counts") {
+    // fixture lang labels are synthetic (the text is uniform word soup), so
+    // agreement with them is meaningless — assert the mechanism instead:
+    // the guessed language's hit count is >= every other hit count.
+    val bad = ops.Text.textLangId(spark, sf)
+      .withColumn("guessed_hits",
+        when(col("lang_guess") === "en", col("en_hits"))
+          .when(col("lang_guess") === "es", col("es_hits"))
+          .when(col("lang_guess") === "fr", col("fr_hits"))
+          .otherwise(col("de_hits")))
+      .filter(col("guessed_hits") < col("en_hits")
+        || col("guessed_hits") < col("es_hits")
+        || col("guessed_hits") < col("fr_hits")
+        || col("guessed_hits") < col("de_hits"))
+      .count()
+    assert(bad == 0)
+  }
+}
