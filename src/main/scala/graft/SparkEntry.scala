@@ -20,7 +20,8 @@ object SparkEntry {
     ops.Relational.queries ++ ops.Joins.queries ++ ops.Aggregates.queries ++
       ops.Windows.queries ++ ops.TimeSeries.queries ++ ops.Scalars.queries ++
       ops.Text.queries ++ ops.Dedup.queries ++ ops.Vectors.queries ++
-      ops.Multimodal.queries
+      ops.Multimodal.queries ++ ops.Ingest.queries ++ ops.Store.queries ++
+      streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +29,6 @@ object SparkEntry {
     ops.Relational.oracle ++ ops.Joins.oracle ++ ops.Aggregates.oracle ++
       ops.Windows.oracle ++ ops.TimeSeries.oracle ++ ops.Scalars.oracle ++
       ops.Text.oracle ++ ops.Dedup.oracle ++ ops.Vectors.oracle ++
-      ops.Multimodal.oracle
+      ops.Multimodal.oracle ++ ops.Ingest.oracle ++ ops.Store.oracle ++
+      streaming.StreamingOps.oracle
 }

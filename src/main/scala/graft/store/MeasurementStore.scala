@@ -1,0 +1,95 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Measurement store (SURVEY.md §1.5, §4): the InfluxDB-measurement
+  * abstraction on partitioned parquet.
+  *
+  *  - Layout: `<root>/<measurement>/day=YYYY-MM-DD/` parquet files with tag
+  *    columns inline — date partition pruning serves the reference's
+  *    universal `time >= a AND time <= b` predicate
+  *    (get_hot_intake_interval.py:117); tag predicates push to parquet
+  *    row groups.
+  *  - Upsert on (tags, time) (InfluxDB point semantics the reference relies
+  *    on for idempotent re-ingest, transfer_manager.py:199-208): last-write-
+  *    wins by a version column, implemented as read-modify-overwrite of only
+  *    the date partitions present in the update batch (dynamic partition
+  *    overwrite — the parquet stand-in for a Delta MERGE; no Delta jars in
+  *    this environment).
+  *  - Retention (memory_manager.py:3-17): drop oldest day partitions beyond
+  *    a row budget.
+  *
+  * At 100 TB: day partitions bound every rewrite to the touched days; the
+  * version-dedup shuffle is keyed by (tags, time) and AQE-coalesced.
+  */
+class MeasurementStore(spark: SparkSession, root: String) {
+
+  private def path(measurement: String) = s"$root/$measurement"
+
+  private def withDay(df: DataFrame): DataFrame =
+    df.withColumn("day", date_format(col("time"), "yyyy-MM-dd"))
+
+  /** Partition-column type inference reads `day=` back as DATE; pin it to
+    * the string form the writers use. */
+  private def readRaw(measurement: String): DataFrame =
+    spark.read.parquet(path(measurement))
+      .withColumn("day", col("day").cast("string"))
+
+  /** Append points; day partition derived from `time`. */
+  def append(measurement: String, points: DataFrame): Unit =
+    withDay(points).write.mode(SaveMode.Append)
+      .partitionBy("day").parquet(path(measurement))
+
+  /** Upsert points on key columns, last-write-wins by `versionCol`. Only
+    * the day partitions present in `updates` are rewritten. */
+  def upsert(measurement: String, updates: DataFrame,
+    keys: Seq[String], versionCol: String): Unit = {
+    val up = withDay(updates)
+    val days = up.select("day").distinct().collect().map(_.getString(0))
+    val existing =
+      try readRaw(measurement).filter(col("day").isin(days: _*))
+      catch { case _: Throwable => spark.emptyDataFrame }
+    val merged =
+      if (existing.isEmpty) up
+      else {
+        val all = existing.unionByName(up, allowMissingColumns = true)
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(col(versionCol).desc)
+        all.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
+    // overwrite only the touched day partitions
+    val conf = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(conf)
+    spark.conf.set(conf, "dynamic")
+    try merged.write.mode(SaveMode.Overwrite)
+      .partitionBy("day").parquet(path(measurement))
+    finally prev.foreach(spark.conf.set(conf, _))
+  }
+
+  /** Read with pushdown-friendly predicates; day-partition pruning applies
+    * to time-range filters phrased on `day`. */
+  def read(measurement: String, predicate: Column = lit(true)): DataFrame =
+    readRaw(measurement).filter(predicate)
+
+  /** Retention: keep the newest day partitions whose cumulative row count
+    * stays within `rowBudget`; returns the days dropped. */
+  def enforceRetention(measurement: String, rowBudget: Long): Seq[String] = {
+    val counts = readRaw(measurement)
+      .groupBy("day").count()
+      .withColumn("cum", sum("count").over(
+        Window.orderBy(col("day").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val drop = counts.filter(col("cum") > rowBudget)
+      .select("day").collect().map(_.getString(0)).toSeq
+    drop.foreach { d =>
+      val dir = new java.io.File(s"${path(measurement)}/day=$d")
+      if (dir.exists()) {
+        dir.listFiles().foreach(_.delete()); dir.delete()
+      }
+    }
+    drop
+  }
+}

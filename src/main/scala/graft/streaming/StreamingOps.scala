@@ -1,0 +1,169 @@
+package graft.streaming
+
+import graft.Tables
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming layer (SURVEY.md §2.8): the reference is a cron-run
+  * micro-batch system (deployment_guide.md:253-262 — files accumulate, a
+  * periodic job drains them exactly-once); here that contract is explicit:
+  * checkpointed file source replaces the move-protocol, watermarks replace
+  * the mtime>now in-flight exclusion (transfer_manager.py:197), and
+  * `flatMapGroupsWithState` carries the pulse-interval state machine
+  * (get_hot_intake_interval.py:103-147) per building key.
+  *
+  * Each op runs a real streaming query to completion with
+  * Trigger.AvailableNow against the fixture dir and returns the sink table,
+  * so the driver's DuckDB oracle checks streaming results like any batch
+  * query. At scale the same pipelines run unbounded: AvailableNow is the
+  * only test-vs-prod difference.
+  */
+object StreamingOps {
+  import graft.ops.Relational.{totalOrder, orderAll}
+
+  /** events schema as the parquet reader sees it (ts = TIMESTAMP(NANOS)
+    * surfaced as long via nanosAsLong, converted after read). */
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private var sinkId = 0
+  private def nextSink(): String = synchronized { sinkId += 1; s"graft_sink_$sinkId" }
+
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventsRawSchema)
+      // the file source wants a directory; select just the events table
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+  /** Run a streaming frame to completion into a memory sink; return the
+    * materialized table. */
+  private def runToTable(df: DataFrame, mode: OutputMode): DataFrame = {
+    val name = nextSink()
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  /** Streaming hourly downsample (InfluxQL GROUP BY time(1h) as an
+    * unbounded query): tumbling windows in complete mode — the same
+    * window() expression as the batch op, so semantics are shared. */
+  def streamTimeBucket(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("bucket"), col("event_type"), col("n"))
+    totalOrder(runToTable(agg, OutputMode.Complete()))
+  }
+
+  /** Streaming idempotent ingest: the source replayed twice (the re-
+    * downloaded-file scenario, transfer_manager.py:199-208) deduped within
+    * a watermark on the point key — then aggregated, proving twice ≡ once. */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val s = eventsStream(spark, dir)
+      .select(col("event_type"), col("user_id"), col("ts"), col("value"))
+    val deduped = s.union(s)
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_type", "user_id", "ts")
+    val rows = runToTable(deduped, OutputMode.Append())
+    totalOrder(rows.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), Tables.dsum(col("value")).as("sum_value")))
+  }
+
+  // --- pulse-interval state machine (streaming twin of win_lag_interval) --
+
+  case class Ev(user_id: Long, event_id: Long, ts: Timestamp, value: Double)
+  case class Rated(user_id: Long, event_id: Long, ts: Timestamp, rate: Double)
+
+  /** Mutable per-building state, mirroring get_hot_intake_interval.py
+    * :98-147 exactly: firstPulse / dataset_flag / hotOutFlag, the run-start
+    * time set by the first zero AFTER a pulse (:143-145), and the buffered
+    * zero-run emitted with the next pulse's rate (:68-71,131-139). */
+  case class PState(firstPulse: Boolean, datasetFlag: Boolean,
+    hotOutFlag: Int, runStartSec: Long, hasRunStart: Boolean,
+    buffer: List[(Long, Timestamp)]) // (event_id, original event time)
+
+  private val PulseThreshold = 100.0
+
+  def pulseMachine(userId: Long, rows: Iterator[Ev],
+    state: GroupState[PState]): Iterator[Rated] = {
+    var st = state.getOption.getOrElse(
+      PState(firstPulse = false, datasetFlag = false, 0, 0L, hasRunStart = false, Nil))
+    val out = scala.collection.mutable.ListBuffer.empty[Rated]
+    // within one batch rows arrive unordered; event-time order is restored
+    // per key (cross-batch ordering is the watermark's job upstream)
+    val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    for (e <- sorted) {
+      val sec = e.ts.getTime / 1000
+      if (e.value >= PulseThreshold) {
+        var flag = st.hotOutFlag + 1
+        if (!st.firstPulse)
+          st = st.copy(firstPulse = true, datasetFlag = true)
+        if (flag == 2) {
+          if (st.hasRunStart) {
+            val rate = 60.0 / (sec - st.runStartSec + 1)
+            st.buffer.reverse.foreach { case (id, t) =>
+              out += Rated(userId, id, t, rate)
+            }
+            out += Rated(userId, e.event_id, e.ts, rate)
+          }
+          flag = 1
+          st = st.copy(datasetFlag = true, buffer = Nil)
+        }
+        st = st.copy(hotOutFlag = flag)
+      } else if (st.firstPulse) {
+        if (st.datasetFlag)
+          st = st.copy(runStartSec = sec, hasRunStart = true, datasetFlag = false)
+        st = st.copy(buffer = (e.event_id, e.ts) :: st.buffer)
+      }
+    }
+    state.update(st)
+    out.iterator
+  }
+
+  /** Streaming pulse→rate transform: the reference's stateful loop as a
+    * keyed state machine. Carries the same DuckDB oracle as the batch
+    * window formulation — streaming, batch, and DuckDB agree row-for-row. */
+  def streamPulseRate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val evs: Dataset[Ev] = eventsStream(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .as[Ev]
+    val rated = evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        pulseMachine)
+    totalOrder(runToTable(rated.toDF(), OutputMode.Append())
+      .select(col("user_id"), col("event_id"), col("ts"), col("rate")))
+  }
+
+  // ----------------------------------------------------------------- wiring
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_time_bucket" -> streamTimeBucket,
+    "stream_dedup" -> streamDedup,
+    "stream_pulse_rate" -> streamPulseRate)
+
+  val oracle: Map[String, String] = Map(
+    "stream_time_bucket" ->
+      s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+         |  event_type, COUNT(*) AS n
+         |FROM events GROUP BY 1, 2
+         |${orderAll("bucket", "event_type", "n")}""".stripMargin,
+    "stream_dedup" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  ${Tables.sqlDsum("value")} AS sum_value
+         |FROM events GROUP BY event_type
+         |${orderAll("event_type", "n", "sum_value")}""".stripMargin,
+    "stream_pulse_rate" -> graft.ops.TimeSeries.oracle("win_lag_interval"))
+}

@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+class IngestStoreStreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("pulse CSV: metadata regex keeps ids as strings, routes QC") {
+    val df = ops.Ingest.scanCsvPulses(spark, sf)
+    val m = df.select("measurement", "siteID", "qc").distinct().collect()
+    assert(m.forall(r =>
+      (r.getString(0) == "QCData") == r.getBoolean(2)))
+    assert(df.filter(col("siteID").rlike("^\\d+$")).count() == df.count())
+  }
+
+  test("campus CSV: 7col and 4col variants coexist; temps null on 4col") {
+    val dir = Files.createTempDirectory("campus_t").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "llc-x_multi_meter.csv"),
+      "# export\nDate,coldInFlowRate,hotInFlowRate,hotOutFlowRate,hotInTemp,hotOutTemp,coldInTemp\n" +
+        "2024-01-01 00:00:00,1.0,2.0,3.0,4.0,5.0,6.0\n")
+    Files.writeString(java.nio.file.Paths.get(dir, "llc-y_multi_meter.csv"),
+      "# export\nDate,coldInFlowRate,hotInFlowRate,hotOutFlowRate\n" +
+        "2024-01-01 00:00:00,1.5,2.5,3.5\nbroken,x,y,z\n")
+    val (good, bad) = ingest.CsvIngest.quarantineSplit(
+      ingest.CsvIngest.readCampusCsv(spark, dir))
+    val g = good.select("buildingID", "variant", "hotInTemp").collect()
+    assert(g.map(_.getString(0)).toSet == Set("X", "Y"))
+    assert(g.filter(_.getString(1) == "4col").forall(_.isNullAt(2)))
+    assert(bad.count() == 1)
+    assert(bad.select("raw_line").as[String].head() == "broken,x,y,z")
+  }
+
+  test("store upsert is idempotent (applying twice equals once)") {
+    val root = Files.createTempDirectory("ms").toString
+    val store = new graft.store.MeasurementStore(spark, root)
+    val pts = Tables.load(spark, sf, "events").limit(200)
+      .select(col("event_type"), col("user_id"), col("ts").as("time"),
+        col("value"), col("event_id").as("version"))
+    store.append("m", pts)
+    val upd = pts.withColumn("value", col("value") + 1)
+      .withColumn("version", col("version") + 10000)
+    store.upsert("m", upd, Seq("event_type", "user_id", "time"), "version")
+    val once = store.read("m").orderBy("version").collect()
+    store.upsert("m", upd, Seq("event_type", "user_id", "time"), "version")
+    val twice = store.read("m").orderBy("version").collect()
+    assert(once.sameElements(twice))
+    assert(once.length == 200)
+  }
+
+  test("store read prunes day partitions") {
+    val root = Files.createTempDirectory("ms2").toString
+    val store = new graft.store.MeasurementStore(spark, root)
+    store.append("m", Tables.load(spark, sf, "events")
+      .select(col("event_type"), col("user_id"), col("ts").as("time"), col("value")))
+    val df = store.read("m", col("day") === "2024-01-02")
+    df.collect()
+    val scan = df.queryExecution.executedPlan.toString
+    // partition filter must appear; only one day directory scanned
+    assert(scan.contains("PartitionFilters") && scan.contains("day"), scan.take(1200))
+    val days = df.select("day").distinct().as[String].collect()
+    assert(days.sameElements(Array("2024-01-02")))
+  }
+
+  test("store retention drops oldest days, keeps newest prefix") {
+    val root = Files.createTempDirectory("ms3").toString
+    val store = new graft.store.MeasurementStore(spark, root)
+    store.append("m", Tables.load(spark, sf, "events")
+      .select(col("event_type"), col("user_id"), col("ts").as("time"), col("value")))
+    val total = store.read("m").count()
+    val dropped = store.enforceRetention("m", total / 2)
+    assert(dropped.nonEmpty)
+    val remainingDays = store.read("m").select("day").distinct()
+      .as[String].collect().toSet
+    assert(dropped.toSet.intersect(remainingDays).isEmpty)
+    // dropped days are strictly older than every kept day
+    assert(dropped.max < remainingDays.min)
+  }
+
+  test("streaming pulse rate equals the batch window formulation") {
+    val s = streaming.StreamingOps.streamPulseRate(spark, sf)
+      .select("user_id", "event_id", "rate")
+      .as[(Long, Long, Double)].collect().toSet
+    val b = ops.TimeSeries.winLagInterval(spark, sf)
+      .select("user_id", "event_id", "rate")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(s == b)
+  }
+
+  test("streaming dedup: replayed source counts once") {
+    val n = streaming.StreamingOps.streamDedup(spark, sf)
+      .agg(sum("n")).as[Long].head()
+    assert(n == Tables.load(spark, sf, "events").count())
+  }
+}
