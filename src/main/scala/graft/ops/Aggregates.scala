@@ -40,7 +40,7 @@ object Aggregates {
   def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     totalOrder(load(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+      .agg(approx_count_distinct(col("l_partkey"), 0.04).as("approx_parts"),
         count(lit(1)).as("n_rows")))
 
   /** Hierarchical subtotals: (status, priority) → (status) → grand total. */

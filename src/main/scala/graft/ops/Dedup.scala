@@ -31,6 +31,11 @@ object Dedup {
             element_at(col("t"), i + 3)))))
         .otherwise(array().cast("array<string>")))
       .select(col("doc_id"), col("shingles"))
+      // cache before any explode: Generate re-evaluates its child
+      // expression per OUTPUT row, so exploding the un-materialized
+      // transform() recomputes the whole shingle array once per shingle
+      // (~50x the work; measured 30s vs 0.4s at sf0.1)
+      .cache()
   }
 
   /** Exact dedup: group by content hash of normalized text; the canonical
@@ -44,28 +49,44 @@ object Dedup {
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_dups"))
       .filter(col("n_dups") >= 2))
 
-  /** Near-dup pairs by exact n-gram Jaccard, candidates via inverted index:
-    * explode shingles → self-join on shingle (only docs sharing ≥1 shingle
-    * ever meet) → per-pair intersection count → Jaccard filter. The
-    * candidate join is keyed by shingle, so cost is Σ df(shingle)², not n²;
-    * a stop-shingle cap (df ≤ 100) bounds the worst key — the standard
-    * guard at corpus scale. */
+  /** Max document frequency for a shingle to count as discriminative: a
+    * shingle seen in more docs carries no near-dup signal (the stop-word
+    * guard of AllPairs-style similarity joins). Both Jaccard and MinHash
+    * work over this capped vocabulary, so their results are comparable. */
+  private val MaxShingleDf = 20
+
+  /** Discriminative shingle postings: (doc_id, s, h) with the string
+    * shingle and its 64-bit hash, restricted to df(h) <= MaxShingleDf.
+    * All downstream joins/aggregations key on `h` — an 8-byte shuffle key
+    * instead of a ~30-byte string. */
+  private def cappedPosting(spark: SparkSession, dir: String): DataFrame =
+    shingled(spark, dir)
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .withColumn("h", xxhash64(col("s")))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .filter(col("df") <= MaxShingleDf)
+      // cache: the posting feeds both sides of the candidate self-join plus
+      // the size lookup (and the MinHash path); without it Catalyst
+      // re-derives the shingling+window subtree once per reference. At
+      // cluster scale this would be a checkpoint to break the lineage.
+      .cache()
+
+  /** Near-dup pairs by exact Jaccard over the discriminative vocabulary:
+    * inverted-index self-join on hashed shingles (only docs sharing one
+    * ever meet; cost Σ df² ≤ postings·MaxShingleDf, never n²), then the
+    * intersection count falls out of a (pair → count) hash agg — no
+    * shingle arrays are ever shipped through the shuffle. */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir)
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"))
-    val posting = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val capped = posting.withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
-      .filter(col("df") <= 100)
-    val pairs = capped.as("a").join(capped.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+    val p = cappedPosting(spark, dir).select(col("doc_id"), col("h"))
+    val sizes = p.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val pairs = p.as("a").join(p.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
     totalOrder(pairs
-      .join(sizes.withColumnRenamed("doc_id", "id_a")
-        .withColumnRenamed("n_sh", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b")
-        .withColumnRenamed("n_sh", "n_b"), "id_b")
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), "id_b")
       .withColumn("jaccard", col("inter").cast(DoubleType) /
         (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= 0.3)
@@ -79,12 +100,15 @@ object Dedup {
     * engine-specific → rows-only check + precision/recall spec vs the
     * exact op. */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir)
-    val sig = sh.withColumn("sig", transform(
+    // one row per doc with its capped hashed-shingle set; signatures mix
+    // the 8-byte hashes (xxhash64 seeded per function) instead of
+    // re-hashing strings 16 times
+    val hs = cappedPosting(spark, dir)
+      .groupBy(col("doc_id")).agg(collect_list(col("h")).as("hs"))
+    val sig = hs.withColumn("sig", transform(
       sequence(lit(0), lit(15)),
-      seed => array_min(transform(col("shingles"),
-        s => xxhash64(concat(seed.cast("string"), lit(":"), s))))))
-    val bands = sig.select(col("doc_id"), col("sig"),
+      seed => array_min(transform(col("hs"), h => xxhash64(seed, h)))))
+    val bands = sig.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(3)),
           b => struct(b.as("band"),
             xxhash64(concat_ws("_", b,
@@ -98,16 +122,13 @@ object Dedup {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    // exact verification of the candidate set only
-    val sizes = sh.select(col("doc_id"), col("shingles"))
+    // exact verification (long-array intersect) for the candidate set only
     totalOrder(cand
-      .join(sizes.withColumnRenamed("doc_id", "id_a")
-        .withColumnRenamed("shingles", "sh_a"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b")
-        .withColumnRenamed("shingles", "sh_b"), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .join(hs.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(hs.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
       .withColumn("jaccard", col("inter").cast(DoubleType) /
-        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+        (size(col("hs_a")) + size(col("hs_b")) - col("inter")))
       .filter(col("jaccard") >= 0.3)
       .select(col("id_a"), col("id_b"), col("jaccard")))
   }
@@ -121,16 +142,21 @@ object Dedup {
     * 16 bits for grouping). */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val toks = filter(split(lower(col("text")), "[^a-z0-9']+"), t => t =!= "")
-    val bits = load(spark, dir, "documents")
-      .select(col("doc_id"), explode(array_distinct(toks)).as("tok"))
+    // materialize the token arrays before exploding (see shingled())
+    val tokenized = load(spark, dir, "documents")
+      .select(col("doc_id"), array_distinct(toks).as("toks"))
+      .cache()
+    val bits = tokenized
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
-      .select(col("doc_id"), explode(transform(sequence(lit(0), lit(62)),
-        // call_function: the shiftright(Column, Int) overload can't take a
-        // lambda variable as the shift amount
-        b => struct(b.as("bit"),
-          when(call_function("shiftright", col("h"), b).bitwiseAND(1) === 1, 1)
-            .otherwise(-1).as("vote")))).as("bv"))
-      .select(col("doc_id"), col("bv.bit"), col("bv.vote"))
+      // explode the cheap index sequence, then compute the vote per row —
+      // exploding a transform() of structs would rebuild the 63-element
+      // array once per emitted bit
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(62))).as("bit"))
+      .withColumn("vote",
+        when(call_function("shiftright", col("h"), col("bit"))
+          .bitwiseAND(1) === 1, 1).otherwise(-1))
     totalOrder(bits.groupBy(col("doc_id"), col("bit"))
       .agg(sum(col("vote")).as("v"))
       .groupBy(col("doc_id"))
@@ -170,17 +196,19 @@ object Dedup {
          |capped AS (
          |  SELECT * FROM (
          |    SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df
-         |    FROM posting) WHERE df <= 100),
+         |    FROM posting) WHERE df <= 20),
+         |sizes AS (
+         |  SELECT doc_id, COUNT(*) AS n_sh FROM capped GROUP BY doc_id),
          |pairs AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
          |  FROM capped a JOIN capped b
          |    ON a.sh = b.sh AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT id_a, id_b, inter,
-         |  CAST(inter AS DOUBLE) / (sa.n_a + sb.n_b - inter) AS jaccard
+         |  CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
          |FROM pairs
-         |JOIN (SELECT doc_id, len(s) AS n_a FROM sh) sa ON sa.doc_id = id_a
-         |JOIN (SELECT doc_id, len(s) AS n_b FROM sh) sb ON sb.doc_id = id_b
-         |WHERE CAST(inter AS DOUBLE) / (sa.n_a + sb.n_b - inter) >= 0.3
+         |JOIN sizes sa ON sa.doc_id = id_a
+         |JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.3
          |${orderAll("id_a", "id_b", "inter", "jaccard")}""".stripMargin)
 }

@@ -29,7 +29,10 @@ object Text {
     * text_tokenize_tf). doc_freq counts distinct docs per token. */
   def textTokenizeTf(spark: SparkSession, dir: String): DataFrame =
     totalOrder(load(spark, dir, "documents")
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      // materialize the token array before exploding: Generate re-evaluates
+      // its child per output row, which would re-split the text per token
+      .select(col("doc_id"), tokens(col("text")).as("toks")).cache()
+      .select(col("doc_id"), explode(col("toks")).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df")))
 
