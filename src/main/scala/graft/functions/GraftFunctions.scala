@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Registration surface for graft's custom Catalyst functions.
+  *
+  * Production path: `spark.sql.extensions=graft.functions.GraftExtensions`
+  * injects them at session build. Library path: [[GraftFunctions.register]]
+  * adds them to an existing session's registry (idempotent) — used by the
+  * driver-contract queries, which receive an already-built session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftFunctions.vecDotDescriptor)
+}
+
+object GraftFunctions {
+
+  private[functions] val vecDotDescriptor =
+    (new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (children: Seq[Expression]) => VecDot(children.head, children(1)): Expression)
+
+  /** Idempotently register graft functions on a live session. */
+  def register(spark: SparkSession): Unit = {
+    val (id, info, builder) = vecDotDescriptor
+    if (!spark.sessionState.functionRegistry.functionExists(id))
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
+
+  /** `vec_dot` as a Column (via the registry, so plans serialize cleanly). */
+  def vecDot(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("vec_dot", a, b)
+  }
+
+  /** Exact micro-unit centroid Aggregator (SURVEY §2.9 vector-centroid
+    * UDAF): accumulates each component as a scale-6 decimal long (the same
+    * quantization as Tables.dsum), so the sum is an order-independent
+    * integer and the result matches the posexplode+decimal formulation
+    * bit-for-bit regardless of partitioning. */
+  class VecCentroid(dim: Int)
+    extends Aggregator[Array[Float], (Array[Long], Long), Array[Double]] {
+
+    override def zero: (Array[Long], Long) = (new Array[Long](dim), 0L)
+
+    override def reduce(b: (Array[Long], Long), v: Array[Float]): (Array[Long], Long) = {
+      var i = 0
+      while (i < dim && i < v.length) {
+        b._1(i) += BigDecimal(v(i).toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).underlying.unscaledValue.longValue
+        i += 1
+      }
+      (b._1, b._2 + 1)
+    }
+
+    override def merge(a: (Array[Long], Long), b: (Array[Long], Long)): (Array[Long], Long) = {
+      var i = 0
+      while (i < dim) { a._1(i) += b._1(i); i += 1 }
+      (a._1, a._2 + b._2)
+    }
+
+    override def finish(r: (Array[Long], Long)): Array[Double] =
+      r._1.map(m => (m.toDouble / 1e6) / r._2)
+
+    override def bufferEncoder: org.apache.spark.sql.Encoder[(Array[Long], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Long], Long)]()
+
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  }
+}

@@ -166,13 +166,38 @@ object Dedup {
       .select(col("doc_id"), col("simhash"), col("bucket16")))
   }
 
+  /** Embedding-cosine near-dup (SURVEY §2.10): semantic duplicates via the
+    * embeddings table joined back to documents. Same LSH sign-bucket
+    * candidate generation as the similarity ops (all-pairs only within a
+    * bucket — never n²); a pair is a near-dup at cosine ≥ 0.45 (the fixture
+    * embeddings are near-orthogonal random vectors, so the tail above 0.45
+    * is the "same document re-embedded" analog); the canonical survivor is
+    * the lower doc id. */
+  def dedupEmbcos(spark: SparkSession, dir: String): DataFrame = {
+    val b = load(spark, dir, "embeddings")
+      .withColumn("nrm", Vectors.norm(col("embedding")))
+      .withColumn("bucket",
+        (when(element_at(col("embedding"), 1) >= 0, 4).otherwise(0)
+          + when(element_at(col("embedding"), 2) >= 0, 2).otherwise(0)
+          + when(element_at(col("embedding"), 3) >= 0, 1).otherwise(0)))
+    totalOrder(b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket")
+          && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine", Vectors.dot(col("a.embedding"), col("b.embedding"))
+        / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cosine") >= 0.45)
+      .select(col("a.vec_id").as("canonical_id"),
+        col("b.vec_id").as("dup_id"), col("cosine")))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash" -> dedupMinhash,
-    "dedup_simhash" -> dedupSimhash)
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_embcos" -> dedupEmbcos)
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
@@ -210,5 +235,23 @@ object Dedup {
          |JOIN sizes sa ON sa.doc_id = id_a
          |JOIN sizes sb ON sb.doc_id = id_b
          |WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.3
-         |${orderAll("id_a", "id_b", "inter", "jaccard")}""".stripMargin)
+         |${orderAll("id_a", "id_b", "inter", "jaccard")}""".stripMargin,
+    "dedup_embcos" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_aggregate(list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm,
+         |    (CASE WHEN embedding[1] >= 0 THEN 4 ELSE 0 END
+         |     + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+         |     + CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END) AS bucket
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT a.vec_id AS canonical_id, b2.vec_id AS dup_id,
+         |    list_aggregate(list_transform(list_zip(a.embedding, b2.embedding),
+         |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+         |      / (a.nrm * b2.nrm) AS cosine
+         |  FROM b a JOIN b b2
+         |    ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+         |SELECT canonical_id, dup_id, cosine FROM pairs WHERE cosine >= 0.45
+         |${orderAll("canonical_id", "dup_id", "cosine")}""".stripMargin)
 }

@@ -96,12 +96,108 @@ object Ingest {
     CsvIngest.quarantineSplit(CsvIngest.readCampusCsv(spark, tmp.toString))
   }
 
+  /** source_http_upload (web_service.py:35-70 + auth.py:15-47): the upload
+    * gate re-expressed relationally. Per source "client", a batch token is
+    * sha256(hourly_salt:secret:joined-filenames) (auth.py:71-80); clients
+    * whose source starts with a vowel present a stale-salt token and fail
+    * auth (auth.py:42-47); authorized files then pass the `.csv` extension
+    * allowlist (web_service.py:55-59). Returns every file with its verdict. */
+  def sourceHttpUpload(spark: SparkSession, dir: String): DataFrame = {
+    val salt = unix_timestamp(lit("2024-01-01 12:00:00").cast("timestamp"))
+    val files = load(spark, dir, "documents")
+      .withColumn("fname", concat(col("source"), lit("_"), col("doc_id"),
+        when(col("doc_id") % 3 === 0, ".csv")
+          .when(col("doc_id") % 3 === 1, ".CSV")
+          .otherwise(".txt")))
+      .select(col("doc_id"), col("source"), col("fname"))
+    val batches = files.groupBy(col("source"))
+      .agg(concat_ws(":", sort_array(collect_list(col("fname")))).as("names"))
+      .withColumn("payload", concat_ws(":", salt, lit("secret"), col("names")))
+      .withColumn("token", sha2(col("payload"), 256))
+      .withColumn("client_token",
+        when(substring(col("source"), 1, 1).isin("a", "e", "i", "o", "u"),
+          sha2(concat(lit("stale:"), col("payload")), 256))
+          .otherwise(sha2(col("payload"), 256)))
+      .select(col("source"), col("token"), col("client_token"))
+    totalOrder(files.join(broadcast(batches), "source")
+      .withColumn("status",
+        when(col("client_token") =!= col("token"), "rejected_auth")
+          .when(lower(substring_index(col("fname"), ".", -1)) =!= "csv",
+            "rejected_ext")
+          .otherwise("accepted"))
+      .select(col("doc_id"), col("source"), col("fname"), col("status")))
+  }
+
+  /** source_sftp_pull (transfer_manager.py:195-230): incremental sync as a
+    * relational diff. Remote listing = documents (size = n_chars); in-flight
+    * files (doc_id % 17 = 0, the mtime>now analog of :197) are skipped;
+    * local already holds doc_id % 3 = 0, but every 9th changed size upstream
+    * (:199-208) → re-fetch; everything else new locally → fetch (:209-217). */
+  def sourceSftpPull(spark: SparkSession, dir: String): DataFrame = {
+    val remote = load(spark, dir, "documents")
+      .withColumn("fname", concat(col("source"), lit("_"), col("doc_id"), lit(".csv")))
+      .select(col("doc_id"), col("fname"), col("n_chars").as("r_size"))
+    val inFlight = col("doc_id") % 17 === 0
+    val local = remote.filter(col("doc_id") % 3 === 0)
+      .withColumn("l_size",
+        when(col("doc_id") % 9 === 0, col("r_size") - 1).otherwise(col("r_size")))
+      .select(col("doc_id"), col("l_size"))
+    totalOrder(remote.filter(!inFlight)
+      .join(local, Seq("doc_id"), "left_outer")
+      .filter(col("l_size").isNull || col("l_size") =!= col("r_size"))
+      .withColumn("action",
+        when(col("l_size").isNull, "fetch_new").otherwise("refetch_changed"))
+      .select(col("doc_id"), col("fname"), col("r_size"), col("action")))
+  }
+
+  /** sink_archive_move (loader.py:79-84,186-193): post-ingest move of each
+    * source file to the target dir with an existence check — run for real on
+    * the synthesized pulse files; returns per-file row counts + archived
+    * flag read back from the target directory listing. */
+  def sinkArchiveMove(spark: SparkSession, dir: String): DataFrame = {
+    val rows = pulseSlice(spark, dir)
+      .select(col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("t"),
+        floor(col("value")).cast("long").as("p"))
+      .collect()
+    val source = Files.createTempDirectory("archive_src")
+    val target = Files.createTempDirectory("archive_tgt")
+    rows.groupBy(_.getLong(0)).foreach { case (u, rs) =>
+      val body = rs.sortBy(r => (r.getString(1), r.getLong(2)))
+        .map(r => s"${r.getString(1)},${r.getLong(2)}").mkString("\n")
+      writeFile(source, s"site$u.csv",
+        s"Site: ${100 + u}\nDatalogger: ${200 + u}\nMeter #${300 + u}\nTime,Pulses\n$body\n")
+    }
+    // materialize the parse BEFORE the move — the commit point of the
+    // reference's drain protocol (parse, write, then relocate)
+    val counts = CsvIngest.readPulseCsv(spark, source.toString)
+      .groupBy(col("siteID")).agg(count(lit(1)).as("n_rows"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // the move protocol: relocate each drained file, then verify existence
+    // in the target before trusting the commit (loader.py:79-84)
+    Files.list(source).forEach { f =>
+      java.nio.file.Files.move(f, target.resolve(f.getFileName))
+    }
+    val archivedSet = Files.list(target).map[String](_.getFileName.toString)
+      .toArray.map(_.toString).toSet
+    import spark.implicits._
+    totalOrder(counts.toSeq
+      .map { case (site, n) =>
+        val fname = s"site${site.toLong - 100}.csv"
+        (fname, n, archivedSet.contains(fname))
+      }
+      .toDF("fname", "n_rows", "archived"))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_csv_pulses" -> scanCsvPulses,
     "scan_csv_campus" -> scanCsvCampus,
-    "sink_quarantine" -> sinkQuarantine)
+    "sink_quarantine" -> sinkQuarantine,
+    "source_http_upload" -> sourceHttpUpload,
+    "source_sftp_pull" -> sourceSftpPull,
+    "sink_archive_move" -> sinkArchiveMove)
 
   private val slice =
     """SELECT user_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS t,
@@ -143,5 +239,55 @@ object Ingest {
          |  ('2024-01-01 00:00:00,not_a_number,1.0,2.0,3.0,4.0,5.0'),
          |  ('2024-01-01 00:00:01,1.0,also_bad,2.0,3.0,4.0,5.0'))
          |  AS t(raw_line)
-         |${orderAll("raw_line")}""".stripMargin)
+         |${orderAll("raw_line")}""".stripMargin,
+    "source_http_upload" ->
+      s"""WITH files AS (
+         |  SELECT doc_id, source,
+         |    source || '_' || CAST(doc_id AS VARCHAR) ||
+         |      (CASE WHEN doc_id % 3 = 0 THEN '.csv'
+         |            WHEN doc_id % 3 = 1 THEN '.CSV' ELSE '.txt' END) AS fname
+         |  FROM documents),
+         |batches AS (
+         |  SELECT source,
+         |    CAST(epoch(TIMESTAMP '2024-01-01 12:00:00') AS BIGINT)
+         |      || ':secret:' || string_agg(fname, ':' ORDER BY fname) AS payload
+         |  FROM files GROUP BY source),
+         |tokens AS (
+         |  SELECT source, sha256(payload) AS token,
+         |    CASE WHEN substring(source, 1, 1) IN ('a','e','i','o','u')
+         |      THEN sha256('stale:' || payload) ELSE sha256(payload) END
+         |      AS client_token
+         |  FROM batches)
+         |SELECT f.doc_id, f.source, f.fname,
+         |  CASE WHEN t.client_token <> t.token THEN 'rejected_auth'
+         |       WHEN lower(split_part(f.fname, '.', -1)) <> 'csv'
+         |         THEN 'rejected_ext'
+         |       ELSE 'accepted' END AS status
+         |FROM files f JOIN tokens t ON f.source = t.source
+         |ORDER BY f.doc_id NULLS FIRST, f.source NULLS FIRST,
+         |  f.fname NULLS FIRST, status NULLS FIRST""".stripMargin,
+    "source_sftp_pull" ->
+      s"""WITH remote AS (
+         |  SELECT doc_id,
+         |    source || '_' || CAST(doc_id AS VARCHAR) || '.csv' AS fname,
+         |    n_chars AS r_size
+         |  FROM documents),
+         |local AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 9 = 0 THEN r_size - 1 ELSE r_size END AS l_size
+         |  FROM remote WHERE doc_id % 3 = 0)
+         |SELECT r.doc_id, r.fname, r.r_size,
+         |  CASE WHEN l.l_size IS NULL THEN 'fetch_new'
+         |       ELSE 'refetch_changed' END AS action
+         |FROM remote r LEFT JOIN local l ON r.doc_id = l.doc_id
+         |WHERE r.doc_id % 17 <> 0
+         |  AND (l.l_size IS NULL OR l.l_size <> r.r_size)
+         |ORDER BY r.doc_id NULLS FIRST, r.fname NULLS FIRST,
+         |  r.r_size NULLS FIRST, action NULLS FIRST""".stripMargin,
+    "sink_archive_move" ->
+      s"""WITH s AS ($slice)
+         |SELECT 'site' || CAST(user_id AS VARCHAR) || '.csv' AS fname,
+         |  COUNT(*) AS n_rows, TRUE AS archived
+         |FROM s WHERE rn <= 50 GROUP BY user_id
+         |${orderAll("fname", "n_rows", "archived")}""".stripMargin)
 }

@@ -100,6 +100,69 @@ object Relational {
       .filter(col("p_name").startsWith("small"))
       .select(col("p_partkey"), col("p_name")))
 
+  /** Extension allowlist (web_service.py:55-59; transfer_manager.py:74):
+    * case-insensitive `.csv` filter over synthesized filenames. */
+  def filterExt(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(load(spark, dir, "documents")
+      .withColumn("fname", concat(col("source"), lit("_"), col("doc_id"),
+        when(col("doc_id") % 3 === 0, ".csv")
+          .when(col("doc_id") % 3 === 1, ".CSV")
+          .otherwise(".txt")))
+      .filter(lower(substring_index(col("fname"), ".", -1)) === "csv")
+      .select(col("doc_id"), col("fname")))
+
+  /** In-flight file exclusion (transfer_manager.py:197 mtime > now): rows
+    * newer than the dataset frontier minus 1 hour are still "being
+    * written" and excluded; frontier replaces wall clock for determinism. */
+  def filterMtime(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+    totalOrder(ev
+      .crossJoin(broadcast(ev.agg(max(col("ts")).as("frontier"))))
+      .filter(col("ts") <= col("frontier") - expr("INTERVAL 1 HOUR"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), max(col("ts")).as("newest")))
+  }
+
+  /** Deterministic directory listing (sorted glob, loader.py:32-34): the
+    * fixture dir's parquet tables via the binaryFile source. */
+  def scanDirGlob(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.parquet")
+      .load(dir)
+      .select(element_at(split(col("path"), "/"), -1).as("fname")))
+
+  /** Whole-column overwrite with a computed scalar
+    * (`df['hotOutFlowRate'] = value`, get_hot_intake_interval.py:71): every
+    * buffered row of the zero-run gets the one derived rate. The scalar here
+    * is the reference's own formula at elapsed=23 s: (1/(23+1))*60 = 2.5. */
+  def projectSetConst(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(load(spark, dir, "events")
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"))
+      .withColumn("hotOutFlowRate", lit(60.0 / 24.0)))
+
+  /** Retention ordering (memory_manager.py:3-8: files sorted by mtime,
+    * oldest deleted first) — ascending time sort with a unique key tail. */
+  def sortByMtime(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+
+  /** The reference's read query (get_hot_intake_interval.py:117-123:
+    * `SELECT "hotOutFlowRate","buildingID" FROM "flow" WHERE time >= … AND
+    * time <= … AND "buildingID" = …`) as literal `spark.sql` over the
+    * registered measurement view — Catalyst parses/plans exactly what
+    * InfluxDB's server did, with the tag+time predicates pushed to the scan. */
+  def sourceInfluxql(spark: SparkSession, dir: String): DataFrame = {
+    load(spark, dir, "events").createOrReplaceTempView("flow")
+    totalOrder(spark.sql(
+      """SELECT value AS hotOutFlowRate, user_id AS buildingID, ts AS time
+        |FROM flow
+        |WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-06 00:00:00'
+        |  AND user_id % 5 = 1""".stripMargin))
+  }
+
   /** Deterministic sort (sorted glob, loader.py:32-34). */
   def sortByKey(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "orders")
@@ -173,6 +236,12 @@ object Relational {
     "filter_tag_eq" -> filterTagEq,
     "filter_nonzero" -> filterNonzero,
     "filter_prefix" -> filterPrefix,
+    "filter_ext" -> filterExt,
+    "filter_mtime" -> filterMtime,
+    "scan_dir_glob" -> scanDirGlob,
+    "project_set_const" -> projectSetConst,
+    "sort_by_mtime" -> sortByMtime,
+    "source_influxql" -> sourceInfluxql,
     "sort_by_key" -> sortByKey,
     "topk_latest" -> topkLatest,
     "set_union" -> setUnion,
@@ -224,6 +293,45 @@ object Relational {
     "filter_prefix" ->
       s"""SELECT p_partkey, p_name FROM part WHERE p_name LIKE 'small%'
          |${orderAll("p_partkey", "p_name")}""".stripMargin,
+    "filter_ext" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source || '_' || CAST(doc_id AS VARCHAR) ||
+         |    (CASE WHEN doc_id % 3 = 0 THEN '.csv'
+         |          WHEN doc_id % 3 = 1 THEN '.CSV' ELSE '.txt' END) AS fname
+         |  FROM documents)
+         |SELECT doc_id, fname FROM t
+         |WHERE lower(split_part(fname, '.', -1)) = 'csv'
+         |${orderAll("doc_id", "fname")}""".stripMargin,
+    "filter_mtime" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  MAX(CAST(ts AS TIMESTAMP)) AS newest
+         |FROM events
+         |WHERE CAST(ts AS TIMESTAMP) <=
+         |  (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events) - INTERVAL 1 HOUR
+         |GROUP BY event_type
+         |${orderAll("event_type", "n", "newest")}""".stripMargin,
+    "scan_dir_glob" ->
+      s"""SELECT * FROM (VALUES
+         |  ('region.parquet'), ('nation.parquet'), ('customer.parquet'),
+         |  ('supplier.parquet'), ('part.parquet'), ('orders.parquet'),
+         |  ('lineitem.parquet'), ('events.parquet'), ('documents.parquet'),
+         |  ('embeddings.parquet')) AS t(fname)
+         |${orderAll("fname")}""".stripMargin,
+    "project_set_const" ->
+      s"""SELECT event_id, user_id, 60.0 / 24.0 AS hotOutFlowRate
+         |FROM events WHERE event_type = 'click'
+         |${orderAll("event_id", "user_id", "hotOutFlowRate")}""".stripMargin,
+    "sort_by_mtime" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+        |ORDER BY ts ASC NULLS LAST, event_id ASC""".stripMargin,
+    "source_influxql" ->
+      s"""SELECT value AS hotOutFlowRate, user_id AS buildingID,
+         |  CAST(ts AS TIMESTAMP) AS time
+         |FROM events
+         |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-02 00:00:00'
+         |  AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-06 00:00:00'
+         |  AND user_id % 5 = 1
+         |${orderAll("hotOutFlowRate", "buildingID", "time")}""".stripMargin,
     "sort_by_key" ->
       """SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
         |ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC""".stripMargin,

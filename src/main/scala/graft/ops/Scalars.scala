@@ -46,6 +46,36 @@ object Scalars {
         upper(substring_index(col("fname"), ".", 1)).as("stem_upper"),
         col("fname").startsWith("s").as("is_s")))
 
+  /** Case mapping (transfer_manager.py:123 buildingID uppercase): upper /
+    * lower / length over customer names. */
+  def strUpper(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"),
+        upper(col("c_name")).as("name_upper"),
+        lower(col("c_name")).as("name_lower"),
+        length(col("c_name")).as("name_len")))
+
+  /** Prefix / suffix / containment predicates as scalar columns
+    * (datalogger_health_check.py:89 `startswith('multi_meter')`). */
+  def strStartswith(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(load(spark, dir, "part")
+      .select(col("p_partkey"), col("p_name"),
+        col("p_name").startsWith("multi").as("is_multi"),
+        col("p_name").endsWith("e").as("ends_e"),
+        col("p_name").contains("al").as("has_al")))
+
+  /** Staleness cutoff arithmetic (datalogger_health_check.py:92-93
+    * `now − timedelta(days=2)`): per-user newest event vs the dataset
+    * frontier minus 2 days (frontier replaces wall clock for determinism). */
+  def dateSubDays(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+    totalOrder(ev.groupBy(col("user_id")).agg(max(col("ts")).as("newest"))
+      .crossJoin(broadcast(ev.agg(max(col("ts")).as("frontier"))))
+      .select(col("user_id"), col("newest"),
+        (col("frontier") - expr("INTERVAL 2 DAYS")).as("cutoff"),
+        (col("newest") < col("frontier") - expr("INTERVAL 2 DAYS")).as("is_stale")))
+  }
+
   /** Token-string build (auth.py:73-74 `':'.join(filenames)`): deterministic
     * ordered string_agg per group. */
   def strConcatJoin(spark: SparkSession, dir: String): DataFrame =
@@ -126,6 +156,9 @@ object Scalars {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "str_regex_extract" -> strRegexExtract,
     "str_translate_lower" -> strTranslateLower,
+    "str_upper" -> strUpper,
+    "str_startswith" -> strStartswith,
+    "date_sub_days" -> dateSubDays,
     "str_splitext" -> strSplitext,
     "str_concat_join" -> strConcatJoin,
     "date_parse" -> dateParse,
@@ -153,6 +186,26 @@ object Scalars {
          |    AS site_key
          |FROM customer
          |${orderAll("c_custkey", "c_name", "site_key")}""".stripMargin,
+    "str_upper" ->
+      s"""SELECT c_custkey, c_name, upper(c_name) AS name_upper,
+         |  lower(c_name) AS name_lower, length(c_name) AS name_len
+         |FROM customer
+         |${orderAll("c_custkey", "c_name", "name_upper", "name_lower", "name_len")}""".stripMargin,
+    "str_startswith" ->
+      s"""SELECT p_partkey, p_name,
+         |  starts_with(p_name, 'multi') AS is_multi,
+         |  ends_with(p_name, 'e') AS ends_e,
+         |  contains(p_name, 'al') AS has_al
+         |FROM part
+         |${orderAll("p_partkey", "p_name", "is_multi", "ends_e", "has_al")}""".stripMargin,
+    "date_sub_days" ->
+      s"""WITH f AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS frontier FROM events)
+         |SELECT user_id, MAX(CAST(ts AS TIMESTAMP)) AS newest,
+         |  (SELECT frontier - INTERVAL 2 DAY FROM f) AS cutoff,
+         |  MAX(CAST(ts AS TIMESTAMP)) <
+         |    (SELECT frontier - INTERVAL 2 DAY FROM f) AS is_stale
+         |FROM events GROUP BY user_id
+         |${orderAll("user_id", "newest", "cutoff", "is_stale")}""".stripMargin,
     "str_splitext" ->
       s"""WITH t AS (
          |  SELECT p_partkey, replace(lower(p_name), ' ', '_') || '.csv' AS fname

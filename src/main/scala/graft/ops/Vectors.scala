@@ -22,11 +22,11 @@ object Vectors {
   import Relational.{totalOrder, orderAll}
 
   /** Exact sequential-fold dot product (bit-stable across engines). */
-  private def dot(a: Column, b: Column): Column =
+  private[ops] def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, x) => acc + x)
 
-  private def norm(a: Column): Column = sqrt(dot(a, a))
+  private[ops] def norm(a: Column): Column = sqrt(dot(a, a))
 
   private def withNorm(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "embeddings")
@@ -89,12 +89,53 @@ object Vectors {
         count(lit(1)).as("n"))
       .filter(col("dim") < 8)) // demo slice: first 8 dims keep output small
 
+  /** Brute-force kNN on the custom codegen'd [[graft.functions.VecDot]]
+    * expression (SURVEY §2.9/§4): one fused primitive loop per row instead
+    * of the zip_with lambda-array; results are bit-identical to
+    * sim_knn_bruteforce (same IEEE sequence), so it shares that oracle. */
+  def simKnnNative(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.vecDot
+    val base = load(spark, dir, "embeddings")
+      .withColumn("nrm", sqrt(vecDot(spark, col("embedding"), col("embedding"))))
+    val queries = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    totalOrder(base.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine",
+        vecDot(spark, col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("rk"), col("cosine")))
+  }
+
+  /** Per-label centroid via the typed micro-unit Aggregator (SURVEY §2.9
+    * UDAF path) — partial aggregation across partitions with an exact
+    * integer buffer, so results match the posexplode formulation (and its
+    * oracle) bit-for-bit under any partitioning. */
+  def vecCentroidNative(spark: SparkSession, dir: String): DataFrame = {
+    val agg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.GraftFunctions.VecCentroid(64),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
+    totalOrder(load(spark, dir, "embeddings")
+      .groupBy(col("label"))
+      .agg(agg(col("embedding")).as("c"), count(lit(1)).as("n"))
+      .select(col("label"), posexplode(col("c")).as(Seq("dim", "centroid")), col("n"))
+      .filter(col("dim") < 8)
+      .select(col("label"), col("dim"), col("centroid"), col("n")))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_knn_bruteforce" -> simKnnBruteforce,
+    "sim_knn_native" -> simKnnNative,
     "sim_cosine_lsh" -> simCosineLsh,
-    "vec_centroid" -> vecCentroid)
+    "vec_centroid" -> vecCentroid,
+    "vec_centroid_native" -> vecCentroidNative)
 
   private val sqlDot =
     "list_aggregate(list_transform(list_zip(%s, %s), " +
@@ -104,7 +145,11 @@ object Vectors {
     "sqrt(list_aggregate(list_transform(%s, " +
       "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
 
-  val oracle: Map[String, String] = Map(
+  val oracle: Map[String, String] = oracleBase +
+    ("sim_knn_native" -> oracleBase("sim_knn_bruteforce")) +
+    ("vec_centroid_native" -> oracleBase("vec_centroid"))
+
+  private lazy val oracleBase: Map[String, String] = Map(
     "sim_knn_bruteforce" ->
       s"""WITH base AS (
          |  SELECT vec_id, embedding, ${sqlNorm.format("embedding")} AS nrm
