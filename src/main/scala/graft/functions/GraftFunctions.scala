@@ -14,27 +14,36 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftFunctions.vecDotDescriptor)
+    GraftFunctions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftFunctions {
 
-  private[functions] val vecDotDescriptor =
+  private[functions] val descriptors = Seq(
     (new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      (children: Seq[Expression]) => VecDot(children.head, children(1)): Expression)
+      (children: Seq[Expression]) => VecDot(children.head, children(1)): Expression),
+    (new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => SimHash64(children.head): Expression))
 
   /** Idempotently register graft functions on a live session. */
-  def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = vecDotDescriptor
-    if (!spark.sessionState.functionRegistry.functionExists(id))
-      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-  }
+  def register(spark: SparkSession): Unit =
+    descriptors.foreach { case (id, info, builder) =>
+      if (!spark.sessionState.functionRegistry.functionExists(id))
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 
   /** `vec_dot` as a Column (via the registry, so plans serialize cleanly). */
   def vecDot(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("vec_dot", a, b)
+  }
+
+  /** `simhash64` as a Column. */
+  def simHash64(spark: SparkSession, hashes: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("simhash64", hashes)
   }
 
   /** Exact micro-unit centroid Aggregator (SURVEY §2.9 vector-centroid

@@ -135,33 +135,20 @@ object Dedup {
 
   /** SimHash (SURVEY §2.10 dedup_simhash): 63-bit signature by per-bit
     * majority vote over token hashes (bit 63 dropped so the power-of-two
-    * sum stays within a signed long under ANSI overflow checking).
-    * Explodes tokens×63 bits into a hash agg — one shuffle keyed by
-    * (doc, bit); no signature ever compares to more than its bucket.
-    * Rows-only + spec (identical docs ⇒ identical simhash; bucket = top
-    * 16 bits for grouping). */
+    * sum stays within a signed long under ANSI overflow checking), fused
+    * into the custom codegen'd [[graft.functions.SimHash64]] expression —
+    * one primitive loop per document, ZERO shuffle (the declarative
+    * explode(tokens)×explode(bits) → two-level hash-agg formulation it
+    * replaces shuffled tokens×63 rows; at 100 TB that shuffle alone dwarfs
+    * the scan). Rows-only + spec (identical docs ⇒ identical simhash;
+    * bucket = top 16 bits for grouping). */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.simHash64
     val toks = filter(split(lower(col("text")), "[^a-z0-9']+"), t => t =!= "")
-    // materialize the token arrays before exploding (see shingled())
-    val tokenized = load(spark, dir, "documents")
-      .select(col("doc_id"), array_distinct(toks).as("toks"))
-      .cache()
-    val bits = tokenized
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-      // explode the cheap index sequence, then compute the vote per row —
-      // exploding a transform() of structs would rebuild the 63-element
-      // array once per emitted bit
-      .select(col("doc_id"), col("h"),
-        explode(sequence(lit(0), lit(62))).as("bit"))
-      .withColumn("vote",
-        when(call_function("shiftright", col("h"), col("bit"))
-          .bitwiseAND(1) === 1, 1).otherwise(-1))
-    totalOrder(bits.groupBy(col("doc_id"), col("bit"))
-      .agg(sum(col("vote")).as("v"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("v") > 0,
-        call_function("shiftleft", lit(1L), col("bit"))).otherwise(0L)).as("simhash"))
+    totalOrder(load(spark, dir, "documents")
+      .select(col("doc_id"),
+        simHash64(spark,
+          transform(array_distinct(toks), t => xxhash64(t))).as("simhash"))
       .withColumn("bucket16", shiftright(col("simhash"), 48))
       .select(col("doc_id"), col("simhash"), col("bucket16")))
   }
@@ -174,8 +161,9 @@ object Dedup {
     * is the "same document re-embedded" analog); the canonical survivor is
     * the lower doc id. */
   def dedupEmbcos(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.vecDot
     val b = load(spark, dir, "embeddings")
-      .withColumn("nrm", Vectors.norm(col("embedding")))
+      .withColumn("nrm", sqrt(vecDot(spark, col("embedding"), col("embedding"))))
       .withColumn("bucket",
         (when(element_at(col("embedding"), 1) >= 0, 4).otherwise(0)
           + when(element_at(col("embedding"), 2) >= 0, 2).otherwise(0)
@@ -183,7 +171,7 @@ object Dedup {
     totalOrder(b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket")
           && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cosine", Vectors.dot(col("a.embedding"), col("b.embedding"))
+      .withColumn("cosine", vecDot(spark, col("a.embedding"), col("b.embedding"))
         / (col("a.nrm") * col("b.nrm")))
       .filter(col("cosine") >= 0.45)
       .select(col("a.vec_id").as("canonical_id"),

@@ -59,7 +59,11 @@ object Vectors {
     * oracle — the recall/precision tradeoff vs brute force is measured in
     * the spec instead. */
   def simCosineLsh(spark: SparkSession, dir: String): DataFrame = {
-    val b = withNorm(spark, dir)
+    // the in-bucket all-pairs loop is the hot path: use the fused VecDot
+    // expression (bit-identical sequential fold, ~6x the lambda's speed)
+    import graft.functions.GraftFunctions.vecDot
+    val b = load(spark, dir, "embeddings")
+      .withColumn("nrm", sqrt(vecDot(spark, col("embedding"), col("embedding"))))
       .withColumn("bucket",
         (when(element_at(col("embedding"), 1) >= 0, 4).otherwise(0)
           + when(element_at(col("embedding"), 2) >= 0, 2).otherwise(0)
@@ -67,7 +71,7 @@ object Vectors {
     totalOrder(b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket")
           && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cosine", dot(col("a.embedding"), col("b.embedding"))
+      .withColumn("cosine", vecDot(spark, col("a.embedding"), col("b.embedding"))
         / (col("a.nrm") * col("b.nrm")))
       .filter(col("cosine") >= 0.4)
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
