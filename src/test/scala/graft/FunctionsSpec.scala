@@ -1,0 +1,111 @@
+package graft
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Custom Catalyst expression semantics: vec_dot and simhash64 must agree
+  * with their declarative (built-in lambda / explode-agg) formulations in
+  * both the codegen and interpreted paths, and honor null contracts.
+  */
+class FunctionsSpec extends SparkTestBase {
+  import org.apache.spark.sql.Row
+
+  private def vecDf = {
+    import spark.implicits._
+    Seq(
+      (1L, Some(Array(1.0f, 2.0f, 3.0f)), Some(Array(4.0f, 5.0f, 6.0f))),
+      (2L, Some(Array(0.5f, -0.5f)), Some(Array(2.0f, 2.0f))),
+      (3L, None: Option[Array[Float]], Some(Array(1.0f))),
+      (4L, Some(Array(1.0f, 2.0f)), Some(Array(1.0f))) // length mismatch
+    ).toDF("id", "a", "b")
+  }
+
+  test("vec_dot matches the zip_with+aggregate fold and handles nulls") {
+    val df = vecDf
+    val fused = df.select(col("id"),
+      GraftFunctions.vecDot(spark, col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(fused(1L) == 4.0 + 10.0 + 18.0)
+    assert(fused(2L) == 0.0)
+    assert(fused(3L) == null, "null array -> null")
+    assert(fused(4L) == null, "length mismatch -> null")
+
+    val declarative = df.filter(col("a").isNotNull && col("b").isNotNull
+        && size(col("a")) === size(col("b")))
+      .select(col("id"), aggregate(
+        zip_with(col("a"), col("b"), (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+        lit(0.0), (acc, x) => acc + x).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    declarative.foreach { case (k, v) => assert(fused(k) == v) }
+  }
+
+  test("vec_dot survives the interpreted (non-codegen) path") {
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val r = vecDf.filter(col("id") === 1)
+        .select(GraftFunctions.vecDot(spark, col("a"), col("b")))
+        .collect().head.getDouble(0)
+      assert(r == 32.0)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("vec_dot is registered as a SQL function") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))").collect().head.getDouble(0)
+    assert(r == 11.0)
+  }
+
+  test("simhash64 equals the explode-and-vote formulation") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq("the", "quick", "brown", "fox")),
+      (2L, Seq("the", "quick", "brown", "fox")), // identical -> same hash
+      (3L, Seq("lorem", "ipsum", "dolor")),
+      (4L, Seq.empty[String])
+    ).toDF("doc_id", "toks")
+      .withColumn("hs", transform(col("toks"), t => xxhash64(t)))
+
+    val fused = docs.select(col("doc_id"),
+      GraftFunctions.simHash64(spark, col("hs")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // declarative: per-bit majority vote via explode + two-level agg
+    val declarative = docs
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(62))).as("bit"))
+      .withColumn("vote",
+        when(call_function("shiftright", col("h"), col("bit"))
+          .bitwiseAND(1) === 1, 1).otherwise(-1))
+      .groupBy(col("doc_id"), col("bit")).agg(sum(col("vote")).as("v"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("v") > 0, call_function("shiftleft", lit(1L), col("bit")))
+        .otherwise(0L)).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    declarative.foreach { case (k, v) => assert(fused(k) == v, s"doc $k") }
+    assert(fused(1L) == fused(2L), "identical docs share a signature")
+    assert(fused(1L) != fused(3L), "different docs differ")
+    assert(fused(4L) == 0L, "empty token set -> all-zero signature")
+    assert(fused.values.forall(_ >= 0L), "bit 63 clear")
+  }
+
+  test("VecCentroid merge law: split accumulation equals single-pass") {
+    val agg = new GraftFunctions.VecCentroid(3)
+    val vs = Seq(Array(1.0f, 2.0f, 3.0f), Array(2.0f, 3.0f, 4.0f),
+      Array(-1.0f, 0.0f, 1.0f), Array(0.25f, 0.5f, 0.75f))
+    val single = vs.foldLeft(agg.zero)(agg.reduce)
+    val left = vs.take(2).foldLeft(agg.zero)(agg.reduce)
+    val right = vs.drop(2).foldLeft(agg.zero)(agg.reduce)
+    val merged = agg.merge(left, right)
+    assert(agg.finish(single).toSeq == agg.finish(merged).toSeq)
+    assert(single._2 == 4L)
+  }
+}
