@@ -132,11 +132,60 @@ object Vectors {
       .select(col("label"), col("dim"), col("centroid"), col("n")))
   }
 
+  /** IVF-style approximate kNN (SURVEY §2.10 scale path): the inverted-file
+    * search that replaces brute force at 100 TB. Stage 1 — coarse quantizer:
+    * one centroid per `label` list via the exact micro-unit mean (decimal
+    * accumulation ⇒ bit-identical in Spark and DuckDB). Stage 2 — each query
+    * probes its nprobe=2 nearest centroids (a |Q|×k broadcast nested loop,
+    * never the corpus). Stage 3 — exact cosine only within the probed lists
+    * (corpus touched ≈ nprobe/k of brute force; the scan stays pruned by the
+    * `label` partition key at scale). Deterministic ⇒ full DuckDB oracle;
+    * recall vs sim_knn_bruteforce is measured in the spec. */
+  def simKnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.vecDot
+    val nprobe = 2
+    val base = load(spark, dir, "embeddings")
+      .withColumn("nrm", sqrt(vecDot(spark, col("embedding"), col("embedding"))))
+    val centroidAgg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.GraftFunctions.VecCentroid(64),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
+    val centroids = base.groupBy(col("label"))
+      .agg(centroidAgg(col("embedding")).as("cvec"))
+      .withColumn("cnrm", sqrt(aggregate(col("cvec"), lit(0.0),
+        (acc, x) => acc + x * x)))
+    val queries = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    // stage 2: probe assignment — |Q| × k tiny nested loop, centroids broadcast
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("qc_cos").desc, col("label"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("qc_cos",
+        aggregate(zip_with(col("q_emb"), col("cvec"),
+          (x, y) => x.cast(DoubleType) * y), lit(0.0), (acc, x) => acc + x)
+          / (col("q_nrm") * col("cnrm")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("label"))
+    // stage 3: exact search within the probed lists only
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    totalOrder(probes.join(base, "label")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine",
+        vecDot(spark, col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("rk"), col("cosine")))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_knn_bruteforce" -> simKnnBruteforce,
     "sim_knn_native" -> simKnnNative,
+    "sim_knn_ivf" -> simKnnIvf,
     "sim_cosine_lsh" -> simCosineLsh,
     "vec_centroid" -> vecCentroid,
     "vec_centroid_native" -> vecCentroidNative)
@@ -151,7 +200,42 @@ object Vectors {
 
   val oracle: Map[String, String] = oracleBase +
     ("sim_knn_native" -> oracleBase("sim_knn_bruteforce")) +
-    ("vec_centroid_native" -> oracleBase("vec_centroid"))
+    ("vec_centroid_native" -> oracleBase("vec_centroid")) +
+    ("sim_knn_ivf" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, label, embedding, ${sqlNorm.format("embedding")} AS nrm
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT label, i,
+         |    ${graft.Tables.sqlDavg("CAST(embedding[i] AS DOUBLE)")} AS c
+         |  FROM embeddings, generate_series(1, 64) AS t(i)
+         |  GROUP BY label, i),
+         |cn AS (
+         |  SELECT label, cvec,
+         |    sqrt(list_aggregate(list_transform(cvec, x -> x * x), 'sum')) AS cnrm
+         |  FROM (SELECT label, list(c ORDER BY i) AS cvec FROM cent GROUP BY label)),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+         |      FROM base WHERE vec_id % 100 = 0),
+         |probes AS (
+         |  SELECT q_id, q_emb, q_nrm, label FROM (
+         |    SELECT q.q_id, q.q_emb, q.q_nrm, c.label,
+         |      ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+         |        list_aggregate(list_transform(list_zip(q.q_emb, c.cvec),
+         |          x -> CAST(x[1] AS DOUBLE) * x[2]), 'sum')
+         |          / (q.q_nrm * c.cnrm) DESC, c.label) AS pr
+         |    FROM q CROSS JOIN cn c) WHERE pr <= 2),
+         |scored AS (
+         |  SELECT p.q_id, b.vec_id,
+         |    ${sqlDot.format("b.embedding", "p.q_emb")} / (b.nrm * p.q_nrm) AS cosine
+         |  FROM probes p JOIN base b ON b.label = p.label
+         |  WHERE b.vec_id <> p.q_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id AS neighbor_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY cosine DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT q_id, neighbor_id, rk, cosine FROM ranked WHERE rk <= 5
+         |${orderAll("q_id", "neighbor_id", "rk", "cosine")}""".stripMargin)
 
   private lazy val oracleBase: Map[String, String] = Map(
     "sim_knn_bruteforce" ->

@@ -56,6 +56,22 @@ class ExtensionSpec extends SparkTestBase {
     assert(perQ.filter(col("r1") =!= col("mx")).count() == 0)
   }
 
+  test("ivf knn: valid structure and nontrivial recall vs brute force") {
+    val ivf = ops.Vectors.simKnnIvf(spark, sf)
+    assert(ivf.filter(col("q_id") === col("neighbor_id")).count() == 0)
+    // exactly 5 ranked neighbors per query
+    val counts = ivf.groupBy("q_id").count().select("count")
+      .as[Long].collect()
+    assert(counts.nonEmpty && counts.forall(_ == 5L))
+    val bf = ops.Vectors.simKnnBruteforce(spark, sf)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val iv = ivf.select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = iv.intersect(bf).size.toDouble / bf.size
+    // random near-orthogonal vectors are IVF's worst case; nprobe=2 of 10
+    // lists still has to beat a trivial floor
+    assert(recall >= 0.1, s"recall@5 = $recall")
+  }
+
   test("lsh pairs are a subset of all >=0.4 cosine pairs and nonempty") {
     val n = ops.Vectors.simCosineLsh(spark, sf).count()
     assert(n > 0, "expected some near pairs at threshold 0.4")
