@@ -39,8 +39,38 @@ object Store {
         max(col("version")).as("max_version")))
   }
 
+  /** sink_influx_write (loader.py:164-183; transfer_manager.py:126-157):
+    * the measurement-routed batched write path. Points split by QC flag
+    * into RawData/QCData (the loader's measurement_name_map, loader.py:16-19),
+    * written through the store's day-partitioned layout with bounded file
+    * sizes (`maxRecordsPerFile` = the 2000-point batch_size analog), then
+    * read back per measurement/day. */
+  def sinkInfluxWrite(spark: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("sink_influx").toString
+    val store = new MeasurementStore(spark, root)
+    val points = load(spark, dir, "events")
+      .select(col("event_type"), col("user_id"), col("ts").as("time"),
+        col("value"))
+    val prev = spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "2000")
+    try {
+      store.append("RawData", points.filter(col("user_id") % 2 =!= 0))
+      store.append("QCData", points.filter(col("user_id") % 2 === 0))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.files.maxRecordsPerFile", v)
+        case None => spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+      }
+    }
+    val back = store.read("RawData").withColumn("measurement", lit("RawData"))
+      .unionByName(store.read("QCData").withColumn("measurement", lit("QCData")))
+    totalOrder(back.groupBy(col("measurement"), col("day"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "store_upsert_roundtrip" -> storeRoundtrip)
+    "store_upsert_roundtrip" -> storeRoundtrip,
+    "sink_influx_write" -> sinkInfluxWrite)
 
   val oracle: Map[String, String] = Map(
     "store_upsert_roundtrip" ->
@@ -50,5 +80,13 @@ object Store {
          |  MAX(CASE WHEN strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') = '$UpsertDay'
          |      THEN event_id + 1000000 ELSE event_id END) AS max_version
          |FROM events GROUP BY 1
-         |${orderAll("day", "n", "sum_value", "max_version")}""".stripMargin)
+         |${orderAll("day", "n", "sum_value", "max_version")}""".stripMargin,
+    "sink_influx_write" ->
+      s"""SELECT
+         |  CASE WHEN user_id % 2 = 0 THEN 'QCData' ELSE 'RawData' END
+         |    AS measurement,
+         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+         |  COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2
+         |${orderAll("measurement", "day", "n", "sum_value")}""".stripMargin)
 }

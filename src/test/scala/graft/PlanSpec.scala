@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan quality gates (the 100 TB design checks of the builder
+  * brief): column pruning reaches the parquet reader, predicates push to
+  * the scan, small dims broadcast, aggregates run partial+final, top-k
+  * plans as TakeOrderedAndProject, and custom expressions stay inside
+  * WholeStageCodegen. A correctness-green query that fails these would
+  * still melt at 1000 executors — so they gate like tests.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  /** Final adaptive plan — AQE only annotates codegen stages after
+    * execution; `*(n)` prefixes mark WholeStageCodegen stage n. */
+  private def finalPlanOf(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.explainString(ExplainMode.fromString("simple"))
+  }
+
+  private def hasCodegenStage(plan: String): Boolean = plan.contains("*(")
+
+  test("project_prune: ReadSchema carries only the projected columns") {
+    val plan = planOf(ops.Relational.projectPrune(spark, sf))
+    val read = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("l_orderkey") && read.contains("l_extendedprice"))
+    assert(!read.contains("l_quantity") && !read.contains("l_shipdate"),
+      s"unpruned scan: $read")
+  }
+
+  test("filter_tag_eq: tag predicate pushed to the parquet scan") {
+    val plan = planOf(ops.Relational.filterTagEq(spark, sf))
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("IsNotNull(event_type)") ||
+      pushed.contains("EqualTo(event_type,click)"),
+      s"no pushdown: $pushed")
+  }
+
+  test("join_broadcast: dim side broadcasts (no shuffle of the fact)") {
+    val plan = planOf(ops.Joins.joinBroadcast(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("q1_agg: partial+final hash aggregation inside codegen") {
+    val df = ops.Relational.q1Agg(spark, sf)
+    val plan = planOf(df)
+    val aggs = plan.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, s"expected partial+final HashAggregate, got $aggs")
+    assert(hasCodegenStage(finalPlanOf(df)))
+  }
+
+  test("topk_latest: plans as TakeOrderedAndProject, not a global sort") {
+    val plan = planOf(ops.Relational.topkLatest(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("custom vec_dot expression stays inside WholeStageCodegen") {
+    import org.apache.spark.sql.functions._
+    val df = Tables.load(spark, sf, "embeddings")
+      .select(functions.GraftFunctions.vecDot(spark,
+        col("embedding"), col("embedding")).as("d"))
+      .filter(col("d") > 0)
+    val plan = finalPlanOf(df)
+    assert(plan.contains("vec_dot"))
+    assert(hasCodegenStage(plan), plan.take(2000))
+  }
+
+  test("agg_hash_groupby: map-side partial aggregation before the shuffle") {
+    val plan = planOf(ops.Aggregates.aggHashGroupby(spark, sf))
+    // partial agg must appear below the exchange: find the line order
+    val lines = plan.linesIterator.toSeq
+    val partialIdx = lines.indexWhere(l =>
+      l.contains("HashAggregate") || l.contains("Aggregate"))
+    assert(partialIdx >= 0)
+    assert(plan.contains("Exchange"), "expected a shuffle for the groupBy")
+    val aggs = plan.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, s"no partial aggregation: $aggs HashAggregate nodes")
+  }
+}
