@@ -81,6 +81,21 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), Tables.dsum(col("value")).as("sum_value")))
   }
 
+  /** Streaming session windows (SURVEY §2.8: the pulse-run grouping as
+    * sessions): merging session_window state per user key. Complete mode
+    * emits the full session set at the AvailableNow drain, so the op shares
+    * the batch formulation's lag/cumsum-island oracle row-for-row; an
+    * unbounded deployment would run Append + watermark instead. */
+  def streamSessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("s"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), Tables.dsum(col("value")).as("sum_value"),
+        max(col("ts")).as("last_ts"))
+      .select(col("s.start").as("session_start"), col("user_id"),
+        col("n_events"), col("sum_value"), col("last_ts"))
+    totalOrder(runToTable(agg, OutputMode.Complete()))
+  }
+
   // --- pulse-interval state machine (streaming twin of win_lag_interval) --
 
   case class Ev(user_id: Long, event_id: Long, ts: Timestamp, value: Double)
@@ -152,7 +167,8 @@ object StreamingOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_time_bucket" -> streamTimeBucket,
     "stream_dedup" -> streamDedup,
-    "stream_pulse_rate" -> streamPulseRate)
+    "stream_pulse_rate" -> streamPulseRate,
+    "stream_session_window" -> streamSessionWindow)
 
   val oracle: Map[String, String] = Map(
     "stream_time_bucket" ->
@@ -165,5 +181,6 @@ object StreamingOps {
          |  ${Tables.sqlDsum("value")} AS sum_value
          |FROM events GROUP BY event_type
          |${orderAll("event_type", "n", "sum_value")}""".stripMargin,
-    "stream_pulse_rate" -> graft.ops.TimeSeries.oracle("win_lag_interval"))
+    "stream_pulse_rate" -> graft.ops.TimeSeries.oracle("win_lag_interval"),
+    "stream_session_window" -> graft.ops.TimeSeries.oracle("ts_session_window"))
 }
