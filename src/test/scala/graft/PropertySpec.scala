@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck-generated property tests (SURVEY.md §5.3): the laws the
+  * engine's correctness rests on, checked over random inputs rather than
+  * the fixtures — upsert idempotence (the InfluxDB point-write law),
+  * window aggregation vs a driver-side brute force, dot-product algebra,
+  * and signature stability of the dedup sketches.
+  */
+class PropertySpec extends SparkTestBase {
+
+  /** Deterministic samples from a Gen (fixed seed — CI-stable). */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val batchGen: Gen[List[(Long, Long, Double, Long)]] =
+    Gen.listOfN(60, for {
+      key <- Gen.choose(0L, 5L)       // tag
+      t <- Gen.choose(0L, 20L)        // time (collisions intended)
+      v <- Gen.choose(-100.0, 100.0)
+      ver <- Gen.choose(0L, 1000L)
+    } yield (key, t, v, ver))
+
+  /** last-write-wins dedup on (key, t) by version desc (version ties broken
+    * by value desc so the law is deterministic even for duplicate versions). */
+  private def upsert(df: org.apache.spark.sql.DataFrame) = {
+    val w = Window.partitionBy(col("key"), col("t"))
+      .orderBy(col("ver").desc, col("v").desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  test("upsert law: applying a batch twice equals applying it once") {
+    import spark.implicits._
+    for (batch <- samples(batchGen, 8)) {
+      val df = batch.toDF("key", "t", "v", "ver")
+      val once = upsert(df)
+      val twice = upsert(df.union(df))
+      val a = once.collect().map(_.toSeq).toSet
+      val b = twice.collect().map(_.toSeq).toSet
+      assert(a == b, s"idempotence violated for batch of ${batch.size}")
+    }
+  }
+
+  test("running sum over a window equals driver-side scanLeft") {
+    import spark.implicits._
+    for (batch <- samples(batchGen, 5)) {
+      // unique (key, t) rows so the ordering is total
+      val rows = batch.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val df = rows.toDF("key", "t", "v", "ver")
+      val w = Window.partitionBy(col("key")).orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val got = df.withColumn("rs", sum(col("v")).over(w))
+        .select("key", "t", "rs").as[(Long, Long, Double)]
+        .collect().map { case (k, t, rs) => (k, t) -> rs }.toMap
+      val want = rows.groupBy(_._1).flatMap { case (k, rs) =>
+        val sorted = rs.sortBy(_._2)
+        sorted.scanLeft((k, -1L, 0.0)) { case ((_, _, acc), (_, t, v, _)) =>
+          (k, t, acc + v)
+        }.drop(1)
+      }.map { case (k, t, rs) => (k, t) -> rs }.toMap
+      want.foreach { case (kt, v) =>
+        assert(math.abs(got(kt) - v) < 1e-9, s"mismatch at $kt")
+      }
+    }
+  }
+
+  private val vecGen: Gen[List[Float]] =
+    Gen.listOfN(16, Gen.choose(-8.0f, 8.0f))
+
+  test("vec_dot algebra: commutative, psd, matches driver-side fold") {
+    import spark.implicits._
+    val vs = samples(Gen.zip(vecGen, vecGen), 20)
+    val df = vs.map { case (a, b) => (a.toArray, b.toArray) }.toDF("a", "b")
+    val rows = df.select(
+      functions.GraftFunctions.vecDot(spark, col("a"), col("b")).as("ab"),
+      functions.GraftFunctions.vecDot(spark, col("b"), col("a")).as("ba"),
+      functions.GraftFunctions.vecDot(spark, col("a"), col("a")).as("aa"))
+      .as[(Double, Double, Double)].collect()
+    rows.zip(vs).foreach { case ((ab, ba, aa), (a, b)) =>
+      assert(ab == ba, "commutativity must be bit-exact")
+      assert(aa >= 0.0, "self dot is positive semidefinite")
+      val fold = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+        acc + x.toDouble * y.toDouble
+      }
+      assert(ab == fold, "must equal the sequential IEEE fold")
+    }
+  }
+
+  test("simhash64: permutation-invariant in vote counts, content-sensitive") {
+    import spark.implicits._
+    val tokGen = Gen.nonEmptyListOf(Gen.identifier).map(_.distinct)
+    for (toks <- samples(tokGen, 10) if toks.nonEmpty) {
+      val perm = scala.util.Random.shuffle(toks)
+      val df = Seq((1L, toks), (2L, perm)).toDF("id", "toks")
+        .withColumn("hs", transform(col("toks"), t => xxhash64(t)))
+        .select(col("id"),
+          functions.GraftFunctions.simHash64(spark, col("hs")).as("sh"))
+      val m = df.as[(Long, Long)].collect().toMap
+      assert(m(1L) == m(2L), "order must not matter (majority vote)")
+    }
+  }
+}
