@@ -25,7 +25,17 @@ object GraftFunctions {
       (children: Seq[Expression]) => VecDot(children.head, children(1)): Expression),
     (new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (children: Seq[Expression]) => SimHash64(children.head): Expression))
+      (children: Seq[Expression]) => SimHash64(children.head): Expression),
+    (new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) => {
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig(arr, n): n must be an int literal, got $other")
+        }
+        MinHashSig(children.head, n): Expression
+      }))
 
   /** Idempotently register graft functions on a live session. */
   def register(spark: SparkSession): Unit =
@@ -44,6 +54,13 @@ object GraftFunctions {
   def simHash64(spark: SparkSession, hashes: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("simhash64", hashes)
+  }
+
+  /** `minhash_sig` as a Column (n must be a literal). */
+  def minHashSig(spark: SparkSession, hashes: Column, n: Int): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("minhash_sig", hashes,
+      org.apache.spark.sql.functions.lit(n))
   }
 
   /** Exact micro-unit centroid Aggregator (SURVEY §2.9 vector-centroid

@@ -100,22 +100,22 @@ object Dedup {
     * engine-specific → rows-only check + precision/recall spec vs the
     * exact op. */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    // one row per doc with its capped hashed-shingle set; signatures mix
-    // the 8-byte hashes (xxhash64 seeded per function) instead of
-    // re-hashing strings 16 times
+    import graft.functions.GraftFunctions.minHashSig
+    // one row per doc with its capped hashed-shingle set; the 16-function
+    // signature is the fused MinHashSig expression — one primitive loop
+    // per doc instead of 17 intermediate arrays per row
     val hs = cappedPosting(spark, dir)
       .groupBy(col("doc_id")).agg(collect_list(col("h")).as("hs"))
-    val sig = hs.withColumn("sig", transform(
-      sequence(lit(0), lit(15)),
-      seed => array_min(transform(col("hs"), h => xxhash64(seed, h)))))
+    val sig = hs.withColumn("sig", minHashSig(spark, col("hs"), 16))
     val bands = sig.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(3)),
           b => struct(b.as("band"),
-            xxhash64(concat_ws("_", b,
+            // numeric band-bucket hash: no per-band string building
+            xxhash64(b,
               element_at(col("sig"), b * 4 + 1),
               element_at(col("sig"), b * 4 + 2),
               element_at(col("sig"), b * 4 + 3),
-              element_at(col("sig"), b * 4 + 4))).as("bucket")))).as("bb"))
+              element_at(col("sig"), b * 4 + 4)).as("bucket")))).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")

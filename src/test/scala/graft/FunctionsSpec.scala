@@ -97,6 +97,23 @@ class FunctionsSpec extends SparkTestBase {
     assert(fused.values.forall(_ >= 0L), "bit 63 clear")
   }
 
+  test("minhash_sig is bit-compatible with the declarative transform") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(12L, -99L, 42L, 7L)),
+      (2L, Seq(0L, Long.MaxValue, Long.MinValue)),
+      (3L, Seq(5L))
+    ).toDF("id", "hs")
+    val fused = df.select(col("id"),
+      GraftFunctions.minHashSig(spark, col("hs"), 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val declarative = df.select(col("id"),
+      transform(sequence(lit(0), lit(15)),
+        seed => array_min(transform(col("hs"), h => xxhash64(seed, h)))).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    declarative.foreach { case (k, v) => assert(fused(k) == v, s"id $k") }
+  }
+
   test("VecCentroid merge law: split accumulation equals single-pass") {
     val agg = new GraftFunctions.VecCentroid(3)
     val vs = Seq(Array(1.0f, 2.0f, 3.0f), Array(2.0f, 3.0f, 4.0f),
