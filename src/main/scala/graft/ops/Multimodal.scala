@@ -40,11 +40,49 @@ object Multimodal {
         md5(col("payload")).as("digest"),
         substring(base64(col("payload")), 1, 16).as("b64_prefix")))
 
+  /** Resize / thumbnail (SURVEY §2.10): stride-sample the payload down to a
+    * fixed-width vector — the image-resize analog on the text-as-bytes
+    * payload. Pure codegen'd expressions: an 8-slot thumbnail of normalized
+    * char codes sampled at stride max(1, len/8). A real image resize swaps
+    * the sampling kernel; the plan (project-only, no shuffle) is the point. */
+  def mmResize(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(load(spark, dir, "documents")
+      .withColumn("stride", greatest(lit(1), floor(length(col("text")) / 8)))
+      .select(col("doc_id"), length(col("text")).as("n_chars"),
+        transform(sequence(lit(0), lit(7)),
+          i => coalesce(
+            ascii(substring(col("text"), (i * col("stride") + 1).cast("int"), lit(1)))
+              .cast(DoubleType) / 255.0, lit(0.0))).as("thumb"))
+      .select(col("doc_id"), col("n_chars"),
+        round(element_at(col("thumb"), 1), 6).as("t0"),
+        round(element_at(col("thumb"), 4), 6).as("t3"),
+        round(element_at(col("thumb"), 8), 6).as("t7")))
+
+  /** Frame sampling (SURVEY §2.10): the video-keyframe analog — split the
+    * payload into fixed 32-char frames, keep every 3rd, digest each. The
+    * generator explodes a cheap index sequence (never re-evaluating the
+    * payload per output row); at scale frames flow straight into the decode
+    * stage with no shuffle. */
+  def mmFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val frameLen = 32
+    totalOrder(load(spark, dir, "documents")
+      .withColumn("k", explode(sequence(lit(0),
+        floor((length(col("text")) - 1) / frameLen).cast("int"))))
+      .filter(col("k") % 3 === 0)
+      .withColumn("frame",
+        substring(col("text"), (col("k") * frameLen + 1).cast("int"), lit(frameLen)))
+      .select(col("doc_id"), col("k").as("frame_idx"),
+        length(col("frame")).as("frame_chars"),
+        md5(col("frame")).as("frame_digest")))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_cols" -> mmJoin,
     "mm_binary" -> mmBinary,
+    "mm_resize" -> mmResize,
+    "mm_frame_sample" -> mmFrameSample,
     "mm_decode_features" -> MultimodalLib.mmDecodeFeatures _)
 
   val oracle: Map[String, String] = Map(
@@ -61,7 +99,28 @@ object Multimodal {
          |  md5(text) AS digest,
          |  substring(to_base64(encode(text)), 1, 16) AS b64_prefix
          |FROM documents
-         |${orderAll("doc_id", "n_bytes", "digest", "b64_prefix")}""".stripMargin)
+         |${orderAll("doc_id", "n_bytes", "digest", "b64_prefix")}""".stripMargin,
+    "mm_resize" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, length(text) AS n_chars, text,
+         |    greatest(1, length(text) // 8) AS stride
+         |  FROM documents)
+         |SELECT doc_id, n_chars,
+         |  round(coalesce(ascii(substring(text, CAST(0*stride+1 AS INT), 1)), 0) / 255.0, 6) AS t0,
+         |  round(coalesce(ascii(substring(text, CAST(3*stride+1 AS INT), 1)), 0) / 255.0, 6) AS t3,
+         |  round(coalesce(ascii(substring(text, CAST(7*stride+1 AS INT), 1)), 0) / 255.0, 6) AS t7
+         |FROM t
+         |${orderAll("doc_id", "n_chars", "t0", "t3", "t7")}""".stripMargin,
+    "mm_frame_sample" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, text,
+         |    unnest(range(0, (length(text)-1) // 32 + 1)) AS k
+         |  FROM documents)
+         |SELECT doc_id, k AS frame_idx,
+         |  length(substring(text, CAST(k*32+1 AS INT), 32)) AS frame_chars,
+         |  md5(substring(text, CAST(k*32+1 AS INT), 32)) AS frame_digest
+         |FROM f WHERE k % 3 = 0
+         |${orderAll("doc_id", "frame_idx", "frame_chars", "frame_digest")}""".stripMargin)
 }
 
 /** Typed per-partition media pipeline (the mapPartitions path). */
