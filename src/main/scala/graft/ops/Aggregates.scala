@@ -80,7 +80,29 @@ object Aggregates {
 
   // ----------------------------------------------------------------- wiring
 
+  /** Salted two-phase aggregation (the skew-mitigation idiom the 100 TB
+    * brief calls for): a hot group key (event_type has ~5 values over
+    * millions of rows) is salted with event_id % 16, partially aggregated
+    * per (key, salt) — spreading each hot key over 16 reducers — then
+    * re-aggregated per key. Decimal accumulation is associative, so the
+    * result is bit-identical to the direct group-by and shares its oracle
+    * shape. AQE's skew handling covers joins; salting is the aggregation-
+    * side tool when a single group exceeds one reducer. */
+  def aggSaltedSkew(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val partial = load(spark, dir, "events")
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(sum(col("value").cast(DecimalType(38, 6))).as("s"),
+        count(lit(1)).as("c"))
+    totalOrder(partial
+      .groupBy(col("event_type"))
+      .agg(sum(col("s")).cast(DoubleType).as("sum_value"),
+        sum(col("c")).as("n")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_salted_skew" -> aggSaltedSkew,
     "agg_hash_groupby" -> aggHashGroupby,
     "agg_distinct" -> aggDistinct,
     "agg_approx_distinct" -> aggApproxDistinct,
@@ -90,6 +112,10 @@ object Aggregates {
     "agg_percentile" -> aggPercentile)
 
   val oracle: Map[String, String] = Map(
+    "agg_salted_skew" ->
+      s"""SELECT event_type, ${sqlDsum("value")} AS sum_value, COUNT(*) AS n
+         |FROM events GROUP BY event_type
+         |${orderAll("event_type", "sum_value", "n")}""".stripMargin,
     "agg_hash_groupby" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n,
          |  ${sqlDsum("o_totalprice")} AS sum_price,

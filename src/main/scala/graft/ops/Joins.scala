@@ -113,10 +113,47 @@ object Joins {
       .select(col("event_id"), col("user_id"), col("ts"), col("last_view_ts")))
   }
 
+  /** Bucketed co-located join (SURVEY §1.5 / the 100 TB co-location path):
+    * both fact tables written bucketed+sorted on the join key, so the join
+    * runs with ZERO shuffle of either side — the plan has no hash-partition
+    * Exchange (asserted in PlanSpec). At scale this is the difference
+    * between re-shuffling 100 TB per query and reading pre-placed buckets. */
+  def joinBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = 8
+    // managed-table hygiene: a previous session's table dir would collide
+    // with a fresh in-memory catalog (LOCATION_ALREADY_EXISTS)
+    Seq("graft_orders_b", "graft_lineitem_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
+    load(spark, dir, "orders")
+      .write.mode("overwrite")
+      .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_orders_b")
+    load(spark, dir, "lineitem")
+      .write.mode("overwrite")
+      .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_lineitem_b")
+    val li = spark.table("graft_lineitem_b").hint("merge")
+    val o = spark.table("graft_orders_b")
+    totalOrder(li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty")))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_inner_hash" -> joinInnerHash,
+    "join_bucketed" -> joinBucketed,
     "join_broadcast" -> joinBroadcast,
     "join_sortmerge" -> joinSortmerge,
     "join_left_outer" -> joinLeftOuter,
@@ -126,6 +163,12 @@ object Joins {
     "join_asof" -> joinAsof)
 
   val oracle: Map[String, String] = Map(
+    "join_bucketed" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_lines,
+         |  ${sqlDsum("l_quantity")} AS sum_qty
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority
+         |${orderAll("o_orderpriority", "n_lines", "sum_qty")}""".stripMargin,
     "join_inner_hash" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n_lines,
          |  ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue

@@ -69,6 +69,21 @@ class PlanSpec extends SparkTestBase {
     assert(hasCodegenStage(plan), plan.take(2000))
   }
 
+  test("join_bucketed: co-located SMJ with no hash-partition exchange") {
+    val df = ops.Joins.joinBucketed(spark, sf)
+    // final adaptive plan only (cut AQE's echoed "Initial Plan" section)
+    val plan = finalPlanOf(df).split("== Initial Plan ==").head
+    assert(plan.contains("SortMergeJoin"), plan.take(2000))
+    assert(plan.contains("Bucketed: true"), "scans must be bucketed")
+    // bucketing pre-places both sides: the only exchanges allowed are the
+    // aggregation/ordering ones ABOVE the join (printed before it), never
+    // below it
+    val joinIdx = plan.indexOf("SortMergeJoin")
+    val belowJoin = plan.substring(joinIdx)
+    assert(!belowJoin.contains("Exchange hashpartitioning"),
+      s"join inputs were shuffled:\n${belowJoin.take(1500)}")
+  }
+
   test("agg_hash_groupby: map-side partial aggregation before the shuffle") {
     val plan = planOf(ops.Aggregates.aggHashGroupby(spark, sf))
     // partial agg must appear below the exchange: find the line order
