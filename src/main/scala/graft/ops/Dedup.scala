@@ -55,22 +55,26 @@ object Dedup {
     * work over this capped vocabulary, so their results are comparable. */
   private val MaxShingleDf = 20
 
-  /** Discriminative shingle postings: (doc_id, s, h) with the string
-    * shingle and its 64-bit hash, restricted to df(h) <= MaxShingleDf.
-    * All downstream joins/aggregations key on `h` — an 8-byte shuffle key
-    * instead of a ~30-byte string. */
-  private def cappedPosting(spark: SparkSession, dir: String): DataFrame =
-    shingled(spark, dir)
+  /** Discriminative shingle postings: (doc_id, h) with the shingle's
+    * 64-bit hash, restricted to df(h) <= MaxShingleDf. The df filter is a
+    * broadcast semi-join against the (tiny, partial-aggregated) per-hash
+    * count table — the postings themselves are never shuffled or sorted for
+    * it (a window over partitionBy(h) would sort the full posting list).
+    * At 100 TB the df table outgrows a broadcast and this becomes a
+    * shuffle join on `h` — an 8-byte key either way. */
+  private def cappedPosting(spark: SparkSession, dir: String): DataFrame = {
+    val posting = shingled(spark, dir)
       .select(col("doc_id"), explode(col("shingles")).as("s"))
-      .withColumn("h", xxhash64(col("s")))
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
-      .filter(col("df") <= MaxShingleDf)
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val keep = posting.groupBy(col("h")).count()
+      .filter(col("count") <= MaxShingleDf).select(col("h"))
+    posting.join(broadcast(keep), "h")
       // cache: the posting feeds both sides of the candidate self-join plus
       // the size lookup (and the MinHash path); without it Catalyst
-      // re-derives the shingling+window subtree once per reference. At
-      // cluster scale this would be a checkpoint to break the lineage.
+      // re-derives the shingling subtree once per reference. At cluster
+      // scale this would be a checkpoint to break the lineage.
       .cache()
+  }
 
   /** Near-dup pairs by exact Jaccard over the discriminative vocabulary:
     * inverted-index self-join on hashed shingles (only docs sharing one
