@@ -42,7 +42,13 @@ object TimeSeries {
     *     trailing zero-run is dropped (never-flushed buffer).
     * One shuffle on user_id; all four window functions share the same sort.
     */
-  def winLagInterval(spark: SparkSession, dir: String): DataFrame = {
+  def winLagInterval(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(ratedFrame(spark, dir))
+
+  /** The rated pulse rows shared by win_lag_interval and the composed
+    * hot-intake pipeline: one shuffle on user_id, four window functions on
+    * the same sort. */
+  private def ratedFrame(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
     val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -59,14 +65,27 @@ object TimeSeries {
       .withColumn("own_rate",
         when(col("is_pulse") && col("pulse_seq") >= 2 && col("run_start_ts").isNotNull,
           lit(60.0) / (unix_timestamp(col("ts")) - unix_timestamp(col("run_start_ts")) + 1)))
-    totalOrder(marked
+    marked
       .withColumn("rate",
         when(col("is_pulse"), col("own_rate"))
           .otherwise(when(col("pulse_seq") >= 1,
             first(col("own_rate"), ignoreNulls = true).over(wNext))))
       .filter(col("rate").isNotNull)
-      .select(col("user_id"), col("event_id"), col("ts"), col("rate")))
+      .select(col("user_id"), col("event_id"), col("ts"), col("rate"))
   }
+
+  /** The reference's entire analytical program (§3.3: InfluxQL read →
+    * client-side stateful loop → write-back) collapsed into ONE Catalyst
+    * plan: scan → tag/time filter implicit in the fixture → per-building
+    * lag-interval rates → hourly downsample of the derived signal (the
+    * write-back dataset). Two shuffles total: the user_id window sort and
+    * the (user, hour) hash agg — where the reference made one server
+    * round-trip per building plus a Python loop per point. */
+  def tsHotIntakePipeline(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(ratedFrame(spark, dir)
+      .groupBy(col("user_id"), date_trunc("HOUR", col("ts")).as("bucket"))
+      .agg(davg(col("rate")).as("avg_rate"), count(lit(1)).as("n"),
+        max(col("ts")).as("last_ts")))
 
   /** LOCF gap-fill (InfluxQL fill(previous); SURVEY §2.5 win_backfill):
     * readings below 0.2 are treated as missing and carry the last good
@@ -151,6 +170,7 @@ object TimeSeries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_lag_interval" -> winLagInterval,
+    "ts_hot_intake_pipeline" -> tsHotIntakePipeline,
     "win_backfill" -> winBackfill,
     "win_time_bucket" -> winTimeBucket,
     "ts_session_window" -> tsSessionWindow,
@@ -158,44 +178,56 @@ object TimeSeries {
     "ts_retention" -> tsRetention,
     "ts_upsert_dedup" -> tsUpsertDedup)
 
+  /** Shared CTE chain producing the rated pulse rows (DuckDB twin of
+    * [[ratedFrame]]); callers append their own projection + ORDER BY. */
+  private val lagIntervalCoreSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+       |    value >= $PulseThreshold AS is_pulse
+       |  FROM events),
+       |m1 AS (
+       |  SELECT *,
+       |    LAG(is_pulse) OVER w AS prev_is_pulse,
+       |    SUM(CASE WHEN is_pulse THEN 1 ELSE 0 END) OVER (
+       |      PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pulse_seq
+       |  FROM ev
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |m2 AS (
+       |  SELECT *,
+       |    LAST_VALUE(CASE WHEN NOT is_pulse AND prev_is_pulse THEN ts END
+       |      IGNORE NULLS) OVER (
+       |      PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_start_ts
+       |  FROM m1),
+       |rated AS (
+       |  SELECT *,
+       |    CASE WHEN is_pulse AND pulse_seq >= 2 AND run_start_ts IS NOT NULL
+       |      THEN 60.0 / (date_diff('second', run_start_ts, ts) + 1)
+       |    END AS own_rate
+       |  FROM m2),
+       |filled AS (
+       |  SELECT user_id, event_id, ts,
+       |    CASE WHEN is_pulse THEN own_rate
+       |         WHEN pulse_seq >= 1 THEN
+       |           FIRST_VALUE(own_rate IGNORE NULLS) OVER (
+       |             PARTITION BY user_id ORDER BY ts, event_id
+       |             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+       |    END AS rate
+       |  FROM rated)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "win_lag_interval" ->
-      s"""WITH ev AS (
-         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
-         |    value >= $PulseThreshold AS is_pulse
-         |  FROM events),
-         |m1 AS (
-         |  SELECT *,
-         |    LAG(is_pulse) OVER w AS prev_is_pulse,
-         |    SUM(CASE WHEN is_pulse THEN 1 ELSE 0 END) OVER (
-         |      PARTITION BY user_id ORDER BY ts, event_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pulse_seq
-         |  FROM ev
-         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-         |m2 AS (
-         |  SELECT *,
-         |    LAST_VALUE(CASE WHEN NOT is_pulse AND prev_is_pulse THEN ts END
-         |      IGNORE NULLS) OVER (
-         |      PARTITION BY user_id ORDER BY ts, event_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_start_ts
-         |  FROM m1),
-         |rated AS (
-         |  SELECT *,
-         |    CASE WHEN is_pulse AND pulse_seq >= 2 AND run_start_ts IS NOT NULL
-         |      THEN 60.0 / (date_diff('second', run_start_ts, ts) + 1)
-         |    END AS own_rate
-         |  FROM m2),
-         |filled AS (
-         |  SELECT user_id, event_id, ts,
-         |    CASE WHEN is_pulse THEN own_rate
-         |         WHEN pulse_seq >= 1 THEN
-         |           FIRST_VALUE(own_rate IGNORE NULLS) OVER (
-         |             PARTITION BY user_id ORDER BY ts, event_id
-         |             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-         |    END AS rate
-         |  FROM rated)
+      s"""$lagIntervalCoreSql
          |SELECT * FROM filled WHERE rate IS NOT NULL
          |${orderAll("user_id", "event_id", "ts", "rate")}""".stripMargin,
+    "ts_hot_intake_pipeline" ->
+      s"""$lagIntervalCoreSql
+         |SELECT user_id, date_trunc('hour', ts) AS bucket,
+         |  ${sqlDavg("rate")} AS avg_rate, COUNT(*) AS n, MAX(ts) AS last_ts
+         |FROM filled WHERE rate IS NOT NULL
+         |GROUP BY 1, 2
+         |${orderAll("user_id", "bucket", "avg_rate", "n", "last_ts")}""".stripMargin,
     "win_backfill" ->
       s"""SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
          |  CASE WHEN value >= 0.2 THEN value END AS reading,
