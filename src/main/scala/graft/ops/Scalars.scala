@@ -258,7 +258,8 @@ object Scalars {
     "math_rate" ->
       s"""SELECT event_id, value,
          |  60.0 / (value + 1) AS rate,
-         |  floor(value) AS v_floor, ceil(value) AS v_ceil,
+         |  CAST(floor(value) AS BIGINT) AS v_floor,
+         |  CAST(ceil(value) AS BIGINT) AS v_ceil,
          |  abs(value - 100.0) AS dist_100,
          |  event_id % 16 AS bucket
          |FROM events

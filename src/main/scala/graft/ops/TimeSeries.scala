@@ -267,12 +267,12 @@ object TimeSeries {
          |${orderAll("user_id", "last_seen")}""".stripMargin,
     "ts_retention" ->
       s"""WITH daily AS (
-         |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
          |    COUNT(*) AS n_rows
          |  FROM events GROUP BY 1)
          |SELECT day, n_rows,
-         |  SUM(n_rows) OVER (ORDER BY day DESC
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rows,
+         |  CAST(SUM(n_rows) OVER (ORDER BY day DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rows,
          |  SUM(n_rows) OVER (ORDER BY day DESC
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 4000 AS keep
          |FROM daily
