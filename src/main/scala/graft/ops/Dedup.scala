@@ -158,28 +158,27 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup (SURVEY §2.10): semantic duplicates via the
-    * embeddings table joined back to documents. Same LSH sign-bucket
-    * candidate generation as the similarity ops (all-pairs only within a
-    * bucket — never n²); a pair is a near-dup at cosine ≥ 0.45 (the fixture
+    * embeddings table. Candidate pairs come from the banded sign-LSH shared
+    * with sim_cosine_lsh ([[SignLsh]]: 16 bands × 8 deterministic hyperplane
+    * bits, bucket cap + full-signature overflow refinement ⇒ candidates are
+    * Bands·n·cap/2 — linear in n, never n²); only candidates pay the exact
+    * cosine verify. A pair is a near-dup at cosine ≥ 0.45 (the fixture
     * embeddings are near-orthogonal random vectors, so the tail above 0.45
     * is the "same document re-embedded" analog); the canonical survivor is
     * the lower doc id. */
   def dedupEmbcos(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.GraftFunctions.vecDot
-    val b = load(spark, dir, "embeddings")
-      .withColumn("nrm", sqrt(vecDot(spark, col("embedding"), col("embedding"))))
-      .withColumn("bucket",
-        (when(element_at(col("embedding"), 1) >= 0, 4).otherwise(0)
-          + when(element_at(col("embedding"), 2) >= 0, 2).otherwise(0)
-          + when(element_at(col("embedding"), 3) >= 0, 1).otherwise(0)))
-    totalOrder(b.as("a").join(b.as("b"),
-        col("a.bucket") === col("b.bucket")
-          && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cosine", vecDot(spark, col("a.embedding"), col("b.embedding"))
-        / (col("a.nrm") * col("b.nrm")))
+    val base = SignLsh.withKeys(spark, dir).cache()
+    totalOrder(SignLsh.candidates(base)
+      .join(base.select(col("vec_id").as("id_a"),
+        col("embedding").as("ea"), col("nrm").as("na")), "id_a")
+      .join(base.select(col("vec_id").as("id_b"),
+        col("embedding").as("eb"), col("nrm").as("nb")), "id_b")
+      .withColumn("cosine",
+        vecDot(spark, col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= 0.45)
-      .select(col("a.vec_id").as("canonical_id"),
-        col("b.vec_id").as("dup_id"), col("cosine")))
+      .select(col("id_a").as("canonical_id"), col("id_b").as("dup_id"),
+        col("cosine")))
   }
 
   // ----------------------------------------------------------------- wiring
@@ -229,21 +228,15 @@ object Dedup {
          |WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.3
          |${orderAll("id_a", "id_b", "inter", "jaccard")}""".stripMargin,
     "dedup_embcos" ->
-      s"""WITH b AS (
-         |  SELECT vec_id, embedding,
-         |    sqrt(list_aggregate(list_transform(embedding,
-         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm,
-         |    (CASE WHEN embedding[1] >= 0 THEN 4 ELSE 0 END
-         |     + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
-         |     + CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END) AS bucket
-         |  FROM embeddings),
-         |pairs AS (
-         |  SELECT a.vec_id AS canonical_id, b2.vec_id AS dup_id,
-         |    list_aggregate(list_transform(list_zip(a.embedding, b2.embedding),
+      s"""WITH ${SignLsh.sqlCandCtes()},
+         |scored AS (
+         |  SELECT c.id_a AS canonical_id, c.id_b AS dup_id,
+         |    list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
          |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
-         |      / (a.nrm * b2.nrm) AS cosine
-         |  FROM b a JOIN b b2
-         |    ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
-         |SELECT canonical_id, dup_id, cosine FROM pairs WHERE cosine >= 0.45
+         |      / (a.nrm * b.nrm) AS cosine
+         |  FROM cand c
+         |  JOIN base a ON a.vec_id = c.id_a
+         |  JOIN base b ON b.vec_id = c.id_b)
+         |SELECT canonical_id, dup_id, cosine FROM scored WHERE cosine >= 0.45
          |${orderAll("canonical_id", "dup_id", "cosine")}""".stripMargin)
 }

@@ -52,30 +52,25 @@ object Vectors {
         col("rk"), col("cosine")))
   }
 
-  /** Sign-bit LSH near-neighbor pairs (SURVEY §2.10 scale path): bucket by
-    * the sign pattern of the first 3 dimensions (axis-aligned random
-    * hyperplanes); all-pairs cosine only within a bucket; threshold keeps
-    * true near-neighbors. Deterministic, so it carries a full DuckDB
-    * oracle — the recall/precision tradeoff vs brute force is measured in
-    * the spec instead. */
+  /** Banded sign-LSH near-neighbor pairs (SURVEY §2.10 scale path): 16
+    * bands × 8 deterministic hyperplane bits, bucket-cap with full-signature
+    * overflow refinement (see [[SignLsh]]) — candidate pairs are bounded by
+    * Bands·n·cap/2, linear in n, unlike the round-1 fixed-8-bucket variant.
+    * Only candidates pay the exact-cosine verify (fused codegen VecDot).
+    * Deterministic plane bank ⇒ full DuckDB oracle; recall on planted
+    * near-dups is asserted in the spec. */
   def simCosineLsh(spark: SparkSession, dir: String): DataFrame = {
-    // the in-bucket all-pairs loop is the hot path: use the fused VecDot
-    // expression (bit-identical sequential fold, ~6x the lambda's speed)
     import graft.functions.GraftFunctions.vecDot
-    val b = load(spark, dir, "embeddings")
-      .withColumn("nrm", sqrt(vecDot(spark, col("embedding"), col("embedding"))))
-      .withColumn("bucket",
-        (when(element_at(col("embedding"), 1) >= 0, 4).otherwise(0)
-          + when(element_at(col("embedding"), 2) >= 0, 2).otherwise(0)
-          + when(element_at(col("embedding"), 3) >= 0, 1).otherwise(0)))
-    totalOrder(b.as("a").join(b.as("b"),
-        col("a.bucket") === col("b.bucket")
-          && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cosine", vecDot(spark, col("a.embedding"), col("b.embedding"))
-        / (col("a.nrm") * col("b.nrm")))
+    val base = SignLsh.withKeys(spark, dir).cache()
+    totalOrder(SignLsh.candidates(base)
+      .join(base.select(col("vec_id").as("id_a"),
+        col("embedding").as("ea"), col("nrm").as("na")), "id_a")
+      .join(base.select(col("vec_id").as("id_b"),
+        col("embedding").as("eb"), col("nrm").as("nb")), "id_b")
+      .withColumn("cosine",
+        vecDot(spark, col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= 0.4)
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        col("a.bucket").as("lsh_bucket"), col("cosine")))
+      .select(col("id_a"), col("id_b"), col("n_bands"), col("cosine")))
   }
 
   /** Per-label centroid, one row per (label, dimension) — the IVF coarse
@@ -256,18 +251,15 @@ object Vectors {
          |SELECT q_id, neighbor_id, rk, cosine FROM ranked WHERE rk <= 5
          |${orderAll("q_id", "neighbor_id", "rk", "cosine")}""".stripMargin,
     "sim_cosine_lsh" ->
-      s"""WITH b AS (
-         |  SELECT vec_id, embedding, ${sqlNorm.format("embedding")} AS nrm,
-         |    (CASE WHEN embedding[1] >= 0 THEN 4 ELSE 0 END
-         |     + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
-         |     + CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END) AS bucket
-         |  FROM embeddings)
-         |SELECT a.vec_id AS id_a, b2.vec_id AS id_b, a.bucket AS lsh_bucket,
-         |  ${sqlDot.format("a.embedding", "b2.embedding")} / (a.nrm * b2.nrm) AS cosine
-         |FROM b a JOIN b b2
-         |  ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-         |WHERE ${sqlDot.format("a.embedding", "b2.embedding")} / (a.nrm * b2.nrm) >= 0.4
-         |${orderAll("id_a", "id_b", "lsh_bucket", "cosine")}""".stripMargin,
+      s"""WITH ${SignLsh.sqlCandCtes()},
+         |scored AS (
+         |  SELECT c.id_a, c.id_b, c.n_bands,
+         |    ${sqlDot.format("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+         |  FROM cand c
+         |  JOIN base a ON a.vec_id = c.id_a
+         |  JOIN base b ON b.vec_id = c.id_b)
+         |SELECT id_a, id_b, n_bands, cosine FROM scored WHERE cosine >= 0.4
+         |${orderAll("id_a", "id_b", "n_bands", "cosine")}""".stripMargin,
     "vec_centroid" ->
       s"""SELECT label, i - 1 AS dim,
          |  ${graft.Tables.sqlDavg("CAST(embedding[i] AS DOUBLE)")} AS centroid,

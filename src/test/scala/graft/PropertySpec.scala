@@ -92,6 +92,55 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  /** Deterministic pseudo-random unit-ish vector. */
+  private def randVec(rnd: scala.util.Random): Array[Float] =
+    Array.fill(ops.SignLsh.Dim)((rnd.nextDouble() * 2 - 1).toFloat)
+
+  private def lshBase(rows: Seq[(Long, Array[Float])]) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+      .withColumn("nrm", sqrt(functions.GraftFunctions.vecDot(
+        spark, col("embedding"), col("embedding"))))
+      .withColumn("bk", ops.SignLsh.bandKeys(spark, col("embedding")))
+  }
+
+  test("sign-LSH cap: no surviving bucket exceeds BucketCap even under a " +
+    "degenerate mega-cluster; candidate count stays linear in n") {
+    val rnd = new scala.util.Random(7)
+    val hot = randVec(rnd)
+    // 200 identical vectors (a pathological cluster: every band bucket AND
+    // every full signature collides) + 100 random ones
+    val rows = (0L until 200L).map(i => (i, hot.clone())) ++
+      (200L until 300L).map(i => (i, randVec(rnd)))
+    val base = lshBase(rows)
+    val sizes = ops.SignLsh.kept(base)
+      .groupBy(col("band"), col("rkey")).count()
+      .agg(max(col("count"))).collect()(0)
+    assert(sizes.isNullAt(0) || sizes.getLong(0) <= ops.SignLsh.BucketCap,
+      s"surviving bucket larger than cap: $sizes")
+    val nCand = ops.SignLsh.candidates(base).count()
+    val bound = ops.SignLsh.Bands.toLong * rows.size * ops.SignLsh.BucketCap / 2
+    assert(nCand <= bound, s"candidates $nCand exceed linear bound $bound")
+    // the mega-cluster must have been dropped, not exploded into ~20k pairs
+    assert(nCand < 2000, s"mega-cluster leaked into candidates: $nCand")
+  }
+
+  test("sign-LSH recall: planted near-dup pairs (cosine ≥ .99) are found") {
+    val rnd = new scala.util.Random(11)
+    val planted = (0 until 60).map { i =>
+      val x = randVec(rnd)
+      // small perturbation: cosine(x, y) ≈ 0.999
+      val y = x.map(v => v + (rnd.nextDouble() * 0.04 - 0.02).toFloat)
+      Seq((2L * i, x), (2L * i + 1, y))
+    }
+    val base = lshBase(planted.flatten)
+    val cand = ops.SignLsh.candidates(base)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = planted.count(p => cand.contains((p(0)._1, p(1)._1)))
+    assert(found >= 54, s"recall ${found}/60 below 0.9 for planted near-dups")
+  }
+
   test("simhash64: permutation-invariant in vote counts, content-sensitive") {
     import spark.implicits._
     val tokGen = Gen.nonEmptyListOf(Gen.identifier).map(_.distinct)
