@@ -127,45 +127,82 @@ object Vectors {
       .select(col("label"), col("dim"), col("centroid"), col("n")))
   }
 
-  /** IVF-style approximate kNN (SURVEY §2.10 scale path): the inverted-file
-    * search that replaces brute force at 100 TB. Stage 1 — coarse quantizer:
-    * one centroid per `label` list via the exact micro-unit mean (decimal
-    * accumulation ⇒ bit-identical in Spark and DuckDB). Stage 2 — each query
-    * probes its nprobe=2 nearest centroids (a |Q|×k broadcast nested loop,
-    * never the corpus). Stage 3 — exact cosine only within the probed lists
-    * (corpus touched ≈ nprobe/k of brute force; the scan stays pruned by the
-    * `label` partition key at scale). Deterministic ⇒ full DuckDB oracle;
-    * recall vs sim_knn_bruteforce is measured in the spec. */
+  /** IVF approximate kNN with a TRAINED coarse quantizer (SURVEY §2.10
+    * scale path): the inverted-file search that replaces brute force at
+    * 100 TB. Stage 1 — train: k = ⌊√n⌋ centroids (nlist grows with the
+    * corpus, independent of any label cardinality) from id-stride seeds
+    * refined by two Lloyd iterations, all in DataFrame ops: assignment is a
+    * broadcast nested loop + per-vector argmax window; the update is the
+    * exact micro-unit mean (decimal accumulation ⇒ bit-identical in Spark
+    * and DuckDB, which is what keeps a trained k-means oracle-able). Empty
+    * clusters drop out of the GROUP BY. Stage 2 — each query probes its
+    * nprobe=2 nearest centroids (|Q|×k broadcast loop, never the corpus).
+    * Stage 3 — exact cosine only within the probed inverted lists (corpus
+    * touched ≈ nprobe/√n of brute force; at scale the lists are the
+    * partition key, so the scan prunes to the probed files). Deterministic ⇒
+    * full DuckDB oracle; recall vs sim_knn_bruteforce is measured in the
+    * spec. */
   def simKnnIvf(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.GraftFunctions.vecDot
     val nprobe = 2
     val base = load(spark, dir, "embeddings")
       .withColumn("nrm", sqrt(vecDot(spark, col("embedding"), col("embedding"))))
+      .cache()
+    // k = ⌊√n⌋ via seed stride ⌈n/k⌉ over the (dense) id space — counts only,
+    // no global sort; at cluster scale this is the sample-seeding analog
+    val stride = base.agg(ceil(count(lit(1)) / floor(sqrt(count(lit(1)))))
+      .cast("long").as("stride"))
+    val seeds = base.crossJoin(broadcast(stride))
+      .filter(col("vec_id") % col("stride") === 0)
+      .select(col("vec_id").as("cid"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("cvec"))
+    def withCnrm(c: DataFrame): DataFrame =
+      c.withColumn("cnrm", sqrt(aggregate(col("cvec"), lit(0.0),
+        (acc, x) => acc + x * x)))
+    // nearest centroid per vector by cosine (ties → lowest cid); only
+    // (vec_id, cid, sim) rides the argmax shuffle, never the embeddings
+    def assign(cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("sim").desc, col("cid"))
+      base.crossJoin(broadcast(cents))
+        .withColumn("sim",
+          aggregate(zip_with(col("embedding"), col("cvec"),
+            (x, y) => x.cast(DoubleType) * y), lit(0.0), (acc, x) => acc + x)
+            / (col("nrm") * col("cnrm")))
+        .select(col("vec_id"), col("cid"), col("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"))
+    }
     val centroidAgg = org.apache.spark.sql.functions.udaf(
       new graft.functions.GraftFunctions.VecCentroid(64),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
-    val centroids = base.groupBy(col("label"))
-      .agg(centroidAgg(col("embedding")).as("cvec"))
-      .withColumn("cnrm", sqrt(aggregate(col("cvec"), lit(0.0),
-        (acc, x) => acc + x * x)))
+    // Lloyd update: exact mean of the member embeddings (partial-aggregable)
+    def update(assigned: DataFrame): DataFrame =
+      base.join(assigned, "vec_id")
+        .groupBy(col("cid")).agg(centroidAgg(col("embedding")).as("cvec"))
+    val c0 = withCnrm(seeds)
+    val c1 = withCnrm(update(assign(c0)))
+    val c2 = withCnrm(update(assign(c1)))
+    val lists = assign(c2) // final inverted-list membership (vec_id, cid)
     val queries = base.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
     // stage 2: probe assignment — |Q| × k tiny nested loop, centroids broadcast
     val wProbe = Window.partitionBy(col("q_id"))
-      .orderBy(col("qc_cos").desc, col("label"))
-    val probes = queries.crossJoin(broadcast(centroids))
+      .orderBy(col("qc_cos").desc, col("cid"))
+    val probes = queries.crossJoin(broadcast(c2))
       .withColumn("qc_cos",
         aggregate(zip_with(col("q_emb"), col("cvec"),
           (x, y) => x.cast(DoubleType) * y), lit(0.0), (acc, x) => acc + x)
           / (col("q_nrm") * col("cnrm")))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nprobe)
-      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("label"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("cid"))
     // stage 3: exact search within the probed lists only
     val wRank = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    totalOrder(probes.join(base, "label")
+    totalOrder(probes.join(lists, "cid").join(base, "vec_id")
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cosine",
         vecDot(spark, col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
@@ -193,36 +230,64 @@ object Vectors {
     "sqrt(list_aggregate(list_transform(%s, " +
       "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
 
+  /** Lloyd-iteration CTE fragments for the trained-IVF oracle: nearest-
+    * centroid assignment under centroid set `c` (cosine desc, cid tiebreak)
+    * and the exact decimal-mean update over an assignment `a`. */
+  private def sqlAssign(a: String, c: String): String =
+    s"""$a AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT b.vec_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+       |        list_aggregate(list_transform(list_zip(b.embedding, c.cvec),
+       |          x -> CAST(x[1] AS DOUBLE) * x[2]), 'sum')
+       |          / (b.nrm * c.cnrm) DESC, c.cid) AS rn
+       |    FROM base b CROSS JOIN $c c) WHERE rn = 1)""".stripMargin
+
+  private def sqlUpdate(c: String, a: String): String =
+    s"""$c AS (
+       |  SELECT cid, cvec,
+       |    sqrt(list_aggregate(list_transform(cvec, x -> x * x), 'sum')) AS cnrm
+       |  FROM (SELECT cid, list(c ORDER BY i) AS cvec FROM (
+       |    SELECT a.cid, t.i,
+       |      ${graft.Tables.sqlDavg("CAST(b.embedding[t.i] AS DOUBLE)")} AS c
+       |    FROM $a a JOIN base b USING (vec_id),
+       |      generate_series(1, 64) AS t(i)
+       |    GROUP BY a.cid, t.i) GROUP BY cid))""".stripMargin
+
   val oracle: Map[String, String] = oracleBase +
     ("sim_knn_native" -> oracleBase("sim_knn_bruteforce")) +
     ("vec_centroid_native" -> oracleBase("vec_centroid")) +
     ("sim_knn_ivf" ->
       s"""WITH base AS (
-         |  SELECT vec_id, label, embedding, ${sqlNorm.format("embedding")} AS nrm
+         |  SELECT vec_id, embedding, ${sqlNorm.format("embedding")} AS nrm
          |  FROM embeddings),
-         |cent AS (
-         |  SELECT label, i,
-         |    ${graft.Tables.sqlDavg("CAST(embedding[i] AS DOUBLE)")} AS c
-         |  FROM embeddings, generate_series(1, 64) AS t(i)
-         |  GROUP BY label, i),
-         |cn AS (
-         |  SELECT label, cvec,
-         |    sqrt(list_aggregate(list_transform(cvec, x -> x * x), 'sum')) AS cnrm
-         |  FROM (SELECT label, list(c ORDER BY i) AS cvec FROM cent GROUP BY label)),
+         |p AS (SELECT CAST(ceil(COUNT(*) / floor(sqrt(COUNT(*)))) AS BIGINT)
+         |      AS stride FROM base),
+         |c0 AS (
+         |  SELECT vec_id AS cid,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec,
+         |    ${sqlNorm.format("embedding")} AS cnrm
+         |  FROM base WHERE vec_id % (SELECT stride FROM p) = 0),
+         |${sqlAssign("a0", "c0")},
+         |${sqlUpdate("c1", "a0")},
+         |${sqlAssign("a1", "c1")},
+         |${sqlUpdate("c2", "a1")},
+         |${sqlAssign("a2", "c2")},
          |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
          |      FROM base WHERE vec_id % 100 = 0),
          |probes AS (
-         |  SELECT q_id, q_emb, q_nrm, label FROM (
-         |    SELECT q.q_id, q.q_emb, q.q_nrm, c.label,
+         |  SELECT q_id, q_emb, q_nrm, cid FROM (
+         |    SELECT q.q_id, q.q_emb, q.q_nrm, c.cid,
          |      ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
          |        list_aggregate(list_transform(list_zip(q.q_emb, c.cvec),
          |          x -> CAST(x[1] AS DOUBLE) * x[2]), 'sum')
-         |          / (q.q_nrm * c.cnrm) DESC, c.label) AS pr
-         |    FROM q CROSS JOIN cn c) WHERE pr <= 2),
+         |          / (q.q_nrm * c.cnrm) DESC, c.cid) AS pr
+         |    FROM q CROSS JOIN c2 c) WHERE pr <= 2),
          |scored AS (
          |  SELECT p.q_id, b.vec_id,
          |    ${sqlDot.format("b.embedding", "p.q_emb")} / (b.nrm * p.q_nrm) AS cosine
-         |  FROM probes p JOIN base b ON b.label = p.label
+         |  FROM probes p JOIN a2 ON a2.cid = p.cid
+         |  JOIN base b ON b.vec_id = a2.vec_id
          |  WHERE b.vec_id <> p.q_id),
          |ranked AS (
          |  SELECT q_id, vec_id AS neighbor_id, cosine,
