@@ -151,6 +151,30 @@ object TimeSeries {
       .select(col("day"), col("n_rows"), col("cum_rows"), col("keep")))
   }
 
+  /** Byte-budget retention (memory_manager.py:13-16: the reference frees
+    * DISK BYTES — `f_bfree*f_bsize >= required`, oldest-first delete — not
+    * row counts): newest-first cumulative BYTES over daily partitions,
+    * where a point's cost is its serialized line-protocol footprint
+    * (`measurement,user_id=<id>,type=<t> value=.. ts` ⇒ tag strings +
+    * 16 bytes value/time + 20 bytes keys/overhead — an explicit model both
+    * engines compute identically; the live store path measures real file
+    * sizes instead, [[graft.store.MeasurementStore.planRetentionBytes]]).
+    * A day is kept while the running byte total stays within budget. */
+  def tsRetentionBytes(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("day").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    totalOrder(load(spark, dir, "events")
+      .withColumn("point_bytes",
+        length(col("event_type")) + length(col("user_id").cast("string"))
+          + lit(36))
+      .groupBy(date_trunc("DAY", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("point_bytes")).as("day_bytes"))
+      .withColumn("cum_bytes", sum(col("day_bytes")).over(w))
+      .withColumn("keep", col("cum_bytes") <= 400000L)
+      .select(col("day"), col("n_rows"), col("day_bytes"),
+        col("cum_bytes"), col("keep")))
+  }
+
   /** The idempotent-ingest law (InfluxDB upsert on (tags, time);
     * transfer_manager.py:199-208 re-ingests changed files safely): writing
     * a batch twice ≡ once. Union of the batch with itself deduped on the
@@ -176,6 +200,7 @@ object TimeSeries {
     "ts_session_window" -> tsSessionWindow,
     "ts_staleness" -> tsStaleness,
     "ts_retention" -> tsRetention,
+    "ts_retention_bytes" -> tsRetentionBytes,
     "ts_upsert_dedup" -> tsUpsertDedup)
 
   /** Shared CTE chain producing the rated pulse rows (DuckDB twin of
@@ -277,6 +302,20 @@ object TimeSeries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 4000 AS keep
          |FROM daily
          |${orderAll("day", "n_rows", "cum_rows", "keep")}""".stripMargin,
+    "ts_retention_bytes" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+         |    COUNT(*) AS n_rows,
+         |    CAST(SUM(length(event_type) + length(CAST(user_id AS VARCHAR))
+         |      + 36) AS BIGINT) AS day_bytes
+         |  FROM events GROUP BY 1)
+         |SELECT day, n_rows, day_bytes,
+         |  CAST(SUM(day_bytes) OVER (ORDER BY day DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_bytes,
+         |  SUM(day_bytes) OVER (ORDER BY day DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 400000 AS keep
+         |FROM daily
+         |${orderAll("day", "n_rows", "day_bytes", "cum_bytes", "keep")}""".stripMargin,
     "ts_upsert_dedup" ->
       s"""SELECT event_type, user_id, CAST(ts AS TIMESTAMP) AS ts,
          |  MAX_BY(value, event_id) AS value, MAX(event_id) AS version

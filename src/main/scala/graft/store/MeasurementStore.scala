@@ -74,6 +74,47 @@ class MeasurementStore(spark: SparkSession, root: String) {
   def read(measurement: String, predicate: Column = lit(true)): DataFrame =
     readRaw(measurement).filter(predicate)
 
+  /** Byte-budget retention plan over REAL on-disk partition sizes — the
+    * reference's actual contract (memory_manager.py:13-16 frees disk bytes,
+    * oldest-first, until the free-space requirement holds; row counts are
+    * only a proxy). Day partition sizes come from a Hadoop `FileSystem`
+    * listing (works on any FS Spark can reach, not just local disk); the
+    * driver-side listing is one status call per day partition — bounded by
+    * #days, not data volume. Returns (day, bytes, cum_bytes, keep) with
+    * newest-first cumulative bytes; a day is kept while the running total
+    * stays within `byteBudget`. */
+  def planRetentionBytes(measurement: String, byteBudget: Long): Seq[(String, Long, Long, Boolean)] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path(measurement)).resolve("/"),
+      spark.sparkContext.hadoopConfiguration)
+    val rootPath = new org.apache.hadoop.fs.Path(path(measurement))
+    if (!fs.exists(rootPath)) return Seq.empty
+    val days = fs.listStatus(rootPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
+      .map(s => (s.getPath.getName.stripPrefix("day="),
+        fs.getContentSummary(s.getPath).getLength))
+      .sortBy(_._1)(Ordering[String].reverse) // newest first
+    days.scanLeft(("", 0L, 0L, true)) { case ((_, _, cum, _), (day, bytes)) =>
+      (day, bytes, cum + bytes, cum + bytes <= byteBudget)
+    }.drop(1)
+  }
+
+  /** Enforce [[planRetentionBytes]]: delete the day partitions whose
+    * cumulative (newest-first) size exceeds the budget; returns dropped
+    * days, oldest of the kept data surviving — mirrors the reference's
+    * delete-oldest-until-enough-space loop (memory_manager.py:8-17). */
+  def enforceRetentionBytes(measurement: String, byteBudget: Long): Seq[String] = {
+    val drop = planRetentionBytes(measurement, byteBudget)
+      .collect { case (day, _, _, false) => day }
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path(measurement)).resolve("/"),
+      spark.sparkContext.hadoopConfiguration)
+    drop.foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"${path(measurement)}/day=$d"), true)
+    }
+    drop
+  }
+
   /** Retention: keep the newest day partitions whose cumulative row count
     * stays within `rowBudget`; returns the days dropped. */
   def enforceRetention(measurement: String, rowBudget: Long): Seq[String] = {

@@ -77,6 +77,34 @@ class IngestStoreStreamSpec extends SparkTestBase {
     assert(dropped.max < remainingDays.min)
   }
 
+  test("byte-budget retention: plan matches on-disk sizes, drops oldest") {
+    val root = Files.createTempDirectory("ms4").toString
+    val store = new graft.store.MeasurementStore(spark, root)
+    store.append("m", Tables.load(spark, sf, "events")
+      .select(col("event_type"), col("user_id"), col("ts").as("time"), col("value")))
+    // ground truth: real file sizes per day partition from java.io
+    val sizes = new java.io.File(s"$root/m").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("day="))
+      .map(d => d.getName.stripPrefix("day=") ->
+        // skip hidden .crc checksum twins — the Hadoop listing does too
+        d.listFiles().filterNot(_.getName.startsWith("."))
+          .map(_.length()).sum).toMap
+    val budget = sizes.values.sum / 2
+    val plan = store.planRetentionBytes("m", budget)
+    assert(plan.map(_._1).toSet == sizes.keySet)
+    plan.foreach { case (day, bytes, _, _) =>
+      assert(bytes == sizes(day), s"size mismatch for $day") }
+    // kept set = newest-first prefix within budget
+    val keptBytes = plan.filter(_._4).map(_._2).sum
+    assert(keptBytes <= budget)
+    val dropped = store.enforceRetentionBytes("m", budget)
+    assert(dropped.nonEmpty)
+    val remaining = store.read("m").select("day").distinct()
+      .as[String].collect().toSet
+    assert(dropped.toSet.intersect(remaining).isEmpty)
+    assert(dropped.max < remaining.min, "dropped days must be the oldest")
+  }
+
   test("streaming pulse rate equals the batch window formulation") {
     val s = streaming.StreamingOps.streamPulseRate(spark, sf)
       .select("user_id", "event_id", "rate")
