@@ -39,12 +39,13 @@ object CsvIngest {
     StructField("coldInTemp", DoubleType),
     StructField("_corrupt", StringType)))
 
-  /** Parse residential pulse CSVs: each file yields rows
-    * (siteID, dataloggerID, meterID, qc, time, pulses, src_file).
-    * Lines 1-3 are metadata, line 4 is the `Time,Pulses` header. */
-  def readPulseCsv(spark: SparkSession, path: String): DataFrame = {
-    val files = spark.read.option("wholetext", "true").text(path)
-      .withColumn("src_file", input_file_name())
+  /** Shared pulse-format parser over (value = whole file text, src_file) —
+    * batch and streaming run the identical plan. Lenient (`try_*`) so junk
+    * data lines surface as `is_bad = true` for the quarantine fork
+    * (loader.py:48-66) instead of failing the whole scan under ANSI mode.
+    * Output adds `row` (the raw data line) and `is_bad` to the parsed
+    * columns. */
+  def parsePulseText(files: DataFrame): DataFrame = {
     val lines = files
       .withColumn("lines", split(col("value"), "\r?\n"))
       .withColumn("siteID", regexp_extract(element_at(col("lines"), 1), MetaPattern, 2))
@@ -58,10 +59,25 @@ object CsvIngest {
     lines
       .filter(length(trim(col("row"))) > 0)
       .withColumn("time",
-        to_timestamp(split(col("row"), ",").getItem(0), "yyyy-MM-dd HH:mm:ss"))
-      .withColumn("pulses", split(col("row"), ",").getItem(1).cast(LongType))
+        try_to_timestamp(expr("try_element_at(split(row, ',', -1), 1)"),
+          lit("yyyy-MM-dd HH:mm:ss")))
+      .withColumn("pulses",
+        expr("try_cast(try_element_at(split(row, ',', -1), 2) AS BIGINT)"))
+      .withColumn("is_bad", col("time").isNull || col("pulses").isNull)
       // measurement routing by QC flag (loader.py:16-19,56)
-      .withColumn("measurement", when(col("qc"), "QCData").otherwise("RawData"))
+      .select(
+        when(col("qc"), "QCData").otherwise("RawData").as("measurement"),
+        col("siteID"), col("dataloggerID"), col("meterID"), col("qc"),
+        col("time"), col("pulses"), col("src_file"), col("row"), col("is_bad"))
+  }
+
+  /** Parse residential pulse CSVs: each file yields rows
+    * (siteID, dataloggerID, meterID, qc, time, pulses, src_file).
+    * Lines 1-3 are metadata, line 4 is the `Time,Pulses` header. */
+  def readPulseCsv(spark: SparkSession, path: String): DataFrame = {
+    val files = spark.read.option("wholetext", "true").text(path)
+      .withColumn("src_file", input_file_name())
+    parsePulseText(files).filter(!col("is_bad"))
       .select("measurement", "siteID", "dataloggerID", "meterID", "qc",
         "time", "pulses", "src_file")
   }

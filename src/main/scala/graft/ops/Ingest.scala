@@ -26,26 +26,33 @@ object Ingest {
       .filter(col("rn") <= 50)
   }
 
-  private def writeFile(dir: Path, name: String, content: String): Unit =
+  private[graft] def writeFile(dir: Path, name: String, content: String): Unit =
     Files.writeString(dir.resolve(name), content)
 
-  /** scan_csv_pulses: write one residential-format file per user (3
-    * metadata lines + Time,Pulses rows, loader.py:121-161), ingest through
-    * [[CsvIngest.readPulseCsv]], return the tagged points. */
-  def scanCsvPulses(spark: SparkSession, dir: String): DataFrame = {
+  /** Write the three residential-format pulse files (3 metadata lines +
+    * Time,Pulses rows, loader.py:121-161) into `target` — shared by the
+    * batch scan op and the streaming ingest loop so both carry the same
+    * fixture-reconstruction oracle. */
+  private[graft] def writePulseFiles(spark: SparkSession, dir: String, target: Path): Unit = {
     val rows = pulseSlice(spark, dir)
       .select(col("user_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("t"),
         floor(col("value")).cast("long").as("p"))
       .collect()
-    val tmp = Files.createTempDirectory("pulses")
     rows.groupBy(_.getLong(0)).foreach { case (u, rs) =>
       val qc = if (u % 2 == 0) "QC" else ""
       val body = rs.sortBy(r => (r.getString(1), r.getLong(2)))
         .map(r => s"${r.getString(1)},${r.getLong(2)}").mkString("\n")
-      writeFile(tmp, s"site$u.csv",
+      writeFile(target, s"site$u.csv",
         s"Site: ${100 + u}\nDatalogger: ${200 + u}\nMeter #${300 + u}$qc\nTime,Pulses\n$body\n")
     }
+  }
+
+  /** scan_csv_pulses: write one residential-format file per user, ingest
+    * through [[CsvIngest.readPulseCsv]], return the tagged points. */
+  def scanCsvPulses(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("pulses")
+    writePulseFiles(spark, dir, tmp)
     totalOrder(CsvIngest.readPulseCsv(spark, tmp.toString)
       .select(col("measurement"), col("siteID"), col("dataloggerID"),
         col("meterID"), col("qc"), col("time"), col("pulses")))

@@ -162,12 +162,69 @@ object StreamingOps {
       .select(col("user_id"), col("event_id"), col("ts"), col("rate")))
   }
 
+  // ------------------- streaming CSV ingest (the production loop, §2.8) ---
+
+  /** The reference's actual production loop (loader.py:32-86: watch a
+    * landing directory, parse each CSV, quarantine bad rows, archive the
+    * drained file) as ONE streaming query, plus dirs for the spec.
+    * `readStream.text(wholetext)` over the landing dir, `maxFilesPerTrigger`
+    * = 1 (the per-file drain cadence), `cleanSource=archive` replacing the
+    * move protocol, and a foreachBatch fork writing good rows to the store
+    * path and bad rows to the quarantine dead-letter. */
+  private[graft] def streamCsvIngestRun(spark: SparkSession, dir: String):
+      (DataFrame, java.nio.file.Path, java.nio.file.Path, java.nio.file.Path) = {
+    import java.nio.file.Files
+    val landing = Files.createTempDirectory("landing")
+    graft.ops.Ingest.writePulseFiles(spark, dir, landing)
+    // a file whose data rows are junk: parses to 2 quarantined rows, 0 good
+    graft.ops.Ingest.writeFile(landing, "site99.csv",
+      "Site: 199\nDatalogger: 299\nMeter #399\nTime,Pulses\n" +
+        "not_a_time,12\n2024-01-01 00:00:00,not_a_number\n")
+    val archive = Files.createTempDirectory("landing_archive")
+    val goodDir = Files.createTempDirectory("ingest_good")
+    val quarantine = Files.createTempDirectory("ingest_quarantine")
+    val files = spark.readStream
+      .option("wholetext", "true")
+      .option("maxFilesPerTrigger", "1")
+      .option("cleanSource", "archive")
+      .option("sourceArchiveDir", archive.toString)
+      .text(landing.toString)
+      .select(col("value"), col("_metadata.file_path").as("src_file"))
+    val q = files.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("ingest_ckpt").toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val parsed = graft.ingest.CsvIngest.parsePulseText(batch).cache()
+        try {
+          parsed.filter(!col("is_bad"))
+            .select("measurement", "siteID", "dataloggerID", "meterID",
+              "qc", "time", "pulses")
+            .write.mode("append").parquet(goodDir.toString)
+          parsed.filter(col("is_bad"))
+            .select(col("src_file"), col("row").as("raw_line"))
+            .write.mode("append").parquet(quarantine.toString)
+        } finally parsed.unpersist()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    (spark.read.parquet(goodDir.toString), landing, archive, quarantine)
+  }
+
+  /** Driver-contract entry: the good-row output of the streaming ingest
+    * loop — identical row set to the batch scan_csv_pulses (the junk file
+    * contributes only quarantined rows), so it shares that oracle. */
+  def streamCsvIngest(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(streamCsvIngestRun(spark, dir)._1)
+
   // ----------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_time_bucket" -> streamTimeBucket,
     "stream_dedup" -> streamDedup,
     "stream_pulse_rate" -> streamPulseRate,
+    "stream_csv_ingest" -> streamCsvIngest,
     "stream_session_window" -> streamSessionWindow)
 
   val oracle: Map[String, String] = Map(
@@ -182,5 +239,6 @@ object StreamingOps {
          |FROM events GROUP BY event_type
          |${orderAll("event_type", "n", "sum_value")}""".stripMargin,
     "stream_pulse_rate" -> graft.ops.TimeSeries.oracle("win_lag_interval"),
+    "stream_csv_ingest" -> graft.ops.Ingest.oracle("scan_csv_pulses"),
     "stream_session_window" -> graft.ops.TimeSeries.oracle("ts_session_window"))
 }

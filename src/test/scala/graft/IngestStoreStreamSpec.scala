@@ -105,6 +105,25 @@ class IngestStoreStreamSpec extends SparkTestBase {
     assert(dropped.max < remaining.min, "dropped days must be the oldest")
   }
 
+  test("streaming csv ingest: quarantines junk rows, archives drained files") {
+    val (good, landing, archive, quarantine) =
+      streaming.StreamingOps.streamCsvIngestRun(spark, sf)
+    // good rows = exactly the batch scan's row set
+    val batch = ops.Ingest.scanCsvPulses(spark, sf)
+    assert(good.count() == batch.count())
+    // the junk file's two data lines landed in the dead-letter, not the store
+    val bad = spark.read.parquet(quarantine.toString)
+      .select("raw_line").as[String].collect().toSet
+    assert(bad == Set("not_a_time,12", "2024-01-01 00:00:00,not_a_number"))
+    // cleanSource=archive relocated drained files (the final batch's file
+    // may legally still be pending — require progress, not completion)
+    val archived = java.nio.file.Files.walk(archive)
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(archived >= 1, "no landing files were archived")
+    val remaining = java.nio.file.Files.list(landing).count()
+    assert(archived + remaining >= 4, "files lost during archive")
+  }
+
   test("streaming pulse rate equals the batch window formulation") {
     val s = streaming.StreamingOps.streamPulseRate(spark, sf)
       .select("user_id", "event_id", "rate")
