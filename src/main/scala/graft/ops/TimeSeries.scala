@@ -127,13 +127,16 @@ object TimeSeries {
   /** Staleness monitor (datalogger_health_check.py:88-94): series whose
     * newest point is >2 days older than the dataset frontier. The frontier
     * replaces wall-clock now() so the check is deterministic. */
-  def tsStaleness(spark: SparkSession, dir: String): DataFrame = {
+  def tsStaleness(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(tsStalenessFrame(spark, dir))
+
+  private def tsStalenessFrame(spark: SparkSession, dir: String): DataFrame = {
     val ev = load(spark, dir, "events")
     val frontier = ev.agg(max(col("ts")).as("frontier"))
-    totalOrder(ev.groupBy(col("user_id")).agg(max(col("ts")).as("last_seen"))
+    ev.groupBy(col("user_id")).agg(max(col("ts")).as("last_seen"))
       .crossJoin(broadcast(frontier))
       .filter(col("last_seen") < col("frontier") - expr("INTERVAL 2 DAYS"))
-      .select(col("user_id"), col("last_seen")))
+      .select(col("user_id"), col("last_seen"))
   }
 
   /** Retention planner (memory_manager.py:3-17: delete-oldest-until-budget):
@@ -149,6 +152,29 @@ object TimeSeries {
       .withColumn("cum_rows", sum(col("n_rows")).over(w))
       .withColumn("keep", col("cum_rows") <= 4000)
       .select(col("day"), col("n_rows"), col("cum_rows"), col("keep")))
+  }
+
+  /** Staleness ALERT sink (datalogger_health_check.py:94 +
+    * transfer_manager.py:233-246 send_error): the "tell a human" half of
+    * monitoring. Stale hosts become alert rows whose payload is the exact
+    * Slack-webhook JSON the reference posts
+    * (`{"text": "Possible uncaught logging error: ..."}`); the rows are
+    * written through a real sink (parquet alerts table) and read back —
+    * at scale this table is the webhook/pager queue consumer's input.
+    * Streaming-side failures use [[graft.streaming.AlertListener]]. */
+  def tsStalenessAlert(spark: SparkSession, dir: String): DataFrame = {
+    val msg = "Possible uncaught logging error: Latest file update " +
+      "more than two days ago on host: site"
+    val alerts = tsStalenessFrame(spark, dir)
+      .select(
+        concat(lit("site"), col("user_id")).as("host"),
+        col("last_seen"),
+        lit("stale_datalogger").as("alert_type"),
+        concat(lit("{\"text\": \"" + msg), col("user_id"), lit("\"}"))
+          .as("payload"))
+    val out = java.nio.file.Files.createTempDirectory("alerts").toString
+    alerts.write.mode("overwrite").parquet(out)
+    totalOrder(spark.read.parquet(out))
   }
 
   /** Byte-budget retention (memory_manager.py:13-16: the reference frees
@@ -199,6 +225,7 @@ object TimeSeries {
     "win_time_bucket" -> winTimeBucket,
     "ts_session_window" -> tsSessionWindow,
     "ts_staleness" -> tsStaleness,
+    "ts_staleness_alert" -> tsStalenessAlert,
     "ts_retention" -> tsRetention,
     "ts_retention_bytes" -> tsRetentionBytes,
     "ts_upsert_dedup" -> tsUpsertDedup)
@@ -290,6 +317,17 @@ object TimeSeries {
          |HAVING MAX(CAST(ts AS TIMESTAMP)) <
          |  (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events) - INTERVAL 2 DAY
          |${orderAll("user_id", "last_seen")}""".stripMargin,
+    "ts_staleness_alert" ->
+      s"""SELECT 'site' || CAST(user_id AS VARCHAR) AS host,
+         |  MAX(CAST(ts AS TIMESTAMP)) AS last_seen,
+         |  'stale_datalogger' AS alert_type,
+         |  '{"text": "Possible uncaught logging error: Latest file update '
+         |    || 'more than two days ago on host: site'
+         |    || CAST(user_id AS VARCHAR) || '"}' AS payload
+         |FROM events GROUP BY user_id
+         |HAVING MAX(CAST(ts AS TIMESTAMP)) <
+         |  (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events) - INTERVAL 2 DAY
+         |${orderAll("host", "last_seen", "alert_type", "payload")}""".stripMargin,
     "ts_retention" ->
       s"""WITH daily AS (
          |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,

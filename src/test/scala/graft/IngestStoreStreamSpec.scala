@@ -124,6 +124,31 @@ class IngestStoreStreamSpec extends SparkTestBase {
     assert(archived + remaining >= 4, "files lost during archive")
   }
 
+  test("alert listener: failed streaming query raises a slack-shaped alert") {
+    val listener = new streaming.AlertListener
+    spark.streams.addListener(listener)
+    try {
+      val src = spark.readStream.format("rate")
+        .option("rowsPerSecond", "1").load()
+      val q = src.writeStream
+        .option("checkpointLocation",
+          Files.createTempDirectory("alert_ckpt").toString)
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+          throw new RuntimeException("sensor exploded")
+        }
+        .start()
+      intercept[Exception](q.awaitTermination(30000))
+      // listener events are delivered async
+      val deadline = System.currentTimeMillis() + 15000
+      while (listener.alerts.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val payloads = listener.alerts.toArray.map(_.toString)
+      assert(payloads.nonEmpty, "no alert raised for the failed query")
+      assert(payloads.exists(p => p.startsWith("{\"text\": ") &&
+        p.contains("failed")), payloads.mkString("; "))
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("streaming pulse rate equals the batch window formulation") {
     val s = streaming.StreamingOps.streamPulseRate(spark, sf)
       .select("user_id", "event_id", "rate")
