@@ -66,10 +66,23 @@ object Aggregates {
          |""".stripMargin))
   }
 
+  /** Approximate percentiles via the mergeable Greenwald-Khanna sketch —
+    * the 100 TB sibling of [[aggPercentile]] (constant memory per group,
+    * one pass, partials merge across partitions; InfluxQL downsampling
+    * leans on percentiles constantly). Sketch internals are engine-specific
+    * → rows-only check; the spec bounds the estimate against the exact
+    * percentile, mirroring the approx_count_distinct pattern. */
+  def aggApproxPercentile(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_quantity, 0.5, 1000)").as("ap50"),
+        expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("ap90_price"),
+        count(lit(1)).as("n_rows")))
+
   /** Exact percentiles (sort-based; both engines linearly interpolate over
     * the ordered set, so values are bit-comparable). At 100 TB the same
-    * query would switch to approx_percentile's mergeable KLL/GK sketch —
-    * shipped alongside as agg_approx_distinct's sibling in the spec. */
+    * query would switch to [[aggApproxPercentile]]'s mergeable sketch. */
   def aggPercentile(spark: SparkSession, dir: String): DataFrame =
     totalOrder(load(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
@@ -109,7 +122,8 @@ object Aggregates {
     "agg_rollup" -> aggRollup,
     "agg_cube" -> aggCube,
     "agg_grouping_sets" -> aggGroupingSets,
-    "agg_percentile" -> aggPercentile)
+    "agg_percentile" -> aggPercentile,
+    "agg_approx_percentile" -> aggApproxPercentile)
 
   val oracle: Map[String, String] = Map(
     "agg_salted_skew" ->

@@ -44,6 +44,22 @@ class JoinsAggSpec extends SparkTestBase {
     }
   }
 
+  test("approx percentile within sketch accuracy of exact") {
+    val approx = ops.Aggregates.aggApproxPercentile(spark, sf)
+      .select("l_returnflag", "ap50", "ap90_price")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = ops.Aggregates.aggPercentile(spark, sf)
+      .select("l_returnflag", "p50", "p90_price")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // accuracy=1000 bounds rank error at n/1000; translate to a loose value
+    // tolerance (5% relative) for the fixture's smooth distributions
+    exact.foreach { case (k, (p50, p90)) =>
+      val (a50, a90) = approx(k)
+      assert(math.abs(a50 / p50 - 1.0) < 0.05, s"$k p50: $a50 vs $p50")
+      assert(math.abs(a90 / p90 - 1.0) < 0.05, s"$k p90_price: $a90 vs $p90")
+    }
+  }
+
   test("rollup row count = groups + subtotals + grand total") {
     val o = Tables.load(spark, sf, "orders")
     val g2 = o.select("o_orderstatus", "o_orderpriority").distinct.count()
