@@ -6,11 +6,12 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
 /** Multimodal-column operators (SURVEY.md §2.10): media as opaque binary
-  * columns with typed metadata beside them. The container has no image/
-  * audio codecs, so the decode step is a clearly-marked deterministic STUB
-  * ([[MultimodalLib.decodeStub]]) — but everything Spark-side is real:
-  * binary schema, per-partition batch processing, feature schema, joins,
-  * and pruning. Swapping the stub for a JNI/codec call changes no plan.
+  * columns with typed metadata beside them. The decode path is a REAL
+  * codec round-trip — payloads are genuine PNGs decoded with the pure-JVM
+  * javax.imageio codec ([[MultimodalLib.decodePng]]); the Spark side is
+  * the production shape throughout: binary schema, per-partition codec
+  * init, feature schema, joins, pruning. Swapping PNG for a JNI codec
+  * (JPEG/audio/video) changes no plan.
   */
 object Multimodal {
   import Relational.{totalOrder, orderAll}
@@ -131,42 +132,76 @@ object MultimodalLib {
 
   /** Extracted features. */
   case class MediaFeatures(doc_id: Long, source: String, n_bytes: Int,
-    head_sum: Long, feature: Array[Double])
+    width: Int, height: Int, feature: Array[Double])
 
-  /** STUB decoder — deterministic fake standing in for an image/audio codec
-    * (none exists in this container). Real semantics it preserves: consumes
-    * raw bytes, returns a fixed-width feature vector. Swap the body for a
-    * real decode without touching the pipeline. */
-  def decodeStub(payload: Array[Byte]): Array[Double] = {
-    val f = new Array[Double](4)
+  /** Image side length for the synthesized payloads. */
+  val Side = 16
+
+  /** Render bytes into a REAL grayscale PNG (javax.imageio — pure JVM,
+    * no native codecs needed): pixel (x,y) is the input byte at the cyclic
+    * offset. This is the payload-synth stage: the fixture has no media
+    * column, so the documents' bytes become genuine compressed images. */
+  def encodePng(bytes: Array[Byte]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      Side, Side, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
     var i = 0
-    while (i < payload.length) {
-      f(i % 4) += (payload(i) & 0xff).toDouble / 255.0
+    while (i < Side * Side) {
+      val v = if (bytes.isEmpty) 0 else bytes(i % bytes.length) & 0xff
+      raster.setSample(i % Side, i / Side, 0, v)
       i += 1
     }
-    f
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
-  /** Per-partition decode + featurize over the binary column: one decoder
-    * instance per partition (the expensive-init pattern for codecs/models),
-    * streaming through rows without collecting. Rows-only check (the stub
-    * is not SQL-expressible); the spec pins determinism and batch shape. */
+  /** REAL image decode: parse the compressed PNG back to pixels; returns
+    * (width, height, luminance in [0,1] row-major). Lossless codec ⇒ the
+    * round-trip recovers the exact input pixels (asserted in the spec). */
+  def decodePng(payload: Array[Byte]): (Int, Int, Array[Double]) = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    val (w, h) = (img.getWidth, img.getHeight)
+    val raster = img.getRaster
+    val px = new Array[Double](w * h)
+    var i = 0
+    while (i < px.length) {
+      px(i) = raster.getSample(i % w, i / w, 0) / 255.0
+      i += 1
+    }
+    (w, h, px)
+  }
+
+  /** Per-partition decode + featurize over the binary column: payloads are
+    * real PNGs (synth stage above) decoded with one ImageIO context per
+    * partition — the expensive-init pattern for codecs/models — streaming
+    * through rows without collecting. Features are pixel-derived (mean /
+    * min / max luminance), so they are codec-version independent. Rows-only
+    * check (a PNG codec is not SQL-expressible); the spec pins determinism,
+    * partition-shape independence, and exact round-trip fidelity. */
   def mmDecodeFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val recs = load(spark, dir, "documents")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
         col("source"))
       .as[MediaRecord]
-    val out = recs.mapPartitions { it =>
-      // per-partition init would go here (codec handle, model session)
+    // stage 1: payload synth — document bytes rendered into real PNGs
+    val media = recs.mapPartitions(_.map(r =>
+      r.copy(payload = encodePng(r.payload))))
+    // stage 2: decode + featurize (per-partition codec init lives here)
+    val out = media.mapPartitions { it =>
       it.map { r =>
-        val feat = decodeStub(r.payload)
-        MediaFeatures(r.doc_id, r.source, r.payload.length,
-          r.payload.take(8).map(b => (b & 0xffL)).sum, feat)
+        val (w, h, px) = decodePng(r.payload)
+        MediaFeatures(r.doc_id, r.source, r.payload.length, w, h,
+          Array(px.sum / px.length, px.min, px.max))
       }
     }
     Relational.totalOrder(out.toDF()
-      .select(col("doc_id"), col("source"), col("n_bytes"), col("head_sum"),
-        round(element_at(col("feature"), 1), 6).as("f0")))
+      .select(col("doc_id"), col("source"), col("n_bytes"),
+        col("width"), col("height"),
+        round(element_at(col("feature"), 1), 6).as("f0"),
+        round(element_at(col("feature"), 2), 6).as("f_min"),
+        round(element_at(col("feature"), 3), 6).as("f_max")))
   }
 }

@@ -80,7 +80,17 @@ class ExtensionSpec extends SparkTestBase {
     assert(bad == 0)
   }
 
-  test("decode stub: deterministic, partition-count independent") {
+  test("png decode: exact round-trip fidelity, deterministic features") {
+    // codec law: decode(encode(bytes)) recovers the cyclic pixel pattern
+    val bytes = "the quick brown fox".getBytes("UTF-8")
+    val (w, h, px) = ops.MultimodalLib.decodePng(
+      ops.MultimodalLib.encodePng(bytes))
+    assert(w == ops.MultimodalLib.Side && h == ops.MultimodalLib.Side)
+    px.zipWithIndex.foreach { case (v, i) =>
+      assert(v == (bytes(i % bytes.length) & 0xff) / 255.0,
+        s"pixel $i corrupted by the codec round-trip")
+    }
+    // pipeline: deterministic, partition-count independent, sane ranges
     val a = ops.MultimodalLib.mmDecodeFeatures(spark, sf)
       .select("doc_id", "f0").as[(Long, Double)].collect().toMap
     val docs = Tables.load(spark, sf, "documents").repartition(7)
@@ -88,7 +98,7 @@ class ExtensionSpec extends SparkTestBase {
     val b = ops.MultimodalLib.mmDecodeFeatures(spark, sf)
       .select("doc_id", "f0").as[(Long, Double)].collect().toMap
     assert(a == b)
-    assert(a.values.forall(v => v >= 0.0 && !v.isNaN))
+    assert(a.values.forall(v => v >= 0.0 && v <= 1.0 && !v.isNaN))
   }
 
   test("tokenize tf: total tf equals total token count") {
