@@ -181,6 +181,47 @@ object Dedup {
         col("cosine")))
   }
 
+  /** Cluster survivorship (the second half of dedup — pair emission alone
+    * doesn't say which rows to keep): connected components over the
+    * near-dup pair graph by iterative min-id label propagation (the
+    * dataframe form of Pregel CC: each round a node adopts the smallest
+    * label among itself and its neighbors; rounds ≤ component diameter —
+    * near-dup clusters are near-cliques, so 2-3 in practice). The canonical
+    * survivor of a component is its smallest doc_id. Only nodes that appear
+    * in a pair participate; singletons are trivially their own survivor.
+    * The driver-side loop materializes one change-count per round — the
+    * standard iterative-CC shape; at cluster scale each round is one
+    * shuffle on the node id and lineage is cut by the per-round cache. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupNgramJaccard(spark, dir).select(col("id_a"), col("id_b"))
+    val sym = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionAll(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .cache()
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id")).cache()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = sym.join(labels, sym("b") === labels("id"))
+        .groupBy(col("a").as("nid")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels.join(nbrMin, col("id") === col("nid"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
+        .filter(col("lbl") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+    }
+    val sizes = labels.groupBy(col("lbl").as("canonical_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    totalOrder(labels
+      .select(col("id").as("doc_id"), col("lbl").as("canonical_id"))
+      .join(sizes, "canonical_id")
+      .withColumn("is_survivor", col("doc_id") === col("canonical_id"))
+      .select(col("doc_id"), col("canonical_id"), col("cluster_size"),
+        col("is_survivor")))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -188,7 +229,42 @@ object Dedup {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
-    "dedup_embcos" -> dedupEmbcos)
+    "dedup_embcos" -> dedupEmbcos,
+    "dedup_clusters" -> dedupClusters)
+
+  /** Shared CTE chain reconstructing the capped-shingle Jaccard pairs
+    * (DuckDB twin of [[dedupNgramJaccard]]); ends in `jpairs`
+    * (id_a, id_b, inter, jaccard ≥ 0.3). */
+  private val jaccardPairsCtes: String =
+    """tok AS (
+      |  SELECT doc_id, list_filter(
+      |    regexp_split_to_array(lower(text), '[^a-z0-9'']+'), t -> t <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, greatest(len(t) - 2, 1) + 1),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |  FROM tok),
+      |posting AS (
+      |  SELECT doc_id, unnest(s) AS sh FROM sh),
+      |capped AS (
+      |  SELECT * FROM (
+      |    SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df
+      |    FROM posting) WHERE df <= 20),
+      |shsizes AS (
+      |  SELECT doc_id, COUNT(*) AS n_sh FROM capped GROUP BY doc_id),
+      |rawpairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      |  FROM capped a JOIN capped b
+      |    ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |jpairs AS (
+      |  SELECT id_a, id_b, inter,
+      |    CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+      |  FROM rawpairs
+      |  JOIN shsizes sa ON sa.doc_id = id_a
+      |  JOIN shsizes sb ON sb.doc_id = id_b
+      |  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.3)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
@@ -198,35 +274,28 @@ object Dedup {
          |GROUP BY 1 HAVING COUNT(*) >= 2
          |${orderAll("h", "canonical_id", "n_dups")}""".stripMargin,
     "dedup_ngram_jaccard" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, list_filter(
-         |    regexp_split_to_array(lower(text), '[^a-z0-9'']+'), t -> t <> '') AS t
-         |  FROM documents),
-         |sh AS (
-         |  SELECT doc_id, list_distinct(list_transform(
-         |    range(1, greatest(len(t) - 2, 1) + 1),
-         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-         |  FROM tok),
-         |posting AS (
-         |  SELECT doc_id, unnest(s) AS sh FROM sh),
-         |capped AS (
-         |  SELECT * FROM (
-         |    SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df
-         |    FROM posting) WHERE df <= 20),
-         |sizes AS (
-         |  SELECT doc_id, COUNT(*) AS n_sh FROM capped GROUP BY doc_id),
-         |pairs AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-         |  FROM capped a JOIN capped b
-         |    ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT id_a, id_b, inter,
-         |  CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
-         |FROM pairs
-         |JOIN sizes sa ON sa.doc_id = id_a
-         |JOIN sizes sb ON sb.doc_id = id_b
-         |WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.3
+      s"""WITH $jaccardPairsCtes
+         |SELECT id_a, id_b, inter, jaccard FROM jpairs
          |${orderAll("id_a", "id_b", "inter", "jaccard")}""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $jaccardPairsCtes,
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM jpairs
+         |  UNION ALL
+         |  SELECT id_b, id_a FROM jpairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |walk AS (
+         |  SELECT id, id AS lbl FROM nodes
+         |  UNION
+         |  SELECT e.a AS id, w.lbl FROM walk w JOIN edges e ON e.b = w.id),
+         |labels AS (SELECT id, MIN(lbl) AS canonical_id FROM walk GROUP BY id),
+         |csizes AS (
+         |  SELECT canonical_id, COUNT(*) AS cluster_size
+         |  FROM labels GROUP BY canonical_id)
+         |SELECT l.id AS doc_id, l.canonical_id, s.cluster_size,
+         |  l.id = l.canonical_id AS is_survivor
+         |FROM labels l JOIN csizes s USING (canonical_id)
+         |${orderAll("doc_id", "canonical_id", "cluster_size", "is_survivor")}""".stripMargin,
     "dedup_embcos" ->
       s"""WITH ${SignLsh.sqlCandCtes()},
          |scored AS (
