@@ -16,8 +16,8 @@ class RelationalSpec extends SparkTestBase {
   test("all queries run non-empty on sf0.001") {
     // set_except / join_left_anti can legitimately be empty at tiny SF;
     // everything else must produce rows for the demo to mean anything.
-    val allowEmpty =
-      Set("set_except", "join_left_anti", "ts_staleness", "dedup_exact")
+    val allowEmpty = Set("set_except", "join_left_anti", "ts_staleness",
+      "ts_staleness_alert", "dedup_exact")
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
       assert(allowEmpty(name) || n > 0, s"$name returned 0 rows")
