@@ -81,20 +81,26 @@ object Dedup {
     * ever meet; cost Σ df² ≤ postings·MaxShingleDf, never n²), then the
     * intersection count falls out of a (pair → count) hash agg — no
     * shingle arrays are ever shipped through the shuffle. */
-  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(jaccardPairs(spark, dir))
+
+  /** The unsorted verified pair frame shared by [[dedupNgramJaccard]] and
+    * [[dedupClusters]] (the cluster op must not pay the driver-contract
+    * total-order sort — range partitioning samples the child twice). */
+  private def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val p = cappedPosting(spark, dir).select(col("doc_id"), col("h"))
     val sizes = p.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val pairs = p.as("a").join(p.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
-    totalOrder(pairs
+    pairs
       .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), "id_a")
       .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), "id_b")
       .withColumn("jaccard", col("inter").cast(DoubleType) /
         (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= 0.3)
-      .select(col("id_a"), col("id_b"), col("inter"), col("jaccard")))
+      .select(col("id_a"), col("id_b"), col("inter"), col("jaccard"))
   }
 
   /** MinHash + LSH banding (SURVEY §2.10 dedup_minhash): 16 xxhash64-based
@@ -193,24 +199,41 @@ object Dedup {
     * standard iterative-CC shape; at cluster scale each round is one
     * shuffle on the node id and lineage is cut by the per-round cache. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = dedupNgramJaccard(spark, dir).select(col("id_a"), col("id_b"))
+    // cache the pair list BEFORE the symmetric union: both union branches
+    // (and every propagation round) read it, and without the cache each
+    // reference replays the whole shingle/posting/verify pipeline
+    // localCheckpoint, NOT cache: every round's plan references the
+    // previous round's frame several times, so without lineage TRUNCATION
+    // the final plan re-expands each reference and the un-hit cache lets
+    // the Jaccard pipeline replay ~2^rounds times (measured: 205s → 11s at
+    // sf0.1). Checkpointed frames are LogicalRDDs — no history to replay.
+    val pairs = jaccardPairs(spark, dir).select(col("id_a"), col("id_b"))
+      .localCheckpoint()
     val sym = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .unionAll(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
-      .cache()
+      .localCheckpoint()
     var labels = sym.select(col("a").as("id")).distinct()
-      .withColumn("lbl", col("id")).cache()
+      .withColumn("lbl", col("id")).localCheckpoint()
     var changed = 1L
     while (changed > 0) {
       val nbrMin = sym.join(labels, sym("b") === labels("id"))
         .groupBy(col("a").as("nid")).agg(min(col("lbl")).as("nlbl"))
-      val next = labels.join(nbrMin, col("id") === col("nid"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .cache()
-      changed = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
-        .filter(col("lbl") =!= col("prev")).count()
-      labels.unpersist()
-      labels = next
+      // checkpoint prop: the pointer-jump self-join reads it twice
+      val prop = labels.withColumnRenamed("lbl", "prev")
+        .join(nbrMin, col("id") === col("nid"), "left")
+        .select(col("id"), col("prev"),
+          least(col("prev"), coalesce(col("nlbl"), col("prev"))).as("lbl"))
+        .localCheckpoint()
+      // pointer-jump (path halving): also adopt the label OF your label —
+      // chain-shaped components converge in ~log(diameter) rounds instead
+      // of diameter rounds (the labels-only self-join is tiny)
+      val next = prop.join(
+          prop.select(col("id").as("jid"), col("lbl").as("jlbl")),
+          col("lbl") === col("jid"))
+        .select(col("id"), col("prev"), least(col("lbl"), col("jlbl")).as("lbl"))
+        .localCheckpoint()
+      changed = next.filter(col("lbl") =!= col("prev")).count()
+      labels = next.select(col("id"), col("lbl"))
     }
     val sizes = labels.groupBy(col("lbl").as("canonical_id"))
       .agg(count(lit(1)).as("cluster_size"))
