@@ -1,0 +1,160 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Composed training-data pipeline operators (driver extension scope —
+  * the operations a 100 TB pre-training corpus build actually runs, built
+  * by COMPOSING the primitive ops): end-to-end curation, deterministic
+  * train/valid/test splitting, and PII scrubbing.
+  */
+object Pipeline {
+  import Relational.{totalOrder, orderAll}
+
+  /** End-to-end corpus curation as ONE Catalyst plan — the standard
+    * pre-training filter chain: exact-dedup survivor selection (lowest
+    * doc_id per normalized content hash) → quality gate → minimum-length
+    * gate → embedding join for the downstream ANN stages. Each stage is a
+    * primitive op from this library; composing them stays one declarative
+    * plan (scan shared, filters pushed, one window + two joins), where the
+    * reference would run one script per stage with disk round-trips. */
+  def pipelineCurate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.vecDot
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    val survivors = load(spark, dir, "documents")
+      .withColumn("h",
+        sha2(regexp_replace(lower(col("text")), "[^a-z0-9]", ""), 256))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("source"))
+    val quality = Text.qualityFrame(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+    val emb = load(spark, dir, "embeddings")
+      .select(col("vec_id").as("doc_id"),
+        sqrt(vecDot(spark, col("embedding"), col("embedding"))).as("emb_norm"))
+    totalOrder(survivors
+      .join(quality, "doc_id")
+      .filter(col("quality") >= 0.05 && col("n_tokens") >= 20)
+      .join(emb, "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+        col("quality"), col("emb_norm")))
+  }
+
+  /** Deterministic train/valid/test split (80/10/10) by a salted
+    * multiplicative hash of the id — the split every corpus build needs.
+    * Hash-based (not row_number-based) on purpose: assignment is a pure
+    * per-row expression — no shuffle, no per-stratum sort bottleneck, and
+    * any engine reproduces it (the oracle runs the identical arithmetic).
+    * Per-stratum proportions hold in expectation; the spec checks balance
+    * per language. */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(load(spark, dir, "documents")
+      .withColumn("bucket",
+        (col("doc_id") * 2654435761L) % 4294967296L % 10)
+      .withColumn("split",
+        when(col("bucket") < 8, "train")
+          .when(col("bucket") < 9, "valid")
+          .otherwise("test"))
+      .select(col("doc_id"), col("lang"), col("bucket"), col("split")))
+
+  private val EmailPat = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+"
+  private val PhonePat = "\\b555-[0-9]{4}\\b"
+
+  /** PII scrubbing (emails / phone numbers → placeholder tags) — the
+    * redaction pass a training corpus runs before anything else. The
+    * fixture text carries no PII, so each document gets a deterministic
+    * contact line appended first; the scrub itself is two codegen'd
+    * regexp_replace passes. Output carries the match counts and an md5 of
+    * the scrubbed text, so the oracle verifies the redaction byte-exactly
+    * without shipping the full text through the compare. */
+  def textPiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val payload = concat(col("text"),
+      lit(" Contact: "), col("source"), col("doc_id"), lit("@example.com"),
+      lit(" or 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    totalOrder(load(spark, dir, "documents")
+      .withColumn("payload", payload)
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(col("payload"), EmailPat, "<EMAIL>"),
+          PhonePat, "<PHONE>"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("payload"), lit(EmailPat), lit(0)))
+          .as("n_emails"),
+        size(regexp_extract_all(col("payload"), lit(PhonePat), lit(0)))
+          .as("n_phones"),
+        length(col("scrubbed")).as("n_chars_scrubbed"),
+        md5(col("scrubbed")).as("scrubbed_hash")))
+  }
+
+  // ----------------------------------------------------------------- wiring
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_curate" -> pipelineCurate,
+    "sample_stratified" -> sampleStratified,
+    "text_pii_scrub" -> textPiiScrub)
+
+  val oracle: Map[String, String] = Map(
+    "pipeline_curate" ->
+      s"""WITH survivors AS (
+         |  SELECT doc_id, lang, source FROM (
+         |    SELECT doc_id, lang, source,
+         |      ROW_NUMBER() OVER (
+         |        PARTITION BY sha256(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+         |        ORDER BY doc_id) AS rn
+         |    FROM documents) WHERE rn = 1),
+         |q AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+         |        x -> x <> '')) AS DOUBLE) AS n_tokens,
+         |    CAST(len(regexp_extract_all(lower(text),
+         |        '\\b(the|a|and|of|to|in|is|for|on|it)\\b')) AS DOUBLE) AS n_stop,
+         |    CAST(len(regexp_extract_all(text, '[^a-z0-9\\s'']')) AS DOUBLE) AS n_punct,
+         |    n_chars
+         |  FROM documents),
+         |qs AS (
+         |  SELECT doc_id, n_tokens,
+         |    (n_stop / n_tokens) * 0.5 - (n_punct / n_chars) * 0.3
+         |      + (CASE WHEN n_tokens >= 20.0 THEN 0.2 ELSE 0.0 END) AS quality
+         |  FROM q),
+         |e AS (
+         |  SELECT vec_id AS doc_id,
+         |    sqrt(list_aggregate(list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS emb_norm
+         |  FROM embeddings)
+         |SELECT * FROM (
+         |  SELECT s.doc_id, s.lang, s.source, qs.n_tokens, qs.quality, e.emb_norm
+         |  FROM survivors s
+         |  JOIN qs ON qs.doc_id = s.doc_id
+         |  JOIN e ON e.doc_id = s.doc_id
+         |  WHERE qs.quality >= 0.05 AND qs.n_tokens >= 20)
+         |${orderAll("doc_id", "lang", "source", "n_tokens", "quality", "emb_norm")}""".stripMargin,
+    "sample_stratified" ->
+      s"""SELECT doc_id, lang,
+         |  (doc_id * 2654435761) % 4294967296 % 10 AS bucket,
+         |  CASE WHEN (doc_id * 2654435761) % 4294967296 % 10 < 8 THEN 'train'
+         |       WHEN (doc_id * 2654435761) % 4294967296 % 10 < 9 THEN 'valid'
+         |       ELSE 'test' END AS split
+         |FROM documents
+         |${orderAll("doc_id", "lang", "bucket", "split")}""".stripMargin,
+    "text_pii_scrub" ->
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    text || ' Contact: ' || source || CAST(doc_id AS VARCHAR)
+         |      || '@example.com or 555-'
+         |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS payload
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, payload,
+         |    regexp_replace(
+         |      regexp_replace(payload, '$EmailPat', '<EMAIL>', 'g'),
+         |      '$PhonePat', '<PHONE>', 'g') AS scrubbed
+         |  FROM p)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(payload, '$EmailPat')) AS n_emails,
+         |  len(regexp_extract_all(payload, '$PhonePat')) AS n_phones,
+         |  length(scrubbed) AS n_chars_scrubbed,
+         |  md5(scrubbed) AS scrubbed_hash
+         |FROM s
+         |${orderAll("doc_id", "n_emails", "n_phones", "n_chars_scrubbed", "scrubbed_hash")}""".stripMargin)
+}

@@ -50,9 +50,13 @@ object Text {
   /** Quality scoring (length / punctuation / stopword ratios): the standard
     * pre-training filter features. All ratios are integer-count / integer-
     * count divisions, so the doubles are engine-independent. */
-  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(qualityFrame(spark, dir))
+
+  /** Unsorted quality frame, reused by [[Pipeline.pipelineCurate]]. */
+  private[ops] def qualityFrame(spark: SparkSession, dir: String): DataFrame = {
     val stopPat = "\\b(the|a|and|of|to|in|is|for|on|it)\\b"
-    totalOrder(load(spark, dir, "documents")
+    (load(spark, dir, "documents")
       .withColumn("n_tokens", size(tokens(col("text"))).cast(DoubleType))
       .withColumn("n_stop",
         size(regexp_extract_all(lower(col("text")), lit(stopPat), lit(0)))

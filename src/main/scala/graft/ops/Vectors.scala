@@ -181,9 +181,13 @@ object Vectors {
     def update(assigned: DataFrame): DataFrame =
       base.join(assigned, "vec_id")
         .groupBy(col("cid")).agg(centroidAgg(col("embedding")).as("cvec"))
-    val c0 = withCnrm(seeds)
-    val c1 = withCnrm(update(assign(c0)))
-    val c2 = withCnrm(update(assign(c1)))
+    // checkpoint each centroid generation: they are tiny (k ≈ √n rows) but
+    // referenced by multiple downstream stages (next iteration, probes,
+    // final lists) — without lineage truncation the training subtree would
+    // re-execute once per reference
+    val c0 = withCnrm(seeds).localCheckpoint()
+    val c1 = withCnrm(update(assign(c0))).localCheckpoint()
+    val c2 = withCnrm(update(assign(c1))).localCheckpoint()
     val lists = assign(c2) // final inverted-list membership (vec_id, cid)
     val queries = base.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),

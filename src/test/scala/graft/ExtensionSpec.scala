@@ -101,6 +101,38 @@ class ExtensionSpec extends SparkTestBase {
     assert(a.values.forall(v => v >= 0.0 && v <= 1.0 && !v.isNaN))
   }
 
+  test("stratified split: deterministic, balanced, every stratum covered") {
+    val s = ops.Pipeline.sampleStratified(spark, sf)
+      .select("doc_id", "lang", "split").as[(Long, String, String)].collect()
+    val s2 = ops.Pipeline.sampleStratified(spark, sf)
+      .select("doc_id", "lang", "split").as[(Long, String, String)].collect()
+    assert(s.sorted.sameElements(s2.sorted), "split must be deterministic")
+    val frac = s.count(_._3 == "train").toDouble / s.length
+    assert(frac > 0.65 && frac < 0.95, s"train fraction $frac off 0.8")
+    // every language stratum must land docs in the training split
+    val langs = s.map(_._2).distinct
+    langs.foreach { l =>
+      assert(s.exists(r => r._2 == l && r._3 == "train"), s"$l has no train docs")
+    }
+  }
+
+  test("pii scrub: no email or phone pattern survives redaction") {
+    // rebuild the scrubbed text the op hashes and scan it for leftovers
+    val leftovers = Tables.load(spark, sf, "documents")
+      .withColumn("payload", concat(col("text"),
+        lit(" Contact: "), col("source"), col("doc_id"), lit("@example.com"),
+        lit(" or 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .withColumn("scrubbed", regexp_replace(
+        regexp_replace(col("payload"), "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+", "<EMAIL>"),
+        "\\b555-[0-9]{4}\\b", "<PHONE>"))
+      .filter(col("scrubbed").rlike("@") || col("scrubbed").rlike("555-[0-9]{4}"))
+      .count()
+    assert(leftovers == 0, s"$leftovers docs still carry PII after scrub")
+    val scrub = ops.Pipeline.textPiiScrub(spark, sf)
+    assert(scrub.filter(col("n_emails") < 1 || col("n_phones") < 1).count() == 0,
+      "every doc carries at least the synthesized email and phone")
+  }
+
   test("tokenize tf: total tf equals total token count") {
     val tf = ops.Text.textTokenizeTf(spark, sf)
       .agg(sum("tf")).as[Long].head()
