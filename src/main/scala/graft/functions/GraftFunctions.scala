@@ -26,6 +26,9 @@ object GraftFunctions {
     (new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (children: Seq[Expression]) => SimHash64(children.head): Expression),
+    (new FunctionIdentifier("band_keys"),
+      new ExpressionInfo(classOf[BandKeys].getName, "band_keys"),
+      (children: Seq[Expression]) => BandKeys(children.head): Expression),
     (new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (children: Seq[Expression]) => {
@@ -48,6 +51,12 @@ object GraftFunctions {
   def vecDot(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("vec_dot", a, b)
+  }
+
+  /** `band_keys` as a Column (fused banded sign-LSH signature). */
+  def bandKeys(spark: SparkSession, emb: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("band_keys", emb)
   }
 
   /** `simhash64` as a Column. */
