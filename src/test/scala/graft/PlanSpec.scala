@@ -84,6 +84,31 @@ class PlanSpec extends SparkTestBase {
       s"join inputs were shuffled:\n${belowJoin.take(1500)}")
   }
 
+  test("band_keys: fused LSH signature stays inside WholeStageCodegen") {
+    import org.apache.spark.sql.functions._
+    val df = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        functions.GraftFunctions.bandKeys(spark, col("embedding")).as("bk"))
+      .filter(size(col("bk")) > 0)
+    val plan = finalPlanOf(df)
+    assert(plan.contains("band_keys"))
+    assert(hasCodegenStage(plan), plan.take(2000))
+  }
+
+  test("pipeline_curate: embeddings scan prunes to id + vector") {
+    val plan = planOf(ops.Pipeline.pipelineCurate(spark, sf))
+    val reads = plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    val embRead = reads.linesIterator.find(_.contains("embedding")).getOrElse("")
+    assert(embRead.contains("vec_id"), s"missing embeddings read: $reads")
+    assert(!embRead.contains("label"), s"unpruned embeddings scan: $embRead")
+  }
+
+  test("sim_knn_ivf: centroid assignment broadcasts, never shuffles corpus") {
+    val plan = planOf(ops.Vectors.simKnnIvf(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(2000))
+  }
+
   test("agg_hash_groupby: map-side partial aggregation before the shuffle") {
     val plan = planOf(ops.Aggregates.aggHashGroupby(spark, sf))
     // partial agg must appear below the exchange: find the line order
