@@ -21,7 +21,8 @@ object SparkEntry {
       ops.Windows.queries ++ ops.TimeSeries.queries ++ ops.Scalars.queries ++
       ops.Text.queries ++ ops.Dedup.queries ++ ops.Vectors.queries ++
       ops.Multimodal.queries ++ ops.Ingest.queries ++ ops.Store.queries ++
-      ops.Pipeline.queries ++ streaming.StreamingOps.queries
+      ops.Pipeline.queries ++ ops.InfluxQlOps.queries ++
+      streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
       ops.Windows.oracle ++ ops.TimeSeries.oracle ++ ops.Scalars.oracle ++
       ops.Text.oracle ++ ops.Dedup.oracle ++ ops.Vectors.oracle ++
       ops.Multimodal.oracle ++ ops.Ingest.oracle ++ ops.Store.oracle ++
-      ops.Pipeline.oracle ++ streaming.StreamingOps.oracle
+      ops.Pipeline.oracle ++ ops.InfluxQlOps.oracle ++
+      streaming.StreamingOps.oracle
 }

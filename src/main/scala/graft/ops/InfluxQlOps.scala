@@ -1,0 +1,112 @@
+package graft.ops
+
+import graft.Tables._
+import graft.influxql.InfluxQL
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-contract queries for the [[graft.influxql.InfluxQL]] front end —
+  * the reference's users query through InfluxQL strings (InfluxDB CLI +
+  * Grafana panels, get_hot_intake_interval.py:117), so "a user could
+  * switch" requires those strings to run as-is. Each entry feeds a literal
+  * InfluxQL query through parse → DataFrame translation over the events
+  * measurement; the DuckDB oracle re-derives the semantics with explicit
+  * epoch arithmetic (engine-neutral bucket alignment).
+  */
+object InfluxQlOps {
+  import Relational.{totalOrder, orderAll}
+
+  /** events as a measurement frame (event-time column named `time`). */
+  private def measurement(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "events").withColumnRenamed("ts", "time")
+
+  private def run(sql: String)(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(InfluxQL.run(spark, measurement(spark, dir), sql))
+
+  private val RawQ =
+    "SELECT value, user_id AS buildingID FROM events " +
+      "WHERE time >= '2024-01-02 00:00:00' AND time < '2024-01-04 00:00:00' " +
+      "AND event_type = 'click'"
+
+  private val MeanBucketQ =
+    "SELECT mean(value) AS mean_value, count(value) AS n FROM events " +
+      "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-08 00:00:00' " +
+      "GROUP BY time(6h)"
+
+  private val GroupTagQ =
+    "SELECT max(value) AS max_value, min(value) AS min_value, " +
+      "count(value) AS n FROM events GROUP BY time(1d), event_type"
+
+  private val FillPrevQ =
+    "SELECT mean(value) AS mean_value FROM events " +
+      "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-05 00:00:00' " +
+      "GROUP BY time(12h), user_id fill(previous)"
+
+  private val LimitQ =
+    "SELECT count(value) AS n FROM events GROUP BY time(1h) " +
+      "ORDER BY time DESC LIMIT 24"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "influxql_raw" -> run(RawQ) _,
+    "influxql_mean_bucket" -> run(MeanBucketQ) _,
+    "influxql_group_tag" -> run(GroupTagQ) _,
+    "influxql_fill_previous" -> run(FillPrevQ) _,
+    "influxql_limit" -> run(LimitQ) _)
+
+  /** Engine-neutral bucket start: naive-timestamp epoch floor. */
+  private def sqlBucket(ts: String, stepSec: Long): String =
+    s"TIMESTAMP '1970-01-01 00:00:00' + " +
+      s"((CAST(epoch($ts) AS BIGINT) // $stepSec) * $stepSec) * INTERVAL 1 SECOND"
+
+  val oracle: Map[String, String] = Map(
+    "influxql_raw" ->
+      s"""SELECT CAST(ts AS TIMESTAMP) AS time, value, user_id AS buildingID
+         |FROM events
+         |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-02 00:00:00'
+         |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-04 00:00:00'
+         |  AND event_type = 'click'
+         |${orderAll("time", "value", "buildingID")}""".stripMargin,
+    "influxql_mean_bucket" ->
+      s"""SELECT ${sqlBucket("CAST(ts AS TIMESTAMP)", 21600)} AS time,
+         |  ${sqlDavg("value")} AS mean_value, COUNT(value) AS n
+         |FROM events
+         |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01 00:00:00'
+         |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-08 00:00:00'
+         |GROUP BY 1
+         |${orderAll("time", "mean_value", "n")}""".stripMargin,
+    "influxql_group_tag" ->
+      s"""SELECT ${sqlBucket("CAST(ts AS TIMESTAMP)", 86400)} AS time,
+         |  event_type, MAX(value) AS max_value, MIN(value) AS min_value,
+         |  COUNT(value) AS n
+         |FROM events GROUP BY 1, 2
+         |${orderAll("time", "event_type", "max_value", "min_value", "n")}""".stripMargin,
+    "influxql_fill_previous" ->
+      s"""WITH f AS (
+         |  SELECT CAST(ts AS TIMESTAMP) AS t, user_id, value FROM events
+         |  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01 00:00:00'
+         |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-05 00:00:00'),
+         |agg AS (
+         |  SELECT ${sqlBucket("t", 43200)} AS time, user_id,
+         |    ${sqlDavg("value")} AS mean_value
+         |  FROM f GROUP BY 1, 2),
+         |spine AS (
+         |  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+         |    TIMESTAMP '2024-01-04 12:00:00', INTERVAL 12 HOUR)) AS time),
+         |users AS (SELECT DISTINCT user_id FROM f),
+         |grid AS (SELECT s.time, u.user_id FROM spine s CROSS JOIN users u)
+         |SELECT * FROM (
+         |  SELECT g.time, g.user_id,
+         |    LAST_VALUE(a.mean_value IGNORE NULLS) OVER (
+         |      PARTITION BY g.user_id ORDER BY g.time
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mean_value
+         |  FROM grid g LEFT JOIN agg a
+         |    ON a.time = g.time AND a.user_id = g.user_id)
+         |${orderAll("time", "user_id", "mean_value")}""".stripMargin,
+    "influxql_limit" ->
+      s"""SELECT * FROM (
+         |  SELECT ${sqlBucket("CAST(ts AS TIMESTAMP)", 3600)} AS time,
+         |    COUNT(value) AS n
+         |  FROM events GROUP BY 1
+         |  ORDER BY time DESC LIMIT 24)
+         |${orderAll("time", "n")}""".stripMargin)
+}

@@ -1,0 +1,68 @@
+package graft
+
+import graft.influxql.InfluxQL
+import org.apache.spark.sql.functions._
+
+/** Specs for the InfluxQL front end: parser shape, rejection of
+  * unsupported syntax, and translation semantics against hand-built
+  * DataFrame equivalents (the DuckDB oracle covers the full pipeline). */
+class InfluxQlSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("parser extracts fields, conditions, buckets, tags, fill, limit") {
+    val q = InfluxQL.parse(
+      "SELECT mean(value) AS m, count(value) FROM events " +
+        "WHERE time >= '2024-01-01 00:00:00' AND user_id = 3 " +
+        "GROUP BY time(6h), event_type fill(previous) " +
+        "ORDER BY time DESC LIMIT 10")
+    assert(q.fields == Seq(
+      InfluxQL.Agg("mean", "value", Some("m")),
+      InfluxQL.Agg("count", "value", None)))
+    assert(q.measurement == "events")
+    assert(q.conds == Seq(
+      InfluxQL.Cond("time", ">=", Left("2024-01-01 00:00:00")),
+      InfluxQL.Cond("user_id", "=", Right(3.0))))
+    assert(q.timeBucket.contains((6, "h")))
+    assert(q.groupTags == Seq("event_type"))
+    assert(q.fill.contains("previous"))
+    assert(q.orderDesc && q.limit.contains(10))
+  }
+
+  test("parser rejects unsupported statements") {
+    intercept[IllegalArgumentException](InfluxQL.parse("DROP MEASUREMENT flow"))
+    intercept[IllegalArgumentException](
+      InfluxQL.parse("SELECT percentile(value, 95) FROM events"))
+  }
+
+  test("raw select translates to the equivalent filter+project") {
+    val m = Tables.load(spark, sf, "events").withColumnRenamed("ts", "time")
+    val got = InfluxQL.run(spark, m,
+      "SELECT value FROM events WHERE event_type = 'click' AND value > 50")
+      .as[(java.sql.Timestamp, Double)].collect().toSet
+    val want = m.filter(col("event_type") === "click" && col("value") > 50)
+      .select(col("time"), col("value"))
+      .as[(java.sql.Timestamp, Double)].collect().toSet
+    assert(got == want)
+  }
+
+  test("fill(previous) densifies every bucket and carries values forward") {
+    val m = Tables.load(spark, sf, "events").withColumnRenamed("ts", "time")
+    val filled = InfluxQL.run(spark, m,
+      "SELECT mean(value) AS mv FROM events " +
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-03 00:00:00' " +
+        "GROUP BY time(12h), user_id fill(previous)")
+    val users = m.filter(col("time") >= to_timestamp(lit("2024-01-01 00:00:00"))
+        && col("time") < to_timestamp(lit("2024-01-03 00:00:00")))
+      .select("user_id").distinct().count()
+    assert(filled.count() == users * 4, "4 buckets per user in range")
+    // once a user has a value, later buckets must never be null again
+    val regressions = filled
+      .withColumn("seen", count(col("mv")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+          .orderBy(col("time"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .filter(col("seen") > 0 && col("mv").isNull)
+      .count()
+    assert(regressions == 0, "LOCF must carry values forward")
+  }
+}
