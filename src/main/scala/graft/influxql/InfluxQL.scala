@@ -193,6 +193,45 @@ object InfluxQL {
     }
   }
 
+  private val ShowMeasRe = """(?i)^\s*SHOW\s+MEASUREMENTS\s*;?\s*$""".r
+  private val ShowTagRe = """(?i)^\s*SHOW\s+TAG\s+KEYS\s+FROM\s+"?(\w+)"?\s*;?\s*$""".r
+  private val ShowFieldRe = """(?i)^\s*SHOW\s+FIELD\s+KEYS\s+FROM\s+"?(\w+)"?\s*;?\s*$""".r
+
+  /** InfluxQL metadata queries (the discovery surface the CLI and Grafana
+    * issue before any SELECT): SHOW MEASUREMENTS / TAG KEYS / FIELD KEYS,
+    * answered from the catalog of measurement frames. Influx convention:
+    * tags are the string-typed columns, fields the numeric/boolean ones,
+    * `time` is neither. */
+  def runMeta(spark: SparkSession,
+    catalog: Seq[(String, DataFrame)], q: String): DataFrame = {
+    import spark.implicits._
+    def frame(m: String): DataFrame = catalog.collectFirst {
+      case (n, df) if n == m => df
+    }.getOrElse(fail(q, s"unknown measurement '$m'"))
+    q match {
+      case ShowMeasRe() =>
+        catalog.map(_._1).sorted.toDF("name")
+      case ShowTagRe(m) =>
+        frame(m).schema.fields
+          .filter(f => f.name != "time" &&
+            f.dataType == org.apache.spark.sql.types.StringType)
+          .map(_.name).toSeq.sorted.toDF("tagKey")
+      case ShowFieldRe(m) =>
+        import org.apache.spark.sql.types._
+        frame(m).schema.fields.toSeq
+          .collect {
+            case f if f.name != "time" && (f.dataType == FloatType
+              || f.dataType == DoubleType) => (f.name, "float")
+            case f if f.name != "time" && (f.dataType == IntegerType
+              || f.dataType == LongType) => (f.name, "integer")
+            case f if f.name != "time" && f.dataType == BooleanType =>
+              (f.name, "boolean")
+          }
+          .sorted.toDF("fieldKey", "fieldType")
+      case _ => fail(q, "not a supported metadata query")
+    }
+  }
+
   /** Tiny pipe helper so agg lists read naturally above. */
   private implicit class Pipe[A](private val a: A) extends AnyVal {
     def |>[B](f: A => B): B = f(a)

@@ -46,12 +46,25 @@ object InfluxQlOps {
     "SELECT count(value) AS n FROM events GROUP BY time(1h) " +
       "ORDER BY time DESC LIMIT 24"
 
+  /** All fixture tables as the measurement catalog (metadata queries). */
+  private def catalog(spark: SparkSession, dir: String): Seq[(String, DataFrame)] =
+    graft.Tables.names.map { n =>
+      val df = load(spark, dir, n)
+      n -> (if (df.columns.contains("ts")) df.withColumnRenamed("ts", "time") else df)
+    }
+
+  private def meta(sql: String)(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(InfluxQL.runMeta(spark, catalog(spark, dir), sql))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "influxql_raw" -> run(RawQ) _,
     "influxql_mean_bucket" -> run(MeanBucketQ) _,
     "influxql_group_tag" -> run(GroupTagQ) _,
     "influxql_fill_previous" -> run(FillPrevQ) _,
-    "influxql_limit" -> run(LimitQ) _)
+    "influxql_limit" -> run(LimitQ) _,
+    "influxql_show_measurements" -> meta("SHOW MEASUREMENTS") _,
+    "influxql_show_tag_keys" -> meta("SHOW TAG KEYS FROM events") _,
+    "influxql_show_field_keys" -> meta("SHOW FIELD KEYS FROM events") _)
 
   /** Engine-neutral bucket start: naive-timestamp epoch floor. */
   private def sqlBucket(ts: String, stepSec: Long): String =
@@ -102,6 +115,18 @@ object InfluxQlOps {
          |  FROM grid g LEFT JOIN agg a
          |    ON a.time = g.time AND a.user_id = g.user_id)
          |${orderAll("time", "user_id", "mean_value")}""".stripMargin,
+    "influxql_show_measurements" ->
+      s"""SELECT * FROM (VALUES ${graft.Tables.names.sorted
+             .map(n => s"('$n')").mkString(", ")}) AS t(name)
+         |${orderAll("name")}""".stripMargin,
+    "influxql_show_tag_keys" ->
+      s"""SELECT * FROM (VALUES ('event_type'), ('props')) AS t(tagKey)
+         |${orderAll("tagKey")}""".stripMargin,
+    "influxql_show_field_keys" ->
+      s"""SELECT * FROM (VALUES ('event_id', 'integer'),
+         |  ('user_id', 'integer'), ('value', 'float'))
+         |  AS t(fieldKey, fieldType)
+         |${orderAll("fieldKey", "fieldType")}""".stripMargin,
     "influxql_limit" ->
       s"""SELECT * FROM (
          |  SELECT ${sqlBucket("CAST(ts AS TIMESTAMP)", 3600)} AS time,
