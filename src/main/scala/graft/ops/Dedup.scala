@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -152,15 +153,56 @@ object Dedup {
     * replaces shuffled tokens×63 rows; at 100 TB that shuffle alone dwarfs
     * the scan). Rows-only + spec (identical docs ⇒ identical simhash;
     * bucket = top 16 bits for grouping). */
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(simhashFrame(spark, dir)
+      .withColumn("bucket16", shiftright(col("simhash"), 48))
+      .select(col("doc_id"), col("simhash"), col("bucket16")))
+
+  private def simhashFrame(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.GraftFunctions.simHash64
     val toks = filter(split(lower(col("text")), "[^a-z0-9']+"), t => t =!= "")
-    totalOrder(load(spark, dir, "documents")
+    load(spark, dir, "documents")
       .select(col("doc_id"),
         simHash64(spark,
           transform(array_distinct(toks), t => xxhash64(t))).as("simhash"))
-      .withColumn("bucket16", shiftright(col("simhash"), 48))
-      .select(col("doc_id"), col("simhash"), col("bucket16")))
+  }
+
+  /** SimHash near-dup PAIRS via banded Hamming LSH (the second half of the
+    * simhash op — signatures alone don't dedup): a 63-bit signature over
+    * the df-CAPPED SHINGLE hashes (a unigram-distribution simhash is
+    * useless on a shared-vocabulary corpus — every doc carries nearly the
+    * same token histogram; the capped shingle vocabulary is doc-
+    * discriminative, and it is the same feature set Jaccard/MinHash verify
+    * against, so the three sketches are comparable). The signature is cut
+    * into 4×16-bit bands; docs sharing any band key are candidates (two
+    * signatures within Hamming distance 3 must agree on ≥1 band by
+    * pigeonhole); candidates are verified with the exact popcount of the
+    * XOR, kept at Hamming ≤ 6 (random shingle sets sit at ~31±4; ≤3 is
+    * what the banding recalls with certainty, 4-6 probabilistically). Band
+    * buckets over 64 docs are degenerate and dropped — the MaxShingleDf
+    * idiom. Engine-specific hashing ⇒ rows-only + precision/recall spec. */
+  def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.simHash64
+    val sigs = cappedPosting(spark, dir)
+      .groupBy(col("doc_id")).agg(collect_list(col("h")).as("hs"))
+      .select(col("doc_id"), simHash64(spark, col("hs")).as("simhash"))
+    val bands = sigs.select(col("doc_id"), col("simhash"),
+      explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("key",
+        expr("shiftright(simhash, CAST(band * 16 AS INT)) & 65535"))
+    val wB = Window.partitionBy(col("band"), col("key"))
+    val kept = bands.withColumn("cnt", count(lit(1)).over(wB))
+      .filter(col("cnt") <= 64)
+    val cand = kept.as("a").join(kept.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+    totalOrder(cand
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= 6)
+      .select(col("id_a"), col("id_b"), col("hamming")))
   }
 
   /** Embedding-cosine near-dup (SURVEY §2.10): semantic duplicates via the
@@ -252,6 +294,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
+    "dedup_simhash_pairs" -> dedupSimhashPairs,
     "dedup_embcos" -> dedupEmbcos,
     "dedup_clusters" -> dedupClusters)
 

@@ -74,6 +74,27 @@ class MeasurementStore(spark: SparkSession, root: String) {
   def read(measurement: String, predicate: Column = lit(true)): DataFrame =
     readRaw(measurement).filter(predicate)
 
+  /** Run a literal InfluxQL string against a stored measurement — the
+    * reference deployment's actual query path (CLI / Grafana / the
+    * analytics scripts all speak InfluxQL at the store). Time-range
+    * conjuncts additionally prune day partitions before the translated
+    * plan runs (the `day=` layout serves the universal
+    * `time >= a AND time <= b` predicate). */
+  def influxql(measurement: String, query: String): DataFrame = {
+    val q = graft.influxql.InfluxQL.parse(query)
+    val pruned = q.conds.filter(_.col == "time").foldLeft(readRaw(measurement)) {
+      (df, c) =>
+        val day = date_format(to_timestamp(lit(c.value.left.getOrElse(""))),
+          "yyyy-MM-dd")
+        c.op match {
+          case ">" | ">=" => df.filter(col("day") >= day)
+          case "<" | "<=" => df.filter(col("day") <= day)
+          case _ => df
+        }
+    }
+    graft.influxql.InfluxQL.run(spark, pruned, query)
+  }
+
   /** Byte-budget retention plan over REAL on-disk partition sizes — the
     * reference's actual contract (memory_manager.py:13-16 frees disk bytes,
     * oldest-first, until the free-space requirement holds; row counts are

@@ -32,6 +32,26 @@ class ExtensionSpec extends SparkTestBase {
     assert(missed.isEmpty, s"missed high-jaccard pairs: $missed")
   }
 
+  test("simhash pairs: subset of exact jaccard pairs, full recall on " +
+    "near-identical docs") {
+    val sh = ops.Dedup.dedupSimhashPairs(spark, sf)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sh.nonEmpty, "no simhash pairs found")
+    // precision: hamming<=3 over shingle features implies high overlap, so
+    // every pair must also pass the exact jaccard>=0.3 gate
+    assert(sh.subsetOf(exactPairs), s"false positives: ${sh -- exactPairs}")
+    // recall: near-identical docs with SUBSTANTIAL shingle sets — simhash
+    // majority votes are noisy for short docs (few elements => thin vote
+    // margins => high hamming even at j~0.95; measured: n_sh<30 pairs land
+    // at hamming 7-10), so the sketch's contract is long-document dedup
+    val high = ops.Dedup.dedupNgramJaccard(spark, sf)
+      .filter(col("jaccard") >= 0.95 && col("inter") >= 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(high.nonEmpty, "recall set empty — fixture drifted")
+    val missed = high -- sh
+    assert(missed.isEmpty, s"missed near-identical pairs: $missed")
+  }
+
   test("simhash is deterministic and 63-bit") {
     val a = ops.Dedup.dedupSimhash(spark, sf)
       .select("doc_id", "simhash").as[(Long, Long)].collect().toMap

@@ -45,6 +45,32 @@ class InfluxQlSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("store.influxql: query a stored measurement, day partitions pruned") {
+    val root = java.nio.file.Files.createTempDirectory("ms_iql").toString
+    val store = new graft.store.MeasurementStore(spark, root)
+    store.append("flow", Tables.load(spark, sf, "events")
+      .select(col("event_type"), col("user_id"), col("ts").as("time"),
+        col("value")))
+    val got = store.influxql("flow",
+      "SELECT mean(value) AS mv, count(value) AS n FROM flow " +
+        "WHERE time >= '2024-01-02 00:00:00' AND time < '2024-01-04 00:00:00' " +
+        "GROUP BY time(1d)")
+    val want = Tables.load(spark, sf, "events")
+      .filter(col("ts") >= to_timestamp(lit("2024-01-02 00:00:00"))
+        && col("ts") < to_timestamp(lit("2024-01-04 00:00:00")))
+      .groupBy(date_trunc("DAY", col("ts")).as("time"))
+      .agg(Tables.davg(col("value")).as("mv"), count(col("value")).as("n"))
+    assert(got.select("time", "mv", "n").collect().toSet ==
+      want.select("time", "mv", "n").collect().toSet)
+    // the time-range conjuncts must prune the day partitions at the scan
+    val scan = store.influxql("flow",
+      "SELECT value FROM flow WHERE time >= '2024-01-02 00:00:00' " +
+        "AND time < '2024-01-04 00:00:00'")
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("day"),
+      scan.take(1200))
+  }
+
   test("fill(previous) densifies every bucket and carries values forward") {
     val m = Tables.load(spark, sf, "events").withColumnRenamed("ts", "time")
     val filled = InfluxQL.run(spark, m,
