@@ -45,10 +45,12 @@ object InfluxQL {
     groupTags: Seq[String],
     fill: Option[String],
     orderDesc: Boolean,
-    limit: Option[Int])
+    limit: Option[Int],
+    into: Option[String] = None)
 
   private val SelectRe =
-    ("""(?is)^\s*SELECT\s+(.+?)\s+FROM\s+"?([\w.]+)"?""" +
+    ("""(?is)^\s*SELECT\s+(.+?)""" +
+      """(?:\s+INTO\s+"?([\w.]+)"?)?\s+FROM\s+"?([\w.]+)"?""" +
       """(?:\s+WHERE\s+(.+?))?""" +
       """(?:\s+GROUP\s+BY\s+(.+?))?""" +
       """(?:\s+fill\((\w+)\))?""" +
@@ -61,7 +63,7 @@ object InfluxQL {
   private val TimeRe = """(?i)^time\((\d+)([smhd])\)$""".r
 
   def parse(q: String): Query = q match {
-    case SelectRe(fieldsS, meas, whereS, groupS, fillS, descS, limitS) =>
+    case SelectRe(fieldsS, intoS, meas, whereS, groupS, fillS, descS, limitS) =>
       val fields = fieldsS.split(",").map(_.trim).toSeq.map {
         case AggRe(fn, f, al) => Agg(fn.toLowerCase, f, Option(al))
         case RawRe(f, al) => Raw(f, Option(al))
@@ -78,7 +80,7 @@ object InfluxQL {
         case t => Some(t.stripPrefix("\"").stripSuffix("\""))
       }
       Query(fields, meas, conds, bucket, tags, Option(fillS).map(_.toLowerCase),
-        descS != null, Option(limitS).map(_.toInt))
+        descS != null, Option(limitS).map(_.toInt), Option(intoS))
     case _ => fail(q, "not a supported InfluxQL SELECT")
   }
 

@@ -79,7 +79,10 @@ class MeasurementStore(spark: SparkSession, root: String) {
     * analytics scripts all speak InfluxQL at the store). Time-range
     * conjuncts additionally prune day partitions before the translated
     * plan runs (the `day=` layout serves the universal
-    * `time >= a AND time <= b` predicate). */
+    * `time >= a AND time <= b` predicate). A `SELECT ... INTO target`
+    * appends the result to the target measurement — the reference's
+    * read-transform-write loop (get_hot_intake_interval.py:68-85 writes
+    * the derived rates back through write_points) as one statement. */
   def influxql(measurement: String, query: String): DataFrame = {
     val q = graft.influxql.InfluxQL.parse(query)
     val pruned = q.conds.filter(_.col == "time").foldLeft(readRaw(measurement)) {
@@ -92,7 +95,46 @@ class MeasurementStore(spark: SparkSession, root: String) {
           case _ => df
         }
     }
-    graft.influxql.InfluxQL.run(spark, pruned, query)
+    val result = graft.influxql.InfluxQL.run(spark, pruned.drop("day"), query)
+    q.into.foreach { target =>
+      append(target, result)
+    }
+    result
+  }
+
+  /** Small-file compaction: rewrite each day partition of a measurement
+    * into `filesPerDay` files. The reference accumulates thousands of tiny
+    * per-site daily writes (one InfluxDB batch per CSV drain); on parquet
+    * that becomes the small-file problem — footer-per-file planning costs
+    * dominate once files ≪ row groups. Content is preserved exactly; only
+    * the file layout changes. Returns (day, files_before, files_after). */
+  def compact(measurement: String, filesPerDay: Int = 1): Seq[(String, Int, Int)] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path(measurement)).resolve("/"),
+      spark.sparkContext.hadoopConfiguration)
+    val rootPath = new org.apache.hadoop.fs.Path(path(measurement))
+    if (!fs.exists(rootPath)) return Seq.empty
+    val days = fs.listStatus(rootPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
+    days.map { d =>
+      val day = d.getPath.getName.stripPrefix("day=")
+      def dataFiles = fs.listStatus(d.getPath)
+        .count(f => f.isFile && !f.getPath.getName.startsWith(".")
+          && !f.getPath.getName.startsWith("_"))
+      val before = dataFiles
+      if (before > filesPerDay) {
+        // rewrite through a temp dir, then swap — readers of other days are
+        // untouched; the swap is the commit point
+        val tmp = new org.apache.hadoop.fs.Path(d.getPath.getParent,
+          s".compact_${day}")
+        spark.read.parquet(d.getPath.toString)
+          .coalesce(filesPerDay)
+          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        fs.delete(d.getPath, true)
+        fs.rename(tmp, d.getPath)
+      }
+      (day, before, dataFiles)
+    }
   }
 
   /** Byte-budget retention plan over REAL on-disk partition sizes — the

@@ -71,6 +71,47 @@ class InfluxQlSpec extends SparkTestBase {
       scan.take(1200))
   }
 
+  test("SELECT INTO writes the derived series back to the store") {
+    val root = java.nio.file.Files.createTempDirectory("ms_into").toString
+    val store = new graft.store.MeasurementStore(spark, root)
+    store.append("flow", Tables.load(spark, sf, "events")
+      .select(col("event_type"), col("user_id"), col("ts").as("time"),
+        col("value")))
+    val result = store.influxql("flow",
+      "SELECT mean(value) AS mv INTO hourly_rates FROM flow " +
+        "GROUP BY time(1d), user_id")
+    val written = store.read("hourly_rates")
+    assert(written.count() == result.count())
+    val a = result.select("time", "user_id", "mv")
+      .as[(java.sql.Timestamp, Long, Double)].collect().toSet
+    val b = written.select("time", "user_id", "mv")
+      .as[(java.sql.Timestamp, Long, Double)].collect().toSet
+    assert(a == b, "written series must equal the query result")
+  }
+
+  test("compact rewrites day partitions to one file, preserving content") {
+    val root = java.nio.file.Files.createTempDirectory("ms_compact").toString
+    val store = new graft.store.MeasurementStore(spark, root)
+    val points = Tables.load(spark, sf, "events")
+      .select(col("event_type"), col("user_id"), col("ts").as("time"),
+        col("value"))
+    store.append("m", points) // two appends => >=2 files per day
+    store.append("m", points)
+    val before = store.read("m")
+      .select("event_type", "user_id", "time", "value")
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val report = store.compact("m")
+    assert(report.nonEmpty)
+    report.foreach { case (day, nBefore, nAfter) =>
+      assert(nBefore >= 2, s"$day had $nBefore files before compaction")
+      assert(nAfter == 1, s"$day has $nAfter files after compaction")
+    }
+    val after = store.read("m")
+      .select("event_type", "user_id", "time", "value")
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(before == after, "compaction must preserve the exact multiset")
+  }
+
   test("fill(previous) densifies every bucket and carries values forward") {
     val m = Tables.load(spark, sf, "events").withColumnRenamed("ts", "time")
     val filled = InfluxQL.run(spark, m,
