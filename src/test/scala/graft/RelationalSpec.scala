@@ -8,6 +8,16 @@ class RelationalSpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("Graft.session registers the custom functions for plain SQL") {
+    val s = Graft.session() // getOrCreate reuses the test session
+    Tables.load(s, sf, "embeddings").createOrReplaceTempView("emb_sql")
+    val n = s.sql(
+      "SELECT vec_dot(embedding, embedding) AS d, band_keys(embedding) AS bk " +
+        "FROM emb_sql WHERE vec_dot(embedding, embedding) > 0")
+      .count()
+    assert(n > 0)
+  }
+
   test("every oracle key has a query") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracleSql without queries: $missing")
