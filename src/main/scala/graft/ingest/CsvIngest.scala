@@ -63,7 +63,11 @@ object CsvIngest {
           lit("yyyy-MM-dd HH:mm:ss")))
       .withColumn("pulses",
         expr("try_cast(try_element_at(split(row, ',', -1), 2) AS BIGINT)"))
-      .withColumn("is_bad", col("time").isNull || col("pulses").isNull)
+      // a file whose metadata lines carry no id fails the whole-file parse
+      // in the reference (loader.py:49-54 AttributeError → quarantine);
+      // row-level that means every row of the file goes to the dead letter
+      .withColumn("is_bad", col("time").isNull || col("pulses").isNull
+        || col("siteID") === "" || col("dataloggerID") === "")
       // measurement routing by QC flag (loader.py:16-19,56)
       .select(
         when(col("qc"), "QCData").otherwise("RawData").as("measurement"),

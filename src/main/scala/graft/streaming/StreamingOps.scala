@@ -180,6 +180,12 @@ object StreamingOps {
     graft.ops.Ingest.writeFile(landing, "site99.csv",
       "Site: 199\nDatalogger: 299\nMeter #399\nTime,Pulses\n" +
         "not_a_time,12\n2024-01-01 00:00:00,not_a_number\n")
+    // a file whose METADATA is malformed (no ids): the reference
+    // quarantines the whole file (loader.py:49-54) — every row lands in
+    // the dead letter even though the data rows parse
+    graft.ops.Ingest.writeFile(landing, "broken_meta.csv",
+      "Site unknown\nDatalogger unknown\nMeter unknown\nTime,Pulses\n" +
+        "2024-01-01 00:00:00,7\n")
     val archive = Files.createTempDirectory("landing_archive")
     val goodDir = Files.createTempDirectory("ingest_good")
     val quarantine = Files.createTempDirectory("ingest_quarantine")

@@ -111,10 +111,13 @@ class IngestStoreStreamSpec extends SparkTestBase {
     // good rows = exactly the batch scan's row set
     val batch = ops.Ingest.scanCsvPulses(spark, sf)
     assert(good.count() == batch.count())
-    // the junk file's two data lines landed in the dead-letter, not the store
+    // the junk file's two data lines landed in the dead-letter, not the
+    // store — and so did every row of the malformed-metadata file (the
+    // reference quarantines that whole file, loader.py:49-54)
     val bad = spark.read.parquet(quarantine.toString)
       .select("raw_line").as[String].collect().toSet
-    assert(bad == Set("not_a_time,12", "2024-01-01 00:00:00,not_a_number"))
+    assert(bad == Set("not_a_time,12", "2024-01-01 00:00:00,not_a_number",
+      "2024-01-01 00:00:00,7"))
     // cleanSource=archive relocated drained files (the final batch's file
     // may legally still be pending — require progress, not completion)
     val archived = java.nio.file.Files.walk(archive)
