@@ -87,6 +87,29 @@ object InfluxQL {
   private def fail(q: String, why: String): Nothing =
     throw new IllegalArgumentException(s"InfluxQL: $why in: $q")
 
+  /** Canonical rendering of a parsed query — `parse(print(q)) == q` is the
+    * parser's round-trip law (property-checked in the spec). */
+  def print(q: Query): String = {
+    def f(fl: Field): String = (fl match {
+      case Raw(n, _) => n
+      case Agg(fn, n, _) => s"$fn($n)"
+    }) + fl.alias.map(" AS " + _).getOrElse("")
+    val where =
+      if (q.conds.isEmpty) ""
+      else " WHERE " + q.conds.map(c =>
+        s"${c.col} ${c.op} " + c.value.fold(s => s"'$s'", _.toString))
+        .mkString(" AND ")
+    val grpItems = q.timeBucket.map { case (n, u) => s"time($n$u)" }.toSeq ++
+      q.groupTags
+    val grp = if (grpItems.isEmpty) "" else " GROUP BY " + grpItems.mkString(", ")
+    s"SELECT ${q.fields.map(f).mkString(", ")}" +
+      q.into.map(t => s" INTO $t").getOrElse("") +
+      s" FROM ${q.measurement}$where$grp" +
+      q.fill.map(x => s" fill($x)").getOrElse("") +
+      (if (q.orderDesc) " ORDER BY time DESC" else "") +
+      q.limit.map(n => s" LIMIT $n").getOrElse("")
+  }
+
   private val Units = Map("s" -> "seconds", "m" -> "minutes",
     "h" -> "hours", "d" -> "days")
 
@@ -126,6 +149,10 @@ object InfluxQL {
     val p = parse(q)
     val base = p.conds.foldLeft(source)((df, c) => df.filter(condCol(c)))
     val aggs = p.fields.collect { case a: Agg => a }
+    // InfluxDB rejects mixing bare fields with aggregates; failing loudly
+    // beats silently dropping the raw fields
+    if (aggs.nonEmpty && aggs.size != p.fields.size)
+      fail(q, "cannot mix raw fields with aggregate functions")
     val projected = p.timeBucket match {
       case None if aggs.isEmpty =>
         val cols = col("time") +: p.fields.map { f =>

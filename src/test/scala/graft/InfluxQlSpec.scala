@@ -28,6 +28,46 @@ class InfluxQlSpec extends SparkTestBase {
     assert(q.orderDesc && q.limit.contains(10))
   }
 
+  test("parser round-trip law: parse(print(q)) == q over random ASTs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val ident = Gen.chooseNum(3, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val field = Gen.oneOf(
+      Gen.zip(ident, Gen.option(ident)).map { case (n, a) => InfluxQL.Raw(n, a) },
+      for {
+        fn <- Gen.oneOf("mean", "sum", "count", "min", "max")
+        n <- ident; a <- Gen.option(ident)
+      } yield InfluxQL.Agg(fn, n, a))
+    val cond = for {
+      c <- Gen.oneOf(ident, Gen.const("time"))
+      op <- Gen.oneOf("=", "!=", "<", "<=", ">", ">=")
+      v <- Gen.oneOf(
+        Gen.listOfN(10, Gen.alphaNumChar).map(x => Left(x.mkString)),
+        Gen.chooseNum(-1000.0, 1000.0).map(Right(_)))
+    } yield InfluxQL.Cond(c, op, v)
+    val query = for {
+      fields <- Gen.nonEmptyListOf(field).map(_.take(3))
+      meas <- ident
+      conds <- Gen.listOf(cond).map(_.take(3))
+      bucket <- Gen.option(Gen.zip(Gen.chooseNum(1, 48),
+        Gen.oneOf("s", "m", "h", "d")))
+      tags <- Gen.listOf(ident).map(_.take(2).distinct)
+      fill <- Gen.option(Gen.oneOf("previous", "0", "none"))
+      desc <- Gen.oneOf(true, false)
+      limit <- Gen.option(Gen.chooseNum(1, 9999))
+      into <- Gen.option(ident)
+    } yield InfluxQL.Query(fields, meas, conds, bucket, tags, fill, desc,
+      limit, into)
+    val qs = (0 until 200).flatMap(i =>
+      query.apply(Gen.Parameters.default, Seed(1234L + i)))
+    assert(qs.size > 150, "generator drought")
+    qs.foreach { q =>
+      val printed = InfluxQL.print(q)
+      assert(InfluxQL.parse(printed) == q, s"round-trip broke for: $printed")
+    }
+  }
+
   test("parser rejects unsupported statements") {
     intercept[IllegalArgumentException](InfluxQL.parse("DROP MEASUREMENT flow"))
     intercept[IllegalArgumentException](
