@@ -59,6 +59,44 @@ object Pipeline {
           .otherwise("test"))
       .select(col("doc_id"), col("lang"), col("bucket"), col("split")))
 
+  /** Training-sequence packing: assign documents to fixed-token-budget
+    * shards (the "pack to 8k context" step of every pre-training run) by
+    * cumulative token count in deterministic doc_id order —
+    * shard = ⌊(cum_tokens − n_tokens) / budget⌋, i.e. a doc starts in the
+    * shard its first token falls into. One global running-sum window at
+    * fixture scale; at 100 TB the same expression runs per source
+    * partition (add `source` to the window key) so no single sort owns
+    * the corpus — the per-partition variant is what `pipeline_source_mix`
+    * feeds. */
+  def pipelinePackSequences(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 4096L
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    totalOrder(load(spark, dir, "documents")
+      .withColumn("n_tokens",
+        size(filter(split(lower(col("text")), "[^a-z0-9']+"), t => t =!= "")))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("shard",
+        floor((col("cum_tokens") - col("n_tokens")) / budget))
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"), col("shard")))
+  }
+
+  /** Corpus mixing: per-source sampling rates (the up/down-weighting every
+    * corpus recipe applies — e.g. keep 100% of curated sources, 25% of
+    * crawl). Pure per-row expression over the salted id hash — same
+    * shuffle-free shape as [[sampleStratified]], so mixing composes with
+    * any downstream op; the rate table is a literal broadcast-free map. */
+  def pipelineSourceMix(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = (col("doc_id") * 2654435761L) % 4294967296L % 100
+    // percentage kept per source bucket (deterministic demo recipe:
+    // sources hash-route to one of two tiers)
+    val rate = when(length(col("source")) % 2 === 0, 100).otherwise(25)
+    totalOrder(load(spark, dir, "documents")
+      .withColumn("rate_pct", rate)
+      .withColumn("keep", bucket < col("rate_pct"))
+      .select(col("doc_id"), col("source"), col("rate_pct"), col("keep")))
+  }
+
   private val EmailPat = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+"
   private val PhonePat = "\\b555-[0-9]{4}\\b"
 
@@ -91,6 +129,8 @@ object Pipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate" -> pipelineCurate,
+    "pipeline_pack_sequences" -> pipelinePackSequences,
+    "pipeline_source_mix" -> pipelineSourceMix,
     "sample_stratified" -> sampleStratified,
     "text_pii_scrub" -> textPiiScrub)
 
@@ -129,6 +169,28 @@ object Pipeline {
          |  JOIN e ON e.doc_id = s.doc_id
          |  WHERE qs.quality >= 0.05 AND qs.n_tokens >= 20)
          |${orderAll("doc_id", "lang", "source", "n_tokens", "quality", "emb_norm")}""".stripMargin,
+    "pipeline_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+         |      x -> x <> '')) AS n_tokens
+         |  FROM documents)
+         |SELECT doc_id, n_tokens,
+         |  CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_tokens,
+         |  CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+         |    / 4096) AS BIGINT) AS shard
+         |FROM t
+         |${orderAll("doc_id", "n_tokens", "cum_tokens", "shard")}""".stripMargin,
+    "pipeline_source_mix" ->
+      s"""SELECT doc_id, source,
+         |  CASE WHEN length(source) % 2 = 0 THEN 100 ELSE 25 END AS rate_pct,
+         |  (doc_id * 2654435761) % 4294967296 % 100 <
+         |    (CASE WHEN length(source) % 2 = 0 THEN 100 ELSE 25 END) AS keep
+         |FROM documents
+         |${orderAll("doc_id", "source", "rate_pct", "keep")}""".stripMargin,
     "sample_stratified" ->
       s"""SELECT doc_id, lang,
          |  (doc_id * 2654435761) % 4294967296 % 10 AS bucket,

@@ -136,6 +136,30 @@ class ExtensionSpec extends SparkTestBase {
     }
   }
 
+  test("sequence packing: shards contiguous, token budget respected") {
+    val packed = ops.Pipeline.pipelinePackSequences(spark, sf)
+    // shard ids form a contiguous range from 0
+    val shards = packed.select("shard").distinct().as[Long].collect().sorted
+    assert(shards.head == 0L && shards.sameElements(shards.indices.map(_.toLong)))
+    // a shard overflows only by its own last document (greedy packing law)
+    val over = packed.groupBy("shard")
+      .agg(sum("n_tokens").as("tok"), max("n_tokens").as("mx"))
+      .filter(col("tok") - col("mx") >= 4096).count()
+    assert(over == 0, "shard exceeds budget by more than its last doc")
+  }
+
+  test("source mix: keep rate tracks the per-source recipe") {
+    val mix = ops.Pipeline.pipelineSourceMix(spark, sf)
+    val byRate = mix.groupBy("rate_pct")
+      .agg(avg(col("keep").cast("double")).as("frac"), count(lit(1)).as("n"))
+      .as[(Int, Double, Long)].collect()
+      .map { case (r, f, n) => r -> (f, n) }.toMap
+    byRate.foreach { case (rate, (frac, n)) =>
+      assert(math.abs(frac - rate / 100.0) < 0.15,
+        s"rate $rate%: kept ${frac * 100}%% of $n docs")
+    }
+  }
+
   test("pii scrub: no email or phone pattern survives redaction") {
     // rebuild the scrubbed text the op hashes and scan it for leftovers
     val leftovers = Tables.load(spark, sf, "documents")
