@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
   * of doc/configuration.rst, and InfluxDB's query_language spec):
   *
   * {{{
-  * SELECT <field | agg(field)> [AS alias] [, ...]
+  * SELECT <field | agg(field) | transform(agg(field)[, arg]) | top/bottom(field, N)>
+  *        [AS alias] [, ...]
   * FROM <measurement>
   * [WHERE time >= '...' [AND time < '...'] [AND tag = 'v' | field op n]...]
   * [GROUP BY time(<Nu>)[, <tag>...]] [fill(previous|0|none)]
@@ -17,22 +18,41 @@ import org.apache.spark.sql.functions._
   * [LIMIT n]
   * }}}
   *
-  * aggs: mean, sum, count, min, max. Conditions are AND-combined (the only
+  * aggs: mean, sum, count, min, max, first, last, spread, stddev, median,
+  * percentile(f, N). Transforms (InfluxDB's series functions, applied to the
+  * bucketed series): derivative(agg[, unit]), non_negative_derivative,
+  * difference, moving_average(agg, N), cumulative_sum. Selectors:
+  * top(f, N) / bottom(f, N). Conditions are AND-combined (the only
   * combinator the reference uses). The translator emits a declarative
   * DataFrame plan — time/tag predicates land in the scan (partition
   * pruning at scale), GROUP BY time() becomes the tumbling `window()`
-  * expression (shared with the streaming ops), fill(previous) becomes a
+  * expression (shared with the streaming ops), transforms become window
+  * functions over the bucketed series (partitioned by the group tags — one
+  * shuffle, already paid by the aggregation), fill(previous) becomes a
   * bucket-spine join + LOCF window. Mirrors InfluxDB fill(none) bucket
   * semantics for plain GROUP BY time (only non-empty buckets emit).
   *
-  * `mean`/`sum` accumulate in decimal ([[Tables.davg]]/[[Tables.dsum]])
-  * so results are engine-stable for the differential oracle.
+  * `mean`/`sum` accumulate in decimal ([[Tables.davg]]/[[Tables.dsum]]);
+  * `stddev`/`moving_average`/`cumulative_sum` use decimal accumulation with
+  * a documented 6-dp rounding so results are engine-stable for the
+  * differential oracle. `percentile` is PERCENTILE_DISC (nearest-rank,
+  * `idx = max(1, ceil(p/100 · n))`) — it returns an actual sample value,
+  * as InfluxDB's does.
   */
 object InfluxQL {
 
   sealed trait Field { def alias: Option[String] }
   final case class Raw(name: String, alias: Option[String]) extends Field
-  final case class Agg(fn: String, field: String, alias: Option[String]) extends Field
+  final case class Agg(fn: String, field: String, alias: Option[String],
+    arg: Option[Double] = None) extends Field
+  /** A series transform over a bucketed aggregate (derivative, difference,
+    * moving_average, cumulative_sum); `arg` is the unit duration (`1h`) or
+    * window size, kept as written for print round-trip. */
+  final case class Transform(fn: String, inner: Agg, arg: Option[String],
+    alias: Option[String]) extends Field
+  /** top(f, n) / bottom(f, n) — n extreme points with their event times. */
+  final case class Selector(fn: String, field: String, n: Int,
+    alias: Option[String]) extends Field
 
   /** One `col op literal` conjunct; value is a quoted string or a number. */
   final case class Cond(col: String, op: String, value: Either[String, Double])
@@ -57,18 +77,63 @@ object InfluxQL {
       """(?:\s+ORDER\s+BY\s+time(\s+DESC)?)?""" +
       """(?:\s+LIMIT\s+(\d+))?\s*;?\s*$""").r
 
-  private val AggRe = """(?i)^(mean|sum|count|min|max)\(\s*"?(\w+)"?\s*\)(?:\s+AS\s+(\w+))?$""".r
+  private val AggRe =
+    """(?i)^(mean|sum|count|min|max|first|last|spread|stddev|median)\(\s*"?(\w+)"?\s*\)(?:\s+AS\s+(\w+))?$""".r
+  private val PercRe =
+    """(?i)^percentile\(\s*"?(\w+)"?\s*,\s*([0-9.]+)\s*\)(?:\s+AS\s+(\w+))?$""".r
+  private val SelRe =
+    """(?i)^(top|bottom)\(\s*"?(\w+)"?\s*,\s*(\d+)\s*\)(?:\s+AS\s+(\w+))?$""".r
+  private val TransRe =
+    """(?i)^(derivative|non_negative_derivative|difference|moving_average|cumulative_sum)\((.+)\)(?:\s+AS\s+(\w+))?$""".r
+  private val TransArgRe = """^\d+[smhd]?$""".r
   private val RawRe = """(?i)^"?(\w+)"?(?:\s+AS\s+(\w+))?$""".r
   private val CondRe = """(?i)^\s*"?(\w+)"?\s*(<=|>=|!=|=|<|>)\s*(?:'([^']*)'|(-?[0-9.]+))\s*$""".r
   private val TimeRe = """(?i)^time\((\d+)([smhd])\)$""".r
 
+  /** Split on commas at paren depth 0 (select items may contain
+    * `percentile(v, 90)` / `moving_average(mean(v), 4)`). */
+  private def splitTop(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    val sb = new StringBuilder
+    s.foreach {
+      case '(' => depth += 1; sb += '('
+      case ')' => depth -= 1; sb += ')'
+      case ',' if depth == 0 => out += sb.toString; sb.clear()
+      case ch => sb += ch
+    }
+    (out += sb.toString).result().map(_.trim)
+  }
+
+  private def parseField(q: String, item: String): Field = item match {
+    case AggRe(fn, f, al) => Agg(fn.toLowerCase, f, Option(al))
+    case PercRe(f, p, al) => Agg("percentile", f, Option(al), Some(p.toDouble))
+    case SelRe(fn, f, n, al) => Selector(fn.toLowerCase, f, n.toInt, Option(al))
+    case TransRe(fn, content, al) =>
+      // the last depth-0 comma separates an optional unit/size argument
+      val parts = splitTop(content)
+      val (innerS, arg) =
+        if (parts.size >= 2 && TransArgRe.findFirstIn(parts.last).isDefined)
+          (parts.init.mkString(", "), Some(parts.last))
+        else (content.trim, None)
+      val inner = parseField(q, innerS) match {
+        case a: Agg if a.alias.isEmpty => a
+        case _: Agg => fail(q, s"no AS alias inside $fn(...)")
+        case _ => fail(q, s"$fn requires an aggregate argument")
+      }
+      val fnl = fn.toLowerCase
+      if (fnl == "moving_average" && !arg.exists(_.forall(_.isDigit)))
+        fail(q, "moving_average requires an integer window size")
+      if ((fnl == "difference" || fnl == "cumulative_sum") && arg.nonEmpty)
+        fail(q, s"$fnl takes no argument")
+      Transform(fnl, inner, arg, Option(al))
+    case RawRe(f, al) => Raw(f, Option(al))
+    case other => fail(q, s"unsupported select item '$other'")
+  }
+
   def parse(q: String): Query = q match {
     case SelectRe(fieldsS, intoS, meas, whereS, groupS, fillS, descS, limitS) =>
-      val fields = fieldsS.split(",").map(_.trim).toSeq.map {
-        case AggRe(fn, f, al) => Agg(fn.toLowerCase, f, Option(al))
-        case RawRe(f, al) => Raw(f, Option(al))
-        case other => fail(q, s"unsupported select item '$other'")
-      }
+      val fields = splitTop(fieldsS).map(parseField(q, _))
       val conds = Option(whereS).toSeq.flatMap(_.split("(?i)\\s+AND\\s+").toSeq).map {
         case CondRe(c, op, s, n) =>
           Cond(c, op, if (s != null) Left(s) else Right(n.toDouble))
@@ -90,9 +155,15 @@ object InfluxQL {
   /** Canonical rendering of a parsed query — `parse(print(q)) == q` is the
     * parser's round-trip law (property-checked in the spec). */
   def print(q: Query): String = {
+    def num(d: Double): String =
+      if (d == d.toLong.toDouble) d.toLong.toString else d.toString
     def f(fl: Field): String = (fl match {
       case Raw(n, _) => n
-      case Agg(fn, n, _) => s"$fn($n)"
+      case Agg("percentile", n, _, Some(p)) => s"percentile($n, ${num(p)})"
+      case Agg(fn, n, _, _) => s"$fn($n)"
+      case Selector(fn, n, k, _) => s"$fn($n, $k)"
+      case Transform(fn, inner, arg, _) =>
+        s"$fn(${f(inner.copy(alias = None))}${arg.map(", " + _).getOrElse("")})"
     }) + fl.alias.map(" AS " + _).getOrElse("")
     val where =
       if (q.conds.isEmpty) ""
@@ -131,15 +202,117 @@ object InfluxQL {
   }
 
   private def aggCol(a: Agg): Column = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val c = col(a.field)
+    // PERCENTILE_DISC nearest-rank: the sample value at max(1, ceil(p/100·n)).
+    // collect_list is bounded by the bucket size (a time bucket's points),
+    // not the table — safe at scale.
+    def rankVal(p: Double): Column =
+      get(sort_array(collect_list(c)),
+        greatest(lit(1), ceil(lit(p / 100.0) * count(c)).cast("int")) - lit(1))
     val out = a.fn match {
       case "mean" => Tables.davg(c)
       case "sum" => Tables.dsum(c)
       case "count" => count(c)
       case "min" => min(c)
       case "max" => max(c)
+      // earliest/latest point's value; (time, value) tiebreak for determinism
+      case "first" => min_by(c, struct(col("time"), c))
+      case "last" => max_by(c, struct(col("time"), c))
+      case "spread" => max(c) - min(c)
+      case "stddev" =>
+        // sample stddev from decimal-exact sums (order-independent), one
+        // IEEE evaluation mirrored verbatim by the DuckDB oracle; 6-dp
+        // round absorbs last-ulp sqrt jitter between engines
+        val n = count(c).cast(DoubleType)
+        val s1 = sum(c.cast(DecimalType(38, 6))).cast(DoubleType)
+        val s2 = sum((c * c).cast(DecimalType(38, 6))).cast(DoubleType)
+        when(count(c) > 1,
+          round(sqrt(greatest((s2 - s1 * s1 / n) / (n - lit(1.0)), lit(0.0))), 6))
+      case "median" => rankVal(50.0)
+      case "percentile" =>
+        rankVal(a.arg.getOrElse(fail("", "percentile requires an argument")))
     }
     out.as(a.alias.getOrElse(s"${a.fn}_${a.field}"))
+  }
+
+  private val UnitSec = Map('s' -> 1L, 'm' -> 60L, 'h' -> 3600L, 'd' -> 86400L)
+
+  private def durSec(arg: String): Long =
+    if (arg.forall(_.isDigit)) arg.toLong
+    else arg.init.toLong * UnitSec(arg.last)
+
+  /** Series transforms: aggregate into buckets, then one window pass per
+    * tag partition (the shuffle is shared with the aggregation's). Leading
+    * rows with no defined value (no previous point / incomplete moving
+    * window) are dropped, as InfluxDB drops them; non_negative_derivative
+    * additionally drops negative rates. */
+  private def runTransforms(base: DataFrame, p: Query,
+    transforms: Seq[Transform], q: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val (n, u) = p.timeBucket.getOrElse(
+      fail(q, "transform functions require GROUP BY time()"))
+    val win = window(col("time"), s"$n ${Units(u)}")
+    val keys = win.as("w") +: p.groupTags.map(col)
+    val inner = transforms.zipWithIndex.map { case (t, i) =>
+      aggCol(t.inner).as(s"__in$i")
+    }
+    val agged = base.groupBy(keys: _*).agg(inner.head, inner.tail: _*)
+      .withColumn("time", col("w.start")).drop("w")
+    val w = Window.partitionBy(p.groupTags.map(col): _*).orderBy(col("time"))
+    val outNames = transforms.map(t => t.alias.getOrElse(t.fn))
+    if (outNames.distinct.size != outNames.size)
+      fail(q, "duplicate transform output names — add AS aliases")
+    val withCols = transforms.zipWithIndex.foldLeft(agged) { case (df, (t, i)) =>
+      val x = col(s"__in$i")
+      val out = t.fn match {
+        case "derivative" | "non_negative_derivative" =>
+          // InfluxDB rate: Δx / (Δt / unit), default unit 1s
+          val unit = durSec(t.arg.getOrElse("1s")).toDouble
+          val dtSec =
+            (unix_micros(col("time")) - lag(unix_micros(col("time")), 1).over(w))
+              .cast(DoubleType) / lit(1e6)
+          val d = (x - lag(x, 1).over(w)) * lit(unit) / dtSec
+          if (t.fn == "derivative") d else when(d >= 0, d)
+        case "difference" => x - lag(x, 1).over(w)
+        case "cumulative_sum" =>
+          sum(x.cast(DecimalType(38, 6)))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast(DoubleType)
+        case "moving_average" =>
+          val k = t.arg.get.toInt
+          val frame = w.rowsBetween(-(k - 1), 0)
+          // decimal sum of 6-dp-rounded values: associative, engine-stable
+          when(count(x).over(frame) === k,
+            sum(round(x, 6).cast(DecimalType(38, 6))).over(frame)
+              .cast(DoubleType) / lit(k))
+      }
+      df.withColumn(outNames(i), out)
+    }
+    withCols
+      .select((col("time") +: p.groupTags.map(col)) ++ outNames.map(col): _*)
+      .filter(outNames.map(c => col(c).isNotNull).reduce(_ && _))
+  }
+
+  /** top/bottom: the N extreme points with their event times. Global form
+    * plans as TakeOrderedAndProject (no full sort); with GROUP BY tags it
+    * is a per-partition rank — one shuffle on the tag key. */
+  private def runSelector(base: DataFrame, p: Query, sel: Selector): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(sel.field)
+    val ord: Seq[Column] =
+      if (sel.fn == "top") Seq(v.desc, col("time").asc)
+      else Seq(v.asc, col("time").asc)
+    val out = sel.alias.getOrElse(sel.fn)
+    if (p.groupTags.isEmpty)
+      base.orderBy(ord: _*).limit(sel.n).select(col("time"), v.as(out))
+    else {
+      val w = Window.partitionBy(p.groupTags.map(col): _*).orderBy(ord: _*)
+      base.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= sel.n)
+        .select((col("time") +: p.groupTags.map(col)) :+ v.as(out): _*)
+    }
   }
 
   /** Translate and run `q` against `source` — a measurement frame whose
@@ -148,6 +321,19 @@ object InfluxQL {
   def run(spark: SparkSession, source: DataFrame, q: String): DataFrame = {
     val p = parse(q)
     val base = p.conds.foldLeft(source)((df, c) => df.filter(condCol(c)))
+    val sels = p.fields.collect { case s: Selector => s }
+    val transforms = p.fields.collect { case t: Transform => t }
+    if (sels.nonEmpty) {
+      if (p.fields.size != 1) fail(q, "top/bottom must be the only select item")
+      if (p.timeBucket.nonEmpty)
+        fail(q, "top/bottom with GROUP BY time() is unsupported")
+      return applyLimit(runSelector(base, p, sels.head), p)
+    }
+    if (transforms.nonEmpty) {
+      if (transforms.size != p.fields.size)
+        fail(q, "cannot mix transform functions with other select items")
+      return applyLimit(runTransforms(base, p, transforms, q), p)
+    }
     val aggs = p.fields.collect { case a: Agg => a }
     // InfluxDB rejects mixing bare fields with aggregates; failing loudly
     // beats silently dropping the raw fields
@@ -175,15 +361,17 @@ object InfluxQL {
           case _ => agged
         }
     }
-    val limited = p.limit match {
+    applyLimit(projected, p)
+  }
+
+  private def applyLimit(projected: DataFrame, p: Query): DataFrame =
+    p.limit match {
       case Some(n) =>
         val key = if (p.orderDesc) col("time").desc else col("time").asc
         val rest = projected.columns.filter(_ != "time").map(col).toSeq
         projected.orderBy(key +: rest: _*).limit(n)
       case None => projected
     }
-    limited
-  }
 
   /** InfluxDB fill(): densify the bucket spine over the queried time range
     * (WHERE bounds required, as in InfluxDB) per tag combination, then

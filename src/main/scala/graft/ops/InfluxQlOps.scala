@@ -46,6 +46,44 @@ object InfluxQlOps {
     "SELECT count(value) AS n FROM events GROUP BY time(1h) " +
       "ORDER BY time DESC LIMIT 24"
 
+  // -- the transform/selector function surface (InfluxDB series functions) --
+
+  private val DerivQ =
+    "SELECT derivative(mean(value), 1h) AS rate FROM events " +
+      "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-05 00:00:00' " +
+      "GROUP BY time(6h)"
+
+  private val DiffQ =
+    "SELECT difference(max(value)) AS diff FROM events " +
+      "GROUP BY time(1d), event_type"
+
+  private val MovAvgQ =
+    "SELECT moving_average(mean(value), 4) AS ma FROM events " +
+      "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-06 00:00:00' " +
+      "GROUP BY time(6h)"
+
+  private val CumSumQ =
+    "SELECT cumulative_sum(sum(value)) AS cs FROM events GROUP BY time(1d)"
+
+  private val FirstLastQ =
+    "SELECT first(value) AS fv, last(value) AS lv FROM events " +
+      "GROUP BY time(1d), event_type"
+
+  private val SpreadStdQ =
+    "SELECT spread(value) AS sp, stddev(value) AS sd FROM events " +
+      "GROUP BY time(1d)"
+
+  private val PercQ =
+    "SELECT percentile(value, 90) AS p90, median(value) AS med FROM events " +
+      "GROUP BY time(1d)"
+
+  private val TopQ =
+    "SELECT top(value, 5) AS v FROM events " +
+      "WHERE time >= '2024-01-02 00:00:00' AND time < '2024-01-03 00:00:00'"
+
+  private val BottomQ =
+    "SELECT bottom(value, 2) AS v FROM events GROUP BY event_type"
+
   /** All fixture tables as the measurement catalog (metadata queries). */
   private def catalog(spark: SparkSession, dir: String): Seq[(String, DataFrame)] =
     graft.Tables.names.map { n =>
@@ -62,6 +100,15 @@ object InfluxQlOps {
     "influxql_group_tag" -> run(GroupTagQ) _,
     "influxql_fill_previous" -> run(FillPrevQ) _,
     "influxql_limit" -> run(LimitQ) _,
+    "influxql_derivative" -> run(DerivQ) _,
+    "influxql_difference" -> run(DiffQ) _,
+    "influxql_moving_average" -> run(MovAvgQ) _,
+    "influxql_cumulative_sum" -> run(CumSumQ) _,
+    "influxql_first_last" -> run(FirstLastQ) _,
+    "influxql_spread_stddev" -> run(SpreadStdQ) _,
+    "influxql_percentile" -> run(PercQ) _,
+    "influxql_top" -> run(TopQ) _,
+    "influxql_bottom_tag" -> run(BottomQ) _,
     "influxql_show_measurements" -> meta("SHOW MEASUREMENTS") _,
     "influxql_show_tag_keys" -> meta("SHOW TAG KEYS FROM events") _,
     "influxql_show_field_keys" -> meta("SHOW FIELD KEYS FROM events") _)

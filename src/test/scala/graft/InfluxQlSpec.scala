@@ -33,12 +33,31 @@ class InfluxQlSpec extends SparkTestBase {
     import org.scalacheck.rng.Seed
     val ident = Gen.chooseNum(3, 8).flatMap(n =>
       Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val agg = for {
+      fn <- Gen.oneOf("mean", "sum", "count", "min", "max", "first", "last",
+        "spread", "stddev", "median")
+      n <- ident
+    } yield InfluxQL.Agg(fn, n, None)
+    val perc = for {
+      n <- ident; p <- Gen.chooseNum(1, 99)
+    } yield InfluxQL.Agg("percentile", n, None, Some(p.toDouble))
+    val transform = for {
+      inner <- Gen.oneOf(agg, perc)
+      fnArg <- Gen.oneOf(
+        Gen.zip(Gen.oneOf("derivative", "non_negative_derivative"),
+          Gen.option(Gen.zip(Gen.chooseNum(1, 60), Gen.oneOf("s", "m", "h"))
+            .map { case (n, u) => s"$n$u" })),
+        Gen.zip(Gen.const("moving_average"),
+          Gen.chooseNum(2, 12).map(n => Option(n.toString))),
+        Gen.zip(Gen.oneOf("difference", "cumulative_sum"),
+          Gen.const(Option.empty[String])))
+      a <- Gen.option(ident)
+    } yield InfluxQL.Transform(fnArg._1, inner, fnArg._2, a)
     val field = Gen.oneOf(
       Gen.zip(ident, Gen.option(ident)).map { case (n, a) => InfluxQL.Raw(n, a) },
-      for {
-        fn <- Gen.oneOf("mean", "sum", "count", "min", "max")
-        n <- ident; a <- Gen.option(ident)
-      } yield InfluxQL.Agg(fn, n, a))
+      Gen.zip(agg, Gen.option(ident)).map { case (g, a) => g.copy(alias = a) },
+      Gen.zip(perc, Gen.option(ident)).map { case (g, a) => g.copy(alias = a) },
+      transform)
     val cond = for {
       c <- Gen.oneOf(ident, Gen.const("time"))
       op <- Gen.oneOf("=", "!=", "<", "<=", ">", ">=")
@@ -66,12 +85,109 @@ class InfluxQlSpec extends SparkTestBase {
       val printed = InfluxQL.print(q)
       assert(InfluxQL.parse(printed) == q, s"round-trip broke for: $printed")
     }
+    val sel = InfluxQL.Query(
+      Seq(InfluxQL.Selector("top", "value", 5, Some("v"))),
+      "events", Nil, None, Seq("host"), None, orderDesc = false, None, None)
+    assert(InfluxQL.parse(InfluxQL.print(sel)) == sel)
+  }
+
+  test("derivative/difference/cumulative_sum match hand-built windows") {
+    val m = Tables.load(spark, sf, "events").withColumnRenamed("ts", "time")
+    val got = InfluxQL.run(spark, m,
+      "SELECT derivative(count(value), 1h) AS rate FROM events GROUP BY time(6h)")
+    val agged = m.groupBy(window(col("time"), "6 hours").as("w"))
+      .agg(count("value").as("n"))
+      .select(col("w.start").as("time"), col("n"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("time")
+    val want = agged
+      .withColumn("rate",
+        (col("n") - lag("n", 1).over(w)).cast("double") * 3600d /
+          ((unix_micros(col("time")) - lag(unix_micros(col("time")), 1).over(w))
+            .cast("double") / 1e6))
+      .filter(col("rate").isNotNull)
+      .select("time", "rate")
+    assert(got.collect().toSet == want.collect().toSet)
+    // cumulative_sum of the same count telescopes back to a running total
+    val cs = InfluxQL.run(spark, m,
+      "SELECT cumulative_sum(count(value)) AS cs FROM events GROUP BY time(6h)")
+    val total = m.count().toDouble
+    assert(cs.orderBy(col("time").desc).limit(1)
+      .select("cs").as[Double].head() == total)
+    // difference drops exactly the first bucket
+    val d = InfluxQL.run(spark, m,
+      "SELECT difference(count(value)) AS d FROM events GROUP BY time(6h)")
+    assert(d.count() == agged.count() - 1)
+  }
+
+  test("moving_average emits only complete windows, decimal-stable") {
+    val m = Tables.load(spark, sf, "events").withColumnRenamed("ts", "time")
+    val ma = InfluxQL.run(spark, m,
+      "SELECT moving_average(mean(value), 4) AS ma FROM events GROUP BY time(6h)")
+    val buckets = m.select(window(col("time"), "6 hours")).distinct().count()
+    assert(ma.count() == buckets - 3, "first k-1 windows are incomplete")
+  }
+
+  test("first/last/spread/percentile aggregate semantics") {
+    val m = Tables.load(spark, sf, "events").withColumnRenamed("ts", "time")
+    val got = InfluxQL.run(spark, m,
+      "SELECT first(value) AS f, last(value) AS l, spread(value) AS sp, " +
+        "percentile(value, 100) AS p100, max(value) AS mx, min(value) AS mn " +
+        "FROM events GROUP BY time(1d)").collect()
+    got.foreach { r =>
+      val (f, l, sp) = (r.getAs[Double]("f"), r.getAs[Double]("l"),
+        r.getAs[Double]("sp"))
+      val (p100, mx, mn) = (r.getAs[Double]("p100"), r.getAs[Double]("mx"),
+        r.getAs[Double]("mn"))
+      assert(p100 == mx, "percentile(100) is the bucket max")
+      assert(sp == mx - mn)
+      assert(f >= mn && f <= mx && l >= mn && l <= mx)
+    }
+    // first = value at the earliest timestamp of each bucket
+    val firstRow = m.orderBy(col("time").asc, col("value").asc).limit(1)
+      .select("value").as[Double].head()
+    val gotFirst = InfluxQL.run(spark, m,
+      "SELECT first(value) AS f FROM events")
+    assert(gotFirst.select("f").as[Double].head() == firstRow)
+  }
+
+  test("top/bottom selectors return extreme points with event times") {
+    val m = Tables.load(spark, sf, "events").withColumnRenamed("ts", "time")
+    val top3 = InfluxQL.run(spark, m, "SELECT top(value, 3) AS v FROM events")
+      .select("v").as[Double].collect().toSeq
+    val want = m.select("value").as[Double].collect().sorted.reverse.take(3)
+    assert(top3.sorted.reverse == want.toSeq)
+    val bot = InfluxQL.run(spark, m,
+      "SELECT bottom(value, 2) AS v FROM events GROUP BY event_type")
+    val kinds = m.select("event_type").distinct().count()
+    assert(bot.count() == kinds * 2)
   }
 
   test("parser rejects unsupported statements") {
     intercept[IllegalArgumentException](InfluxQL.parse("DROP MEASUREMENT flow"))
+    intercept[IllegalArgumentException](InfluxQL.parse("DELETE FROM events"))
+    // difference takes no argument; moving_average needs an integer size
     intercept[IllegalArgumentException](
-      InfluxQL.parse("SELECT percentile(value, 95) FROM events"))
+      InfluxQL.parse("SELECT difference(mean(value), 3) FROM events"))
+    intercept[IllegalArgumentException](
+      InfluxQL.parse("SELECT moving_average(mean(value)) FROM events"))
+    // transforms wrap aggregates, not raw fields or selectors
+    intercept[IllegalArgumentException](
+      InfluxQL.parse("SELECT derivative(top(value, 3)) FROM events"))
+  }
+
+  test("parser handles percentile, transforms and selectors") {
+    val q = InfluxQL.parse(
+      "SELECT derivative(mean(value), 1h) AS rate, " +
+        "moving_average(percentile(value, 90), 4) FROM events " +
+        "GROUP BY time(6h), event_type")
+    assert(q.fields == Seq(
+      InfluxQL.Transform("derivative",
+        InfluxQL.Agg("mean", "value", None), Some("1h"), Some("rate")),
+      InfluxQL.Transform("moving_average",
+        InfluxQL.Agg("percentile", "value", None, Some(90.0)), Some("4"), None)))
+    val s = InfluxQL.parse("SELECT bottom(value, 2) AS low FROM events GROUP BY event_type")
+    assert(s.fields == Seq(InfluxQL.Selector("bottom", "value", 2, Some("low"))))
+    assert(s.groupTags == Seq("event_type"))
   }
 
   test("raw select translates to the equivalent filter+project") {
