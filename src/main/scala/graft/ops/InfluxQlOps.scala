@@ -180,5 +180,112 @@ object InfluxQlOps {
          |    COUNT(value) AS n
          |  FROM events GROUP BY 1
          |  ORDER BY time DESC LIMIT 24)
-         |${orderAll("time", "n")}""".stripMargin)
+         |${orderAll("time", "n")}""".stripMargin,
+    // -- transform/selector oracles: each re-derives the Spark translation
+    //    verbatim (same IEEE op sequence) so the value hash is stable --
+    "influxql_derivative" ->
+      s"""WITH f AS (
+         |  SELECT CAST(ts AS TIMESTAMP) AS t, value FROM events
+         |  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01 00:00:00'
+         |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-05 00:00:00'),
+         |agg AS (
+         |  SELECT ${sqlBucket("t", 21600)} AS time, ${sqlDavg("value")} AS x
+         |  FROM f GROUP BY 1),
+         |d AS (
+         |  SELECT time,
+         |    ((x - lag(x) OVER w) * 3600.0) /
+         |      (CAST(epoch_us(time) - lag(epoch_us(time)) OVER w AS DOUBLE) / 1e6)
+         |      AS rate
+         |  FROM agg WINDOW w AS (ORDER BY time))
+         |SELECT time, rate FROM d WHERE rate IS NOT NULL
+         |${orderAll("time", "rate")}""".stripMargin,
+    "influxql_difference" ->
+      s"""WITH agg AS (
+         |  SELECT ${sqlBucket("CAST(ts AS TIMESTAMP)", 86400)} AS time,
+         |    event_type, MAX(value) AS x
+         |  FROM events GROUP BY 1, 2),
+         |d AS (
+         |  SELECT time, event_type,
+         |    x - lag(x) OVER (PARTITION BY event_type ORDER BY time) AS diff
+         |  FROM agg)
+         |SELECT time, event_type, diff FROM d WHERE diff IS NOT NULL
+         |${orderAll("time", "event_type", "diff")}""".stripMargin,
+    "influxql_moving_average" ->
+      s"""WITH f AS (
+         |  SELECT CAST(ts AS TIMESTAMP) AS t, value FROM events
+         |  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01 00:00:00'
+         |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-06 00:00:00'),
+         |agg AS (
+         |  SELECT ${sqlBucket("t", 21600)} AS time, ${sqlDavg("value")} AS x
+         |  FROM f GROUP BY 1),
+         |m AS (
+         |  SELECT time,
+         |    CASE WHEN COUNT(x) OVER w = 4 THEN
+         |      CAST(SUM(CAST(round(x, 6) AS DECIMAL(38,6))) OVER w AS DOUBLE) / 4
+         |    END AS ma
+         |  FROM agg
+         |  WINDOW w AS (ORDER BY time ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
+         |SELECT time, ma FROM m WHERE ma IS NOT NULL
+         |${orderAll("time", "ma")}""".stripMargin,
+    "influxql_cumulative_sum" ->
+      s"""WITH agg AS (
+         |  SELECT ${sqlBucket("CAST(ts AS TIMESTAMP)", 86400)} AS time,
+         |    ${sqlDsum("value")} AS x
+         |  FROM events GROUP BY 1),
+         |c AS (
+         |  SELECT time, CAST(SUM(CAST(x AS DECIMAL(38,6))) OVER (
+         |    ORDER BY time ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS DOUBLE) AS cs
+         |  FROM agg)
+         |SELECT time, cs FROM c WHERE cs IS NOT NULL
+         |${orderAll("time", "cs")}""".stripMargin,
+    "influxql_first_last" ->
+      s"""WITH r AS (
+         |  SELECT ${sqlBucket("CAST(ts AS TIMESTAMP)", 86400)} AS time,
+         |    event_type, value,
+         |    ROW_NUMBER() OVER (
+         |      PARTITION BY ${sqlBucket("CAST(ts AS TIMESTAMP)", 86400)}, event_type
+         |      ORDER BY CAST(ts AS TIMESTAMP) ASC, value ASC) AS rna,
+         |    ROW_NUMBER() OVER (
+         |      PARTITION BY ${sqlBucket("CAST(ts AS TIMESTAMP)", 86400)}, event_type
+         |      ORDER BY CAST(ts AS TIMESTAMP) DESC, value DESC) AS rnd
+         |  FROM events)
+         |SELECT time, event_type,
+         |  MAX(CASE WHEN rna = 1 THEN value END) AS fv,
+         |  MAX(CASE WHEN rnd = 1 THEN value END) AS lv
+         |FROM r GROUP BY time, event_type
+         |${orderAll("time", "event_type", "fv", "lv")}""".stripMargin,
+    "influxql_spread_stddev" ->
+      s"""SELECT ${sqlBucket("CAST(ts AS TIMESTAMP)", 86400)} AS time,
+         |  MAX(value) - MIN(value) AS sp,
+         |  CASE WHEN COUNT(value) > 1 THEN round(sqrt(greatest(
+         |    (CAST(SUM(CAST((value * value) AS DECIMAL(38,6))) AS DOUBLE)
+         |      - CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+         |        * CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+         |        / CAST(COUNT(value) AS DOUBLE))
+         |    / (CAST(COUNT(value) AS DOUBLE) - 1.0), 0.0)), 6) END AS sd
+         |FROM events GROUP BY 1
+         |${orderAll("time", "sp", "sd")}""".stripMargin,
+    "influxql_percentile" ->
+      s"""SELECT ${sqlBucket("CAST(ts AS TIMESTAMP)", 86400)} AS time,
+         |  (list_sort(list(value)))[CAST(greatest(1,
+         |    ceil(0.9 * COUNT(value))) AS INT)] AS p90,
+         |  (list_sort(list(value)))[CAST(greatest(1,
+         |    ceil(0.5 * COUNT(value))) AS INT)] AS med
+         |FROM events GROUP BY 1
+         |${orderAll("time", "p90", "med")}""".stripMargin,
+    "influxql_top" ->
+      s"""SELECT * FROM (
+         |  SELECT CAST(ts AS TIMESTAMP) AS time, value AS v FROM events
+         |  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-02 00:00:00'
+         |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-03 00:00:00'
+         |  ORDER BY v DESC, time ASC LIMIT 5)
+         |${orderAll("time", "v")}""".stripMargin,
+    "influxql_bottom_tag" ->
+      s"""SELECT time, event_type, v FROM (
+         |  SELECT CAST(ts AS TIMESTAMP) AS time, event_type, value AS v,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type
+         |      ORDER BY value ASC, CAST(ts AS TIMESTAMP) ASC) AS rn
+         |  FROM events) WHERE rn <= 2
+         |${orderAll("time", "event_type", "v")}""".stripMargin)
 }
