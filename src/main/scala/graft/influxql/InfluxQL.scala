@@ -364,14 +364,25 @@ object InfluxQL {
     applyLimit(projected, p)
   }
 
-  private def applyLimit(projected: DataFrame, p: Query): DataFrame =
+  /** InfluxDB result shaping: ORDER BY time DESC applies whether or not a
+    * LIMIT is present, and with GROUP BY tags LIMIT caps points per series
+    * (per tag combination) — a per-tag row_number filter, one shuffle on
+    * the tag key — not the global row count. */
+  private def applyLimit(projected: DataFrame, p: Query): DataFrame = {
+    val key = if (p.orderDesc) col("time").desc else col("time").asc
+    val rest = projected.columns.filter(_ != "time").map(col).toSeq
     p.limit match {
-      case Some(n) =>
-        val key = if (p.orderDesc) col("time").desc else col("time").asc
-        val rest = projected.columns.filter(_ != "time").map(col).toSeq
-        projected.orderBy(key +: rest: _*).limit(n)
+      case Some(n) if p.groupTags.nonEmpty =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(p.groupTags.map(col): _*).orderBy(key)
+        projected.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= n).drop("__rn")
+          .orderBy(key +: rest: _*)
+      case Some(n) => projected.orderBy(key +: rest: _*).limit(n)
+      case None if p.orderDesc => projected.orderBy(key +: rest: _*)
       case None => projected
     }
+  }
 
   /** InfluxDB fill(): densify the bucket spine over the queried time range
     * (WHERE bounds required, as in InfluxDB) per tag combination, then
@@ -381,14 +392,26 @@ object InfluxQL {
     val lo = p.conds.find(c => c.col == "time" && c.op.startsWith(">"))
       .map(_.value.left.getOrElse(fail("", "time bound must be a literal")))
       .getOrElse(fail("", "fill() requires a lower time bound"))
-    val hi = p.conds.find(c => c.col == "time" && c.op.startsWith("<"))
-      .map(_.value.left.getOrElse(fail("", "time bound must be a literal")))
+    val hiCond = p.conds.find(c => c.col == "time" && c.op.startsWith("<"))
       .getOrElse(fail("", "fill() requires an upper time bound"))
+    val hi = hiCond.value.left.getOrElse(
+      fail("", "time bound must be a literal"))
     val step = expr(s"INTERVAL $n ${Units(u)}")
-    // bucket starts: window-aligned sequence over [lo, hi)
+    // bucket starts: window-aligned sequence over [lo, hi). Alignment is
+    // the same epoch floor window() uses, via µs arithmetic (two window()
+    // expressions in one select are rejected by the analyzer). An inclusive
+    // upper bound (<=) admits a point at exactly `hi`, whose bucket starts
+    // at floor(hi) — extend the spine to that bucket so the aggregated
+    // value isn't dropped by the spine join.
+    val stepUs = durSec(s"$n$u") * 1000000L
+    def bucketFloor(tsLit: String): Column = expr(
+      s"timestamp_micros((unix_micros(to_timestamp('$tsLit')) DIV $stepUs) * $stepUs)")
+    val spineEnd =
+      if (hiCond.op == "<=") bucketFloor(hi)
+      else to_timestamp(lit(hi)) - expr("INTERVAL 1 MICROSECOND")
     val spine = spark.range(1).select(explode(sequence(
-      window(to_timestamp(lit(lo)), s"$n ${Units(u)}").getField("start"),
-      to_timestamp(lit(hi)) - expr("INTERVAL 1 MICROSECOND"),
+      bucketFloor(lo),
+      spineEnd,
       step)).as("time"))
     val keyed =
       if (p.groupTags.isEmpty) spine

@@ -46,6 +46,19 @@ object InfluxQlOps {
     "SELECT count(value) AS n FROM events GROUP BY time(1h) " +
       "ORDER BY time DESC LIMIT 24"
 
+  // InfluxDB LIMIT caps points PER SERIES when GROUP BY tags are present:
+  // 3 newest daily buckets for each event_type, not 3 rows overall
+  private val LimitSeriesQ =
+    "SELECT count(value) AS n FROM events GROUP BY time(1d), event_type " +
+      "ORDER BY time DESC LIMIT 3"
+
+  // inclusive upper bound landing exactly on a bucket boundary: the bucket
+  // starting at the bound must appear in the fill() spine
+  private val FillBoundaryQ =
+    "SELECT mean(value) AS mean_value FROM events " +
+      "WHERE time >= '2024-01-01 00:00:00' AND time <= '2024-01-04 00:00:00' " +
+      "GROUP BY time(12h) fill(previous)"
+
   // -- the transform/selector function surface (InfluxDB series functions) --
 
   private val DerivQ =
@@ -100,6 +113,8 @@ object InfluxQlOps {
     "influxql_group_tag" -> run(GroupTagQ) _,
     "influxql_fill_previous" -> run(FillPrevQ) _,
     "influxql_limit" -> run(LimitQ) _,
+    "influxql_limit_series" -> run(LimitSeriesQ) _,
+    "influxql_fill_boundary" -> run(FillBoundaryQ) _,
     "influxql_derivative" -> run(DerivQ) _,
     "influxql_difference" -> run(DiffQ) _,
     "influxql_moving_average" -> run(MovAvgQ) _,
@@ -181,6 +196,34 @@ object InfluxQlOps {
          |  FROM events GROUP BY 1
          |  ORDER BY time DESC LIMIT 24)
          |${orderAll("time", "n")}""".stripMargin,
+    "influxql_limit_series" ->
+      s"""WITH agg AS (
+         |  SELECT ${sqlBucket("CAST(ts AS TIMESTAMP)", 86400)} AS time,
+         |    event_type, COUNT(value) AS n
+         |  FROM events GROUP BY 1, 2)
+         |SELECT time, event_type, n FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+         |    ORDER BY time DESC) AS rn FROM agg)
+         |WHERE rn <= 3
+         |${orderAll("time", "event_type", "n")}""".stripMargin,
+    "influxql_fill_boundary" ->
+      s"""WITH f AS (
+         |  SELECT CAST(ts AS TIMESTAMP) AS t, value FROM events
+         |  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01 00:00:00'
+         |    AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-04 00:00:00'),
+         |agg AS (
+         |  SELECT ${sqlBucket("t", 43200)} AS time,
+         |    ${sqlDavg("value")} AS mean_value
+         |  FROM f GROUP BY 1),
+         |spine AS (
+         |  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+         |    TIMESTAMP '2024-01-04 00:00:00', INTERVAL 12 HOUR)) AS time)
+         |SELECT time, LAST_VALUE(mean_value IGNORE NULLS) OVER (
+         |    ORDER BY time ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS mean_value
+         |FROM (SELECT s.time, a.mean_value
+         |      FROM spine s LEFT JOIN agg a ON a.time = s.time)
+         |${orderAll("time", "mean_value")}""".stripMargin,
     // -- transform/selector oracles: each re-derives the Spark translation
     //    verbatim (same IEEE op sequence) so the value hash is stable --
     "influxql_derivative" ->

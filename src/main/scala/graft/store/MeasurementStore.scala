@@ -85,16 +85,19 @@ class MeasurementStore(spark: SparkSession, root: String) {
     * the derived rates back through write_points) as one statement. */
   def influxql(measurement: String, query: String): DataFrame = {
     val q = graft.influxql.InfluxQL.parse(query)
-    val pruned = q.conds.filter(_.col == "time").foldLeft(readRaw(measurement)) {
-      (df, c) =>
-        val day = date_format(to_timestamp(lit(c.value.left.getOrElse(""))),
-          "yyyy-MM-dd")
+    // day pruning only applies to string time literals — a numeric epoch
+    // bound (Right) would otherwise become to_timestamp('') and prune every
+    // partition; the translated plan still filters those rows correctly
+    val pruned = q.conds
+      .filter(c => c.col == "time" && c.value.isLeft)
+      .foldLeft(readRaw(measurement)) { (df, c) =>
+        val day = date_format(to_timestamp(lit(c.value.left.get)), "yyyy-MM-dd")
         c.op match {
           case ">" | ">=" => df.filter(col("day") >= day)
           case "<" | "<=" => df.filter(col("day") <= day)
           case _ => df
         }
-    }
+      }
     val result = graft.influxql.InfluxQL.run(spark, pruned.drop("day"), query)
     q.into.foreach { target =>
       append(target, result)
@@ -107,13 +110,19 @@ class MeasurementStore(spark: SparkSession, root: String) {
     * per-site daily writes (one InfluxDB batch per CSV drain); on parquet
     * that becomes the small-file problem — footer-per-file planning costs
     * dominate once files ≪ row groups. Content is preserved exactly; only
-    * the file layout changes. Returns (day, files_before, files_after). */
+    * the file layout changes. Returns (day, files_before, files_after).
+    *
+    * Crash safety: the swap is two renames (old aside, tmp into place), so
+    * the day dir is never deleted before its replacement exists. Every
+    * interrupted state is recoverable from the `.old_`/`.compact_` dirs and
+    * [[recoverCompaction]] (run at the start of every compact) heals it. */
   def compact(measurement: String, filesPerDay: Int = 1): Seq[(String, Int, Int)] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path(measurement)).resolve("/"),
       spark.sparkContext.hadoopConfiguration)
     val rootPath = new org.apache.hadoop.fs.Path(path(measurement))
     if (!fs.exists(rootPath)) return Seq.empty
+    recoverCompaction(measurement)
     val days = fs.listStatus(rootPath).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
     days.map { d =>
@@ -123,17 +132,60 @@ class MeasurementStore(spark: SparkSession, root: String) {
           && !f.getPath.getName.startsWith("_"))
       val before = dataFiles
       if (before > filesPerDay) {
-        // rewrite through a temp dir, then swap — readers of other days are
-        // untouched; the swap is the commit point
+        // rewrite through a temp dir, then swap: rename the live dir aside,
+        // rename tmp into place, only then delete the old data. A crash at
+        // any point leaves either the old dir live or both spares on disk —
+        // never a window where the day has no recoverable copy.
         val tmp = new org.apache.hadoop.fs.Path(d.getPath.getParent,
           s".compact_${day}")
+        val old = new org.apache.hadoop.fs.Path(d.getPath.getParent,
+          s".old_${day}")
         spark.read.parquet(d.getPath.toString)
           .coalesce(filesPerDay)
           .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        fs.delete(d.getPath, true)
+        fs.rename(d.getPath, old)
         fs.rename(tmp, d.getPath)
+        fs.delete(old, true)
       }
       (day, before, dataFiles)
+    }
+  }
+
+  /** Heal interrupted [[compact]] swaps. Cases, by what survived a crash:
+    *  - `.old_<day>` and no `day=<day>`: crashed between the two renames —
+    *    promote `.compact_<day>` if complete, else restore the old dir.
+    *  - `.old_<day>` and `day=<day>`: crashed before the old-dir delete —
+    *    the live dir is the compacted copy; drop the spare.
+    *  - `.compact_<day>` and `day=<day>`: crashed before/during the swap —
+    *    the live dir is intact; drop the (possibly partial) rewrite. */
+  def recoverCompaction(measurement: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path(measurement)).resolve("/"),
+      spark.sparkContext.hadoopConfiguration)
+    val rootPath = new org.apache.hadoop.fs.Path(path(measurement))
+    if (!fs.exists(rootPath)) return
+    val entries = fs.listStatus(rootPath).toSeq.filter(_.isDirectory)
+    def p(name: String) = new org.apache.hadoop.fs.Path(rootPath, name)
+    entries.map(_.getPath.getName).foreach {
+      case n if n.startsWith(".old_") =>
+        val day = n.stripPrefix(".old_")
+        val live = p(s"day=$day")
+        val tmp = p(s".compact_$day")
+        if (!fs.exists(live)) {
+          // a parquet write that finished has a _SUCCESS marker
+          if (fs.exists(tmp) && fs.exists(
+              new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
+            fs.rename(tmp, live)
+          } else {
+            if (fs.exists(tmp)) fs.delete(tmp, true)
+            fs.rename(p(n), live)
+          }
+        }
+        if (fs.exists(p(n))) fs.delete(p(n), true)
+      case n if n.startsWith(".compact_") =>
+        val day = n.stripPrefix(".compact_")
+        if (fs.exists(p(s"day=$day"))) fs.delete(p(n), true)
+      case _ => ()
     }
   }
 

@@ -268,6 +268,78 @@ class InfluxQlSpec extends SparkTestBase {
     assert(before == after, "compaction must preserve the exact multiset")
   }
 
+  test("compact recovery heals every interrupted-swap state") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val root = JFiles.createTempDirectory("ms_recover").toString
+    val store = new graft.store.MeasurementStore(spark, root)
+    val points = Tables.load(spark, sf, "events")
+      .select(col("event_type"), col("user_id"), col("ts").as("time"),
+        col("value"))
+    store.append("m", points)
+    store.append("m", points)
+    val expected = store.read("m").count()
+    val days = new java.io.File(s"$root/m").listFiles()
+      .filter(_.getName.startsWith("day=")).map(_.getName.stripPrefix("day="))
+      .sorted
+    assert(days.length >= 3, "need 3 days to simulate 3 crash states")
+    val Array(d1, d2, d3) = days.take(3)
+    def mv(from: String, to: String): Unit =
+      JFiles.move(Paths.get(s"$root/m/$from"), Paths.get(s"$root/m/$to"))
+    // state A: crashed between the two renames, rewrite complete —
+    // day dir gone, .old_ + .compact_ (with _SUCCESS) on disk
+    spark.read.parquet(s"$root/m/day=$d1").coalesce(1)
+      .write.parquet(s"$root/m/.compact_$d1")
+    mv(s"day=$d1", s".old_$d1")
+    // state B: crashed before the old-dir delete — day live, .old_ spare
+    spark.read.parquet(s"$root/m/day=$d2").coalesce(1)
+      .write.parquet(s"$root/m/.old_tmp_$d2")
+    mv(s".old_tmp_$d2", s".old_$d2")
+    // state C: crashed mid-rewrite — day live, partial .compact_ (no _SUCCESS)
+    JFiles.createDirectory(Paths.get(s"$root/m/.compact_$d3"))
+    JFiles.writeString(Paths.get(s"$root/m/.compact_$d3/part-junk.parquet"), "x")
+    store.recoverCompaction("m")
+    val names = new java.io.File(s"$root/m").listFiles().map(_.getName).toSet
+    assert(!names.exists(n => n.startsWith(".old_") || n.startsWith(".compact_")),
+      s"spare dirs must be gone: $names")
+    assert(store.read("m").count() == expected,
+      "recovery must preserve every row")
+    // and a fresh compact over the healed store still works
+    val report = store.compact("m")
+    assert(report.map(_._1).toSet == days.toSet)
+  }
+
+  test("ORDER BY time DESC orders output even without LIMIT") {
+    val m = Tables.load(spark, sf, "events").withColumnRenamed("ts", "time")
+    val rows = InfluxQL.run(spark, m,
+      "SELECT count(value) AS n FROM events GROUP BY time(1d) " +
+        "ORDER BY time DESC")
+      .select("time").as[java.sql.Timestamp].collect()
+    assert(rows.length > 1)
+    assert(rows.sliding(2).forall { case Array(a, b) => !a.before(b) },
+      "buckets must be in descending time order")
+  }
+
+  test("LIMIT with GROUP BY tags caps points per series, not globally") {
+    val m = Tables.load(spark, sf, "events").withColumnRenamed("ts", "time")
+    val out = InfluxQL.run(spark, m,
+      "SELECT count(value) AS n FROM events GROUP BY time(1d), event_type " +
+        "ORDER BY time DESC LIMIT 3")
+    val perSeries = out.groupBy("event_type").count()
+      .as[(String, Long)].collect().toMap
+    val nTypes = m.select("event_type").distinct().count()
+    assert(perSeries.size == nTypes, "every series must survive the limit")
+    assert(perSeries.values.forall(_ == 3), s"3 rows per series: $perSeries")
+    // and they are each series' newest buckets
+    val newest = InfluxQL.run(spark, m,
+      "SELECT count(value) AS n FROM events GROUP BY time(1d), event_type")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("time").desc)))
+      .filter(col("rn") <= 3).drop("rn")
+    assert(out.select("time", "event_type", "n").collect().toSet ==
+      newest.select("time", "event_type", "n").collect().toSet)
+  }
+
   test("fill(previous) densifies every bucket and carries values forward") {
     val m = Tables.load(spark, sf, "events").withColumnRenamed("ts", "time")
     val filled = InfluxQL.run(spark, m,
