@@ -6,10 +6,12 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Fused dot product over two `array<float>` columns — the custom Catalyst
-  * `Expression` path of SURVEY.md §2.9/§4: where `zip_with` + `aggregate`
-  * builds an intermediate lambda-variable array per row, this compiles to a
-  * single primitive loop inside WholeStageCodegen.
+/** Fused dot product over two `array<float|double>` columns — the custom
+  * Catalyst `Expression` path of SURVEY.md §2.9/§4: where `zip_with` +
+  * `aggregate` builds an intermediate lambda-variable array per row, this
+  * compiles to a single primitive loop inside WholeStageCodegen. Each side
+  * may independently be float or double (the IVF quantizer dots float
+  * embeddings against double centroids).
   *
   * Semantics are IDENTICAL to the declarative fold
   * `aggregate(zip_with(a, b, (x,y) => double(x)*double(y)), 0.0, _+_)`:
@@ -20,14 +22,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 case class VecDot(left: Expression, right: Expression)
   extends BinaryExpression {
 
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(FloatType, _)  => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _                        => None
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
-      case _                       => false
-    })
+    val ok = Seq(left, right).forall(elemType(_).isDefined)
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"vec_dot requires (array<float>, array<float>), got " +
+      s"vec_dot requires two array<float|double> inputs, got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
 
@@ -35,9 +40,15 @@ case class VecDot(left: Expression, right: Expression)
 
   override def nullable: Boolean = true
 
+  private def get(arr: ArrayData, i: Int, t: DataType): Double = t match {
+    case FloatType => arr.getFloat(i).toDouble
+    case _         => arr.getDouble(i)
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val (tx, ty) = (elemType(left).get, elemType(right).get)
     if (x.numElements() != y.numElements()) null
     else {
       var acc = 0.0
@@ -45,7 +56,7 @@ case class VecDot(left: Expression, right: Expression)
       val n = x.numElements()
       while (i < n) {
         if (!x.isNullAt(i) && !y.isNullAt(i))
-          acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+          acc += get(x, i, tx) * get(y, i, ty)
         i += 1
       }
       acc
@@ -54,6 +65,10 @@ case class VecDot(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
+      def g(arr: String, i: String, t: DataType): String = t match {
+        case FloatType => s"(double) $arr.getFloat($i)"
+        case _         => s"$arr.getDouble($i)"
+      }
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
@@ -65,7 +80,7 @@ case class VecDot(left: Expression, right: Expression)
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if (!$x.isNullAt($i) && !$y.isNullAt($i)) {
-         |      $acc += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |      $acc += ${g(x, i, elemType(left).get)} * ${g(y, i, elemType(right).get)};
          |    }
          |  }
          |  ${ev.value} = $acc;

@@ -157,23 +157,20 @@ object Vectors {
       .select(col("vec_id").as("cid"),
         transform(col("embedding"), x => x.cast(DoubleType)).as("cvec"))
     def withCnrm(c: DataFrame): DataFrame =
-      c.withColumn("cnrm", sqrt(aggregate(col("cvec"), lit(0.0),
-        (acc, x) => acc + x * x)))
-    // nearest centroid per vector by cosine (ties → lowest cid); only
-    // (vec_id, cid, sim) rides the argmax shuffle, never the embeddings
-    def assign(cents: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("sim").desc, col("cid"))
+      c.withColumn("cnrm", sqrt(vecDot(spark, col("cvec"), col("cvec"))))
+    // nearest centroid per vector by cosine (ties → lowest cid). The argmax
+    // is max_by over (sim, -cid) — partial-aggregable, so each map task
+    // reduces its n×k scored candidates to one row per vector before any
+    // shuffle (vs a window sort, which would shuffle all n×k rows). The dot
+    // is the fused codegen VecDot (float embedding × double centroid), not
+    // the zip_with lambda — same IEEE fold, ~6× less per-pair cost.
+    def assign(cents: DataFrame): DataFrame =
       base.crossJoin(broadcast(cents))
         .withColumn("sim",
-          aggregate(zip_with(col("embedding"), col("cvec"),
-            (x, y) => x.cast(DoubleType) * y), lit(0.0), (acc, x) => acc + x)
+          vecDot(spark, col("embedding"), col("cvec"))
             / (col("nrm") * col("cnrm")))
-        .select(col("vec_id"), col("cid"), col("sim"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid"))
-    }
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cid"), struct(col("sim"), -col("cid"))).as("cid"))
     val centroidAgg = org.apache.spark.sql.functions.udaf(
       new graft.functions.GraftFunctions.VecCentroid(64),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
@@ -197,8 +194,7 @@ object Vectors {
       .orderBy(col("qc_cos").desc, col("cid"))
     val probes = queries.crossJoin(broadcast(c2))
       .withColumn("qc_cos",
-        aggregate(zip_with(col("q_emb"), col("cvec"),
-          (x, y) => x.cast(DoubleType) * y), lit(0.0), (acc, x) => acc + x)
+        vecDot(spark, col("q_emb"), col("cvec"))
           / (col("q_nrm") * col("cnrm")))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nprobe)
