@@ -79,12 +79,16 @@ object InfluxQL {
 
   private val AggRe =
     """(?i)^(mean|sum|count|min|max|first|last|spread|stddev|median)\(\s*"?(\w+)"?\s*\)(?:\s+AS\s+(\w+))?$""".r
+  private val CountDistinctRe =
+    """(?i)^count\(\s*distinct\(\s*"?(\w+)"?\s*\)\s*\)(?:\s+AS\s+(\w+))?$""".r
   private val PercRe =
     """(?i)^percentile\(\s*"?(\w+)"?\s*,\s*([0-9.]+)\s*\)(?:\s+AS\s+(\w+))?$""".r
   private val SelRe =
     """(?i)^(top|bottom)\(\s*"?(\w+)"?\s*,\s*(\d+)\s*\)(?:\s+AS\s+(\w+))?$""".r
   private val TransRe =
-    """(?i)^(derivative|non_negative_derivative|difference|moving_average|cumulative_sum)\((.+)\)(?:\s+AS\s+(\w+))?$""".r
+    ("""(?i)^(derivative|non_negative_derivative|difference|""" +
+      """non_negative_difference|moving_average|cumulative_sum)""" +
+      """\((.+)\)(?:\s+AS\s+(\w+))?$""").r
   private val TransArgRe = """^\d+[smhd]?$""".r
   private val RawRe = """(?i)^"?(\w+)"?(?:\s+AS\s+(\w+))?$""".r
   private val CondRe = """(?i)^\s*"?(\w+)"?\s*(<=|>=|!=|=|<|>)\s*(?:'([^']*)'|(-?[0-9.]+))\s*$""".r
@@ -106,6 +110,7 @@ object InfluxQL {
   }
 
   private def parseField(q: String, item: String): Field = item match {
+    case CountDistinctRe(f, al) => Agg("count_distinct", f, Option(al))
     case AggRe(fn, f, al) => Agg(fn.toLowerCase, f, Option(al))
     case PercRe(f, p, al) => Agg("percentile", f, Option(al), Some(p.toDouble))
     case SelRe(fn, f, n, al) => Selector(fn.toLowerCase, f, n.toInt, Option(al))
@@ -124,7 +129,8 @@ object InfluxQL {
       val fnl = fn.toLowerCase
       if (fnl == "moving_average" && !arg.exists(_.forall(_.isDigit)))
         fail(q, "moving_average requires an integer window size")
-      if ((fnl == "difference" || fnl == "cumulative_sum") && arg.nonEmpty)
+      if (Set("difference", "non_negative_difference",
+          "cumulative_sum").contains(fnl) && arg.nonEmpty)
         fail(q, s"$fnl takes no argument")
       Transform(fnl, inner, arg, Option(al))
     case RawRe(f, al) => Raw(f, Option(al))
@@ -160,6 +166,7 @@ object InfluxQL {
     def f(fl: Field): String = (fl match {
       case Raw(n, _) => n
       case Agg("percentile", n, _, Some(p)) => s"percentile($n, ${num(p)})"
+      case Agg("count_distinct", n, _, _) => s"count(distinct($n))"
       case Agg(fn, n, _, _) => s"$fn($n)"
       case Selector(fn, n, k, _) => s"$fn($n, $k)"
       case Transform(fn, inner, arg, _) =>
@@ -217,6 +224,7 @@ object InfluxQL {
       case "min" => min(c)
       case "max" => max(c)
       // earliest/latest point's value; (time, value) tiebreak for determinism
+      case "count_distinct" => count_distinct(c)
       case "first" => min_by(c, struct(col("time"), c))
       case "last" => max_by(c, struct(col("time"), c))
       case "spread" => max(c) - min(c)
@@ -275,7 +283,9 @@ object InfluxQL {
               .cast(DoubleType) / lit(1e6)
           val d = (x - lag(x, 1).over(w)) * lit(unit) / dtSec
           if (t.fn == "derivative") d else when(d >= 0, d)
-        case "difference" => x - lag(x, 1).over(w)
+        case "difference" | "non_negative_difference" =>
+          val d = x - lag(x, 1).over(w)
+          if (t.fn == "difference") d else when(d >= 0, d)
         case "cumulative_sum" =>
           sum(x.cast(DecimalType(38, 6)))
             .over(w.rowsBetween(Window.unboundedPreceding, 0))
@@ -356,9 +366,9 @@ object InfluxQL {
           .agg(aggs.head |> aggCol, aggs.tail.map(aggCol): _*)
           .withColumn("time", col("w.start")).drop("w")
         p.fill match {
-          case Some("previous") | Some("0") =>
+          case Some("previous") | Some("0") | Some("null") | Some("linear") =>
             fillBuckets(spark, base, agged, p, n, u)
-          case _ => agged
+          case _ => agged // fill(none) / no fill: only non-empty buckets
         }
     }
     applyLimit(projected, p)
@@ -419,17 +429,38 @@ object InfluxQL {
     val joined = keyed.join(agged, "time" +: p.groupTags, "left_outer")
     val valueCols = agged.columns.filterNot(c =>
       c == "time" || p.groupTags.contains(c))
+    import org.apache.spark.sql.expressions.Window
+    val wPrev = Window.partitionBy(p.groupTags.map(col): _*)
+      .orderBy(col("time")).rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.partitionBy(p.groupTags.map(col): _*)
+      .orderBy(col("time")).rowsBetween(0, Window.unboundedFollowing)
     p.fill match {
       case Some("0") =>
         valueCols.foldLeft(joined)((df, c) =>
           df.withColumn(c, coalesce(col(c), lit(0))))
+      case Some("null") => joined // densify only; empty buckets stay null
+      case Some("linear") =>
+        // interpolate strictly between two known points per series
+        // (leading/trailing nulls stay null, as InfluxDB's fill(linear));
+        // the µs-long deltas divide in double — one IEEE sequence, mirrored
+        // verbatim by the DuckDB oracle
+        valueCols.foldLeft(joined) { (df, c) =>
+          val v = col(c)
+          val prevV = last(v, ignoreNulls = true).over(wPrev)
+          val prevT = last(when(v.isNotNull, col("time")), ignoreNulls = true)
+            .over(wPrev)
+          val nextV = first(v, ignoreNulls = true).over(wNext)
+          val nextT = first(when(v.isNotNull, col("time")), ignoreNulls = true)
+            .over(wNext)
+          df.withColumn(c, when(v.isNotNull, v).otherwise(
+            when(prevV.isNotNull && nextV.isNotNull,
+              prevV + (nextV - prevV) *
+                ((unix_micros(col("time")) - unix_micros(prevT)) /
+                  (unix_micros(nextT) - unix_micros(prevT))))))
+        }
       case _ => // previous
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(p.groupTags.map(col): _*)
-          .orderBy(col("time"))
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
         valueCols.foldLeft(joined)((df, c) =>
-          df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+          df.withColumn(c, last(col(c), ignoreNulls = true).over(wPrev)))
     }
   }
 

@@ -59,6 +59,23 @@ object InfluxQlOps {
       "WHERE time >= '2024-01-01 00:00:00' AND time <= '2024-01-04 00:00:00' " +
       "GROUP BY time(12h) fill(previous)"
 
+  private val FillLinearQ =
+    "SELECT mean(value) AS mv FROM events " +
+      "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-05 00:00:00' " +
+      "GROUP BY time(6h), user_id fill(linear)"
+
+  private val FillNullQ =
+    "SELECT count(value) AS n FROM events " +
+      "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-03 00:00:00' " +
+      "GROUP BY time(12h), event_type fill(null)"
+
+  private val NnDiffQ =
+    "SELECT non_negative_difference(max(value)) AS d FROM events " +
+      "GROUP BY time(1d), event_type"
+
+  private val CountDistinctQ =
+    "SELECT count(distinct(user_id)) AS u FROM events GROUP BY time(1d)"
+
   // -- the transform/selector function surface (InfluxDB series functions) --
 
   private val DerivQ =
@@ -115,6 +132,10 @@ object InfluxQlOps {
     "influxql_limit" -> run(LimitQ) _,
     "influxql_limit_series" -> run(LimitSeriesQ) _,
     "influxql_fill_boundary" -> run(FillBoundaryQ) _,
+    "influxql_fill_linear" -> run(FillLinearQ) _,
+    "influxql_fill_null" -> run(FillNullQ) _,
+    "influxql_nn_difference" -> run(NnDiffQ) _,
+    "influxql_count_distinct" -> run(CountDistinctQ) _,
     "influxql_derivative" -> run(DerivQ) _,
     "influxql_difference" -> run(DiffQ) _,
     "influxql_moving_average" -> run(MovAvgQ) _,
@@ -224,6 +245,77 @@ object InfluxQlOps {
          |FROM (SELECT s.time, a.mean_value
          |      FROM spine s LEFT JOIN agg a ON a.time = s.time)
          |${orderAll("time", "mean_value")}""".stripMargin,
+    "influxql_fill_linear" ->
+      s"""WITH f AS (
+         |  SELECT CAST(ts AS TIMESTAMP) AS t, user_id, value FROM events
+         |  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01 00:00:00'
+         |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-05 00:00:00'),
+         |agg AS (
+         |  SELECT ${sqlBucket("t", 21600)} AS time, user_id,
+         |    ${sqlDavg("value")} AS mv
+         |  FROM f GROUP BY 1, 2),
+         |spine AS (
+         |  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+         |    TIMESTAMP '2024-01-04 18:00:00', INTERVAL 6 HOUR)) AS time),
+         |grid AS (SELECT s.time, u.user_id FROM spine s
+         |  CROSS JOIN (SELECT DISTINCT user_id FROM f) u),
+         |j AS (SELECT g.time, g.user_id, a.mv FROM grid g
+         |  LEFT JOIN agg a ON a.time = g.time AND a.user_id = g.user_id),
+         |w AS (
+         |  SELECT time, user_id, mv,
+         |    LAST_VALUE(mv IGNORE NULLS) OVER wp AS pv,
+         |    LAST_VALUE(CASE WHEN mv IS NOT NULL THEN time END IGNORE NULLS)
+         |      OVER wp AS pt,
+         |    FIRST_VALUE(mv IGNORE NULLS) OVER wn AS nv,
+         |    FIRST_VALUE(CASE WHEN mv IS NOT NULL THEN time END IGNORE NULLS)
+         |      OVER wn AS nt
+         |  FROM j WINDOW
+         |    wp AS (PARTITION BY user_id ORDER BY time
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |    wn AS (PARTITION BY user_id ORDER BY time
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT time, user_id,
+         |  CASE WHEN mv IS NOT NULL THEN mv
+         |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+         |         pv + (nv - pv) * ((epoch_us(time) - epoch_us(pt)) /
+         |           (epoch_us(nt) - epoch_us(pt)))
+         |  END AS mv
+         |FROM w
+         |${orderAll("time", "user_id", "mv")}""".stripMargin,
+    "influxql_fill_null" ->
+      s"""WITH f AS (
+         |  SELECT CAST(ts AS TIMESTAMP) AS t, event_type, value FROM events
+         |  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01 00:00:00'
+         |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-03 00:00:00'),
+         |agg AS (
+         |  SELECT ${sqlBucket("t", 43200)} AS time, event_type,
+         |    COUNT(value) AS n
+         |  FROM f GROUP BY 1, 2),
+         |spine AS (
+         |  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+         |    TIMESTAMP '2024-01-02 12:00:00', INTERVAL 12 HOUR)) AS time),
+         |grid AS (SELECT s.time, e.event_type FROM spine s
+         |  CROSS JOIN (SELECT DISTINCT event_type FROM f) e)
+         |SELECT * FROM (
+         |  SELECT g.time, g.event_type, a.n FROM grid g
+         |  LEFT JOIN agg a ON a.time = g.time AND a.event_type = g.event_type)
+         |${orderAll("time", "event_type", "n")}""".stripMargin,
+    "influxql_nn_difference" ->
+      s"""WITH agg AS (
+         |  SELECT ${sqlBucket("CAST(ts AS TIMESTAMP)", 86400)} AS time,
+         |    event_type, MAX(value) AS x
+         |  FROM events GROUP BY 1, 2),
+         |d AS (
+         |  SELECT time, event_type,
+         |    x - lag(x) OVER (PARTITION BY event_type ORDER BY time) AS d
+         |  FROM agg)
+         |SELECT time, event_type, d FROM d WHERE d >= 0
+         |${orderAll("time", "event_type", "d")}""".stripMargin,
+    "influxql_count_distinct" ->
+      s"""SELECT ${sqlBucket("CAST(ts AS TIMESTAMP)", 86400)} AS time,
+         |  COUNT(DISTINCT user_id) AS u
+         |FROM events GROUP BY 1
+         |${orderAll("time", "u")}""".stripMargin,
     // -- transform/selector oracles: each re-derives the Spark translation
     //    verbatim (same IEEE op sequence) so the value hash is stable --
     "influxql_derivative" ->
