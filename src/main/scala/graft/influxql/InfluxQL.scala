@@ -53,6 +53,14 @@ object InfluxQL {
   /** top(f, n) / bottom(f, n) — n extreme points with their event times. */
   final case class Selector(fn: String, field: String, n: Int,
     alias: Option[String]) extends Field
+  /** elapsed(f[, unit]) — time since the previous point per series, as an
+    * integer count of `unit` (default 1s), on the RAW series. */
+  final case class Elapsed(field: String, arg: Option[String],
+    alias: Option[String]) extends Field
+  /** integral(f[, unit]) — trapezoidal area under the raw series per
+    * GROUP BY time() bucket (or whole range), in `unit` (default 1s). */
+  final case class Integral(field: String, arg: Option[String],
+    alias: Option[String]) extends Field
 
   /** One `col op literal` conjunct; value is a quoted string or a number. */
   final case class Cond(col: String, op: String, value: Either[String, Double])
@@ -85,6 +93,10 @@ object InfluxQL {
     """(?i)^percentile\(\s*"?(\w+)"?\s*,\s*([0-9.]+)\s*\)(?:\s+AS\s+(\w+))?$""".r
   private val SelRe =
     """(?i)^(top|bottom)\(\s*"?(\w+)"?\s*,\s*(\d+)\s*\)(?:\s+AS\s+(\w+))?$""".r
+  private val ElapsedRe =
+    """(?i)^elapsed\(\s*"?(\w+)"?(?:\s*,\s*(\d+[smhd]?))?\s*\)(?:\s+AS\s+(\w+))?$""".r
+  private val IntegralRe =
+    """(?i)^integral\(\s*"?(\w+)"?(?:\s*,\s*(\d+[smhd]?))?\s*\)(?:\s+AS\s+(\w+))?$""".r
   private val TransRe =
     ("""(?i)^(derivative|non_negative_derivative|difference|""" +
       """non_negative_difference|moving_average|cumulative_sum)""" +
@@ -114,6 +126,8 @@ object InfluxQL {
     case AggRe(fn, f, al) => Agg(fn.toLowerCase, f, Option(al))
     case PercRe(f, p, al) => Agg("percentile", f, Option(al), Some(p.toDouble))
     case SelRe(fn, f, n, al) => Selector(fn.toLowerCase, f, n.toInt, Option(al))
+    case ElapsedRe(f, arg, al) => Elapsed(f, Option(arg), Option(al))
+    case IntegralRe(f, arg, al) => Integral(f, Option(arg), Option(al))
     case TransRe(fn, content, al) =>
       // the last depth-0 comma separates an optional unit/size argument
       val parts = splitTop(content)
@@ -169,6 +183,8 @@ object InfluxQL {
       case Agg("count_distinct", n, _, _) => s"count(distinct($n))"
       case Agg(fn, n, _, _) => s"$fn($n)"
       case Selector(fn, n, k, _) => s"$fn($n, $k)"
+      case Elapsed(n, arg, _) => s"elapsed($n${arg.map(", " + _).getOrElse("")})"
+      case Integral(n, arg, _) => s"integral($n${arg.map(", " + _).getOrElse("")})"
       case Transform(fn, inner, arg, _) =>
         s"$fn(${f(inner.copy(alias = None))}${arg.map(", " + _).getOrElse("")})"
     }) + fl.alias.map(" AS " + _).getOrElse("")
@@ -325,6 +341,64 @@ object InfluxQL {
     }
   }
 
+  /** elapsed(): integer count of `unit` since the previous RAW point, per
+    * series — one shuffle on the tag key (or a single global sort when
+    * ungrouped, which is the InfluxDB single-series shape). The first point
+    * of each series has no predecessor and is dropped, as InfluxDB drops it.
+    * Ties on time are ordered by value for cross-engine determinism. */
+  private def runElapsed(base: DataFrame, p: Query, e: Elapsed): DataFrame = {
+    val unitUs = durSec(e.arg.getOrElse("1s")) * 1000000L
+    val out = e.alias.getOrElse("elapsed")
+    base
+      .withColumn(out,
+        expr(s"(unix_micros(time) - lag(unix_micros(time)) OVER (" +
+          s"${if (p.groupTags.isEmpty) "" else
+            s"PARTITION BY ${p.groupTags.mkString(", ")} "}" +
+          s"ORDER BY time, ${e.field})) DIV $unitUs"))
+      .filter(col(out).isNotNull)
+      .select((col("time") +: p.groupTags.map(col)) :+ col(out): _*)
+  }
+
+  /** integral(): trapezoidal area under the raw series in `unit` seconds
+    * (default 1s), summed per GROUP BY time() bucket (or globally). Each
+    * consecutive-pair segment belongs to the bucket of its RIGHT endpoint;
+    * the per-bucket sum accumulates in decimal (order-independent, so the
+    * plan is partial-aggregable and the DuckDB oracle hash-matches). */
+  private def runIntegral(base: DataFrame, p: Query, itg: Integral): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val unitSec = durSec(itg.arg.getOrElse("1s")).toDouble
+    val w = Window.partitionBy(p.groupTags.map(col): _*)
+      .orderBy(col("time"), col(itg.field))
+    val v = col(itg.field)
+    val segRaw = ((v + lag(v, 1).over(w)) / lit(2.0)) *
+      ((unix_micros(col("time")) -
+        lag(unix_micros(col("time")), 1).over(w)).cast("double") / lit(1e6)) /
+      lit(unitSec)
+    // snap each segment to the 6-dp grid via floor (bit-identical in every
+    // IEEE engine) BEFORE the decimal accumulation — a raw double landing
+    // exactly on a decimal rounding boundary would otherwise quantize
+    // differently between Spark and the DuckDB oracle
+    val seg = floor(segRaw * lit(1e6) + lit(0.5)) / lit(1e6)
+    val out = itg.alias.getOrElse("integral")
+    val withSeg = base.withColumn("__seg", seg)
+    p.timeBucket match {
+      case Some((n, u)) =>
+        val win = window(col("time"), s"$n ${Units(u)}")
+        withSeg.groupBy(win.as("w") +: p.groupTags.map(col): _*)
+          .agg(Tables.dsum(col("__seg")).as(out))
+          .withColumn("time", col("w.start")).drop("w")
+          .filter(col(out).isNotNull)
+          .select((col("time") +: p.groupTags.map(col)) :+ col(out): _*)
+      case None =>
+        val grouped =
+          if (p.groupTags.isEmpty) withSeg.groupBy()
+          else withSeg.groupBy(p.groupTags.map(col): _*)
+        grouped.agg(Tables.dsum(col("__seg")).as(out))
+          .filter(col(out).isNotNull)
+          .select(p.groupTags.map(col) :+ col(out): _*)
+    }
+  }
+
   /** Translate and run `q` against `source` — a measurement frame whose
     * event-time column is named `time` (the [[graft.store.MeasurementStore]]
     * read shape). */
@@ -333,6 +407,16 @@ object InfluxQL {
     val base = p.conds.foldLeft(source)((df, c) => df.filter(condCol(c)))
     val sels = p.fields.collect { case s: Selector => s }
     val transforms = p.fields.collect { case t: Transform => t }
+    p.fields.collectFirst { case e: Elapsed => e }.foreach { e =>
+      if (p.fields.size != 1) fail(q, "elapsed must be the only select item")
+      if (p.timeBucket.nonEmpty)
+        fail(q, "elapsed works on the raw series, not GROUP BY time()")
+      return applyLimit(runElapsed(base, p, e), p)
+    }
+    p.fields.collectFirst { case i: Integral => i }.foreach { i =>
+      if (p.fields.size != 1) fail(q, "integral must be the only select item")
+      return applyLimit(runIntegral(base, p, i), p)
+    }
     if (sels.nonEmpty) {
       if (p.fields.size != 1) fail(q, "top/bottom must be the only select item")
       if (p.timeBucket.nonEmpty)
@@ -379,6 +463,9 @@ object InfluxQL {
     * (per tag combination) — a per-tag row_number filter, one shuffle on
     * the tag key — not the global row count. */
   private def applyLimit(projected: DataFrame, p: Query): DataFrame = {
+    // time-less shapes (global aggregation): nothing to order on
+    if (!projected.columns.contains("time"))
+      return p.limit.map(projected.limit).getOrElse(projected)
     val key = if (p.orderDesc) col("time").desc else col("time").asc
     val rest = projected.columns.filter(_ != "time").map(col).toSeq
     p.limit match {

@@ -76,6 +76,19 @@ object InfluxQlOps {
   private val CountDistinctQ =
     "SELECT count(distinct(user_id)) AS u FROM events GROUP BY time(1d)"
 
+  // time since the previous point per series, in whole minutes
+  private val ElapsedQ =
+    "SELECT elapsed(value, 1m) AS gap FROM events " +
+      "WHERE time >= '2024-01-02 00:00:00' AND time < '2024-01-03 00:00:00' " +
+      "GROUP BY event_type"
+
+  // trapezoidal integral per day, in value·hours — the metering volume
+  // query shape (reference pulses → volume, get_hot_intake_interval.py)
+  private val IntegralQ =
+    "SELECT integral(value, 1h) AS vol FROM events " +
+      "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-08 00:00:00' " +
+      "GROUP BY time(1d), event_type"
+
   // -- the transform/selector function surface (InfluxDB series functions) --
 
   private val DerivQ =
@@ -136,6 +149,8 @@ object InfluxQlOps {
     "influxql_fill_null" -> run(FillNullQ) _,
     "influxql_nn_difference" -> run(NnDiffQ) _,
     "influxql_count_distinct" -> run(CountDistinctQ) _,
+    "influxql_elapsed" -> run(ElapsedQ) _,
+    "influxql_integral" -> run(IntegralQ) _,
     "influxql_derivative" -> run(DerivQ) _,
     "influxql_difference" -> run(DiffQ) _,
     "influxql_moving_average" -> run(MovAvgQ) _,
@@ -316,6 +331,35 @@ object InfluxQlOps {
          |  COUNT(DISTINCT user_id) AS u
          |FROM events GROUP BY 1
          |${orderAll("time", "u")}""".stripMargin,
+    "influxql_elapsed" ->
+      s"""WITH f AS (
+         |  SELECT CAST(ts AS TIMESTAMP) AS time, event_type, value FROM events
+         |  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-02 00:00:00'
+         |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-03 00:00:00'),
+         |e AS (
+         |  SELECT time, event_type,
+         |    (epoch_us(time) - lag(epoch_us(time)) OVER (
+         |      PARTITION BY event_type ORDER BY time, value)) // 60000000
+         |      AS gap
+         |  FROM f)
+         |SELECT time, event_type, gap FROM e WHERE gap IS NOT NULL
+         |${orderAll("time", "event_type", "gap")}""".stripMargin,
+    "influxql_integral" ->
+      s"""WITH f AS (
+         |  SELECT CAST(ts AS TIMESTAMP) AS t, event_type, value FROM events
+         |  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01 00:00:00'
+         |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-08 00:00:00'),
+         |seg AS (
+         |  SELECT ${sqlBucket("t", 86400)} AS time, event_type,
+         |    floor((((value + lag(value) OVER w) / 2.0) *
+         |      (CAST(epoch_us(t) - lag(epoch_us(t)) OVER w AS DOUBLE) / 1e6)
+         |      / 3600.0) * 1e6 + 0.5) / 1e6 AS s
+         |  FROM f WINDOW w AS (PARTITION BY event_type ORDER BY t, value))
+         |SELECT * FROM (
+         |  SELECT time, event_type, ${sqlDsum("s")} AS vol
+         |  FROM seg GROUP BY time, event_type)
+         |WHERE vol IS NOT NULL
+         |${orderAll("time", "event_type", "vol")}""".stripMargin,
     // -- transform/selector oracles: each re-derives the Spark translation
     //    verbatim (same IEEE op sequence) so the value hash is stable --
     "influxql_derivative" ->

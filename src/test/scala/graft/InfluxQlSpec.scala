@@ -35,7 +35,7 @@ class InfluxQlSpec extends SparkTestBase {
       Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
     val agg = for {
       fn <- Gen.oneOf("mean", "sum", "count", "min", "max", "first", "last",
-        "spread", "stddev", "median")
+        "spread", "stddev", "median", "count_distinct")
       n <- ident
     } yield InfluxQL.Agg(fn, n, None)
     val perc = for {
@@ -49,15 +49,21 @@ class InfluxQlSpec extends SparkTestBase {
             .map { case (n, u) => s"$n$u" })),
         Gen.zip(Gen.const("moving_average"),
           Gen.chooseNum(2, 12).map(n => Option(n.toString))),
-        Gen.zip(Gen.oneOf("difference", "cumulative_sum"),
-          Gen.const(Option.empty[String])))
+        Gen.zip(Gen.oneOf("difference", "non_negative_difference",
+          "cumulative_sum"), Gen.const(Option.empty[String])))
       a <- Gen.option(ident)
     } yield InfluxQL.Transform(fnArg._1, inner, fnArg._2, a)
+    val rawArg = Gen.option(Gen.zip(Gen.chooseNum(1, 60),
+      Gen.oneOf("s", "m", "h")).map { case (n, u) => s"$n$u" })
+    val elapsed = Gen.zip(ident, rawArg, Gen.option(ident))
+      .map { case (n, g, a) => InfluxQL.Elapsed(n, g, a) }
+    val integral = Gen.zip(ident, rawArg, Gen.option(ident))
+      .map { case (n, g, a) => InfluxQL.Integral(n, g, a) }
     val field = Gen.oneOf(
       Gen.zip(ident, Gen.option(ident)).map { case (n, a) => InfluxQL.Raw(n, a) },
       Gen.zip(agg, Gen.option(ident)).map { case (g, a) => g.copy(alias = a) },
       Gen.zip(perc, Gen.option(ident)).map { case (g, a) => g.copy(alias = a) },
-      transform)
+      transform, elapsed, integral)
     val cond = for {
       c <- Gen.oneOf(ident, Gen.const("time"))
       op <- Gen.oneOf("=", "!=", "<", "<=", ">", ">=")
@@ -72,7 +78,7 @@ class InfluxQlSpec extends SparkTestBase {
       bucket <- Gen.option(Gen.zip(Gen.chooseNum(1, 48),
         Gen.oneOf("s", "m", "h", "d")))
       tags <- Gen.listOf(ident).map(_.take(2).distinct)
-      fill <- Gen.option(Gen.oneOf("previous", "0", "none"))
+      fill <- Gen.option(Gen.oneOf("previous", "0", "none", "null", "linear"))
       desc <- Gen.oneOf(true, false)
       limit <- Gen.option(Gen.chooseNum(1, 9999))
       into <- Gen.option(ident)
