@@ -74,7 +74,11 @@ object InfluxQL {
     fill: Option[String],
     orderDesc: Boolean,
     limit: Option[Int],
-    into: Option[String] = None)
+    into: Option[String] = None,
+    offset: Option[Int] = None,   // skip points (per series with group tags)
+    slimit: Option[Int] = None,   // cap number of series
+    soffset: Option[Int] = None,  // skip series
+    sub: Option[Query] = None)    // FROM (SELECT ...) subquery
 
   private val SelectRe =
     ("""(?is)^\s*SELECT\s+(.+?)""" +
@@ -83,7 +87,8 @@ object InfluxQL {
       """(?:\s+GROUP\s+BY\s+(.+?))?""" +
       """(?:\s+fill\((\w+)\))?""" +
       """(?:\s+ORDER\s+BY\s+time(\s+DESC)?)?""" +
-      """(?:\s+LIMIT\s+(\d+))?\s*;?\s*$""").r
+      """(?:\s+LIMIT\s+(\d+))?(?:\s+OFFSET\s+(\d+))?""" +
+      """(?:\s+SLIMIT\s+(\d+))?(?:\s+SOFFSET\s+(\d+))?\s*;?\s*$""").r
 
   private val AggRe =
     """(?i)^(mean|sum|count|min|max|first|last|spread|stddev|median)\(\s*"?(\w+)"?\s*\)(?:\s+AS\s+(\w+))?$""".r
@@ -151,22 +156,57 @@ object InfluxQL {
     case other => fail(q, s"unsupported select item '$other'")
   }
 
-  def parse(q: String): Query = q match {
-    case SelectRe(fieldsS, intoS, meas, whereS, groupS, fillS, descS, limitS) =>
-      val fields = splitTop(fieldsS).map(parseField(q, _))
-      val conds = Option(whereS).toSeq.flatMap(_.split("(?i)\\s+AND\\s+").toSeq).map {
-        case CondRe(c, op, s, n) =>
-          Cond(c, op, if (s != null) Left(s) else Right(n.toDouble))
-        case other => fail(q, s"unsupported condition '$other'")
-      }
-      var bucket: Option[(Int, String)] = None
-      val tags = Option(groupS).toSeq.flatMap(_.split(",").map(_.trim).toSeq).flatMap {
-        case TimeRe(n, u) => bucket = Some((n.toInt, u)); None
-        case t => Some(t.stripPrefix("\"").stripSuffix("\""))
-      }
-      Query(fields, meas, conds, bucket, tags, Option(fillS).map(_.toLowerCase),
-        descS != null, Option(limitS).map(_.toInt), Option(intoS))
-    case _ => fail(q, "not a supported InfluxQL SELECT")
+  /** Pull a `FROM (SELECT ...)` subquery out of `q`: returns the outer text
+    * with the parenthesized block replaced by a placeholder measurement,
+    * plus the inner text. The scan finds the first depth-0 `FROM (` token,
+    * so select-item parens (percentile, transforms) don't confuse it. */
+  private def extractSub(q: String): (String, Option[String]) = {
+    val m = """(?i)\bFROM\s*\(""".r.findFirstMatchIn(q)
+    m match {
+      case Some(hit) =>
+        val open = hit.end - 1
+        var depth = 0
+        var close = -1
+        var i = open
+        while (i < q.length && close < 0) {
+          q(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) close = i
+            case _ => ()
+          }
+          i += 1
+        }
+        if (close < 0) fail(q, "unbalanced parens in FROM subquery")
+        val inner = q.substring(open + 1, close)
+        val outer = q.substring(0, hit.start) + " FROM __sub " +
+          q.substring(close + 1)
+        (outer, Some(inner))
+      case None => (q, None)
+    }
+  }
+
+  def parse(q: String): Query = {
+    val (outerText, subText) = extractSub(q)
+    outerText match {
+      case SelectRe(fieldsS, intoS, meas, whereS, groupS, fillS, descS,
+          limitS, offS, slimS, soffS) =>
+        val fields = splitTop(fieldsS).map(parseField(q, _))
+        val conds = Option(whereS).toSeq.flatMap(_.split("(?i)\\s+AND\\s+").toSeq).map {
+          case CondRe(c, op, s, n) =>
+            Cond(c, op, if (s != null) Left(s) else Right(n.toDouble))
+          case other => fail(q, s"unsupported condition '$other'")
+        }
+        var bucket: Option[(Int, String)] = None
+        val tags = Option(groupS).toSeq.flatMap(_.split(",").map(_.trim).toSeq).flatMap {
+          case TimeRe(n, u) => bucket = Some((n.toInt, u)); None
+          case t => Some(t.stripPrefix("\"").stripSuffix("\""))
+        }
+        Query(fields, meas, conds, bucket, tags, Option(fillS).map(_.toLowerCase),
+          descS != null, Option(limitS).map(_.toInt), Option(intoS),
+          Option(offS).map(_.toInt), Option(slimS).map(_.toInt),
+          Option(soffS).map(_.toInt), subText.map(parse))
+      case _ => fail(q, "not a supported InfluxQL SELECT")
+    }
   }
 
   private def fail(q: String, why: String): Nothing =
@@ -196,12 +236,16 @@ object InfluxQL {
     val grpItems = q.timeBucket.map { case (n, u) => s"time($n$u)" }.toSeq ++
       q.groupTags
     val grp = if (grpItems.isEmpty) "" else " GROUP BY " + grpItems.mkString(", ")
+    val from = q.sub.map(s => s"(${print(s)})").getOrElse(q.measurement)
     s"SELECT ${q.fields.map(f).mkString(", ")}" +
       q.into.map(t => s" INTO $t").getOrElse("") +
-      s" FROM ${q.measurement}$where$grp" +
+      s" FROM $from$where$grp" +
       q.fill.map(x => s" fill($x)").getOrElse("") +
       (if (q.orderDesc) " ORDER BY time DESC" else "") +
-      q.limit.map(n => s" LIMIT $n").getOrElse("")
+      q.limit.map(n => s" LIMIT $n").getOrElse("") +
+      q.offset.map(n => s" OFFSET $n").getOrElse("") +
+      q.slimit.map(n => s" SLIMIT $n").getOrElse("") +
+      q.soffset.map(n => s" SOFFSET $n").getOrElse("")
   }
 
   private val Units = Map("s" -> "seconds", "m" -> "minutes",
@@ -402,9 +446,14 @@ object InfluxQL {
   /** Translate and run `q` against `source` — a measurement frame whose
     * event-time column is named `time` (the [[graft.store.MeasurementStore]]
     * read shape). */
-  def run(spark: SparkSession, source: DataFrame, q: String): DataFrame = {
-    val p = parse(q)
-    val base = p.conds.foldLeft(source)((df, c) => df.filter(condCol(c)))
+  def run(spark: SparkSession, source: DataFrame, q: String): DataFrame =
+    runParsed(spark, source, parse(q), q)
+
+  private def runParsed(spark: SparkSession, source: DataFrame, p: Query,
+    q: String): DataFrame = {
+    // FROM (SELECT ...): the inner query's result is the outer's measurement
+    val in = p.sub.map(s => runParsed(spark, source, s, q)).getOrElse(source)
+    val base = p.conds.foldLeft(in)((df, c) => df.filter(condCol(c)))
     val sels = p.fields.collect { case s: Selector => s }
     val transforms = p.fields.collect { case t: Transform => t }
     p.fields.collectFirst { case e: Elapsed => e }.foreach { e =>
@@ -459,25 +508,44 @@ object InfluxQL {
   }
 
   /** InfluxDB result shaping: ORDER BY time DESC applies whether or not a
-    * LIMIT is present, and with GROUP BY tags LIMIT caps points per series
-    * (per tag combination) — a per-tag row_number filter, one shuffle on
-    * the tag key — not the global row count. */
+    * LIMIT is present; with GROUP BY tags, LIMIT/OFFSET cap and skip points
+    * per series (per tag combination) — a per-tag row_number filter, one
+    * shuffle on the tag key — not the global row count. SLIMIT/SOFFSET
+    * page through the series themselves (lexical tag order): the distinct
+    * tag set is tiny, so it pages on the driver-estimated small frame and
+    * broadcast-semi-joins back — never a global sort of the data. */
   private def applyLimit(projected: DataFrame, p: Query): DataFrame = {
+    val afterSeries =
+      if ((p.slimit.isEmpty && p.soffset.isEmpty) || p.groupTags.isEmpty)
+        projected
+      else {
+        var series = projected.select(p.groupTags.map(col): _*).distinct()
+          .orderBy(p.groupTags.map(c => col(c).asc): _*)
+        p.soffset.foreach(n => series = series.offset(n))
+        p.slimit.foreach(n => series = series.limit(n))
+        projected.join(broadcast(series), p.groupTags, "left_semi")
+      }
     // time-less shapes (global aggregation): nothing to order on
-    if (!projected.columns.contains("time"))
-      return p.limit.map(projected.limit).getOrElse(projected)
+    if (!afterSeries.columns.contains("time"))
+      return p.limit.map(afterSeries.limit).getOrElse(afterSeries)
     val key = if (p.orderDesc) col("time").desc else col("time").asc
-    val rest = projected.columns.filter(_ != "time").map(col).toSeq
-    p.limit match {
-      case Some(n) if p.groupTags.nonEmpty =>
+    val rest = afterSeries.columns.filter(_ != "time").map(col).toSeq
+    val off = p.offset.getOrElse(0)
+    (p.limit, p.offset) match {
+      case (None, None) =>
+        if (p.orderDesc) afterSeries.orderBy(key +: rest: _*) else afterSeries
+      case (lim, _) if p.groupTags.nonEmpty =>
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(p.groupTags.map(col): _*).orderBy(key)
-        projected.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") <= n).drop("__rn")
+        afterSeries.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") > off &&
+            lim.map(l => col("__rn") <= off + l).getOrElse(lit(true)))
+          .drop("__rn")
           .orderBy(key +: rest: _*)
-      case Some(n) => projected.orderBy(key +: rest: _*).limit(n)
-      case None if p.orderDesc => projected.orderBy(key +: rest: _*)
-      case None => projected
+      case (lim, _) =>
+        val sorted = afterSeries.orderBy(key +: rest: _*)
+        val skipped = if (off > 0) sorted.offset(off) else sorted
+        lim.map(skipped.limit).getOrElse(skipped)
     }
   }
 

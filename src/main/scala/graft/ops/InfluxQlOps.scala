@@ -89,6 +89,22 @@ object InfluxQlOps {
       "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-08 00:00:00' " +
       "GROUP BY time(1d), event_type"
 
+  // classic InfluxDB subquery shape: peak of the per-user daily means
+  private val SubqueryQ =
+    "SELECT max(mv) AS peak FROM " +
+      "(SELECT mean(value) AS mv FROM events GROUP BY time(1d), user_id) " +
+      "GROUP BY time(1d)"
+
+  // point pagination: second page of the newest hourly counts
+  private val OffsetQ =
+    "SELECT count(value) AS n FROM events GROUP BY time(1h) " +
+      "ORDER BY time DESC LIMIT 24 OFFSET 24"
+
+  // series pagination: users ranked 3..7 in tag order
+  private val SlimitQ =
+    "SELECT count(value) AS n FROM events GROUP BY time(1d), user_id " +
+      "SLIMIT 5 SOFFSET 2"
+
   // -- the transform/selector function surface (InfluxDB series functions) --
 
   private val DerivQ =
@@ -151,6 +167,9 @@ object InfluxQlOps {
     "influxql_count_distinct" -> run(CountDistinctQ) _,
     "influxql_elapsed" -> run(ElapsedQ) _,
     "influxql_integral" -> run(IntegralQ) _,
+    "influxql_subquery" -> run(SubqueryQ) _,
+    "influxql_offset" -> run(OffsetQ) _,
+    "influxql_slimit" -> run(SlimitQ) _,
     "influxql_derivative" -> run(DerivQ) _,
     "influxql_difference" -> run(DiffQ) _,
     "influxql_moving_average" -> run(MovAvgQ) _,
@@ -331,6 +350,31 @@ object InfluxQlOps {
          |  COUNT(DISTINCT user_id) AS u
          |FROM events GROUP BY 1
          |${orderAll("time", "u")}""".stripMargin,
+    "influxql_subquery" ->
+      s"""WITH sub AS (
+         |  SELECT ${sqlBucket("CAST(ts AS TIMESTAMP)", 86400)} AS time,
+         |    user_id, ${sqlDavg("value")} AS mv
+         |  FROM events GROUP BY 1, 2)
+         |SELECT ${sqlBucket("time", 86400)} AS time, MAX(mv) AS peak
+         |FROM sub GROUP BY 1
+         |${orderAll("time", "peak")}""".stripMargin,
+    "influxql_offset" ->
+      s"""SELECT * FROM (
+         |  SELECT ${sqlBucket("CAST(ts AS TIMESTAMP)", 3600)} AS time,
+         |    COUNT(value) AS n
+         |  FROM events GROUP BY 1
+         |  ORDER BY time DESC LIMIT 24 OFFSET 24)
+         |${orderAll("time", "n")}""".stripMargin,
+    "influxql_slimit" ->
+      s"""WITH agg AS (
+         |  SELECT ${sqlBucket("CAST(ts AS TIMESTAMP)", 86400)} AS time,
+         |    user_id, COUNT(value) AS n
+         |  FROM events GROUP BY 1, 2),
+         |sel AS (SELECT DISTINCT user_id FROM agg
+         |        ORDER BY user_id LIMIT 5 OFFSET 2)
+         |SELECT time, user_id, n FROM agg
+         |WHERE user_id IN (SELECT user_id FROM sel)
+         |${orderAll("time", "user_id", "n")}""".stripMargin,
     "influxql_elapsed" ->
       s"""WITH f AS (
          |  SELECT CAST(ts AS TIMESTAMP) AS time, event_type, value FROM events

@@ -82,8 +82,11 @@ class InfluxQlSpec extends SparkTestBase {
       desc <- Gen.oneOf(true, false)
       limit <- Gen.option(Gen.chooseNum(1, 9999))
       into <- Gen.option(ident)
+      offset <- Gen.option(Gen.chooseNum(1, 999))
+      slimit <- Gen.option(Gen.chooseNum(1, 99))
+      soffset <- Gen.option(Gen.chooseNum(1, 99))
     } yield InfluxQL.Query(fields, meas, conds, bucket, tags, fill, desc,
-      limit, into)
+      limit, into, offset, slimit, soffset)
     val qs = (0 until 200).flatMap(i =>
       query.apply(Gen.Parameters.default, Seed(1234L + i)))
     assert(qs.size > 150, "generator drought")
@@ -95,6 +98,18 @@ class InfluxQlSpec extends SparkTestBase {
       Seq(InfluxQL.Selector("top", "value", 5, Some("v"))),
       "events", Nil, None, Seq("host"), None, orderDesc = false, None, None)
     assert(InfluxQL.parse(InfluxQL.print(sel)) == sel)
+    // subqueries round-trip too (the parsed outer measurement is the
+    // placeholder, so nest a generated inner under a canonical outer)
+    qs.take(40).foreach { innerQ =>
+      val inner = innerQ.copy(into = None)
+      val outer = InfluxQL.Query(
+        Seq(InfluxQL.Agg("max", "mv", Some("peak"))), "__sub",
+        Nil, Some((1, "d")), Nil, None, orderDesc = false, None, None,
+        sub = Some(inner))
+      val printed = InfluxQL.print(outer)
+      assert(InfluxQL.parse(printed) == outer,
+        s"subquery round-trip broke for: $printed")
+    }
   }
 
   test("derivative/difference/cumulative_sum match hand-built windows") {
