@@ -97,6 +97,71 @@ object Pipeline {
       .select(col("doc_id"), col("source"), col("rate_pct"), col("keep")))
   }
 
+  /** Benchmark decontamination — remove training documents that share any
+    * word 5-gram with the eval/holdout set (the contamination check every
+    * pre-training corpus runs against its benchmark suite). The eval set
+    * here is the deterministic holdout `doc_id % 97 = 0`. Scale shape: the
+    * eval side is benchmarks — tiny by construction — so its distinct gram
+    * set BROADCASTS and the training postings meet it map-side (semi-join);
+    * the corpus is never shuffled or self-joined. At 100 TB the only change
+    * is hashing grams to 8-byte keys (as dedup's cappedPosting does) to
+    * shrink the broadcast. Output: contaminated doc ids with the count of
+    * distinct shared grams. */
+  def pipelineDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[^a-z0-9']+"), t => t =!= "")
+    val withGrams = load(spark, dir, "documents")
+      .withColumn("t", toks)
+      .withColumn("grams", when(size(col("t")) >= 5,
+        array_distinct(transform(
+          sequence(lit(0), size(col("t")) - 5),
+          i => concat_ws(" ",
+            element_at(col("t"), i + 1),
+            element_at(col("t"), i + 2),
+            element_at(col("t"), i + 3),
+            element_at(col("t"), i + 4),
+            element_at(col("t"), i + 5)))))
+        .otherwise(array().cast("array<string>")))
+      .select(col("doc_id"), col("grams"))
+      // cache before explode: Generate re-evaluates the un-materialized
+      // transform() once per output row (see Dedup.shingled)
+      .cache()
+    val posting = withGrams
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+    val isEval = col("doc_id") % 97 === 0
+    val evalGrams = posting.filter(isEval).select(col("g")).distinct()
+    totalOrder(posting.filter(!isEval)
+      .join(broadcast(evalGrams), "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared")))
+  }
+
+  /** Intra-document repetition gate (the Gopher/RefinedWeb quality rule):
+    * a document wastes its token budget when its word 3-grams repeat —
+    * rep_ratio = 1 − distinct/total 3-grams; keep while ≤ 0.2. Pure per-row
+    * expression over the text: no shuffle, composes into the curation
+    * chain at any scale. */
+  def pipelineRepetitionFilter(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[^a-z0-9']+"), t => t =!= "")
+    totalOrder(load(spark, dir, "documents")
+      .withColumn("t", toks)
+      .withColumn("grams", when(size(col("t")) >= 3,
+        transform(
+          sequence(lit(0), size(col("t")) - 3),
+          i => concat_ws(" ",
+            element_at(col("t"), i + 1),
+            element_at(col("t"), i + 2),
+            element_at(col("t"), i + 3))))
+        .otherwise(array().cast("array<string>")))
+      .withColumn("n_grams", size(col("grams")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("grams"))).cast("long"))
+      .withColumn("rep_ratio",
+        when(col("n_grams") > 0,
+          lit(1.0) - col("n_distinct") / col("n_grams")).otherwise(lit(0.0)))
+      .withColumn("keep", col("rep_ratio") <= 0.2)
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+        col("rep_ratio"), col("keep")))
+  }
+
   private val EmailPat = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+"
   private val PhonePat = "\\b555-[0-9]{4}\\b"
 
@@ -131,10 +196,54 @@ object Pipeline {
     "pipeline_curate" -> pipelineCurate,
     "pipeline_pack_sequences" -> pipelinePackSequences,
     "pipeline_source_mix" -> pipelineSourceMix,
+    "pipeline_decontaminate" -> pipelineDecontaminate,
+    "pipeline_repetition_filter" -> pipelineRepetitionFilter,
     "sample_stratified" -> sampleStratified,
     "text_pii_scrub" -> textPiiScrub)
 
   val oracle: Map[String, String] = Map(
+    "pipeline_decontaminate" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+         |      x -> x <> '') AS t
+         |  FROM documents),
+         |p AS (
+         |  SELECT DISTINCT doc_id, g FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(generate_series(1, len(t) - 4),
+         |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+         |          t[i+3] || ' ' || t[i+4])) AS g
+         |    FROM t WHERE len(t) >= 5)),
+         |e AS (SELECT DISTINCT g FROM p WHERE doc_id % 97 = 0)
+         |SELECT doc_id, COUNT(*) AS n_shared
+         |FROM p WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM e)
+         |GROUP BY doc_id
+         |${orderAll("doc_id", "n_shared")}""".stripMargin,
+    "pipeline_repetition_filter" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+         |      x -> x <> '') AS t
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(t) >= 3 THEN
+         |      list_transform(generate_series(1, len(t) - 2),
+         |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         |    ELSE CAST([] AS VARCHAR[]) END AS grams
+         |  FROM t),
+         |m AS (
+         |  SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+         |    CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct
+         |  FROM g)
+         |SELECT doc_id, n_grams, n_distinct,
+         |  CASE WHEN n_grams > 0 THEN 1.0 - n_distinct / n_grams
+         |       ELSE 0.0 END AS rep_ratio,
+         |  (CASE WHEN n_grams > 0 THEN 1.0 - n_distinct / n_grams
+         |        ELSE 0.0 END) <= 0.2 AS keep
+         |FROM m
+         |${orderAll("doc_id", "n_grams", "n_distinct", "rep_ratio", "keep")}""".stripMargin,
     "pipeline_curate" ->
       s"""WITH survivors AS (
          |  SELECT doc_id, lang, source FROM (
