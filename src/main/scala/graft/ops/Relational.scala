@@ -225,9 +225,48 @@ object Relational {
       .agg(sum(col("n_chars")).as("total_chars"), count(lit(1)).as("n_docs"))
       .filter(col("total_chars") > 1000))
 
+  // ---- the spark.sql front door: literal ANSI SQL over registered views
+  // (the engine's second query surface next to the DataFrame API and
+  // InfluxQL; the SAME text runs in DuckDB, so the oracle is the query) ----
+
+  private val Q3Sql =
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |    AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+      |  o_orderdate, o_orderpriority
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority""".stripMargin
+
+  private val ExistsSql =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)""".stripMargin
+
+  /** TPC-H Q3 shape through `spark.sql` — shuffle joins with the filters
+    * pushed below them, decimal-accumulated revenue. */
+  def sqlQ3Shipping(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem")
+      .foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    totalOrder(spark.sql(Q3Sql))
+  }
+
+  /** Correlated EXISTS subquery through `spark.sql` — Catalyst rewrites it
+    * to a left-semi join (no per-row subquery execution). */
+  def sqlExistsSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders")
+      .foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    totalOrder(spark.sql(ExistsSql))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_q3_shipping" -> sqlQ3Shipping,
+    "sql_exists_subquery" -> sqlExistsSubquery,
     "q1_agg" -> q1Agg,
     "project_prune" -> projectPrune,
     "project_rename" -> projectRename,
@@ -252,6 +291,12 @@ object Relational {
     "agg_sum_filter" -> aggSumFilter)
 
   val oracle: Map[String, String] = Map(
+    "sql_q3_shipping" ->
+      s"""$Q3Sql
+         |${orderAll("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")}""".stripMargin,
+    "sql_exists_subquery" ->
+      s"""$ExistsSql
+         |${orderAll("c_custkey", "c_name")}""".stripMargin,
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${sqlDsum("l_quantity")} AS sum_qty,

@@ -162,6 +162,33 @@ object StreamingOps {
       .select(col("user_id"), col("event_id"), col("ts"), col("rate")))
   }
 
+  /** Watermarked stream-stream interval join (§2.8): attribute each
+    * purchase to the same user's clicks in the preceding 30 minutes — the
+    * canonical funnel/attribution join. Both sides carry event-time
+    * watermarks and the join has a bounded time-range condition, so state
+    * for expired intervals is dropped — the unbounded-deployment shape.
+    * Under AvailableNow the inner join emits exactly the batch join's rows,
+    * so the oracle is the equivalent batch SQL. */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val s = eventsStream(spark, dir)
+    val clicks = s.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = s.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+    totalOrder(runToTable(joined, OutputMode.Append())
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us")))
+  }
+
   // ------------------- streaming CSV ingest (the production loop, §2.8) ---
 
   /** The reference's actual production loop (loader.py:32-86: watch a
@@ -231,7 +258,8 @@ object StreamingOps {
     "stream_dedup" -> streamDedup,
     "stream_pulse_rate" -> streamPulseRate,
     "stream_csv_ingest" -> streamCsvIngest,
-    "stream_session_window" -> streamSessionWindow)
+    "stream_session_window" -> streamSessionWindow,
+    "stream_stream_join" -> streamStreamJoin)
 
   val oracle: Map[String, String] = Map(
     "stream_time_bucket" ->
@@ -244,6 +272,18 @@ object StreamingOps {
          |  ${Tables.sqlDsum("value")} AS sum_value
          |FROM events GROUP BY event_type
          |${orderAll("event_type", "n", "sum_value")}""".stripMargin,
+    "stream_stream_join" ->
+      s"""SELECT * FROM (
+         |  SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+         |    epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP))
+         |      AS gap_us
+         |  FROM events c JOIN events p
+         |    ON p.user_id = c.user_id
+         |   AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+         |   AND CAST(p.ts AS TIMESTAMP) <=
+         |       CAST(c.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+         |  WHERE c.event_type = 'click' AND p.event_type = 'purchase')
+         |${orderAll("user_id", "click_id", "purchase_id", "gap_us")}""".stripMargin,
     "stream_pulse_rate" -> graft.ops.TimeSeries.oracle("win_lag_interval"),
     "stream_csv_ingest" -> graft.ops.Ingest.oracle("scan_csv_pulses"),
     "stream_session_window" -> graft.ops.TimeSeries.oracle("ts_session_window"))
