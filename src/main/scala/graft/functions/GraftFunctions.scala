@@ -13,8 +13,10 @@ import org.apache.spark.sql.expressions.Aggregator
   * driver-contract queries, which receive an already-built session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptors.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => VecDotRewrite)
+  }
 }
 
 object GraftFunctions {
@@ -40,12 +42,17 @@ object GraftFunctions {
         MinHashSig(children.head, n): Expression
       }))
 
-  /** Idempotently register graft functions on a live session. */
-  def register(spark: SparkSession): Unit =
+  /** Idempotently register graft functions (and the [[VecDotRewrite]]
+    * optimizer rule) on a live session. */
+  def register(spark: SparkSession): Unit = {
     descriptors.foreach { case (id, info, builder) =>
       if (!spark.sessionState.functionRegistry.functionExists(id))
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(VecDotRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ VecDotRewrite
+  }
 
   /** `vec_dot` as a Column (via the registry, so plans serialize cleanly). */
   def vecDot(spark: SparkSession, a: Column, b: Column): Column = {

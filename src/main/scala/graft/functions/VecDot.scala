@@ -16,8 +16,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Semantics are IDENTICAL to the declarative fold
   * `aggregate(zip_with(a, b, (x,y) => double(x)*double(y)), 0.0, _+_)`:
   * sequential accumulation in array order (bit-stable across engines),
-  * null if either array is null, lengths must match (else null), null
-  * elements contribute 0.
+  * null if either array is null, lengths must match (else null), and a
+  * null ELEMENT poisons the whole result to null — exactly what the fold
+  * computes (null product → null accumulator, sticky). That exact
+  * equivalence is what licenses [[VecDotRewrite]] to swap the fold for
+  * this expression.
   */
 case class VecDot(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -55,8 +58,8 @@ case class VecDot(left: Expression, right: Expression)
       var i = 0
       val n = x.numElements()
       while (i < n) {
-        if (!x.isNullAt(i) && !y.isNullAt(i))
-          acc += get(x, i, tx) * get(y, i, ty)
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        acc += get(x, i, tx) * get(y, i, ty)
         i += 1
       }
       acc
@@ -79,11 +82,15 @@ case class VecDot(left: Expression, right: Expression)
          |} else {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    if (!$x.isNullAt($i) && !$y.isNullAt($i)) {
-         |      $acc += ${g(x, i, elemType(left).get)} * ${g(y, i, elemType(right).get)};
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |      break;
          |    }
+         |    $acc += ${g(x, i, elemType(left).get)} * ${g(y, i, elemType(right).get)};
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $acc;
+         |  }
          |}
        """.stripMargin
     })

@@ -20,6 +20,7 @@ object Multimodal {
     * typed metadata (SURVEY §2.10 multimodal_cols). Column pruning matters
     * on wide rows — the scan must read only what the projection needs. */
   def mmJoin(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark) // VecDotRewrite fuses norm_sq
     val docs = load(spark, dir, "documents")
     val emb = load(spark, dir, "embeddings")
       .withColumn("norm_sq", aggregate(col("embedding"), lit(0.0),

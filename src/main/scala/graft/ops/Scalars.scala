@@ -139,7 +139,8 @@ object Scalars {
     * array row): element count, slice, and an exact fused dot-product-with-
     * self (norm²) via transform+aggregate — decimal-accumulated so the fold
     * is order-independent. This is the scalar core of the ANN/dedup ops. */
-  def fnArray(spark: SparkSession, dir: String): DataFrame =
+  def fnArray(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark) // VecDotRewrite fuses norm_sq
     totalOrder(load(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         size(col("embedding")).as("dim"),
@@ -150,6 +151,7 @@ object Scalars {
         aggregate(col("embedding"), lit(0.0),
           (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType))
           .as("norm_sq")))
+  }
 
   // ----------------------------------------------------------------- wiring
 

@@ -36,6 +36,10 @@ object Vectors {
     * fixed query set (vec_id % 100 = 0) broadcast against the corpus;
     * exact top-5 neighbors per query via TakeOrdered-style window. */
   def simKnnBruteforce(spark: SparkSession, dir: String): DataFrame = {
+    // the declarative fold below is the op's POINT (the zip_with baseline);
+    // registering installs VecDotRewrite, which fuses it at optimization
+    // time — same IEEE sequence, so the oracle is untouched
+    graft.functions.GraftFunctions.register(spark)
     val base = withNorm(spark, dir)
     val queries = base.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),

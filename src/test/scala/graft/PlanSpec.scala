@@ -84,6 +84,41 @@ class PlanSpec extends SparkTestBase {
       s"join inputs were shuffled:\n${belowJoin.take(1500)}")
   }
 
+  test("VecDotRewrite: declarative dot folds plan as fused vec_dot") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DoubleType
+    functions.GraftFunctions.register(spark)
+    // pairwise fold (the sim_knn_bruteforce shape)
+    val pair = Tables.load(spark, sf, "embeddings").as("a")
+      .limit(10).crossJoin(
+        Tables.load(spark, sf, "embeddings").limit(10)
+          .select(col("embedding").as("e2")))
+      .select(aggregate(
+        zip_with(col("embedding"), col("e2"),
+          (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+        lit(0.0), (acc, x) => acc + x).as("d"))
+    assert(pair.queryExecution.optimizedPlan.toString.contains("vec_dot"),
+      pair.queryExecution.optimizedPlan.toString.take(1500))
+    // self-dot fold (the fn_array / multimodal norm_sq shape)
+    val self = Tables.load(spark, sf, "embeddings")
+      .select(aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)).as("n2"))
+    assert(self.queryExecution.optimizedPlan.toString.contains("vec_dot"),
+      self.queryExecution.optimizedPlan.toString.take(1500))
+    // a fold with a DIFFERENT merge shape must be left alone
+    val other = Tables.load(spark, sf, "embeddings")
+      .select(aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast(DoubleType)).as("s"))
+    assert(!other.queryExecution.optimizedPlan.toString.contains("vec_dot"))
+    // and the rewritten plan computes the identical values
+    val viaRule = self.limit(50).collect().map(_.getDouble(0))
+    val native = Tables.load(spark, sf, "embeddings")
+      .select(functions.GraftFunctions.vecDot(spark,
+        col("embedding"), col("embedding")).as("n2"))
+      .limit(50).collect().map(_.getDouble(0))
+    assert(viaRule.sameElements(native))
+  }
+
   test("band_keys: fused LSH signature stays inside WholeStageCodegen") {
     import org.apache.spark.sql.functions._
     val df = Tables.load(spark, sf, "embeddings")
