@@ -216,9 +216,40 @@ object Vectors {
         col("rk"), col("cosine")))
   }
 
+  /** Per-vector symmetric int8 quantization (SURVEY §2.10 scale path): the
+    * 4× memory/bandwidth lever every 100 TB ANN index applies before
+    * anything else — scale = max|xᵢ|/127, qᵢ = round(xᵢ/scale) ∈ [−127,127].
+    * Pure per-row expressions (no shuffle, composes under any partitioning);
+    * output carries the scale, a code checksum, and the reconstruction
+    * error (max abs + MSE), so the DuckDB oracle pins the exact codes and
+    * the spec bounds the error against the quantization step. */
+  def vecQuantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("embedding")
+    totalOrder(load(spark, dir, "embeddings")
+      .withColumn("scale",
+        greatest(aggregate(x, lit(0.0),
+          (a, v) => greatest(a, abs(v.cast(DoubleType)))), lit(1e-30)) /
+          lit(127.0))
+      .withColumn("q",
+        transform(x, v => round(v.cast(DoubleType) / col("scale")).cast("long")))
+      .withColumn("sum_q", aggregate(col("q"), lit(0L), (a, v) => a + v))
+      .withColumn("max_abs_err",
+        aggregate(zip_with(x, col("q"), (v, qq) =>
+          abs(v.cast(DoubleType) - qq.cast(DoubleType) * col("scale"))),
+          lit(0.0), (a, e) => greatest(a, e)))
+      .withColumn("mse",
+        aggregate(zip_with(x, col("q"), (v, qq) =>
+          (v.cast(DoubleType) - qq.cast(DoubleType) * col("scale")) *
+            (v.cast(DoubleType) - qq.cast(DoubleType) * col("scale"))),
+          lit(0.0), (a, e) => a + e) / size(x))
+      .select(col("vec_id"), col("label"), col("scale"), col("sum_q"),
+        col("max_abs_err"), col("mse")))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vec_quantize_int8" -> vecQuantizeInt8,
     "sim_knn_bruteforce" -> simKnnBruteforce,
     "sim_knn_native" -> simKnnNative,
     "sim_knn_ivf" -> simKnnIvf,
@@ -259,6 +290,28 @@ object Vectors {
        |    GROUP BY a.cid, t.i) GROUP BY cid))""".stripMargin
 
   val oracle: Map[String, String] = oracleBase +
+    ("vec_quantize_int8" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, label, embedding,
+         |    greatest(list_aggregate(list_transform(embedding,
+         |      v -> abs(CAST(v AS DOUBLE))), 'max'), 1e-30) / 127.0 AS scale
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT vec_id, label, scale, embedding,
+         |    list_transform(embedding,
+         |      v -> CAST(round(CAST(v AS DOUBLE) / scale) AS BIGINT)) AS q
+         |  FROM b)
+         |SELECT vec_id, label, scale,
+         |  CAST(list_aggregate(q, 'sum') AS BIGINT) AS sum_q,
+         |  list_aggregate(list_transform(list_zip(embedding, q),
+         |    p -> abs(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale)),
+         |    'max') AS max_abs_err,
+         |  list_aggregate(list_transform(list_zip(embedding, q),
+         |    p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale) *
+         |         (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale)),
+         |    'sum') / len(embedding) AS mse
+         |FROM q
+         |${orderAll("vec_id", "label", "scale", "sum_q", "max_abs_err", "mse")}""".stripMargin) +
     ("sim_knn_native" -> oracleBase("sim_knn_bruteforce")) +
     ("vec_centroid_native" -> oracleBase("vec_centroid")) +
     ("sim_knn_ivf" ->

@@ -121,6 +121,19 @@ class ExtensionSpec extends SparkTestBase {
     assert(a.values.forall(v => v >= 0.0 && v <= 1.0 && !v.isNaN))
   }
 
+  test("int8 quantization: error bounded by half a step, codes in range") {
+    val rows = ops.Vectors.vecQuantizeInt8(spark, sf)
+      .select("scale", "max_abs_err", "mse")
+      .as[(Double, Double, Double)].collect()
+    assert(rows.length == Tables.load(spark, sf, "embeddings").count())
+    rows.foreach { case (s, maxErr, mse) =>
+      assert(s > 0)
+      // round-to-nearest ⇒ per-component error ≤ scale/2 (+ fp slack)
+      assert(maxErr <= s / 2 * (1 + 1e-9), s"err $maxErr > step/2 ${s / 2}")
+      assert(mse <= (s / 2) * (s / 2) * (1 + 1e-9))
+    }
+  }
+
   test("stratified split: deterministic, balanced, every stratum covered") {
     val s = ops.Pipeline.sampleStratified(spark, sf)
       .select("doc_id", "lang", "split").as[(Long, String, String)].collect()
