@@ -449,10 +449,18 @@ object InfluxQL {
   def run(spark: SparkSession, source: DataFrame, q: String): DataFrame =
     runParsed(spark, source, parse(q), q)
 
-  private def runParsed(spark: SparkSession, source: DataFrame, p: Query,
+  private def runParsed(spark: SparkSession, source: DataFrame, p0: Query,
     q: String): DataFrame = {
     // FROM (SELECT ...): the inner query's result is the outer's measurement
-    val in = p.sub.map(s => runParsed(spark, source, s, q)).getOrElse(source)
+    val in = p0.sub.map(s => runParsed(spark, source, s, q)).getOrElse(source)
+    // GROUP BY * = every tag (Influx convention: the string-typed columns)
+    val p =
+      if (p0.groupTags == Seq("*"))
+        p0.copy(groupTags = in.schema.fields
+          .filter(f => f.name != "time" &&
+            f.dataType == org.apache.spark.sql.types.StringType)
+          .map(_.name).toSeq.sorted)
+      else p0
     val base = p.conds.foldLeft(in)((df, c) => df.filter(condCol(c)))
     val sels = p.fields.collect { case s: Selector => s }
     val transforms = p.fields.collect { case t: Transform => t }
@@ -622,6 +630,8 @@ object InfluxQL {
   private val ShowMeasRe = """(?i)^\s*SHOW\s+MEASUREMENTS\s*;?\s*$""".r
   private val ShowTagRe = """(?i)^\s*SHOW\s+TAG\s+KEYS\s+FROM\s+"?(\w+)"?\s*;?\s*$""".r
   private val ShowFieldRe = """(?i)^\s*SHOW\s+FIELD\s+KEYS\s+FROM\s+"?(\w+)"?\s*;?\s*$""".r
+  private val ShowTagValsRe =
+    """(?i)^\s*SHOW\s+TAG\s+VALUES\s+FROM\s+"?(\w+)"?\s+WITH\s+KEY\s*=\s*"?(\w+)"?\s*;?\s*$""".r
 
   /** InfluxQL metadata queries (the discovery surface the CLI and Grafana
     * issue before any SELECT): SHOW MEASUREMENTS / TAG KEYS / FIELD KEYS,
@@ -637,6 +647,11 @@ object InfluxQL {
     q match {
       case ShowMeasRe() =>
         catalog.map(_._1).sorted.toDF("name")
+      case ShowTagValsRe(m, key) =>
+        // the Grafana variable-dropdown query: distinct values of one tag
+        frame(m).select(lit(key).as("key"),
+            col(key).cast("string").as("value"))
+          .distinct().orderBy(col("value"))
       case ShowTagRe(m) =>
         frame(m).schema.fields
           .filter(f => f.name != "time" &&

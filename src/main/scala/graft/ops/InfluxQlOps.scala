@@ -105,6 +105,10 @@ object InfluxQlOps {
     "SELECT count(value) AS n FROM events GROUP BY time(1d), user_id " +
       "SLIMIT 5 SOFFSET 2"
 
+  // GROUP BY * expands to every tag (string column) of the measurement
+  private val GroupStarQ =
+    "SELECT count(value) AS n FROM events GROUP BY time(1d), *"
+
   // -- the transform/selector function surface (InfluxDB series functions) --
 
   private val DerivQ =
@@ -179,7 +183,10 @@ object InfluxQlOps {
     "influxql_percentile" -> run(PercQ) _,
     "influxql_top" -> run(TopQ) _,
     "influxql_bottom_tag" -> run(BottomQ) _,
+    "influxql_group_star" -> run(GroupStarQ) _,
     "influxql_show_measurements" -> meta("SHOW MEASUREMENTS") _,
+    "influxql_show_tag_values" ->
+      meta("SHOW TAG VALUES FROM events WITH KEY = event_type") _,
     "influxql_show_tag_keys" -> meta("SHOW TAG KEYS FROM events") _,
     "influxql_show_field_keys" -> meta("SHOW FIELD KEYS FROM events") _)
 
@@ -350,6 +357,15 @@ object InfluxQlOps {
          |  COUNT(DISTINCT user_id) AS u
          |FROM events GROUP BY 1
          |${orderAll("time", "u")}""".stripMargin,
+    "influxql_group_star" ->
+      s"""SELECT ${sqlBucket("CAST(ts AS TIMESTAMP)", 86400)} AS time,
+         |  event_type, props, COUNT(value) AS n
+         |FROM events GROUP BY 1, 2, 3
+         |${orderAll("time", "event_type", "props", "n")}""".stripMargin,
+    "influxql_show_tag_values" ->
+      s"""SELECT DISTINCT 'event_type' AS key, event_type AS value
+         |FROM events
+         |${orderAll("key", "value")}""".stripMargin,
     "influxql_subquery" ->
       s"""WITH sub AS (
          |  SELECT ${sqlBucket("CAST(ts AS TIMESTAMP)", 86400)} AS time,
