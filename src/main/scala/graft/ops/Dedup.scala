@@ -260,12 +260,14 @@ object Dedup {
     while (changed > 0) {
       val nbrMin = sym.join(labels, sym("b") === labels("id"))
         .groupBy(col("a").as("nid")).agg(min(col("lbl")).as("nlbl"))
-      // checkpoint prop: the pointer-jump self-join reads it twice
+      // prop is read twice by the pointer-jump self-join, but its subtree
+      // is SHALLOW (both inputs are checkpointed LogicalRDDs), so paying
+      // the recompute beats an extra eager checkpoint job per round —
+      // only `next` needs the lineage cut (it seeds the following round)
       val prop = labels.withColumnRenamed("lbl", "prev")
         .join(nbrMin, col("id") === col("nid"), "left")
         .select(col("id"), col("prev"),
           least(col("prev"), coalesce(col("nlbl"), col("prev"))).as("lbl"))
-        .localCheckpoint()
       // pointer-jump (path halving): also adopt the label OF your label —
       // chain-shaped components converge in ~log(diameter) rounds instead
       // of diameter rounds (the labels-only self-join is tiny)
