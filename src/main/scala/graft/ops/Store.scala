@@ -68,8 +68,33 @@ object Store {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")))
   }
 
+  private val DeleteBound = "2024-01-03 12:00:00"
+
+  /** InfluxQL DELETE roundtrip (memory_manager.py:8-17 as one statement):
+    * write events as points, `DELETE WHERE time < mid-day bound` — whole
+    * days before the bound drop as metadata ops, the boundary day is
+    * rewritten through the crash-safe swap — then read back per-day
+    * aggregates; the oracle reconstructs the survivors from the fixture. */
+  def storeDeleteRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("store_delete").toString
+    val store = new MeasurementStore(spark, root)
+    val points = load(spark, dir, "events")
+      .select(col("event_type"), col("user_id"), col("ts").as("time"),
+        col("value"))
+    store.append("RawData", points)
+    val (dropped, rewritten) =
+      store.deleteWhere(s"DELETE FROM RawData WHERE time < '$DeleteBound'")
+    require(dropped.nonEmpty && rewritten.nonEmpty,
+      s"delete exercised nothing: dropped=$dropped rewritten=$rewritten")
+    totalOrder(store.read("RawData")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+        min(col("time")).as("min_time")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "store_upsert_roundtrip" -> storeRoundtrip,
+    "store_delete_roundtrip" -> storeDeleteRoundtrip,
     "sink_influx_write" -> sinkInfluxWrite)
 
   val oracle: Map[String, String] = Map(
@@ -81,6 +106,14 @@ object Store {
          |      THEN event_id + 1000000 ELSE event_id END) AS max_version
          |FROM events GROUP BY 1
          |${orderAll("day", "n", "sum_value", "max_version")}""".stripMargin,
+    "store_delete_roundtrip" ->
+      s"""SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+         |  COUNT(*) AS n, ${sqlDsum("value")} AS sum_value,
+         |  MIN(CAST(ts AS TIMESTAMP)) AS min_time
+         |FROM events
+         |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '$DeleteBound'
+         |GROUP BY 1
+         |${orderAll("day", "n", "sum_value", "min_time")}""".stripMargin,
     "sink_influx_write" ->
       s"""SELECT
          |  CASE WHEN user_id % 2 = 0 THEN 'QCData' ELSE 'RawData' END

@@ -151,6 +151,54 @@ class MeasurementStore(spark: SparkSession, root: String) {
     }
   }
 
+  private val DeleteRe =
+    """(?i)^\s*DELETE\s+FROM\s+"?(\w+)"?\s+WHERE\s+time\s*(<=|<|>=|>)\s*'([^']*)'\s*;?\s*$""".r
+
+  /** InfluxQL `DELETE FROM <m> WHERE time <op> '<ts>'` — the management
+    * statement behind the reference's delete-oldest-until-enough-space loop
+    * (memory_manager.py:8-17). Day partitions entirely inside the deleted
+    * range are DROPPED (a metadata operation — no data read); only the one
+    * boundary day containing the bound is rewritten, through the same
+    * crash-safe swap as [[compact]]. Returns (dropped days, rewritten days). */
+  def deleteWhere(statement: String): (Seq[String], Seq[String]) = statement match {
+    case DeleteRe(measurement, op, ts) =>
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path(measurement)).resolve("/"),
+        spark.sparkContext.hadoopConfiguration)
+      val rootPath = new org.apache.hadoop.fs.Path(path(measurement))
+      if (!fs.exists(rootPath)) return (Seq.empty, Seq.empty)
+      recoverCompaction(measurement)
+      val boundDay = ts.take(10)
+      val days = fs.listStatus(rootPath).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
+        .map(_.getPath.getName.stripPrefix("day="))
+      val fullyDeleted = days.filter(d =>
+        if (op.startsWith("<")) d < boundDay else d > boundDay)
+      fullyDeleted.foreach(d =>
+        fs.delete(new org.apache.hadoop.fs.Path(rootPath, s"day=$d"), true))
+      // the boundary day keeps the rows NOT matched by the predicate
+      val rewritten = days.filter(_ == boundDay).map { d =>
+        val dayPath = new org.apache.hadoop.fs.Path(rootPath, s"day=$d")
+        val keepPred = op match {
+          case "<"  => col("time") >= to_timestamp(lit(ts))
+          case "<=" => col("time") > to_timestamp(lit(ts))
+          case ">"  => col("time") <= to_timestamp(lit(ts))
+          case ">=" => col("time") < to_timestamp(lit(ts))
+        }
+        val kept = spark.read.parquet(dayPath.toString).filter(keepPred)
+        val tmp = new org.apache.hadoop.fs.Path(rootPath, s".compact_$d")
+        val old = new org.apache.hadoop.fs.Path(rootPath, s".old_$d")
+        kept.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        fs.rename(dayPath, old)
+        fs.rename(tmp, dayPath)
+        fs.delete(old, true)
+        d
+      }
+      (fullyDeleted, rewritten)
+    case _ => throw new IllegalArgumentException(
+      s"not a supported DELETE statement: $statement")
+  }
+
   /** Heal interrupted [[compact]] swaps. Cases, by what survived a crash:
     *  - `.old_<day>` and no `day=<day>`: crashed between the two renames —
     *    promote `.compact_<day>` if complete, else restore the old dir.
