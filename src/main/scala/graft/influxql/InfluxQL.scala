@@ -53,6 +53,12 @@ object InfluxQL {
   /** top(f, n) / bottom(f, n) — n extreme points with their event times. */
   final case class Selector(fn: String, field: String, n: Int,
     alias: Option[String]) extends Field
+  /** `<field-or-agg> <op> <literal>` with op in star/slash/plus/minus — the
+    * unit-conversion arithmetic the reference applies everywhere (pulses ×
+    * gallons-per-pulse, get_hot_intake_interval's volume math). Wraps a Raw
+    * or Agg item; chains left-associatively. */
+  final case class Arith(inner: Field, op: String, k: Double,
+    alias: Option[String]) extends Field
   /** elapsed(f[, unit]) — time since the previous point per series, as an
     * integer count of `unit` (default 1s), on the RAW series. */
   final case class Elapsed(field: String, arg: Option[String],
@@ -108,6 +114,10 @@ object InfluxQL {
       """\((.+)\)(?:\s+AS\s+(\w+))?$""").r
   private val TransArgRe = """^\d+[smhd]?$""".r
   private val RawRe = """(?i)^"?(\w+)"?(?:\s+AS\s+(\w+))?$""".r
+  // arithmetic suffix on a field or aggregate: `value * 0.264172`,
+  // `mean(value) / 60 AS per_sec` — one op, numeric literal on the right
+  private val ArithRe =
+    """(?i)^(.+?)\s*([*/+-])\s*(-?[0-9]+(?:\.[0-9]+)?)(?:\s+AS\s+(\w+))?$""".r
   private val CondRe = """(?i)^\s*"?(\w+)"?\s*(<=|>=|!=|=|<|>)\s*(?:'([^']*)'|(-?[0-9.]+))\s*$""".r
   private val TimeRe = """(?i)^time\((\d+)([smhd])\)$""".r
 
@@ -152,6 +162,13 @@ object InfluxQL {
           "cumulative_sum").contains(fnl) && arg.nonEmpty)
         fail(q, s"$fnl takes no argument")
       Transform(fnl, inner, arg, Option(al))
+    case ArithRe(innerS, op, k, al) =>
+      val inner = parseField(q, innerS.trim)
+      inner match {
+        case _: Raw | _: Agg | _: Arith => ()
+        case _ => fail(q, "arithmetic applies to fields and aggregates only")
+      }
+      Arith(inner, op, k.toDouble, Option(al))
     case RawRe(f, al) => Raw(f, Option(al))
     case other => fail(q, s"unsupported select item '$other'")
   }
@@ -223,6 +240,14 @@ object InfluxQL {
       case Agg("count_distinct", n, _, _) => s"count(distinct($n))"
       case Agg(fn, n, _, _) => s"$fn($n)"
       case Selector(fn, n, k, _) => s"$fn($n, $k)"
+      case Arith(i, op, k, _) =>
+        val bare = i match {
+          case r: Raw => r.copy(alias = None): Field
+          case a: Agg => a.copy(alias = None): Field
+          case ar: Arith => ar.copy(alias = None): Field
+          case other => other
+        }
+        s"${f(bare)} $op ${num(k)}"
       case Elapsed(n, arg, _) => s"elapsed($n${arg.map(", " + _).getOrElse("")})"
       case Integral(n, arg, _) => s"integral($n${arg.map(", " + _).getOrElse("")})"
       case Transform(fn, inner, arg, _) =>
@@ -268,7 +293,52 @@ object InfluxQL {
     }
   }
 
-  private def aggCol(a: Agg): Column = {
+  private def aggCol(a: Agg): Column =
+    aggExpr(a).as(a.alias.getOrElse(s"${a.fn}_${a.field}"))
+
+  private def applyOp(c: Column, op: String, k: Double): Column = op match {
+    case "*" => c * lit(k)
+    case "/" => c / lit(k)
+    case "+" => c + lit(k)
+    case "-" => c - lit(k)
+  }
+
+  private def isAggLike(f: Field): Boolean = f match {
+    case _: Agg => true
+    case Arith(i, _, _, _) => isAggLike(i)
+    case _ => false
+  }
+
+  private def defaultName(f: Field): String = f match {
+    case a: Agg => s"${a.fn}_${a.field}"
+    case Raw(n, _) => n
+    case Arith(i, _, _, _) => defaultName(i)
+    case other => other.alias.getOrElse("value")
+  }
+
+  private def outName(f: Field): String = f.alias.getOrElse(defaultName(f))
+
+  /** Aliased aggregate column for an Agg, possibly under Arith wrappers. */
+  private def selAgg(f: Field, q: String): Column = {
+    def expr(f: Field): Column = f match {
+      case a: Agg => aggExpr(a)
+      case Arith(i, op, k, _) => applyOp(expr(i), op, k)
+      case _ => fail(q, "expected an aggregate select item")
+    }
+    expr(f).as(outName(f))
+  }
+
+  /** Aliased projection column for a Raw, possibly under Arith wrappers. */
+  private def selRaw(f: Field, q: String): Column = {
+    def expr(f: Field): Column = f match {
+      case Raw(n, _) => col(n)
+      case Arith(i, op, k, _) => applyOp(expr(i), op, k)
+      case _ => fail(q, "expected a field select item")
+    }
+    expr(f).as(outName(f))
+  }
+
+  private def aggExpr(a: Agg): Column = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val c = col(a.field)
     // PERCENTILE_DISC nearest-rank: the sample value at max(1, ceil(p/100·n)).
@@ -301,7 +371,7 @@ object InfluxQL {
       case "percentile" =>
         rankVal(a.arg.getOrElse(fail("", "percentile requires an argument")))
     }
-    out.as(a.alias.getOrElse(s"${a.fn}_${a.field}"))
+    out
   }
 
   private val UnitSec = Map('s' -> 1L, 'm' -> 60L, 'h' -> 3600L, 'd' -> 86400L)
@@ -485,26 +555,25 @@ object InfluxQL {
         fail(q, "cannot mix transform functions with other select items")
       return applyLimit(runTransforms(base, p, transforms, q), p)
     }
-    val aggs = p.fields.collect { case a: Agg => a }
+    val aggLikes = p.fields.filter(isAggLike)
     // InfluxDB rejects mixing bare fields with aggregates; failing loudly
     // beats silently dropping the raw fields
-    if (aggs.nonEmpty && aggs.size != p.fields.size)
+    if (aggLikes.nonEmpty && aggLikes.size != p.fields.size)
       fail(q, "cannot mix raw fields with aggregate functions")
     val projected = p.timeBucket match {
-      case None if aggs.isEmpty =>
-        val cols = col("time") +: p.fields.map { f =>
-          col(f.asInstanceOf[Raw].name)
-            .as(f.alias.getOrElse(f.asInstanceOf[Raw].name))
-        }
+      case None if aggLikes.isEmpty =>
+        val cols = col("time") +: p.fields.map(selRaw(_, q))
         base.select(cols: _*)
       case None =>
         // global aggregation (no bucket): one row
-        base.agg(aggs.head |> aggCol, aggs.tail.map(aggCol): _*)
+        base.agg(selAgg(p.fields.head, q),
+          p.fields.tail.map(selAgg(_, q)): _*)
       case Some((n, u)) =>
         val win = window(col("time"), s"$n ${Units(u)}")
         val keys = win.as("w") +: p.groupTags.map(col)
         val agged = base.groupBy(keys: _*)
-          .agg(aggs.head |> aggCol, aggs.tail.map(aggCol): _*)
+          .agg(selAgg(p.fields.head, q),
+            p.fields.tail.map(selAgg(_, q)): _*)
           .withColumn("time", col("w.start")).drop("w")
         p.fill match {
           case Some("previous") | Some("0") | Some("null") | Some("linear") =>

@@ -109,6 +109,12 @@ object InfluxQlOps {
   private val GroupStarQ =
     "SELECT count(value) AS n FROM events GROUP BY time(1d), *"
 
+  // select-item arithmetic — the reference's pulses→gallons conversion
+  // shape (get_hot_intake_interval's volume math) as one query
+  private val ArithQ =
+    "SELECT sum(value) * 0.264172 AS gallons, mean(value) / 60 AS per_sec " +
+      "FROM events GROUP BY time(1d)"
+
   // -- the transform/selector function surface (InfluxDB series functions) --
 
   private val DerivQ =
@@ -184,6 +190,7 @@ object InfluxQlOps {
     "influxql_top" -> run(TopQ) _,
     "influxql_bottom_tag" -> run(BottomQ) _,
     "influxql_group_star" -> run(GroupStarQ) _,
+    "influxql_arith" -> run(ArithQ) _,
     "influxql_show_measurements" -> meta("SHOW MEASUREMENTS") _,
     "influxql_show_tag_values" ->
       meta("SHOW TAG VALUES FROM events WITH KEY = event_type") _,
@@ -366,6 +373,12 @@ object InfluxQlOps {
       s"""SELECT DISTINCT 'event_type' AS key, event_type AS value
          |FROM events
          |${orderAll("key", "value")}""".stripMargin,
+    "influxql_arith" ->
+      s"""SELECT ${sqlBucket("CAST(ts AS TIMESTAMP)", 86400)} AS time,
+         |  ${sqlDsum("value")} * 0.264172 AS gallons,
+         |  ${sqlDavg("value")} / 60 AS per_sec
+         |FROM events GROUP BY 1
+         |${orderAll("time", "gallons", "per_sec")}""".stripMargin,
     "influxql_subquery" ->
       s"""WITH sub AS (
          |  SELECT ${sqlBucket("CAST(ts AS TIMESTAMP)", 86400)} AS time,

@@ -59,11 +59,20 @@ class InfluxQlSpec extends SparkTestBase {
       .map { case (n, g, a) => InfluxQL.Elapsed(n, g, a) }
     val integral = Gen.zip(ident, rawArg, Gen.option(ident))
       .map { case (n, g, a) => InfluxQL.Integral(n, g, a) }
+    val arith = for {
+      inner <- Gen.oneOf(
+        ident.map(InfluxQL.Raw(_, None): InfluxQL.Field),
+        agg.map(a => a: InfluxQL.Field))
+      op <- Gen.oneOf("*", "/", "+", "-")
+      k <- Gen.oneOf(Gen.chooseNum(1, 999).map(_.toDouble),
+        Gen.chooseNum(1, 999).map(_ / 100.0))
+      a <- Gen.option(ident)
+    } yield InfluxQL.Arith(inner, op, k, a)
     val field = Gen.oneOf(
       Gen.zip(ident, Gen.option(ident)).map { case (n, a) => InfluxQL.Raw(n, a) },
       Gen.zip(agg, Gen.option(ident)).map { case (g, a) => g.copy(alias = a) },
       Gen.zip(perc, Gen.option(ident)).map { case (g, a) => g.copy(alias = a) },
-      transform, elapsed, integral)
+      transform, elapsed, integral, arith)
     val cond = for {
       c <- Gen.oneOf(ident, Gen.const("time"))
       op <- Gen.oneOf("=", "!=", "<", "<=", ">", ">=")
