@@ -68,8 +68,13 @@ object InfluxQL {
   final case class Integral(field: String, arg: Option[String],
     alias: Option[String]) extends Field
 
-  /** One `col op literal` conjunct; value is a quoted string or a number. */
-  final case class Cond(col: String, op: String, value: Either[String, Double])
+  /** One `col op literal` conjunct; value is a quoted string or a number.
+    * `nowOffset` marks a relative time bound (`now()` or `now() ± <dur>`,
+    * e.g. Some("-7d"), Some("") for bare now()) — resolved against the
+    * clock passed to [[run]], so dashboard-style queries stay
+    * deterministic under test. */
+  final case class Cond(col: String, op: String, value: Either[String, Double],
+    nowOffset: Option[String] = None)
 
   final case class Query(
     fields: Seq[Field],
@@ -119,6 +124,8 @@ object InfluxQL {
   private val ArithRe =
     """(?i)^(.+?)\s*([*/+-])\s*(-?[0-9]+(?:\.[0-9]+)?)(?:\s+AS\s+(\w+))?$""".r
   private val CondRe = """(?i)^\s*"?(\w+)"?\s*(<=|>=|!=|=|<|>)\s*(?:'([^']*)'|(-?[0-9.]+))\s*$""".r
+  private val CondNowRe =
+    """(?i)^\s*"?(\w+)"?\s*(<=|>=|!=|=|<|>)\s*now\(\)(?:\s*([+-])\s*(\d+[smhd]))?\s*$""".r
   private val TimeRe = """(?i)^time\((\d+)([smhd])\)$""".r
 
   /** Split on commas at paren depth 0 (select items may contain
@@ -209,6 +216,9 @@ object InfluxQL {
           limitS, offS, slimS, soffS) =>
         val fields = splitTop(fieldsS).map(parseField(q, _))
         val conds = Option(whereS).toSeq.flatMap(_.split("(?i)\\s+AND\\s+").toSeq).map {
+          case CondNowRe(c, op, sign, dur) =>
+            Cond(c, op, Right(0),
+              Some(if (sign == null) "" else s"$sign$dur"))
           case CondRe(c, op, s, n) =>
             Cond(c, op, if (s != null) Left(s) else Right(n.toDouble))
           case other => fail(q, s"unsupported condition '$other'")
@@ -255,9 +265,14 @@ object InfluxQL {
     }) + fl.alias.map(" AS " + _).getOrElse("")
     val where =
       if (q.conds.isEmpty) ""
-      else " WHERE " + q.conds.map(c =>
-        s"${c.col} ${c.op} " + c.value.fold(s => s"'$s'", _.toString))
-        .mkString(" AND ")
+      else " WHERE " + q.conds.map { c =>
+        val rhs = c.nowOffset match {
+          case Some("") => "now()"
+          case Some(off) => s"now() ${off.head} ${off.tail}"
+          case None => c.value.fold(s => s"'$s'", _.toString)
+        }
+        s"${c.col} ${c.op} $rhs"
+      }.mkString(" AND ")
     val grpItems = q.timeBucket.map { case (n, u) => s"time($n$u)" }.toSeq ++
       q.groupTags
     val grp = if (grpItems.isEmpty) "" else " GROUP BY " + grpItems.mkString(", ")
@@ -276,12 +291,23 @@ object InfluxQL {
   private val Units = Map("s" -> "seconds", "m" -> "minutes",
     "h" -> "hours", "d" -> "days")
 
-  private def condCol(c: Cond): Column = {
+  private def condCol(c: Cond, now: Option[String]): Column = {
     val l = col(c.col)
-    val r: Column = c.value match {
-      case Left(s) if c.col == "time" => to_timestamp(lit(s))
-      case Left(s) => lit(s)
-      case Right(n) => lit(n)
+    val r: Column = c.nowOffset match {
+      case Some(off) =>
+        val clock = to_timestamp(lit(now.getOrElse(fail("",
+          "query uses now() but no clock was supplied to run()"))))
+        if (off.isEmpty) clock
+        else {
+          val sec = durSec(off.tail)
+          if (off.head == '-') clock - expr(s"INTERVAL $sec SECONDS")
+          else clock + expr(s"INTERVAL $sec SECONDS")
+        }
+      case None => c.value match {
+        case Left(s) if c.col == "time" => to_timestamp(lit(s))
+        case Left(s) => lit(s)
+        case Right(n) => lit(n)
+      }
     }
     c.op match {
       case "=" => l === r
@@ -517,12 +543,18 @@ object InfluxQL {
     * event-time column is named `time` (the [[graft.store.MeasurementStore]]
     * read shape). */
   def run(spark: SparkSession, source: DataFrame, q: String): DataFrame =
-    runParsed(spark, source, parse(q), q)
+    run(spark, source, q, None)
+
+  /** As [[run]], with a clock for `now()`-relative bounds (ISO timestamp
+    * string). Production passes wall-clock; tests and oracles pin it. */
+  def run(spark: SparkSession, source: DataFrame, q: String,
+    now: Option[String]): DataFrame =
+    runParsed(spark, source, parse(q), q, now)
 
   private def runParsed(spark: SparkSession, source: DataFrame, p0: Query,
-    q: String): DataFrame = {
+    q: String, now: Option[String]): DataFrame = {
     // FROM (SELECT ...): the inner query's result is the outer's measurement
-    val in = p0.sub.map(s => runParsed(spark, source, s, q)).getOrElse(source)
+    val in = p0.sub.map(s => runParsed(spark, source, s, q, now)).getOrElse(source)
     // GROUP BY * = every tag (Influx convention: the string-typed columns)
     val p =
       if (p0.groupTags == Seq("*"))
@@ -531,7 +563,7 @@ object InfluxQL {
             f.dataType == org.apache.spark.sql.types.StringType)
           .map(_.name).toSeq.sorted)
       else p0
-    val base = p.conds.foldLeft(in)((df, c) => df.filter(condCol(c)))
+    val base = p.conds.foldLeft(in)((df, c) => df.filter(condCol(c, now)))
     val sels = p.fields.collect { case s: Selector => s }
     val transforms = p.fields.collect { case t: Transform => t }
     p.fields.collectFirst { case e: Elapsed => e }.foreach { e =>

@@ -23,6 +23,13 @@ object InfluxQlOps {
   private def run(sql: String)(spark: SparkSession, dir: String): DataFrame =
     totalOrder(InfluxQL.run(spark, measurement(spark, dir), sql))
 
+  /** Pinned clock for now()-relative queries — production passes
+    * wall-clock; the differential gate needs a fixed instant. */
+  private val Clock = "2024-01-08 12:00:00"
+
+  private def runAt(sql: String)(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(InfluxQL.run(spark, measurement(spark, dir), sql, Some(Clock)))
+
   private val RawQ =
     "SELECT value, user_id AS buildingID FROM events " +
       "WHERE time >= '2024-01-02 00:00:00' AND time < '2024-01-04 00:00:00' " +
@@ -115,6 +122,11 @@ object InfluxQlOps {
     "SELECT sum(value) * 0.264172 AS gallons, mean(value) / 60 AS per_sec " +
       "FROM events GROUP BY time(1d)"
 
+  // the dashboard shape: a now()-relative window, clock pinned for the gate
+  private val NowQ =
+    "SELECT count(value) AS n FROM events " +
+      "WHERE time >= now() - 7d AND time < now() GROUP BY time(1d)"
+
   // -- the transform/selector function surface (InfluxDB series functions) --
 
   private val DerivQ =
@@ -191,6 +203,7 @@ object InfluxQlOps {
     "influxql_bottom_tag" -> run(BottomQ) _,
     "influxql_group_star" -> run(GroupStarQ) _,
     "influxql_arith" -> run(ArithQ) _,
+    "influxql_now_relative" -> runAt(NowQ) _,
     "influxql_show_measurements" -> meta("SHOW MEASUREMENTS") _,
     "influxql_show_tag_values" ->
       meta("SHOW TAG VALUES FROM events WITH KEY = event_type") _,
@@ -379,6 +392,15 @@ object InfluxQlOps {
          |  ${sqlDavg("value")} / 60 AS per_sec
          |FROM events GROUP BY 1
          |${orderAll("time", "gallons", "per_sec")}""".stripMargin,
+    "influxql_now_relative" ->
+      s"""SELECT ${sqlBucket("CAST(ts AS TIMESTAMP)", 86400)} AS time,
+         |  COUNT(value) AS n
+         |FROM events
+         |WHERE CAST(ts AS TIMESTAMP) >=
+         |    TIMESTAMP '$Clock' - INTERVAL 7 DAY
+         |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '$Clock'
+         |GROUP BY 1
+         |${orderAll("time", "n")}""".stripMargin,
     "influxql_subquery" ->
       s"""WITH sub AS (
          |  SELECT ${sqlBucket("CAST(ts AS TIMESTAMP)", 86400)} AS time,

@@ -79,7 +79,13 @@ class InfluxQlSpec extends SparkTestBase {
       v <- Gen.oneOf(
         Gen.listOfN(10, Gen.alphaNumChar).map(x => Left(x.mkString)),
         Gen.chooseNum(-1000.0, 1000.0).map(Right(_)))
-    } yield InfluxQL.Cond(c, op, v)
+      rel <- Gen.option(Gen.oneOf(Gen.const(""),
+        Gen.zip(Gen.oneOf("-", "+"), Gen.chooseNum(1, 90),
+          Gen.oneOf("s", "m", "h", "d")).map { case (s, n, u) => s"$s$n$u" }))
+    } yield rel match {
+      case Some(off) => InfluxQL.Cond(c, op, Right(0), Some(off))
+      case None => InfluxQL.Cond(c, op, v)
+    }
     val query = for {
       fields <- Gen.nonEmptyListOf(field).map(_.take(3))
       meas <- ident
