@@ -126,6 +126,9 @@ object InfluxQL {
   private val CondRe = """(?i)^\s*"?(\w+)"?\s*(<=|>=|!=|=|<|>)\s*(?:'([^']*)'|(-?[0-9.]+))\s*$""".r
   private val CondNowRe =
     """(?i)^\s*"?(\w+)"?\s*(<=|>=|!=|=|<|>)\s*now\(\)(?:\s*([+-])\s*(\d+[smhd]))?\s*$""".r
+  // tag regex matching (Grafana template variables emit these constantly)
+  private val CondRegexRe =
+    """(?i)^\s*"?(\w+)"?\s*(=~|!~)\s*/([^/]*)/\s*$""".r
   private val TimeRe = """(?i)^time\((\d+)([smhd])\)$""".r
 
   /** Split on commas at paren depth 0 (select items may contain
@@ -219,6 +222,7 @@ object InfluxQL {
           case CondNowRe(c, op, sign, dur) =>
             Cond(c, op, Right(0),
               Some(if (sign == null) "" else s"$sign$dur"))
+          case CondRegexRe(c, op, re) => Cond(c, op, Left(re))
           case CondRe(c, op, s, n) =>
             Cond(c, op, if (s != null) Left(s) else Right(n.toDouble))
           case other => fail(q, s"unsupported condition '$other'")
@@ -269,6 +273,8 @@ object InfluxQL {
         val rhs = c.nowOffset match {
           case Some("") => "now()"
           case Some(off) => s"now() ${off.head} ${off.tail}"
+          case None if c.op == "=~" || c.op == "!~" =>
+            s"/${c.value.left.getOrElse("")}/"
           case None => c.value.fold(s => s"'$s'", _.toString)
         }
         s"${c.col} ${c.op} $rhs"
@@ -316,6 +322,8 @@ object InfluxQL {
       case "<=" => l <= r
       case ">" => l > r
       case ">=" => l >= r
+      case "=~" => l.rlike(c.value.left.getOrElse(""))
+      case "!~" => !l.rlike(c.value.left.getOrElse(""))
     }
   }
 

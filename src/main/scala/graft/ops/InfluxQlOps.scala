@@ -127,6 +127,11 @@ object InfluxQlOps {
     "SELECT count(value) AS n FROM events " +
       "WHERE time >= now() - 7d AND time < now() GROUP BY time(1d)"
 
+  // Grafana template variables expand to tag regex matches
+  private val RegexTagQ =
+    "SELECT count(value) AS n FROM events " +
+      "WHERE event_type =~ /^(click|view)$/ GROUP BY time(1d), event_type"
+
   // -- the transform/selector function surface (InfluxDB series functions) --
 
   private val DerivQ =
@@ -204,6 +209,7 @@ object InfluxQlOps {
     "influxql_group_star" -> run(GroupStarQ) _,
     "influxql_arith" -> run(ArithQ) _,
     "influxql_now_relative" -> runAt(NowQ) _,
+    "influxql_regex_tag" -> run(RegexTagQ) _,
     "influxql_show_measurements" -> meta("SHOW MEASUREMENTS") _,
     "influxql_show_tag_values" ->
       meta("SHOW TAG VALUES FROM events WITH KEY = event_type") _,
@@ -401,6 +407,13 @@ object InfluxQlOps {
          |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '$Clock'
          |GROUP BY 1
          |${orderAll("time", "n")}""".stripMargin,
+    "influxql_regex_tag" ->
+      s"""SELECT ${sqlBucket("CAST(ts AS TIMESTAMP)", 86400)} AS time,
+         |  event_type, COUNT(value) AS n
+         |FROM events
+         |WHERE regexp_matches(event_type, '^(click|view)$$')
+         |GROUP BY 1, 2
+         |${orderAll("time", "event_type", "n")}""".stripMargin,
     "influxql_subquery" ->
       s"""WITH sub AS (
          |  SELECT ${sqlBucket("CAST(ts AS TIMESTAMP)", 86400)} AS time,

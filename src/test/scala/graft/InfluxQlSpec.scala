@@ -82,9 +82,13 @@ class InfluxQlSpec extends SparkTestBase {
       rel <- Gen.option(Gen.oneOf(Gen.const(""),
         Gen.zip(Gen.oneOf("-", "+"), Gen.chooseNum(1, 90),
           Gen.oneOf("s", "m", "h", "d")).map { case (s, n, u) => s"$s$n$u" }))
-    } yield rel match {
-      case Some(off) => InfluxQL.Cond(c, op, Right(0), Some(off))
-      case None => InfluxQL.Cond(c, op, v)
+      reOp <- Gen.oneOf("=~", "!~")
+      rePat <- Gen.listOfN(6, Gen.alphaNumChar).map(x => s"^${x.mkString}$$")
+      kind <- Gen.chooseNum(0, 3)
+    } yield (kind, rel) match {
+      case (0, Some(off)) => InfluxQL.Cond(c, op, Right(0), Some(off))
+      case (1, _) => InfluxQL.Cond(c, reOp, Left(rePat))
+      case _ => InfluxQL.Cond(c, op, v)
     }
     val query = for {
       fields <- Gen.nonEmptyListOf(field).map(_.take(3))
