@@ -162,6 +162,30 @@ object Pipeline {
         col("rep_ratio"), col("keep")))
   }
 
+  /** Shard delivery with a verifiable manifest — the last step of a
+    * training-data build: write the packed shards as `shard=`-partitioned
+    * parquet (consumers read one directory per shard) and emit a manifest
+    * row per shard with counts, token totals, id range, and a sha256 over
+    * the sorted member ids. The manifest is computed from the FILES READ
+    * BACK, so the gate checks what actually landed on disk, and the
+    * checksum lets a downstream loader detect a short or corrupt shard
+    * without re-scanning the corpus. */
+  def pipelineShardManifest(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    pipelinePackSequences(spark, dir)
+      .write.mode("overwrite").partitionBy("shard").parquet(out)
+    val back = spark.read.parquet(out)
+    totalOrder(back.groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        sha2(concat_ws(",",
+          transform(sort_array(collect_list(col("doc_id"))),
+            x => x.cast("string"))), 256).as("ids_sha")))
+  }
+
   private val EmailPat = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+"
   private val PhonePat = "\\b555-[0-9]{4}\\b"
 
@@ -198,10 +222,30 @@ object Pipeline {
     "pipeline_source_mix" -> pipelineSourceMix,
     "pipeline_decontaminate" -> pipelineDecontaminate,
     "pipeline_repetition_filter" -> pipelineRepetitionFilter,
+    "pipeline_shard_manifest" -> pipelineShardManifest,
     "sample_stratified" -> sampleStratified,
     "text_pii_scrub" -> textPiiScrub)
 
   val oracle: Map[String, String] = Map(
+    "pipeline_shard_manifest" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+         |      x -> x <> '')) AS n_tokens
+         |  FROM documents),
+         |packed AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+         |      / 4096) AS BIGINT) AS shard
+         |  FROM t)
+         |SELECT shard, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+         |  sha256(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+         |    AS ids_sha
+         |FROM packed GROUP BY shard
+         |${orderAll("shard", "n_docs", "n_tokens", "min_doc", "max_doc", "ids_sha")}""".stripMargin,
     "pipeline_decontaminate" ->
       s"""WITH t AS (
          |  SELECT doc_id,
