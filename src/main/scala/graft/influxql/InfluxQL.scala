@@ -89,7 +89,8 @@ object InfluxQL {
     offset: Option[Int] = None,   // skip points (per series with group tags)
     slimit: Option[Int] = None,   // cap number of series
     soffset: Option[Int] = None,  // skip series
-    sub: Option[Query] = None)    // FROM (SELECT ...) subquery
+    sub: Option[Query] = None,    // FROM (SELECT ...) subquery
+    orConds: Seq[Seq[Cond]] = Nil) // AND-joined OR-groups: (a OR b) AND ...
 
   private val SelectRe =
     ("""(?is)^\s*SELECT\s+(.+?)""" +
@@ -218,14 +219,27 @@ object InfluxQL {
       case SelectRe(fieldsS, intoS, meas, whereS, groupS, fillS, descS,
           limitS, offS, slimS, soffS) =>
         val fields = splitTop(fieldsS).map(parseField(q, _))
-        val conds = Option(whereS).toSeq.flatMap(_.split("(?i)\\s+AND\\s+").toSeq).map {
+        def parseCond(s: String): Cond = s match {
           case CondNowRe(c, op, sign, dur) =>
             Cond(c, op, Right(0),
               Some(if (sign == null) "" else s"$sign$dur"))
           case CondRegexRe(c, op, re) => Cond(c, op, Left(re))
-          case CondRe(c, op, s, n) =>
-            Cond(c, op, if (s != null) Left(s) else Right(n.toDouble))
+          case CondRe(c, op, v, n) =>
+            Cond(c, op, if (v != null) Left(v) else Right(n.toDouble))
           case other => fail(q, s"unsupported condition '$other'")
+        }
+        // WHERE is a conjunction of terms; a term containing OR (usually
+        // parenthesized — the Grafana multi-value shape) becomes an OR-group
+        val terms = Option(whereS).toSeq
+          .flatMap(_.split("(?i)\\s+AND\\s+").toSeq).map(_.trim)
+        val (orTerms, andTerms) = terms.partition(t =>
+          "(?i)\\s+OR\\s+".r.findFirstIn(t).isDefined)
+        val conds = andTerms.map(parseCond)
+        val orConds = orTerms.map { t =>
+          val inner =
+            if (t.startsWith("(") && t.endsWith(")")) t.drop(1).dropRight(1)
+            else t
+          inner.split("(?i)\\s+OR\\s+").toSeq.map(s => parseCond(s.trim))
         }
         var bucket: Option[(Int, String)] = None
         val tags = Option(groupS).toSeq.flatMap(_.split(",").map(_.trim).toSeq).flatMap {
@@ -235,7 +249,7 @@ object InfluxQL {
         Query(fields, meas, conds, bucket, tags, Option(fillS).map(_.toLowerCase),
           descS != null, Option(limitS).map(_.toInt), Option(intoS),
           Option(offS).map(_.toInt), Option(slimS).map(_.toInt),
-          Option(soffS).map(_.toInt), subText.map(parse))
+          Option(soffS).map(_.toInt), subText.map(parse), orConds)
       case _ => fail(q, "not a supported InfluxQL SELECT")
     }
   }
@@ -267,18 +281,20 @@ object InfluxQL {
       case Transform(fn, inner, arg, _) =>
         s"$fn(${f(inner.copy(alias = None))}${arg.map(", " + _).getOrElse("")})"
     }) + fl.alias.map(" AS " + _).getOrElse("")
+    def renderCond(c: Cond): String = {
+      val rhs = c.nowOffset match {
+        case Some("") => "now()"
+        case Some(off) => s"now() ${off.head} ${off.tail}"
+        case None if c.op == "=~" || c.op == "!~" =>
+          s"/${c.value.left.getOrElse("")}/"
+        case None => c.value.fold(s => s"'$s'", _.toString)
+      }
+      s"${c.col} ${c.op} $rhs"
+    }
+    val whereParts = q.conds.map(renderCond) ++
+      q.orConds.map(g => "(" + g.map(renderCond).mkString(" OR ") + ")")
     val where =
-      if (q.conds.isEmpty) ""
-      else " WHERE " + q.conds.map { c =>
-        val rhs = c.nowOffset match {
-          case Some("") => "now()"
-          case Some(off) => s"now() ${off.head} ${off.tail}"
-          case None if c.op == "=~" || c.op == "!~" =>
-            s"/${c.value.left.getOrElse("")}/"
-          case None => c.value.fold(s => s"'$s'", _.toString)
-        }
-        s"${c.col} ${c.op} $rhs"
-      }.mkString(" AND ")
+      if (whereParts.isEmpty) "" else " WHERE " + whereParts.mkString(" AND ")
     val grpItems = q.timeBucket.map { case (n, u) => s"time($n$u)" }.toSeq ++
       q.groupTags
     val grp = if (grpItems.isEmpty) "" else " GROUP BY " + grpItems.mkString(", ")
@@ -571,7 +587,9 @@ object InfluxQL {
             f.dataType == org.apache.spark.sql.types.StringType)
           .map(_.name).toSeq.sorted)
       else p0
-    val base = p.conds.foldLeft(in)((df, c) => df.filter(condCol(c, now)))
+    val base0 = p.conds.foldLeft(in)((df, c) => df.filter(condCol(c, now)))
+    val base = p.orConds.foldLeft(base0)((df, g) =>
+      df.filter(g.map(condCol(_, now)).reduce(_ || _)))
     val sels = p.fields.collect { case s: Selector => s }
     val transforms = p.fields.collect { case t: Transform => t }
     p.fields.collectFirst { case e: Elapsed => e }.foreach { e =>

@@ -132,6 +132,13 @@ object InfluxQlOps {
     "SELECT count(value) AS n FROM events " +
       "WHERE event_type =~ /^(click|view)$/ GROUP BY time(1d), event_type"
 
+  // OR-groups inside a conjunction (the multi-select dashboard filter)
+  private val OrQ =
+    "SELECT count(value) AS n FROM events " +
+      "WHERE time >= '2024-01-02 00:00:00' AND " +
+      "(event_type = 'click' OR event_type = 'error' OR value > 900) " +
+      "GROUP BY time(1d), event_type"
+
   // -- the transform/selector function surface (InfluxDB series functions) --
 
   private val DerivQ =
@@ -210,6 +217,7 @@ object InfluxQlOps {
     "influxql_arith" -> run(ArithQ) _,
     "influxql_now_relative" -> runAt(NowQ) _,
     "influxql_regex_tag" -> run(RegexTagQ) _,
+    "influxql_or_group" -> run(OrQ) _,
     "influxql_show_measurements" -> meta("SHOW MEASUREMENTS") _,
     "influxql_show_tag_values" ->
       meta("SHOW TAG VALUES FROM events WITH KEY = event_type") _,
@@ -412,6 +420,14 @@ object InfluxQlOps {
          |  event_type, COUNT(value) AS n
          |FROM events
          |WHERE regexp_matches(event_type, '^(click|view)$$')
+         |GROUP BY 1, 2
+         |${orderAll("time", "event_type", "n")}""".stripMargin,
+    "influxql_or_group" ->
+      s"""SELECT ${sqlBucket("CAST(ts AS TIMESTAMP)", 86400)} AS time,
+         |  event_type, COUNT(value) AS n
+         |FROM events
+         |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-02 00:00:00'
+         |  AND (event_type = 'click' OR event_type = 'error' OR value > 900)
          |GROUP BY 1, 2
          |${orderAll("time", "event_type", "n")}""".stripMargin,
     "influxql_subquery" ->

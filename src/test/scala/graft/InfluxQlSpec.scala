@@ -94,6 +94,7 @@ class InfluxQlSpec extends SparkTestBase {
       fields <- Gen.nonEmptyListOf(field).map(_.take(3))
       meas <- ident
       conds <- Gen.listOf(cond).map(_.take(3))
+      orGroups <- Gen.listOf(Gen.listOfN(2, cond)).map(_.take(2))
       bucket <- Gen.option(Gen.zip(Gen.chooseNum(1, 48),
         Gen.oneOf("s", "m", "h", "d")))
       tags <- Gen.listOf(ident).map(_.take(2).distinct)
@@ -105,7 +106,7 @@ class InfluxQlSpec extends SparkTestBase {
       slimit <- Gen.option(Gen.chooseNum(1, 99))
       soffset <- Gen.option(Gen.chooseNum(1, 99))
     } yield InfluxQL.Query(fields, meas, conds, bucket, tags, fill, desc,
-      limit, into, offset, slimit, soffset)
+      limit, into, offset, slimit, soffset, orConds = orGroups)
     val qs = (0 until 200).flatMap(i =>
       query.apply(Gen.Parameters.default, Seed(1234L + i)))
     assert(qs.size > 150, "generator drought")
