@@ -119,6 +119,28 @@ class PlanSpec extends SparkTestBase {
     assert(viaRule.sameElements(native))
   }
 
+  test("pipeline_decontaminate: eval grams broadcast, corpus side never shuffles") {
+    val plan = planOf(ops.Pipeline.pipelineDecontaminate(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("influxql SLIMIT: series page comes back as a broadcast semi-join") {
+    import org.apache.spark.sql.functions._
+    val m = Tables.load(spark, sf, "events").withColumnRenamed("ts", "time")
+    val df = influxql.InfluxQL.run(spark, m,
+      "SELECT count(value) AS n FROM events GROUP BY time(1d), event_type " +
+        "SLIMIT 2 SOFFSET 1")
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      plan.take(2000))
+    // and the page really is series 2..3 in tag order
+    val kept = df.select("event_type").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val all = m.select("event_type").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(kept == all.slice(1, 3), s"kept=$kept all=$all")
+  }
+
   test("band_keys: fused LSH signature stays inside WholeStageCodegen") {
     import org.apache.spark.sql.functions._
     val df = Tables.load(spark, sf, "embeddings")
