@@ -251,6 +251,13 @@ object Dedup {
     // sf0.1). Checkpointed frames are LogicalRDDs — no history to replay.
     val pairs = jaccardPairs(spark, dir).select(col("id_a"), col("id_b"))
       .localCheckpoint()
+    // the label-propagation frames are |near-dup pairs| rows — orders of
+    // magnitude below the corpus — so the iteration shuffles at a width
+    // sized to THEM, not the session default (at 100 TB the same rule
+    // applies: the pair graph is the small derived structure)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
     val sym = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .unionAll(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
       .localCheckpoint()
@@ -287,6 +294,7 @@ object Dedup {
       .withColumn("is_survivor", col("doc_id") === col("canonical_id"))
       .select(col("doc_id"), col("canonical_id"), col("cluster_size"),
         col("is_survivor")))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   // ----------------------------------------------------------------- wiring

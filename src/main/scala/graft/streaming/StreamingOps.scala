@@ -183,7 +183,16 @@ object StreamingOps {
       col("c_user") === col("p_user") &&
         col("p_ts") >= col("c_ts") &&
         col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
-    totalOrder(runToTable(joined, OutputMode.Append())
+    // a stream-stream join opens FOUR state stores per shuffle partition;
+    // size the state partitioning to the keyed throughput (user keys here),
+    // not the session default — at production scale this is the same knob,
+    // just set from the key cardinality / rate instead
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val table =
+      try runToTable(joined, OutputMode.Append())
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    totalOrder(table
       .select(col("c_user").as("user_id"), col("click_id"),
         col("purchase_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us")))
