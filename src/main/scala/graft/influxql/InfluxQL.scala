@@ -90,7 +90,8 @@ object InfluxQL {
     slimit: Option[Int] = None,   // cap number of series
     soffset: Option[Int] = None,  // skip series
     sub: Option[Query] = None,    // FROM (SELECT ...) subquery
-    orConds: Seq[Seq[Cond]] = Nil) // AND-joined OR-groups: (a OR b) AND ...
+    orConds: Seq[Seq[Cond]] = Nil, // AND-joined OR-groups: (a OR b) AND ...
+    tz: Option[String] = None)    // tz('Area/City'): local bucket alignment
 
   private val SelectRe =
     ("""(?is)^\s*SELECT\s+(.+?)""" +
@@ -100,7 +101,8 @@ object InfluxQL {
       """(?:\s+fill\((\w+)\))?""" +
       """(?:\s+ORDER\s+BY\s+time(\s+DESC)?)?""" +
       """(?:\s+LIMIT\s+(\d+))?(?:\s+OFFSET\s+(\d+))?""" +
-      """(?:\s+SLIMIT\s+(\d+))?(?:\s+SOFFSET\s+(\d+))?\s*;?\s*$""").r
+      """(?:\s+SLIMIT\s+(\d+))?(?:\s+SOFFSET\s+(\d+))?""" +
+      """(?:\s+tz\('([\w/+-]+)'\))?\s*;?\s*$""").r
 
   private val AggRe =
     """(?i)^(mean|sum|count|min|max|first|last|spread|stddev|median)\(\s*"?(\w+)"?\s*\)(?:\s+AS\s+(\w+))?$""".r
@@ -217,7 +219,7 @@ object InfluxQL {
     val (outerText, subText) = extractSub(q)
     outerText match {
       case SelectRe(fieldsS, intoS, meas, whereS, groupS, fillS, descS,
-          limitS, offS, slimS, soffS) =>
+          limitS, offS, slimS, soffS, tzS) =>
         val fields = splitTop(fieldsS).map(parseField(q, _))
         def parseCond(s: String): Cond = s match {
           case CondNowRe(c, op, sign, dur) =>
@@ -249,7 +251,8 @@ object InfluxQL {
         Query(fields, meas, conds, bucket, tags, Option(fillS).map(_.toLowerCase),
           descS != null, Option(limitS).map(_.toInt), Option(intoS),
           Option(offS).map(_.toInt), Option(slimS).map(_.toInt),
-          Option(soffS).map(_.toInt), subText.map(parse), orConds)
+          Option(soffS).map(_.toInt), subText.map(parse), orConds,
+          Option(tzS))
       case _ => fail(q, "not a supported InfluxQL SELECT")
     }
   }
@@ -307,7 +310,8 @@ object InfluxQL {
       q.limit.map(n => s" LIMIT $n").getOrElse("") +
       q.offset.map(n => s" OFFSET $n").getOrElse("") +
       q.slimit.map(n => s" SLIMIT $n").getOrElse("") +
-      q.soffset.map(n => s" SOFFSET $n").getOrElse("")
+      q.soffset.map(n => s" SOFFSET $n").getOrElse("") +
+      q.tz.map(z => s" tz('$z')").getOrElse("")
   }
 
   private val Units = Map("s" -> "seconds", "m" -> "minutes",
@@ -627,12 +631,28 @@ object InfluxQL {
         base.agg(selAgg(p.fields.head, q),
           p.fields.tail.map(selAgg(_, q)): _*)
       case Some((n, u)) =>
-        val win = window(col("time"), s"$n ${Units(u)}")
-        val keys = win.as("w") +: p.groupTags.map(col)
-        val agged = base.groupBy(keys: _*)
-          .agg(selAgg(p.fields.head, q),
-            p.fields.tail.map(selAgg(_, q)): _*)
-          .withColumn("time", col("w.start")).drop("w")
+        val agged = p.tz match {
+          case Some(z) =>
+            // tz('Area/City'): buckets align to LOCAL boundaries (a
+            // utility's "daily" is local midnight, not UTC) — floor in the
+            // shifted frame, convert the boundary back to a UTC instant
+            if (p.fill.nonEmpty)
+              fail(q, "fill() with tz() is unsupported")
+            val stepUs = durSec(s"$n$u") * 1000000L
+            val bucket = expr(
+              s"to_utc_timestamp(timestamp_micros((unix_micros(" +
+                s"from_utc_timestamp(time, '$z')) DIV $stepUs) * $stepUs), '$z')")
+            base.groupBy(bucket.as("time") +: p.groupTags.map(col): _*)
+              .agg(selAgg(p.fields.head, q),
+                p.fields.tail.map(selAgg(_, q)): _*)
+          case None =>
+            val win = window(col("time"), s"$n ${Units(u)}")
+            val keys = win.as("w") +: p.groupTags.map(col)
+            base.groupBy(keys: _*)
+              .agg(selAgg(p.fields.head, q),
+                p.fields.tail.map(selAgg(_, q)): _*)
+              .withColumn("time", col("w.start")).drop("w")
+        }
         p.fill match {
           case Some("previous") | Some("0") | Some("null") | Some("linear") =>
             fillBuckets(spark, base, agged, p, n, u)

@@ -132,6 +132,12 @@ object InfluxQlOps {
     "SELECT count(value) AS n FROM events " +
       "WHERE event_type =~ /^(click|view)$/ GROUP BY time(1d), event_type"
 
+  // local-midnight daily buckets — a metering utility's "daily" is local
+  // time (the reference deployment is in Utah), not UTC
+  private val TzQ =
+    "SELECT count(value) AS n FROM events GROUP BY time(1d), event_type " +
+      "tz('America/Denver')"
+
   // OR-groups inside a conjunction (the multi-select dashboard filter)
   private val OrQ =
     "SELECT count(value) AS n FROM events " +
@@ -218,6 +224,7 @@ object InfluxQlOps {
     "influxql_now_relative" -> runAt(NowQ) _,
     "influxql_regex_tag" -> run(RegexTagQ) _,
     "influxql_or_group" -> run(OrQ) _,
+    "influxql_tz" -> run(TzQ) _,
     "influxql_show_measurements" -> meta("SHOW MEASUREMENTS") _,
     "influxql_show_tag_values" ->
       meta("SHOW TAG VALUES FROM events WITH KEY = event_type") _,
@@ -421,6 +428,17 @@ object InfluxQlOps {
          |FROM events
          |WHERE regexp_matches(event_type, '^(click|view)$$')
          |GROUP BY 1, 2
+         |${orderAll("time", "event_type", "n")}""".stripMargin,
+    "influxql_tz" ->
+      s"""WITH loc AS (
+         |  SELECT event_type, value,
+         |    timezone('America/Denver',
+         |      CAST(CAST(ts AS TIMESTAMP) AS TIMESTAMPTZ)) AS lt
+         |  FROM events)
+         |SELECT CAST(timezone('America/Denver',
+         |    ${sqlBucket("lt", 86400)}) AS TIMESTAMP) AS time,
+         |  event_type, COUNT(value) AS n
+         |FROM loc GROUP BY 1, 2
          |${orderAll("time", "event_type", "n")}""".stripMargin,
     "influxql_or_group" ->
       s"""SELECT ${sqlBucket("CAST(ts AS TIMESTAMP)", 86400)} AS time,

@@ -105,8 +105,9 @@ class InfluxQlSpec extends SparkTestBase {
       offset <- Gen.option(Gen.chooseNum(1, 999))
       slimit <- Gen.option(Gen.chooseNum(1, 99))
       soffset <- Gen.option(Gen.chooseNum(1, 99))
+      tz <- Gen.option(Gen.oneOf("America/Denver", "UTC", "Asia/Tokyo"))
     } yield InfluxQL.Query(fields, meas, conds, bucket, tags, fill, desc,
-      limit, into, offset, slimit, soffset, orConds = orGroups)
+      limit, into, offset, slimit, soffset, orConds = orGroups, tz = tz)
     val qs = (0 until 200).flatMap(i =>
       query.apply(Gen.Parameters.default, Seed(1234L + i)))
     assert(qs.size > 150, "generator drought")
