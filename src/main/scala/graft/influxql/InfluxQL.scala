@@ -122,6 +122,7 @@ object InfluxQL {
       """\((.+)\)(?:\s+AS\s+(\w+))?$""").r
   private val TransArgRe = """^\d+[smhd]?$""".r
   private val RawRe = """(?i)^"?(\w+)"?(?:\s+AS\s+(\w+))?$""".r
+  private val StarRe = """^\*$""".r
   // arithmetic suffix on a field or aggregate: `value * 0.264172`,
   // `mean(value) / 60 AS per_sec` — one op, numeric literal on the right
   private val ArithRe =
@@ -175,6 +176,7 @@ object InfluxQL {
           "cumulative_sum").contains(fnl) && arg.nonEmpty)
         fail(q, s"$fnl takes no argument")
       Transform(fnl, inner, arg, Option(al))
+    case StarRe() => Raw("*", None)
     case ArithRe(innerS, op, k, al) =>
       val inner = parseField(q, innerS.trim)
       inner match {
@@ -624,8 +626,14 @@ object InfluxQL {
       fail(q, "cannot mix raw fields with aggregate functions")
     val projected = p.timeBucket match {
       case None if aggLikes.isEmpty =>
-        val cols = col("time") +: p.fields.map(selRaw(_, q))
-        base.select(cols: _*)
+        if (p.fields == Seq(Raw("*", None))) {
+          // SELECT *: time first, then every other column in name order
+          val others = base.columns.filter(_ != "time").sorted.map(col)
+          base.select(col("time") +: others.toSeq: _*)
+        } else {
+          val cols = col("time") +: p.fields.map(selRaw(_, q))
+          base.select(cols: _*)
+        }
       case None =>
         // global aggregation (no bucket): one row
         base.agg(selAgg(p.fields.head, q),
@@ -779,6 +787,34 @@ object InfluxQL {
   private val ShowFieldRe = """(?i)^\s*SHOW\s+FIELD\s+KEYS\s+FROM\s+"?(\w+)"?\s*;?\s*$""".r
   private val ShowTagValsRe =
     """(?i)^\s*SHOW\s+TAG\s+VALUES\s+FROM\s+"?(\w+)"?\s+WITH\s+KEY\s*=\s*"?(\w+)"?\s*;?\s*$""".r
+  private val ShowSeriesRe =
+    """(?i)^\s*SHOW\s+SERIES\s+FROM\s+"?(\w+)"?\s*;?\s*$""".r
+  private val CqRe =
+    ("""(?is)^\s*CREATE\s+CONTINUOUS\s+QUERY\s+"?(\w+)"?\s+ON\s+"?(\w+)"?""" +
+      """\s+BEGIN\s+(.+?)\s*;?\s+END\s*$""").r
+
+  /** Parse `CREATE CONTINUOUS QUERY <name> ON <db> BEGIN <select> END` —
+    * the reference's cron-run downsampling jobs as first-class statements;
+    * the body runs as a Structured Streaming query
+    * ([[graft.streaming.StreamingOps.continuousQuery]]). */
+  def parseCq(stmt: String): (String, Query) = stmt match {
+    case CqRe(name, _, body) => (name, parse(body))
+    case _ => fail(stmt, "not a supported CREATE CONTINUOUS QUERY")
+  }
+
+  /** The CQ body's aggregation applied to an unbounded measurement frame
+    * (time column named `time`): tumbling window + tags, same selAgg
+    * translation as the batch path — one definition, two execution modes. */
+  private[graft] def streamingAggregate(stream: DataFrame, p: Query,
+    q: String): DataFrame = {
+    val (n, u) = p.timeBucket.getOrElse(
+      fail(q, "a continuous query requires GROUP BY time()"))
+    val keys = window(col("time"), s"$n ${Units(u)}").as("w") +:
+      p.groupTags.map(col)
+    stream.groupBy(keys: _*)
+      .agg(selAgg(p.fields.head, q), p.fields.tail.map(selAgg(_, q)): _*)
+      .withColumn("time", col("w.start")).drop("w")
+  }
 
   /** InfluxQL metadata queries (the discovery surface the CLI and Grafana
     * issue before any SELECT): SHOW MEASUREMENTS / TAG KEYS / FIELD KEYS,
@@ -799,6 +835,16 @@ object InfluxQL {
         frame(m).select(lit(key).as("key"),
             col(key).cast("string").as("value"))
           .distinct().orderBy(col("value"))
+      case ShowSeriesRe(m) =>
+        // one row per distinct tag combination, Influx line-protocol style
+        val df = frame(m)
+        val tags = df.schema.fields
+          .filter(f => f.name != "time" &&
+            f.dataType == org.apache.spark.sql.types.StringType)
+          .map(_.name).sorted
+        val key = concat(lit(m) +:
+          tags.toSeq.flatMap(t => Seq(lit(s",$t="), col(t))): _*)
+        df.select(key.as("key")).distinct().orderBy(col("key"))
       case ShowTagRe(m) =>
         frame(m).schema.fields
           .filter(f => f.name != "time" &&

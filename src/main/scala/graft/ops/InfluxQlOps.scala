@@ -228,13 +228,20 @@ object InfluxQlOps {
     "influxql_show_measurements" -> meta("SHOW MEASUREMENTS") _,
     "influxql_show_tag_values" ->
       meta("SHOW TAG VALUES FROM events WITH KEY = event_type") _,
+    "influxql_show_series" -> meta("SHOW SERIES FROM events") _,
+    "influxql_select_star" ->
+      run("SELECT * FROM events " +
+        "WHERE time >= '2024-01-02 00:00:00' AND time < '2024-01-02 06:00:00'") _,
     "influxql_show_tag_keys" -> meta("SHOW TAG KEYS FROM events") _,
     "influxql_show_field_keys" -> meta("SHOW FIELD KEYS FROM events") _)
 
-  /** Engine-neutral bucket start: naive-timestamp epoch floor. */
-  private def sqlBucket(ts: String, stepSec: Long): String =
+  /** Engine-neutral bucket start: naive-timestamp epoch floor. DuckDB's
+    * epoch() returns DOUBLE seconds and CAST(DOUBLE AS BIGINT) ROUNDS —
+    * a point in the last half-second of a bucket would round into the
+    * next one — so floor() first (Spark's window() truncates). */
+  private[ops] def sqlBucket(ts: String, stepSec: Long): String =
     s"TIMESTAMP '1970-01-01 00:00:00' + " +
-      s"((CAST(epoch($ts) AS BIGINT) // $stepSec) * $stepSec) * INTERVAL 1 SECOND"
+      s"((CAST(floor(epoch($ts)) AS BIGINT) // $stepSec) * $stepSec) * INTERVAL 1 SECOND"
 
   val oracle: Map[String, String] = Map(
     "influxql_raw" ->
@@ -429,6 +436,18 @@ object InfluxQlOps {
          |WHERE regexp_matches(event_type, '^(click|view)$$')
          |GROUP BY 1, 2
          |${orderAll("time", "event_type", "n")}""".stripMargin,
+    "influxql_show_series" ->
+      s"""SELECT DISTINCT 'events,event_type=' || event_type ||
+         |  ',props=' || props AS key
+         |FROM events
+         |${orderAll("key")}""".stripMargin,
+    "influxql_select_star" ->
+      s"""SELECT CAST(ts AS TIMESTAMP) AS time, event_id, event_type,
+         |  props, user_id, value
+         |FROM events
+         |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-02 00:00:00'
+         |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-02 06:00:00'
+         |${orderAll("time", "event_id", "event_type", "props", "user_id", "value")}""".stripMargin,
     "influxql_tz" ->
       s"""WITH loc AS (
          |  SELECT event_type, value,

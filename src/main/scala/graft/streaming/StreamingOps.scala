@@ -198,6 +198,24 @@ object StreamingOps {
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us")))
   }
 
+  /** InfluxQL CREATE CONTINUOUS QUERY executed as Structured Streaming
+    * (§2.8 / §3.3): the reference's cron-run downsampling scripts are CQs
+    * in InfluxDB terms; here the statement parses through the same front
+    * end as every other query and its body becomes an unbounded windowed
+    * aggregation — one translation, batch and streaming execution. The
+    * INTO target names the sink. AvailableNow drains the fixture, so the
+    * result equals the batch run of the same body (the oracle). */
+  def continuousQuery(spark: SparkSession, dir: String): DataFrame = {
+    val stmt =
+      "CREATE CONTINUOUS QUERY cq_hourly ON graft BEGIN " +
+        "SELECT mean(value) AS mv, count(value) AS n INTO hourly_means " +
+        "FROM events GROUP BY time(1h), event_type END"
+    val (_, body) = graft.influxql.InfluxQL.parseCq(stmt)
+    val stream = eventsStream(spark, dir).withColumnRenamed("ts", "time")
+    val agged = graft.influxql.InfluxQL.streamingAggregate(stream, body, stmt)
+    totalOrder(runToTable(agged, OutputMode.Complete()))
+  }
+
   // ------------------- streaming CSV ingest (the production loop, §2.8) ---
 
   /** The reference's actual production loop (loader.py:32-86: watch a
@@ -268,7 +286,8 @@ object StreamingOps {
     "stream_pulse_rate" -> streamPulseRate,
     "stream_csv_ingest" -> streamCsvIngest,
     "stream_session_window" -> streamSessionWindow,
-    "stream_stream_join" -> streamStreamJoin)
+    "stream_stream_join" -> streamStreamJoin,
+    "stream_continuous_query" -> continuousQuery)
 
   val oracle: Map[String, String] = Map(
     "stream_time_bucket" ->
@@ -293,6 +312,14 @@ object StreamingOps {
          |       CAST(c.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
          |  WHERE c.event_type = 'click' AND p.event_type = 'purchase')
          |${orderAll("user_id", "click_id", "purchase_id", "gap_us")}""".stripMargin,
+    "stream_continuous_query" ->
+      s"""SELECT TIMESTAMP '1970-01-01 00:00:00' +
+         |    ((CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 3600)
+         |    * 3600) * INTERVAL 1 SECOND AS time,
+         |  event_type,
+         |  ${Tables.sqlDavg("value")} AS mv, COUNT(value) AS n
+         |FROM events GROUP BY 1, 2
+         |${orderAll("time", "event_type", "mv", "n")}""".stripMargin,
     "stream_pulse_rate" -> graft.ops.TimeSeries.oracle("win_lag_interval"),
     "stream_csv_ingest" -> graft.ops.Ingest.oracle("scan_csv_pulses"),
     "stream_session_window" -> graft.ops.TimeSeries.oracle("ts_session_window"))
