@@ -297,9 +297,27 @@ object Dedup {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** Cross-source duplication matrix (corpus forensics): for every pair of
+    * sources, how many NEAR-duplicate document pairs they share — the "who
+    * copies from whom" question every corpus audit asks. Rides the bounded
+    * inverted-index pair list of [[dedupNgramJaccard]] (never n²); the two
+    * source lookups are joins on doc_id against a two-column projection.
+    * Unordered source pairs; the diagonal is intra-source duplication. */
+  def dedupCrossSource(spark: SparkSession, dir: String): DataFrame = {
+    val src = load(spark, dir, "documents").select(col("doc_id"), col("source"))
+    totalOrder(jaccardPairs(spark, dir).select(col("id_a"), col("id_b"))
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+      .groupBy(
+        least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .agg(count(lit(1)).as("n_dup_pairs")))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cross_source" -> dedupCrossSource,
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash" -> dedupMinhash,
@@ -343,6 +361,17 @@ object Dedup {
       |  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.3)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dedup_cross_source" ->
+      s"""WITH $jaccardPairsCtes,
+         |src AS (SELECT doc_id, source FROM documents)
+         |SELECT least(x.source, y.source) AS src_a,
+         |  greatest(x.source, y.source) AS src_b,
+         |  COUNT(*) AS n_dup_pairs
+         |FROM jpairs p
+         |JOIN src x ON x.doc_id = p.id_a
+         |JOIN src y ON y.doc_id = p.id_b
+         |GROUP BY 1, 2
+         |${orderAll("src_a", "src_b", "n_dup_pairs")}""".stripMargin,
     "dedup_exact" ->
       s"""SELECT sha256(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS h,
          |  MIN(doc_id) AS canonical_id, COUNT(*) AS n_dups

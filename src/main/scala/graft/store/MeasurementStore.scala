@@ -199,6 +199,22 @@ class MeasurementStore(spark: SparkSession, root: String) {
       s"not a supported DELETE statement: $statement")
   }
 
+  private val DropRe =
+    """(?i)^\s*DROP\s+MEASUREMENT\s+"?(\w+)"?\s*;?\s*$""".r
+
+  /** InfluxQL `DROP MEASUREMENT <m>` — removes the measurement directory
+    * entirely (the reference wipes whole series when a site is
+    * decommissioned). Returns true if anything was deleted. */
+  def dropMeasurement(statement: String): Boolean = statement match {
+    case DropRe(measurement) =>
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path(measurement)).resolve("/"),
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path(measurement)), true)
+    case _ => throw new IllegalArgumentException(
+      s"not a supported DROP statement: $statement")
+  }
+
   /** Heal interrupted [[compact]] swaps. Cases, by what survived a crash:
     *  - `.old_<day>` and no `day=<day>`: crashed between the two renames —
     *    promote `.compact_<day>` if complete, else restore the old dir.

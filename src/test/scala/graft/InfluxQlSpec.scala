@@ -382,6 +382,19 @@ class InfluxQlSpec extends SparkTestBase {
       newest.select("time", "event_type", "n").collect().toSet)
   }
 
+  test("DROP MEASUREMENT removes the series; others untouched") {
+    val root = java.nio.file.Files.createTempDirectory("ms_drop").toString
+    val store = new graft.store.MeasurementStore(spark, root)
+    val pts = Tables.load(spark, sf, "events").limit(100)
+      .select(col("event_type"), col("ts").as("time"), col("value"))
+    store.append("a", pts)
+    store.append("b", pts)
+    assert(store.dropMeasurement("DROP MEASUREMENT a"))
+    assert(!new java.io.File(s"$root/a").exists())
+    assert(store.read("b").count() == 100)
+    assert(!store.dropMeasurement("DROP MEASUREMENT a"), "second drop is a no-op")
+  }
+
   test("fill(previous) densifies every bucket and carries values forward") {
     val m = Tables.load(spark, sf, "events").withColumnRenamed("ts", "time")
     val filled = InfluxQL.run(spark, m,
