@@ -91,21 +91,23 @@ object InfluxQL {
     soffset: Option[Int] = None,  // skip series
     sub: Option[Query] = None,    // FROM (SELECT ...) subquery
     orConds: Seq[Seq[Cond]] = Nil, // AND-joined OR-groups: (a OR b) AND ...
-    tz: Option[String] = None)    // tz('Area/City'): local bucket alignment
+    tz: Option[String] = None,    // tz('Area/City'): local bucket alignment
+    bucketOffset: Option[String] = None, // GROUP BY time(n, off) boundary shift
+    fromRegex: Option[String] = None)    // FROM /re/ multi-measurement match
 
   private val SelectRe =
     ("""(?is)^\s*SELECT\s+(.+?)""" +
-      """(?:\s+INTO\s+"?([\w.]+)"?)?\s+FROM\s+"?([\w.]+)"?""" +
+      """(?:\s+INTO\s+"?([\w.]+)"?)?\s+FROM\s+(?:"?([\w.]+)"?|/([^/\s]+)/)""" +
       """(?:\s+WHERE\s+(.+?))?""" +
       """(?:\s+GROUP\s+BY\s+(.+?))?""" +
-      """(?:\s+fill\((\w+)\))?""" +
+      """(?:\s+fill\((-?[0-9.]+|\w+)\))?""" +
       """(?:\s+ORDER\s+BY\s+time(\s+DESC)?)?""" +
       """(?:\s+LIMIT\s+(\d+))?(?:\s+OFFSET\s+(\d+))?""" +
       """(?:\s+SLIMIT\s+(\d+))?(?:\s+SOFFSET\s+(\d+))?""" +
       """(?:\s+tz\('([\w/+-]+)'\))?\s*;?\s*$""").r
 
   private val AggRe =
-    """(?i)^(mean|sum|count|min|max|first|last|spread|stddev|median)\(\s*"?(\w+)"?\s*\)(?:\s+AS\s+(\w+))?$""".r
+    """(?i)^(mean|sum|count|min|max|first|last|spread|stddev|median|distinct|mode)\(\s*"?(\w+)"?\s*\)(?:\s+AS\s+(\w+))?$""".r
   private val CountDistinctRe =
     """(?i)^count\(\s*distinct\(\s*"?(\w+)"?\s*\)\s*\)(?:\s+AS\s+(\w+))?$""".r
   private val PercRe =
@@ -133,7 +135,13 @@ object InfluxQL {
   // tag regex matching (Grafana template variables emit these constantly)
   private val CondRegexRe =
     """(?i)^\s*"?(\w+)"?\s*(=~|!~)\s*/([^/]*)/\s*$""".r
-  private val TimeRe = """(?i)^time\((\d+)([smhd])\)$""".r
+  // epoch-duration time literal (`time >= 1704153600s`) — InfluxQL's native
+  // numeric-epoch form at whole-second precision; normalized to the ISO
+  // string at parse so pruning and translation share one representation
+  private val CondEpochRe =
+    """(?i)^\s*"?(time)"?\s*(<=|>=|!=|=|<|>)\s*(\d+)([smhd])\s*$""".r
+  private val TimeRe =
+    """(?i)^time\((\d+)([smhd])(?:\s*,\s*(-?\d+[smhd])\s*)?\)$""".r
 
   /** Split on commas at paren depth 0 (select items may contain
     * `percentile(v, 90)` / `moving_average(mean(v), 4)`). */
@@ -220,7 +228,7 @@ object InfluxQL {
   def parse(q: String): Query = {
     val (outerText, subText) = extractSub(q)
     outerText match {
-      case SelectRe(fieldsS, intoS, meas, whereS, groupS, fillS, descS,
+      case SelectRe(fieldsS, intoS, meas, measRe, whereS, groupS, fillS, descS,
           limitS, offS, slimS, soffS, tzS) =>
         val fields = splitTop(fieldsS).map(parseField(q, _))
         def parseCond(s: String): Cond = s match {
@@ -228,6 +236,8 @@ object InfluxQL {
             Cond(c, op, Right(0),
               Some(if (sign == null) "" else s"$sign$dur"))
           case CondRegexRe(c, op, re) => Cond(c, op, Left(re))
+          case CondEpochRe(c, op, n, u) =>
+            Cond(c.toLowerCase, op, Left(epochIso(n.toLong * UnitSec(u.head))))
           case CondRe(c, op, v, n) =>
             Cond(c, op, if (v != null) Left(v) else Right(n.toDouble))
           case other => fail(q, s"unsupported condition '$other'")
@@ -246,18 +256,26 @@ object InfluxQL {
           inner.split("(?i)\\s+OR\\s+").toSeq.map(s => parseCond(s.trim))
         }
         var bucket: Option[(Int, String)] = None
-        val tags = Option(groupS).toSeq.flatMap(_.split(",").map(_.trim).toSeq).flatMap {
-          case TimeRe(n, u) => bucket = Some((n.toInt, u)); None
+        var bucketOff: Option[String] = None
+        val tags = splitTop(Option(groupS).getOrElse("")).filter(_.nonEmpty).flatMap {
+          case TimeRe(n, u, off) =>
+            bucket = Some((n.toInt, u)); bucketOff = Option(off); None
           case t => Some(t.stripPrefix("\"").stripSuffix("\""))
         }
-        Query(fields, meas, conds, bucket, tags, Option(fillS).map(_.toLowerCase),
+        Query(fields, Option(meas).getOrElse("__regex"), conds, bucket, tags,
+          Option(fillS).map(_.toLowerCase),
           descS != null, Option(limitS).map(_.toInt), Option(intoS),
           Option(offS).map(_.toInt), Option(slimS).map(_.toInt),
           Option(soffS).map(_.toInt), subText.map(parse), orConds,
-          Option(tzS))
+          Option(tzS), bucketOff, Option(measRe))
       case _ => fail(q, "not a supported InfluxQL SELECT")
     }
   }
+
+  private def epochIso(sec: Long): String =
+    java.time.LocalDateTime.ofEpochSecond(sec, 0, java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss"))
 
   private def fail(q: String, why: String): Nothing =
     throw new IllegalArgumentException(s"InfluxQL: $why in: $q")
@@ -300,10 +318,13 @@ object InfluxQL {
       q.orConds.map(g => "(" + g.map(renderCond).mkString(" OR ") + ")")
     val where =
       if (whereParts.isEmpty) "" else " WHERE " + whereParts.mkString(" AND ")
-    val grpItems = q.timeBucket.map { case (n, u) => s"time($n$u)" }.toSeq ++
+    val grpItems = q.timeBucket.map { case (n, u) =>
+      s"time($n$u${q.bucketOffset.map(", " + _).getOrElse("")})" }.toSeq ++
       q.groupTags
     val grp = if (grpItems.isEmpty) "" else " GROUP BY " + grpItems.mkString(", ")
-    val from = q.sub.map(s => s"(${print(s)})").getOrElse(q.measurement)
+    val from = q.sub.map(s => s"(${print(s)})")
+      .orElse(q.fromRegex.map(r => s"/$r/"))
+      .getOrElse(q.measurement)
     s"SELECT ${q.fields.map(f).mkString(", ")}" +
       q.into.map(t => s" INTO $t").getOrElse("") +
       s" FROM $from$where$grp" +
@@ -334,6 +355,11 @@ object InfluxQL {
       case None => c.value match {
         case Left(s) if c.col == "time" => to_timestamp(lit(s))
         case Left(s) => lit(s)
+        case Right(n) if c.col == "time" =>
+          // a bare numeric epoch exceeds double precision at ns scale and
+          // would compare nonsensically against a timestamp — reject loudly
+          fail("", s"numeric time bound $n — use an epoch-duration " +
+            s"suffix (e.g. ${n.toLong}s) or a quoted timestamp")
         case Right(n) => lit(n)
       }
     }
@@ -436,6 +462,33 @@ object InfluxQL {
     if (arg.forall(_.isDigit)) arg.toLong
     else arg.init.toLong * UnitSec(arg.last)
 
+  private def durSecSigned(arg: String): Long =
+    if (arg.startsWith("-")) -durSec(arg.tail) else durSec(arg)
+
+  /** `GROUP BY time(n, off)` boundary shift, normalized into [0, step) µs —
+    * InfluxDB accepts negative offsets; modular arithmetic makes
+    * `time(1d, -18h)` ≡ `time(1d, 6h)`. */
+  private def bucketOffsetUs(p: Query): Long = p.bucketOffset match {
+    case None => 0L
+    case Some(off) =>
+      val (n, u) = p.timeBucket.get
+      val stepUs = durSec(s"$n$u") * 1000000L
+      val x = durSecSigned(off) * 1000000L
+      ((x % stepUs) + stepUs) % stepUs
+  }
+
+  /** The tumbling-window expression for `GROUP BY time(n[, off])` — the one
+    * bucket definition shared by the batch, transform, integral, fill and
+    * streaming paths. */
+  private def winCol(p: Query): Column = {
+    val (n, u) = p.timeBucket.get
+    val dur = s"$n ${Units(u)}"
+    bucketOffsetUs(p) match {
+      case 0L => window(col("time"), dur)
+      case offUs => window(col("time"), dur, dur, s"$offUs microseconds")
+    }
+  }
+
   /** Series transforms: aggregate into buckets, then one window pass per
     * tag partition (the shuffle is shared with the aggregation's). Leading
     * rows with no defined value (no previous point / incomplete moving
@@ -445,10 +498,9 @@ object InfluxQL {
     transforms: Seq[Transform], q: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
-    val (n, u) = p.timeBucket.getOrElse(
-      fail(q, "transform functions require GROUP BY time()"))
-    val win = window(col("time"), s"$n ${Units(u)}")
-    val keys = win.as("w") +: p.groupTags.map(col)
+    if (p.timeBucket.isEmpty)
+      fail(q, "transform functions require GROUP BY time()")
+    val keys = winCol(p).as("w") +: p.groupTags.map(col)
     val inner = transforms.zipWithIndex.map { case (t, i) =>
       aggCol(t.inner).as(s"__in$i")
     }
@@ -552,9 +604,8 @@ object InfluxQL {
     val out = itg.alias.getOrElse("integral")
     val withSeg = base.withColumn("__seg", seg)
     p.timeBucket match {
-      case Some((n, u)) =>
-        val win = window(col("time"), s"$n ${Units(u)}")
-        withSeg.groupBy(win.as("w") +: p.groupTags.map(col): _*)
+      case Some(_) =>
+        withSeg.groupBy(winCol(p).as("w") +: p.groupTags.map(col): _*)
           .agg(Tables.dsum(col("__seg")).as(out))
           .withColumn("time", col("w.start")).drop("w")
           .filter(col(out).isNotNull)
@@ -569,6 +620,45 @@ object InfluxQL {
     }
   }
 
+  /** distinct(f): the unique field values per GROUP BY time() bucket (one
+    * row per value, as InfluxDB emits); mode(f): the most frequent value,
+    * lowest value on ties (InfluxDB's documented tiebreak). Without
+    * GROUP BY time() the rows carry the epoch timestamp, mirroring
+    * InfluxDB's whole-range result convention. Scale: distinct shuffles on
+    * (bucket, tags, value) with map-side partial dedup; mode's rank window
+    * runs over post-aggregation (bucket, tags, value) counts — bounded by
+    * value cardinality per bucket, never raw points. */
+  private def runDistinctMode(base: DataFrame, p: Query, a: Agg): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val out = a.alias.getOrElse(a.fn)
+    val v = col(a.field)
+    val withT = p.timeBucket match {
+      case Some((n, u)) =>
+        // the same epoch-floor alignment window() uses, as a plain
+        // projection expression (usable outside groupBy)
+        val stepUs = durSec(s"$n$u") * 1000000L
+        val offUs = bucketOffsetUs(p)
+        base.withColumn("__t", expr(
+          s"timestamp_micros((((unix_micros(time) - $offUs) DIV $stepUs)" +
+            s" * $stepUs) + $offUs)"))
+      case None =>
+        base.withColumn("__t", to_timestamp(lit("1970-01-01 00:00:00")))
+    }
+    val keys = (col("__t").as("time") +: p.groupTags.map(col)) :+ v.as(out)
+    a.fn match {
+      case "distinct" => withT.select(keys: _*).distinct()
+      case "mode" =>
+        val counted = withT
+          .groupBy((col("__t") +: p.groupTags.map(col)) :+ v: _*)
+          .agg(count(lit(1)).as("__n"))
+        val w = Window.partitionBy(col("__t") +: p.groupTags.map(col): _*)
+          .orderBy(col("__n").desc, v.asc)
+        counted.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(keys: _*)
+    }
+  }
+
   /** Translate and run `q` against `source` — a measurement frame whose
     * event-time column is named `time` (the [[graft.store.MeasurementStore]]
     * read shape). */
@@ -578,8 +668,38 @@ object InfluxQL {
   /** As [[run]], with a clock for `now()`-relative bounds (ISO timestamp
     * string). Production passes wall-clock; tests and oracles pin it. */
   def run(spark: SparkSession, source: DataFrame, q: String,
-    now: Option[String]): DataFrame =
-    runParsed(spark, source, parse(q), q, now)
+    now: Option[String]): DataFrame = {
+    val p = parse(q)
+    if (p.fromRegex.nonEmpty)
+      fail(q, "FROM /regex/ needs a measurement catalog — use runCatalog")
+    runParsed(spark, source, p, q, now)
+  }
+
+  /** As [[run]], resolving the FROM clause against a catalog of measurement
+    * frames. `FROM /regex/` runs the query once per matching measurement
+    * and unions the results under a leading `measurement` column —
+    * InfluxDB's multi-measurement form (one series set per match, each
+    * independently shaped by LIMIT/fill/transforms). */
+  def runCatalog(spark: SparkSession, catalog: Seq[(String, DataFrame)],
+    q: String, now: Option[String] = None): DataFrame = {
+    val p = parse(q)
+    def one(name: String, df: DataFrame): DataFrame = {
+      val r = runParsed(spark, df,
+        p.copy(fromRegex = None, measurement = name), q, now)
+      r.select(lit(name).as("measurement") +: r.columns.toSeq.map(col): _*)
+    }
+    p.fromRegex match {
+      case Some(re) =>
+        val rx = re.r
+        val hits = catalog.filter { case (n, _) => rx.findFirstIn(n).isDefined }
+        if (hits.isEmpty) fail(q, s"no measurement matches /$re/")
+        hits.map { case (n, df) => one(n, df) }.reduce(_ unionByName _)
+      case None =>
+        val df = catalog.collectFirst { case (n, d) if n == p.measurement => d }
+          .getOrElse(fail(q, s"unknown measurement '${p.measurement}'"))
+        runParsed(spark, df, p, q, now)
+    }
+  }
 
   private def runParsed(spark: SparkSession, source: DataFrame, p0: Query,
     q: String, now: Option[String]): DataFrame = {
@@ -607,6 +727,12 @@ object InfluxQL {
     p.fields.collectFirst { case i: Integral => i }.foreach { i =>
       if (p.fields.size != 1) fail(q, "integral must be the only select item")
       return applyLimit(runIntegral(base, p, i), p)
+    }
+    p.fields.collectFirst {
+      case a: Agg if a.fn == "distinct" || a.fn == "mode" => a
+    }.foreach { a =>
+      if (p.fields.size != 1) fail(q, s"${a.fn} must be the only select item")
+      return applyLimit(runDistinctMode(base, p, a), p)
     }
     if (sels.nonEmpty) {
       if (p.fields.size != 1) fail(q, "top/bottom must be the only select item")
@@ -646,6 +772,8 @@ object InfluxQL {
             // shifted frame, convert the boundary back to a UTC instant
             if (p.fill.nonEmpty)
               fail(q, "fill() with tz() is unsupported")
+            if (p.bucketOffset.nonEmpty)
+              fail(q, "time() offset with tz() is unsupported")
             val stepUs = durSec(s"$n$u") * 1000000L
             val bucket = expr(
               s"to_utc_timestamp(timestamp_micros((unix_micros(" +
@@ -654,17 +782,15 @@ object InfluxQL {
               .agg(selAgg(p.fields.head, q),
                 p.fields.tail.map(selAgg(_, q)): _*)
           case None =>
-            val win = window(col("time"), s"$n ${Units(u)}")
-            val keys = win.as("w") +: p.groupTags.map(col)
+            val keys = winCol(p).as("w") +: p.groupTags.map(col)
             base.groupBy(keys: _*)
               .agg(selAgg(p.fields.head, q),
                 p.fields.tail.map(selAgg(_, q)): _*)
               .withColumn("time", col("w.start")).drop("w")
         }
         p.fill match {
-          case Some("previous") | Some("0") | Some("null") | Some("linear") =>
-            fillBuckets(spark, base, agged, p, n, u)
-          case _ => agged // fill(none) / no fill: only non-empty buckets
+          case Some("none") | None => agged // only non-empty buckets emit
+          case Some(_) => fillBuckets(spark, base, agged, p, n, u)
         }
     }
     applyLimit(projected, p)
@@ -732,8 +858,10 @@ object InfluxQL {
     // at floor(hi) — extend the spine to that bucket so the aggregated
     // value isn't dropped by the spine join.
     val stepUs = durSec(s"$n$u") * 1000000L
+    val offUs = bucketOffsetUs(p)
     def bucketFloor(tsLit: String): Column = expr(
-      s"timestamp_micros((unix_micros(to_timestamp('$tsLit')) DIV $stepUs) * $stepUs)")
+      s"timestamp_micros((((unix_micros(to_timestamp('$tsLit')) - $offUs)" +
+        s" DIV $stepUs) * $stepUs) + $offUs)")
     val spineEnd =
       if (hiCond.op == "<=") bucketFloor(hi)
       else to_timestamp(lit(hi)) - expr("INTERVAL 1 MICROSECOND")
@@ -756,6 +884,13 @@ object InfluxQL {
       case Some("0") =>
         valueCols.foldLeft(joined)((df, c) =>
           df.withColumn(c, coalesce(col(c), lit(0))))
+      case Some(numS) if numS.matches("-?[0-9.]+") =>
+        // fill(<number>): empty buckets take the literal (InfluxDB's
+        // fill(100) form); integer literals stay integral so count
+        // columns keep their type
+        val l = if (numS.contains('.')) lit(numS.toDouble) else lit(numS.toLong)
+        valueCols.foldLeft(joined)((df, c) =>
+          df.withColumn(c, coalesce(col(c), l)))
       case Some("null") => joined // densify only; empty buckets stay null
       case Some("linear") =>
         // interpolate strictly between two known points per series
@@ -776,9 +911,10 @@ object InfluxQL {
                 ((unix_micros(col("time")) - unix_micros(prevT)) /
                   (unix_micros(nextT) - unix_micros(prevT))))))
         }
-      case _ => // previous
+      case Some("previous") =>
         valueCols.foldLeft(joined)((df, c) =>
           df.withColumn(c, last(col(c), ignoreNulls = true).over(wPrev)))
+      case other => fail("", s"unsupported fill(${other.getOrElse("")})")
     }
   }
 
@@ -807,10 +943,9 @@ object InfluxQL {
     * translation as the batch path — one definition, two execution modes. */
   private[graft] def streamingAggregate(stream: DataFrame, p: Query,
     q: String): DataFrame = {
-    val (n, u) = p.timeBucket.getOrElse(
-      fail(q, "a continuous query requires GROUP BY time()"))
-    val keys = window(col("time"), s"$n ${Units(u)}").as("w") +:
-      p.groupTags.map(col)
+    if (p.timeBucket.isEmpty)
+      fail(q, "a continuous query requires GROUP BY time()")
+    val keys = winCol(p).as("w") +: p.groupTags.map(col)
     stream.groupBy(keys: _*)
       .agg(selAgg(p.fields.head, q), p.fields.tail.map(selAgg(_, q)): _*)
       .withColumn("time", col("w.start")).drop("w")

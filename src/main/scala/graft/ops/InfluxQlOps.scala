@@ -183,6 +183,48 @@ object InfluxQlOps {
   private val BottomQ =
     "SELECT bottom(value, 2) AS v FROM events GROUP BY event_type"
 
+  // distinct(): the unique field values per bucket, one row each
+  private val DistinctQ =
+    "SELECT distinct(user_id) AS u FROM events " +
+      "WHERE time >= '2024-01-02 00:00:00' AND time < '2024-01-04 00:00:00' " +
+      "GROUP BY time(1d)"
+
+  // mode(): most frequent value per bucket, lowest wins ties
+  private val ModeQ =
+    "SELECT mode(user_id) AS m FROM events GROUP BY time(1d)"
+
+  // fill(<number>): empty buckets take a constant (the sentinel-value
+  // dashboard convention)
+  private val FillValueQ =
+    "SELECT count(value) AS n FROM events " +
+      "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-03 00:00:00' " +
+      "GROUP BY time(12h), event_type fill(100)"
+
+  // GROUP BY time(1d, 6h): day buckets starting at 06:00 (a utility's
+  // billing day), InfluxQL's bucket-boundary offset
+  private val TimeOffsetQ =
+    "SELECT count(value) AS n FROM events GROUP BY time(1d, 6h)"
+
+  // FROM /regex/: the query runs per matching measurement and unions
+  private val FromRegexQ =
+    "SELECT count(value) AS n FROM /^events/ GROUP BY time(1d)"
+
+  // epoch-duration time literals — the InfluxQL numeric-epoch bound form
+  private val EpochBoundQ =
+    "SELECT count(value) AS n FROM events " +
+      "WHERE time >= 1704153600s AND time < 1704326400s GROUP BY time(6h)"
+
+  /** [[FromRegexQ]] resolves measurements from a catalog: `events` plus a
+    * derived `events_clicks` series (the multi-site shape — same schema,
+    * one measurement per source). */
+  private def runCat(sql: String)(spark: SparkSession, dir: String): DataFrame = {
+    val m = measurement(spark, dir)
+    val cat = Seq(
+      "events" -> m,
+      "events_clicks" -> m.filter(col("event_type") === "click"))
+    totalOrder(InfluxQL.runCatalog(spark, cat, sql))
+  }
+
   /** All fixture tables as the measurement catalog (metadata queries). */
   private def catalog(spark: SparkSession, dir: String): Seq[(String, DataFrame)] =
     graft.Tables.names.map { n =>
@@ -220,6 +262,12 @@ object InfluxQlOps {
     "influxql_top" -> run(TopQ) _,
     "influxql_bottom_tag" -> run(BottomQ) _,
     "influxql_group_star" -> run(GroupStarQ) _,
+    "influxql_distinct" -> run(DistinctQ) _,
+    "influxql_mode" -> run(ModeQ) _,
+    "influxql_fill_value" -> run(FillValueQ) _,
+    "influxql_time_offset" -> run(TimeOffsetQ) _,
+    "influxql_from_regex" -> runCat(FromRegexQ) _,
+    "influxql_epoch_bound" -> run(EpochBoundQ) _,
     "influxql_arith" -> run(ArithQ) _,
     "influxql_now_relative" -> runAt(NowQ) _,
     "influxql_regex_tag" -> run(RegexTagQ) _,
@@ -242,6 +290,12 @@ object InfluxQlOps {
   private[ops] def sqlBucket(ts: String, stepSec: Long): String =
     s"TIMESTAMP '1970-01-01 00:00:00' + " +
       s"((CAST(floor(epoch($ts)) AS BIGINT) // $stepSec) * $stepSec) * INTERVAL 1 SECOND"
+
+  /** [[sqlBucket]] with the `time(n, off)` boundary shift. */
+  private[ops] def sqlBucketOff(ts: String, stepSec: Long, offSec: Long): String =
+    s"TIMESTAMP '1970-01-01 00:00:00' + " +
+      s"((((CAST(floor(epoch($ts)) AS BIGINT) - $offSec) // $stepSec)" +
+      s" * $stepSec) + $offSec) * INTERVAL 1 SECOND"
 
   val oracle: Map[String, String] = Map(
     "influxql_raw" ->
@@ -627,5 +681,68 @@ object InfluxQlOps {
          |    ROW_NUMBER() OVER (PARTITION BY event_type
          |      ORDER BY value ASC, CAST(ts AS TIMESTAMP) ASC) AS rn
          |  FROM events) WHERE rn <= 2
-         |${orderAll("time", "event_type", "v")}""".stripMargin)
+         |${orderAll("time", "event_type", "v")}""".stripMargin,
+    "influxql_distinct" ->
+      s"""SELECT DISTINCT ${sqlBucket("CAST(ts AS TIMESTAMP)", 86400)} AS time,
+         |  user_id AS u
+         |FROM events
+         |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-02 00:00:00'
+         |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-04 00:00:00'
+         |${orderAll("time", "u")}""".stripMargin,
+    "influxql_mode" ->
+      s"""WITH c AS (
+         |  SELECT ${sqlBucket("CAST(ts AS TIMESTAMP)", 86400)} AS time,
+         |    user_id, COUNT(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |r AS (
+         |  SELECT time, user_id, ROW_NUMBER() OVER (PARTITION BY time
+         |    ORDER BY n DESC, user_id ASC) AS rn
+         |  FROM c)
+         |SELECT time, user_id AS m FROM r WHERE rn = 1
+         |${orderAll("time", "m")}""".stripMargin,
+    "influxql_fill_value" ->
+      s"""WITH f AS (
+         |  SELECT CAST(ts AS TIMESTAMP) AS t, event_type, value FROM events
+         |  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01 00:00:00'
+         |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-03 00:00:00'),
+         |agg AS (
+         |  SELECT ${sqlBucket("t", 43200)} AS time, event_type,
+         |    COUNT(value) AS n
+         |  FROM f GROUP BY 1, 2),
+         |spine AS (
+         |  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+         |    TIMESTAMP '2024-01-02 12:00:00', INTERVAL 12 HOUR)) AS time),
+         |grid AS (SELECT s.time, e.event_type FROM spine s
+         |  CROSS JOIN (SELECT DISTINCT event_type FROM f) e)
+         |SELECT * FROM (
+         |  SELECT g.time, g.event_type, COALESCE(a.n, 100) AS n FROM grid g
+         |  LEFT JOIN agg a ON a.time = g.time AND a.event_type = g.event_type)
+         |${orderAll("time", "event_type", "n")}""".stripMargin,
+    "influxql_time_offset" ->
+      s"""SELECT ${sqlBucketOff("CAST(ts AS TIMESTAMP)", 86400, 21600)} AS time,
+         |  COUNT(value) AS n
+         |FROM events GROUP BY 1
+         |${orderAll("time", "n")}""".stripMargin,
+    "influxql_from_regex" ->
+      s"""WITH a AS (
+         |  SELECT ${sqlBucket("CAST(ts AS TIMESTAMP)", 86400)} AS time,
+         |    COUNT(value) AS n
+         |  FROM events GROUP BY 1),
+         |b AS (
+         |  SELECT ${sqlBucket("CAST(ts AS TIMESTAMP)", 86400)} AS time,
+         |    COUNT(value) AS n
+         |  FROM events WHERE event_type = 'click' GROUP BY 1)
+         |SELECT * FROM (
+         |  SELECT 'events' AS measurement, time, n FROM a
+         |  UNION ALL
+         |  SELECT 'events_clicks' AS measurement, time, n FROM b)
+         |${orderAll("measurement", "time", "n")}""".stripMargin,
+    "influxql_epoch_bound" ->
+      s"""SELECT ${sqlBucket("CAST(ts AS TIMESTAMP)", 21600)} AS time,
+         |  COUNT(value) AS n
+         |FROM events
+         |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-02 00:00:00'
+         |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-04 00:00:00'
+         |GROUP BY 1
+         |${orderAll("time", "n")}""".stripMargin)
 }

@@ -35,7 +35,7 @@ class InfluxQlSpec extends SparkTestBase {
       Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
     val agg = for {
       fn <- Gen.oneOf("mean", "sum", "count", "min", "max", "first", "last",
-        "spread", "stddev", "median", "count_distinct")
+        "spread", "stddev", "median", "count_distinct", "distinct", "mode")
       n <- ident
     } yield InfluxQL.Agg(fn, n, None)
     val perc = for {
@@ -97,6 +97,9 @@ class InfluxQlSpec extends SparkTestBase {
       orGroups <- Gen.listOf(Gen.listOfN(2, cond)).map(_.take(2))
       bucket <- Gen.option(Gen.zip(Gen.chooseNum(1, 48),
         Gen.oneOf("s", "m", "h", "d")))
+      bucketOff <- Gen.option(Gen.zip(Gen.oneOf("", "-"),
+        Gen.chooseNum(1, 23), Gen.oneOf("s", "m", "h"))
+        .map { case (s, n, u) => s"$s$n$u" })
       tags <- Gen.listOf(ident).map(_.take(2).distinct)
       fill <- Gen.option(Gen.oneOf("previous", "0", "none", "null", "linear"))
       desc <- Gen.oneOf(true, false)
@@ -107,7 +110,8 @@ class InfluxQlSpec extends SparkTestBase {
       soffset <- Gen.option(Gen.chooseNum(1, 99))
       tz <- Gen.option(Gen.oneOf("America/Denver", "UTC", "Asia/Tokyo"))
     } yield InfluxQL.Query(fields, meas, conds, bucket, tags, fill, desc,
-      limit, into, offset, slimit, soffset, orConds = orGroups, tz = tz)
+      limit, into, offset, slimit, soffset, orConds = orGroups, tz = tz,
+      bucketOffset = if (bucket.isDefined) bucketOff else None)
     val qs = (0 until 200).flatMap(i =>
       query.apply(Gen.Parameters.default, Seed(1234L + i)))
     assert(qs.size > 150, "generator drought")
@@ -119,6 +123,12 @@ class InfluxQlSpec extends SparkTestBase {
       Seq(InfluxQL.Selector("top", "value", 5, Some("v"))),
       "events", Nil, None, Seq("host"), None, orderDesc = false, None, None)
     assert(InfluxQL.parse(InfluxQL.print(sel)) == sel)
+    // FROM /regex/ and fill(<number>) round-trip too
+    val rx = InfluxQL.Query(
+      Seq(InfluxQL.Agg("count", "value", Some("n"))), "__regex",
+      Nil, Some((1, "d")), Nil, Some("100"), orderDesc = false, None, None,
+      fromRegex = Some("^events"))
+    assert(InfluxQL.parse(InfluxQL.print(rx)) == rx)
     // subqueries round-trip too (the parsed outer measurement is the
     // placeholder, so nest a generated inner under a canonical outer)
     qs.take(40).foreach { innerQ =>
@@ -393,6 +403,102 @@ class InfluxQlSpec extends SparkTestBase {
     assert(!new java.io.File(s"$root/a").exists())
     assert(store.read("b").count() == 100)
     assert(!store.dropMeasurement("DROP MEASUREMENT a"), "second drop is a no-op")
+  }
+
+  test("distinct() emits unique values per bucket; mode() picks most frequent") {
+    val m = Tables.load(spark, sf, "events").withColumnRenamed("ts", "time")
+    val d = InfluxQL.run(spark, m,
+      "SELECT distinct(user_id) AS u FROM events GROUP BY time(1d)")
+    val want = m.select(date_trunc("DAY", col("time")).as("time"),
+      col("user_id").as("u")).distinct()
+    assert(d.collect().toSet == want.collect().toSet)
+    // mode: most frequent value per bucket; ties resolve to the lowest
+    val md = InfluxQL.run(spark, m,
+      "SELECT mode(user_id) AS mo FROM events GROUP BY time(1d)")
+    val counts = m.groupBy(date_trunc("DAY", col("time")).as("time"),
+      col("user_id")).count()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("time")
+      .orderBy(col("count").desc, col("user_id").asc)
+    val wantMode = counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("time"), col("user_id").as("mo"))
+    assert(md.collect().toSet == wantMode.collect().toSet)
+    // ungrouped distinct carries the epoch timestamp, as InfluxDB does
+    val dg = InfluxQL.run(spark, m, "SELECT distinct(event_type) AS t FROM events")
+    assert(dg.select("time").distinct().as[java.sql.Timestamp].head() ==
+      java.sql.Timestamp.valueOf("1970-01-01 00:00:00"))
+    assert(dg.count() == m.select("event_type").distinct().count())
+    // InfluxDB rejects mixing distinct/mode with other select items
+    intercept[IllegalArgumentException](InfluxQL.run(spark, m,
+      "SELECT distinct(user_id), mean(value) FROM events"))
+  }
+
+  test("fill(<number>) fills empty buckets with the literal") {
+    val m = Tables.load(spark, sf, "events").withColumnRenamed("ts", "time")
+    val filled = InfluxQL.run(spark, m,
+      "SELECT count(value) AS n FROM events " +
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-03 00:00:00' " +
+        "GROUP BY time(12h), event_type fill(100)")
+    assert(filled.filter(col("n").isNull).count() == 0, "no nulls survive")
+    val unfilled = InfluxQL.run(spark, m,
+      "SELECT count(value) AS n FROM events " +
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-03 00:00:00' " +
+        "GROUP BY time(12h), event_type fill(null)")
+    val holes = unfilled.filter(col("n").isNull).count()
+    assert(filled.filter(col("n") === 100).count() >= holes,
+      "every empty bucket takes the literal")
+  }
+
+  test("GROUP BY time(1d, 6h) shifts bucket boundaries to 06:00") {
+    val m = Tables.load(spark, sf, "events").withColumnRenamed("ts", "time")
+    val out = InfluxQL.run(spark, m,
+      "SELECT count(value) AS n FROM events GROUP BY time(1d, 6h)")
+    val starts = out.select(hour(col("time"))).distinct()
+      .as[Int].collect().toSet
+    assert(starts == Set(6), s"every bucket starts at 06:00, got $starts")
+    // total points are conserved across the shifted buckets
+    assert(out.agg(sum("n")).as[Long].head() == m.count())
+    // negative offsets normalize modularly: time(1d, -18h) == time(1d, 6h)
+    val neg = InfluxQL.run(spark, m,
+      "SELECT count(value) AS n FROM events GROUP BY time(1d, -18h)")
+    assert(neg.collect().toSet == out.collect().toSet)
+    intercept[IllegalArgumentException](InfluxQL.run(spark, m,
+      "SELECT count(value) FROM events GROUP BY time(1d, 6h) tz('America/Denver')"))
+  }
+
+  test("FROM /regex/ unions per-measurement results with a measurement column") {
+    val m = Tables.load(spark, sf, "events").withColumnRenamed("ts", "time")
+    val cat = Seq("events" -> m,
+      "events_clicks" -> m.filter(col("event_type") === "click"))
+    val out = InfluxQL.runCatalog(spark, cat,
+      "SELECT count(value) AS n FROM /^events/ GROUP BY time(1d)")
+    assert(out.columns.head == "measurement")
+    val byMeas = out.groupBy("measurement").agg(sum("n")).as[(String, Long)]
+      .collect().toMap
+    assert(byMeas("events") == m.count())
+    assert(byMeas("events_clicks") ==
+      m.filter(col("event_type") === "click").count())
+    // plain FROM resolves from the catalog too; unknown names fail loudly
+    assert(InfluxQL.runCatalog(spark, cat,
+      "SELECT count(value) AS n FROM events_clicks").as[Long].head() ==
+      byMeas("events_clicks"))
+    intercept[IllegalArgumentException](
+      InfluxQL.runCatalog(spark, cat, "SELECT value FROM /nomatch/"))
+  }
+
+  test("epoch-duration time bounds equal their quoted-timestamp form") {
+    val m = Tables.load(spark, sf, "events").withColumnRenamed("ts", "time")
+    val epoch = InfluxQL.run(spark, m,
+      "SELECT count(value) AS n FROM events " +
+        "WHERE time >= 1704153600s AND time < 1704326400s GROUP BY time(6h)")
+    val quoted = InfluxQL.run(spark, m,
+      "SELECT count(value) AS n FROM events " +
+        "WHERE time >= '2024-01-02 00:00:00' AND time < '2024-01-04 00:00:00' " +
+        "GROUP BY time(6h)")
+    assert(epoch.collect().toSet == quoted.collect().toSet)
+    // a bare numeric time bound is rejected loudly (ns epochs exceed
+    // double precision — silent nonsense otherwise)
+    intercept[IllegalArgumentException](InfluxQL.run(spark, m,
+      "SELECT value FROM events WHERE time >= 1704153600"))
   }
 
   test("fill(previous) densifies every bucket and carries values forward") {
