@@ -92,9 +92,30 @@ object Store {
         min(col("time")).as("min_time")))
   }
 
+  /** InfluxQL DROP SERIES roundtrip — the decommissioned-site workflow:
+    * write events as points, `DROP SERIES WHERE event_type = 'error'`
+    * (every point of that series across all time, only containing days
+    * rewritten), read back per-day aggregates of the survivors. */
+  def storeDropSeries(spark: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("store_drop_series").toString
+    val store = new MeasurementStore(spark, root)
+    val points = load(spark, dir, "events")
+      .select(col("event_type"), col("user_id"), col("ts").as("time"),
+        col("value"))
+    store.append("RawData", points)
+    val rewritten =
+      store.dropSeries("DROP SERIES FROM RawData WHERE event_type = 'error'")
+    require(rewritten.nonEmpty, "drop series exercised nothing")
+    totalOrder(store.read("RawData")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+        count_distinct(col("event_type")).as("kinds")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "store_upsert_roundtrip" -> storeRoundtrip,
     "store_delete_roundtrip" -> storeDeleteRoundtrip,
+    "store_drop_series" -> storeDropSeries,
     "sink_influx_write" -> sinkInfluxWrite)
 
   val oracle: Map[String, String] = Map(
@@ -114,6 +135,14 @@ object Store {
          |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '$DeleteBound'
          |GROUP BY 1
          |${orderAll("day", "n", "sum_value", "min_time")}""".stripMargin,
+    "store_drop_series" ->
+      s"""SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+         |  COUNT(*) AS n, ${sqlDsum("value")} AS sum_value,
+         |  COUNT(DISTINCT event_type) AS kinds
+         |FROM events
+         |WHERE event_type <> 'error'
+         |GROUP BY 1
+         |${orderAll("day", "n", "sum_value", "kinds")}""".stripMargin,
     "sink_influx_write" ->
       s"""SELECT
          |  CASE WHEN user_id % 2 = 0 THEN 'QCData' ELSE 'RawData' END

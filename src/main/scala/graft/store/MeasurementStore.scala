@@ -132,20 +132,8 @@ class MeasurementStore(spark: SparkSession, root: String) {
           && !f.getPath.getName.startsWith("_"))
       val before = dataFiles
       if (before > filesPerDay) {
-        // rewrite through a temp dir, then swap: rename the live dir aside,
-        // rename tmp into place, only then delete the old data. A crash at
-        // any point leaves either the old dir live or both spares on disk —
-        // never a window where the day has no recoverable copy.
-        val tmp = new org.apache.hadoop.fs.Path(d.getPath.getParent,
-          s".compact_${day}")
-        val old = new org.apache.hadoop.fs.Path(d.getPath.getParent,
-          s".old_${day}")
-        spark.read.parquet(d.getPath.toString)
-          .coalesce(filesPerDay)
-          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        fs.rename(d.getPath, old)
-        fs.rename(tmp, d.getPath)
-        fs.delete(old, true)
+        swapDay(fs, rootPath, day,
+          spark.read.parquet(d.getPath.toString).coalesce(filesPerDay))
       }
       (day, before, dataFiles)
     }
@@ -185,18 +173,61 @@ class MeasurementStore(spark: SparkSession, root: String) {
           case ">"  => col("time") <= to_timestamp(lit(ts))
           case ">=" => col("time") < to_timestamp(lit(ts))
         }
-        val kept = spark.read.parquet(dayPath.toString).filter(keepPred)
-        val tmp = new org.apache.hadoop.fs.Path(rootPath, s".compact_$d")
-        val old = new org.apache.hadoop.fs.Path(rootPath, s".old_$d")
-        kept.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        fs.rename(dayPath, old)
-        fs.rename(tmp, dayPath)
-        fs.delete(old, true)
+        swapDay(fs, rootPath, d,
+          spark.read.parquet(dayPath.toString).filter(keepPred))
         d
       }
       (fullyDeleted, rewritten)
     case _ => throw new IllegalArgumentException(
       s"not a supported DELETE statement: $statement")
+  }
+
+  /** Rewrite one day partition to `kept` through the crash-safe two-rename
+    * swap shared by [[compact]], [[deleteWhere]] and [[dropSeries]]: write
+    * to `.compact_<day>`, rename the live dir to `.old_<day>`, rename the
+    * rewrite into place, then delete the spare. Every interrupted state is
+    * healed by [[recoverCompaction]]. */
+  private def swapDay(fs: org.apache.hadoop.fs.FileSystem,
+    rootPath: org.apache.hadoop.fs.Path, day: String, kept: DataFrame): Unit = {
+    val dayPath = new org.apache.hadoop.fs.Path(rootPath, s"day=$day")
+    val tmp = new org.apache.hadoop.fs.Path(rootPath, s".compact_$day")
+    val old = new org.apache.hadoop.fs.Path(rootPath, s".old_$day")
+    kept.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.rename(dayPath, old)
+    fs.rename(tmp, dayPath)
+    fs.delete(old, true)
+  }
+
+  private val DropSeriesRe =
+    ("""(?i)^\s*DROP\s+SERIES\s+FROM\s+"?(\w+)"?""" +
+      """\s+WHERE\s+"?(\w+)"?\s*=\s*'([^']*)'\s*;?\s*$""").r
+
+  /** InfluxQL `DROP SERIES FROM <m> WHERE <tag> = '<v>'` — removes every
+    * point of the matching series across all time: the decommissioned-site
+    * workflow (the reference retires dataloggers per building; DELETE only
+    * trims by time). Only day partitions that actually contain the series
+    * are rewritten — located by a tag-pushdown scan (parquet row-group
+    * stats skip non-matching files), swapped crash-safely; untouched days
+    * are never read or written. Returns the rewritten days. */
+  def dropSeries(statement: String): Seq[String] = statement match {
+    case DropSeriesRe(measurement, tag, v) =>
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path(measurement)).resolve("/"),
+        spark.sparkContext.hadoopConfiguration)
+      val rootPath = new org.apache.hadoop.fs.Path(path(measurement))
+      if (!fs.exists(rootPath)) return Seq.empty
+      recoverCompaction(measurement)
+      val affected = readRaw(measurement).filter(col(tag) === v)
+        .select("day").distinct().collect().map(_.getString(0)).toSeq.sorted
+      affected.foreach { d =>
+        val dayPath = new org.apache.hadoop.fs.Path(rootPath, s"day=$d")
+        val kept = spark.read.parquet(dayPath.toString)
+          .filter(col(tag) =!= v || col(tag).isNull)
+        swapDay(fs, rootPath, d, kept)
+      }
+      affected
+    case _ => throw new IllegalArgumentException(
+      s"not a supported DROP SERIES statement: $statement")
   }
 
   private val DropRe =

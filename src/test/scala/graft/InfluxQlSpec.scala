@@ -392,6 +392,31 @@ class InfluxQlSpec extends SparkTestBase {
       newest.select("time", "event_type", "n").collect().toSet)
   }
 
+  test("DROP SERIES removes one series across all time; others untouched") {
+    val root = java.nio.file.Files.createTempDirectory("ms_dropser").toString
+    val store = new graft.store.MeasurementStore(spark, root)
+    val pts = Tables.load(spark, sf, "events")
+      .select(col("event_type"), col("user_id"), col("ts").as("time"),
+        col("value"))
+    store.append("m", pts)
+    val errorRows = pts.filter(col("event_type") === "error").count()
+    val total = pts.count()
+    assert(errorRows > 0, "fixture must contain the series")
+    val rewritten = store.dropSeries(
+      "DROP SERIES FROM m WHERE event_type = 'error'")
+    assert(rewritten.nonEmpty)
+    val back = store.read("m")
+    assert(back.filter(col("event_type") === "error").count() == 0)
+    assert(back.count() == total - errorRows,
+      "only the matched series is removed")
+    // crash-safe swap leaves no spare dirs behind
+    val names = new java.io.File(s"$root/m").listFiles().map(_.getName)
+    assert(!names.exists(n => n.startsWith(".old_") || n.startsWith(".compact_")))
+    // dropping a series that isn't there rewrites nothing
+    assert(store.dropSeries(
+      "DROP SERIES FROM m WHERE event_type = 'nope'").isEmpty)
+  }
+
   test("DROP MEASUREMENT removes the series; others untouched") {
     val root = java.nio.file.Files.createTempDirectory("ms_drop").toString
     val store = new graft.store.MeasurementStore(spark, root)
