@@ -59,6 +59,14 @@ object InfluxQL {
     * or Agg item; chains left-associatively. */
   final case class Arith(inner: Field, op: String, k: Double,
     alias: Option[String]) extends Field
+  /** InfluxQL math function (abs/sqrt/floor/ceil/round) over a field or an
+    * aggregate — per-point when wrapping a field, post-aggregation when
+    * wrapping an aggregate. The supported set is the IEEE-exact one (each
+    * is bit-identical across engines, keeping the differential oracle
+    * honest); transcendentals (ln/exp/...) whose last-ulp varies by libm
+    * are deliberately out. */
+  final case class MathFn(fn: String, inner: Field,
+    alias: Option[String]) extends Field
   /** elapsed(f[, unit]) — time since the previous point per series, as an
     * integer count of `unit` (default 1s), on the RAW series. */
   final case class Elapsed(field: String, arg: Option[String],
@@ -123,6 +131,8 @@ object InfluxQL {
       """non_negative_difference|moving_average|cumulative_sum)""" +
       """\((.+)\)(?:\s+AS\s+(\w+))?$""").r
   private val TransArgRe = """^\d+[smhd]?$""".r
+  private val MathRe =
+    """(?i)^(abs|sqrt|floor|ceil|round)\((.+)\)(?:\s+AS\s+(\w+))?$""".r
   private val RawRe = """(?i)^"?(\w+)"?(?:\s+AS\s+(\w+))?$""".r
   private val StarRe = """^\*$""".r
   // arithmetic suffix on a field or aggregate: `value * 0.264172`,
@@ -185,10 +195,19 @@ object InfluxQL {
         fail(q, s"$fnl takes no argument")
       Transform(fnl, inner, arg, Option(al))
     case StarRe() => Raw("*", None)
+    case MathRe(fn, content, al) =>
+      val inner = parseField(q, content.trim)
+      inner match {
+        case a: Agg if a.fn == "distinct" || a.fn == "mode" =>
+          fail(q, s"$fn cannot wrap ${a.fn}()")
+        case _: Raw | _: Agg | _: Arith | _: MathFn => ()
+        case _ => fail(q, s"$fn applies to fields and aggregates only")
+      }
+      MathFn(fn.toLowerCase, inner, Option(al))
     case ArithRe(innerS, op, k, al) =>
       val inner = parseField(q, innerS.trim)
       inner match {
-        case _: Raw | _: Agg | _: Arith => ()
+        case _: Raw | _: Agg | _: Arith | _: MathFn => ()
         case _ => fail(q, "arithmetic applies to fields and aggregates only")
       }
       Arith(inner, op, k.toDouble, Option(al))
@@ -296,9 +315,19 @@ object InfluxQL {
           case r: Raw => r.copy(alias = None): Field
           case a: Agg => a.copy(alias = None): Field
           case ar: Arith => ar.copy(alias = None): Field
+          case m: MathFn => m.copy(alias = None): Field
           case other => other
         }
         s"${f(bare)} $op ${num(k)}"
+      case MathFn(fn, i, _) =>
+        val bare = i match {
+          case r: Raw => r.copy(alias = None): Field
+          case a: Agg => a.copy(alias = None): Field
+          case ar: Arith => ar.copy(alias = None): Field
+          case m: MathFn => m.copy(alias = None): Field
+          case other => other
+        }
+        s"$fn(${f(bare)})"
       case Elapsed(n, arg, _) => s"elapsed($n${arg.map(", " + _).getOrElse("")})"
       case Integral(n, arg, _) => s"integral($n${arg.map(", " + _).getOrElse("")})"
       case Transform(fn, inner, arg, _) =>
@@ -388,6 +417,7 @@ object InfluxQL {
   private def isAggLike(f: Field): Boolean = f match {
     case _: Agg => true
     case Arith(i, _, _, _) => isAggLike(i)
+    case MathFn(_, i, _) => isAggLike(i)
     case _ => false
   }
 
@@ -395,26 +425,42 @@ object InfluxQL {
     case a: Agg => s"${a.fn}_${a.field}"
     case Raw(n, _) => n
     case Arith(i, _, _, _) => defaultName(i)
+    case MathFn(fn, _, _) => fn // InfluxDB names the column after the fn
     case other => other.alias.getOrElse("value")
   }
 
   private def outName(f: Field): String = f.alias.getOrElse(defaultName(f))
 
-  /** Aliased aggregate column for an Agg, possibly under Arith wrappers. */
+  /** The IEEE-exact math functions (see [[MathFn]]). Spark's floor/ceil
+    * return BIGINT; InfluxDB's (and DuckDB's) stay float — cast back so
+    * the wire type matches the engine being replaced. */
+  private def applyMath(fn: String, c: Column): Column = fn match {
+    case "abs" => abs(c)
+    case "sqrt" => sqrt(c)
+    case "floor" => floor(c).cast(org.apache.spark.sql.types.DoubleType)
+    case "ceil" => ceil(c).cast(org.apache.spark.sql.types.DoubleType)
+    case "round" => round(c, 0)
+  }
+
+  /** Aliased aggregate column for an Agg, possibly under Arith/MathFn
+    * wrappers. */
   private def selAgg(f: Field, q: String): Column = {
     def expr(f: Field): Column = f match {
       case a: Agg => aggExpr(a)
       case Arith(i, op, k, _) => applyOp(expr(i), op, k)
+      case MathFn(fn, i, _) => applyMath(fn, expr(i))
       case _ => fail(q, "expected an aggregate select item")
     }
     expr(f).as(outName(f))
   }
 
-  /** Aliased projection column for a Raw, possibly under Arith wrappers. */
+  /** Aliased projection column for a Raw, possibly under Arith/MathFn
+    * wrappers. */
   private def selRaw(f: Field, q: String): Column = {
     def expr(f: Field): Column = f match {
       case Raw(n, _) => col(n)
       case Arith(i, op, k, _) => applyOp(expr(i), op, k)
+      case MathFn(fn, i, _) => applyMath(fn, expr(i))
       case _ => fail(q, "expected a field select item")
     }
     expr(f).as(outName(f))

@@ -209,6 +209,16 @@ object InfluxQlOps {
   private val FromRegexQ =
     "SELECT count(value) AS n FROM /^events/ GROUP BY time(1d)"
 
+  // math functions over raw fields (per-point) — the IEEE-exact set
+  private val MathQ =
+    "SELECT round(sqrt(value)) AS rs, abs(value - 500) AS av FROM events " +
+      "WHERE time >= '2024-01-02 00:00:00' AND time < '2024-01-03 00:00:00'"
+
+  // math functions over aggregates (post-aggregation per bucket)
+  private val MathAggQ =
+    "SELECT floor(mean(value)) AS fm, ceil(max(value) / 10) AS cm " +
+      "FROM events GROUP BY time(1d)"
+
   // epoch-duration time literals — the InfluxQL numeric-epoch bound form
   private val EpochBoundQ =
     "SELECT count(value) AS n FROM events " +
@@ -268,6 +278,8 @@ object InfluxQlOps {
     "influxql_time_offset" -> run(TimeOffsetQ) _,
     "influxql_from_regex" -> runCat(FromRegexQ) _,
     "influxql_epoch_bound" -> run(EpochBoundQ) _,
+    "influxql_math" -> run(MathQ) _,
+    "influxql_math_agg" -> run(MathAggQ) _,
     "influxql_arith" -> run(ArithQ) _,
     "influxql_now_relative" -> runAt(NowQ) _,
     "influxql_regex_tag" -> run(RegexTagQ) _,
@@ -744,5 +756,18 @@ object InfluxQlOps {
          |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-02 00:00:00'
          |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-04 00:00:00'
          |GROUP BY 1
-         |${orderAll("time", "n")}""".stripMargin)
+         |${orderAll("time", "n")}""".stripMargin,
+    "influxql_math" ->
+      s"""SELECT CAST(ts AS TIMESTAMP) AS time,
+         |  round(sqrt(value)) AS rs, abs(value - 500) AS av
+         |FROM events
+         |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-02 00:00:00'
+         |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-03 00:00:00'
+         |${orderAll("time", "rs", "av")}""".stripMargin,
+    "influxql_math_agg" ->
+      s"""SELECT ${sqlBucket("CAST(ts AS TIMESTAMP)", 86400)} AS time,
+         |  floor(${sqlDavg("value")}) AS fm,
+         |  ceil(MAX(value) / 10) AS cm
+         |FROM events GROUP BY 1
+         |${orderAll("time", "fm", "cm")}""".stripMargin)
 }

@@ -68,11 +68,19 @@ class InfluxQlSpec extends SparkTestBase {
         Gen.chooseNum(1, 999).map(_ / 100.0))
       a <- Gen.option(ident)
     } yield InfluxQL.Arith(inner, op, k, a)
+    val mathFn = for {
+      fn <- Gen.oneOf("abs", "sqrt", "floor", "ceil", "round")
+      inner <- Gen.oneOf(
+        ident.map(InfluxQL.Raw(_, None): InfluxQL.Field),
+        agg.suchThat(a => a.fn != "distinct" && a.fn != "mode")
+          .map(a => a: InfluxQL.Field))
+      a <- Gen.option(ident)
+    } yield InfluxQL.MathFn(fn, inner, a)
     val field = Gen.oneOf(
       Gen.zip(ident, Gen.option(ident)).map { case (n, a) => InfluxQL.Raw(n, a) },
       Gen.zip(agg, Gen.option(ident)).map { case (g, a) => g.copy(alias = a) },
       Gen.zip(perc, Gen.option(ident)).map { case (g, a) => g.copy(alias = a) },
-      transform, elapsed, integral, arith)
+      transform, elapsed, integral, arith, mathFn)
     val cond = for {
       c <- Gen.oneOf(ident, Gen.const("time"))
       op <- Gen.oneOf("=", "!=", "<", "<=", ">", ">=")
@@ -508,6 +516,32 @@ class InfluxQlSpec extends SparkTestBase {
       byMeas("events_clicks"))
     intercept[IllegalArgumentException](
       InfluxQL.runCatalog(spark, cat, "SELECT value FROM /nomatch/"))
+  }
+
+  test("math functions: per-point on fields, post-aggregation on aggregates") {
+    val m = Tables.load(spark, sf, "events").withColumnRenamed("ts", "time")
+    val raw = InfluxQL.run(spark, m,
+      "SELECT abs(value - 500) AS av, round(sqrt(value)) AS rs FROM events")
+    val wantRaw = m.select(col("time"), abs(col("value") - 500.0).as("av"),
+      round(sqrt(col("value")), 0).as("rs"))
+    assert(raw.collect().toSet == wantRaw.collect().toSet)
+    val agg = InfluxQL.run(spark, m,
+      "SELECT floor(mean(value)) AS fm FROM events GROUP BY time(1d)")
+    val wantAgg = m.groupBy(date_trunc("DAY", col("time")).as("time"))
+      .agg(floor(Tables.davg(col("value"))).cast("double").as("fm"))
+    assert(agg.select("time", "fm").collect().toSet ==
+      wantAgg.select("time", "fm").collect().toSet)
+    // floor/ceil keep the float wire type (InfluxDB semantics), not BIGINT
+    assert(agg.schema("fm").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    // default column name is the outermost function's
+    val named = InfluxQL.run(spark, m, "SELECT abs(value) FROM events")
+    assert(named.columns.toSeq == Seq("time", "abs"))
+    intercept[IllegalArgumentException](InfluxQL.run(spark, m,
+      "SELECT abs(distinct(value)) FROM events"))
+    // transcendentals whose last ulp varies by libm are rejected, not wrong
+    intercept[IllegalArgumentException](InfluxQL.run(spark, m,
+      "SELECT ln(value) FROM events"))
   }
 
   test("epoch-duration time bounds equal their quoted-timestamp form") {
