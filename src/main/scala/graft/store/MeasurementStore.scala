@@ -206,9 +206,13 @@ class MeasurementStore(spark: SparkSession, root: String) {
     * point of the matching series across all time: the decommissioned-site
     * workflow (the reference retires dataloggers per building; DELETE only
     * trims by time). Only day partitions that actually contain the series
-    * are rewritten — located by a tag-pushdown scan (parquet row-group
-    * stats skip non-matching files), swapped crash-safely; untouched days
-    * are never read or written. Returns the rewritten days. */
+    * are touched — located by a tag-pushdown scan (parquet row-group stats
+    * skip non-matching files). The survivors of every affected day are
+    * rewritten in ONE distributed job (partitioned by day), then each day
+    * is swapped in with the crash-safe rename pair — per-day Spark jobs
+    * would serialize into #days driver round-trips, the exact pattern that
+    * dies at a year of partitions. A day whose every row matched simply
+    * drops (metadata delete). Returns the affected days. */
   def dropSeries(statement: String): Seq[String] = statement match {
     case DropSeriesRe(measurement, tag, v) =>
       val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -219,12 +223,31 @@ class MeasurementStore(spark: SparkSession, root: String) {
       recoverCompaction(measurement)
       val affected = readRaw(measurement).filter(col(tag) === v)
         .select("day").distinct().collect().map(_.getString(0)).toSeq.sorted
+      if (affected.isEmpty) return Seq.empty
+      // one job: survivors of all affected days, laid out day-partitioned
+      val tmpRoot = new org.apache.hadoop.fs.Path(rootPath, ".dropseries_tmp")
+      if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true)
+      readRaw(measurement)
+        .filter(col("day").isin(affected: _*)) // partition-prunes the scan
+        .filter(col(tag) =!= v || col(tag).isNull)
+        .write.mode(SaveMode.Overwrite).partitionBy("day")
+        .parquet(tmpRoot.toString)
+      // metadata-only swaps: promote each rewritten day through the
+      // .compact_/.old_ convention recoverCompaction already heals
       affected.foreach { d =>
-        val dayPath = new org.apache.hadoop.fs.Path(rootPath, s"day=$d")
-        val kept = spark.read.parquet(dayPath.toString)
-          .filter(col(tag) =!= v || col(tag).isNull)
-        swapDay(fs, rootPath, d, kept)
+        def p(n: String) = new org.apache.hadoop.fs.Path(rootPath, n)
+        val tmpDay = new org.apache.hadoop.fs.Path(tmpRoot, s"day=$d")
+        if (fs.exists(tmpDay)) {
+          fs.rename(tmpDay, p(s".compact_$d"))
+          fs.rename(p(s"day=$d"), p(s".old_$d"))
+          fs.rename(p(s".compact_$d"), p(s"day=$d"))
+          fs.delete(p(s".old_$d"), true)
+        } else {
+          // every row of the day belonged to the series
+          fs.delete(p(s"day=$d"), true)
+        }
       }
+      fs.delete(tmpRoot, true)
       affected
     case _ => throw new IllegalArgumentException(
       s"not a supported DROP SERIES statement: $statement")
@@ -280,6 +303,10 @@ class MeasurementStore(spark: SparkSession, root: String) {
       case n if n.startsWith(".compact_") =>
         val day = n.stripPrefix(".compact_")
         if (fs.exists(p(s"day=$day"))) fs.delete(p(n), true)
+      case ".dropseries_tmp" =>
+        // a dropSeries that crashed before its swaps started — live days
+        // are untouched, so the staged rewrite is safely discarded
+        fs.delete(p(".dropseries_tmp"), true)
       case _ => ()
     }
   }
