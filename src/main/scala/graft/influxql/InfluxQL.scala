@@ -967,6 +967,8 @@ object InfluxQL {
   private val ShowMeasRe = """(?i)^\s*SHOW\s+MEASUREMENTS\s*;?\s*$""".r
   private val ShowTagRe = """(?i)^\s*SHOW\s+TAG\s+KEYS\s+FROM\s+"?(\w+)"?\s*;?\s*$""".r
   private val ShowFieldRe = """(?i)^\s*SHOW\s+FIELD\s+KEYS\s+FROM\s+"?(\w+)"?\s*;?\s*$""".r
+  private val ShowTagAllRe = """(?i)^\s*SHOW\s+TAG\s+KEYS\s*;?\s*$""".r
+  private val ShowFieldAllRe = """(?i)^\s*SHOW\s+FIELD\s+KEYS\s*;?\s*$""".r
   private val ShowTagValsRe =
     """(?i)^\s*SHOW\s+TAG\s+VALUES\s+FROM\s+"?(\w+)"?\s+WITH\s+KEY\s*=\s*"?(\w+)"?\s*;?\s*$""".r
   private val ShowSeriesRe =
@@ -1031,6 +1033,27 @@ object InfluxQL {
           .filter(f => f.name != "time" &&
             f.dataType == org.apache.spark.sql.types.StringType)
           .map(_.name).toSeq.sorted.toDF("tagKey")
+      case ShowTagAllRe() =>
+        // FROM-less form: every measurement's tag keys (the CLI's
+        // first discovery query) — schema-only, no data read
+        catalog.flatMap { case (m, df) =>
+          df.schema.fields
+            .filter(f => f.name != "time" &&
+              f.dataType == org.apache.spark.sql.types.StringType)
+            .map(f => (m, f.name))
+        }.sorted.toDF("measurement", "tagKey")
+      case ShowFieldAllRe() =>
+        import org.apache.spark.sql.types._
+        catalog.flatMap { case (m, df) =>
+          df.schema.fields.collect {
+            case f if f.name != "time" && (f.dataType == FloatType
+              || f.dataType == DoubleType) => (m, f.name, "float")
+            case f if f.name != "time" && (f.dataType == IntegerType
+              || f.dataType == LongType) => (m, f.name, "integer")
+            case f if f.name != "time" && f.dataType == BooleanType =>
+              (m, f.name, "boolean")
+          }
+        }.sorted.toDF("measurement", "fieldKey", "fieldType")
       case ShowFieldRe(m) =>
         import org.apache.spark.sql.types._
         frame(m).schema.fields.toSeq

@@ -245,6 +245,16 @@ object InfluxQlOps {
   private def meta(sql: String)(spark: SparkSession, dir: String): DataFrame =
     totalOrder(InfluxQL.runMeta(spark, catalog(spark, dir), sql))
 
+  /** FROM-less SHOW forms over a store-shaped catalog (the two-measurement
+    * series set [[runCat]] also queries). */
+  private def metaCat(sql: String)(spark: SparkSession, dir: String): DataFrame = {
+    val m = measurement(spark, dir)
+    val cat = Seq(
+      "events" -> m,
+      "events_clicks" -> m.filter(col("event_type") === "click"))
+    totalOrder(InfluxQL.runMeta(spark, cat, sql))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "influxql_raw" -> run(RawQ) _,
     "influxql_mean_bucket" -> run(MeanBucketQ) _,
@@ -293,6 +303,8 @@ object InfluxQlOps {
       run("SELECT * FROM events " +
         "WHERE time >= '2024-01-02 00:00:00' AND time < '2024-01-02 06:00:00'") _,
     "influxql_show_tag_keys" -> meta("SHOW TAG KEYS FROM events") _,
+    "influxql_show_tag_keys_all" -> metaCat("SHOW TAG KEYS") _,
+    "influxql_show_field_keys_all" -> metaCat("SHOW FIELD KEYS") _,
     "influxql_show_field_keys" -> meta("SHOW FIELD KEYS FROM events") _)
 
   /** Engine-neutral bucket start: naive-timestamp epoch floor. DuckDB's
@@ -360,6 +372,22 @@ object InfluxQlOps {
     "influxql_show_tag_keys" ->
       s"""SELECT * FROM (VALUES ('event_type'), ('props')) AS t(tagKey)
          |${orderAll("tagKey")}""".stripMargin,
+    "influxql_show_tag_keys_all" ->
+      s"""SELECT * FROM (VALUES
+         |  ('events', 'event_type'), ('events', 'props'),
+         |  ('events_clicks', 'event_type'), ('events_clicks', 'props'))
+         |  AS t(measurement, tagKey)
+         |${orderAll("measurement", "tagKey")}""".stripMargin,
+    "influxql_show_field_keys_all" ->
+      s"""SELECT * FROM (VALUES
+         |  ('events', 'event_id', 'integer'),
+         |  ('events', 'user_id', 'integer'),
+         |  ('events', 'value', 'float'),
+         |  ('events_clicks', 'event_id', 'integer'),
+         |  ('events_clicks', 'user_id', 'integer'),
+         |  ('events_clicks', 'value', 'float'))
+         |  AS t(measurement, fieldKey, fieldType)
+         |${orderAll("measurement", "fieldKey", "fieldType")}""".stripMargin,
     "influxql_show_field_keys" ->
       s"""SELECT * FROM (VALUES ('event_id', 'integer'),
          |  ('user_id', 'integer'), ('value', 'float'))

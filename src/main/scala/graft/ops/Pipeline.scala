@@ -189,6 +189,30 @@ object Pipeline {
   private val EmailPat = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+"
   private val PhonePat = "\\b555-[0-9]{4}\\b"
 
+  /** Deterministic global shuffle for training-order reproducibility:
+    * which shard a document lands in and its position there are a pure
+    * function of (seed, doc_id) — change the seed, get a fresh permutation;
+    * rerun the same seed on any cluster, get the identical batch order.
+    * Shard first (md5 mod S — one hash-partition shuffle), then rank
+    * WITHIN each shard by the same md5 key (a partitioned window: every
+    * shard sorts in parallel, no global single-partition sort anywhere).
+    * At 100 TB S is thousands and each shard's sort is one task's worth.
+    * md5, not xxhash64: identical hex in every engine, so the DuckDB
+    * oracle pins the exact permutation. */
+  def pipelineShuffleOrder(spark: SparkSession, dir: String): DataFrame = {
+    val seed = "epoch-0"
+    val nShards = 8
+    val key = md5(concat_ws(":", lit(seed), col("doc_id")))
+    val shard = pmod(conv(substring(col("skey"), 1, 8), 16, 10).cast("long"),
+      lit(nShards))
+    val w = Window.partitionBy(col("shard")).orderBy(col("skey"))
+    totalOrder(load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), key.as("skey"))
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("source"), col("shard"), col("pos")))
+  }
+
   /** PII scrubbing (emails / phone numbers → placeholder tags) — the
     * redaction pass a training corpus runs before anything else. The
     * fixture text carries no PII, so each document gets a deterministic
@@ -223,6 +247,7 @@ object Pipeline {
     "pipeline_decontaminate" -> pipelineDecontaminate,
     "pipeline_repetition_filter" -> pipelineRepetitionFilter,
     "pipeline_shard_manifest" -> pipelineShardManifest,
+    "pipeline_shuffle_order" -> pipelineShuffleOrder,
     "sample_stratified" -> sampleStratified,
     "text_pii_scrub" -> textPiiScrub)
 
@@ -337,6 +362,21 @@ object Pipeline {
          |    / 4096) AS BIGINT) AS shard
          |FROM t
          |${orderAll("doc_id", "n_tokens", "cum_tokens", "shard")}""".stripMargin,
+    "pipeline_shuffle_order" ->
+      s"""WITH k AS (
+         |  SELECT doc_id, source,
+         |    md5('epoch-0:' || CAST(doc_id AS VARCHAR)) AS skey
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, source, skey,
+         |    CAST(('0x' || substring(skey, 1, 8))::UBIGINT % 8 AS BIGINT)
+         |      AS shard
+         |  FROM k)
+         |SELECT doc_id, source, shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY skey)
+         |    AS INT) AS pos
+         |FROM s
+         |${orderAll("doc_id", "source", "shard", "pos")}""".stripMargin,
     "pipeline_source_mix" ->
       s"""SELECT doc_id, source,
          |  CASE WHEN length(source) % 2 = 0 THEN 100 ELSE 25 END AS rate_pct,
