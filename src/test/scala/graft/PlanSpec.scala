@@ -177,4 +177,17 @@ class PlanSpec extends SparkTestBase {
     val aggs = plan.linesIterator.count(_.contains("HashAggregate"))
     assert(aggs >= 2, s"no partial aggregation: $aggs HashAggregate nodes")
   }
+
+  test("pipeline_shuffle_order: rank window partitions by shard, no global sort") {
+    val plan = planOf(ops.Pipeline.pipelineShuffleOrder(spark, sf))
+    // the epoch-shuffle rank must never collapse to one partition — a
+    // single-partition Window is the classic 100 TB melt; partitioning by
+    // shard keeps every shard's sort parallel
+    val windows = plan.linesIterator
+      .filter(_.contains("Window")).mkString("\n")
+    assert(!plan.contains("SinglePartition"),
+      s"global single-partition stage in:\n${plan.take(2000)}")
+    assert(plan.contains("hashpartitioning(shard"),
+      s"rank window not partitioned by shard:\n$windows")
+  }
 }
