@@ -16,8 +16,10 @@ import org.apache.spark.sql.types.DoubleType
 object Dedup {
   import Relational.{totalOrder, orderAll}
 
-  /** Word 3-gram shingle set per document (distinct). */
-  private def shingled(spark: SparkSession, dir: String): DataFrame = {
+  /** Word 3-gram shingle set per document (distinct). Shared with the
+    * boilerplate miner ([[Text.textBoilerplate]]), which is this
+    * vocabulary's other half. */
+  private[ops] def shingled(spark: SparkSession, dir: String): DataFrame = {
     val toks = filter(split(lower(col("text")), "[^a-z0-9']+"), t => t =!= "")
     load(spark, dir, "documents")
       .withColumn("t", toks)
@@ -54,7 +56,7 @@ object Dedup {
     * shingle seen in more docs carries no near-dup signal (the stop-word
     * guard of AllPairs-style similarity joins). Both Jaccard and MinHash
     * work over this capped vocabulary, so their results are comparable. */
-  private val MaxShingleDf = 20
+  private[ops] val MaxShingleDf = 20
 
   /** Discriminative shingle postings: (doc_id, h) with the shingle's
     * 64-bit hash, restricted to df(h) <= MaxShingleDf. The df filter is a

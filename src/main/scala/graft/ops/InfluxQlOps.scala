@@ -235,6 +235,23 @@ object InfluxQlOps {
     totalOrder(InfluxQL.runCatalog(spark, cat, sql))
   }
 
+  /** `SELECT ... INTO` through the store — the reference's
+    * read-transform-write loop (get_hot_intake_interval.py:68-85) as one
+    * statement: the daily per-tag mean lands in a new measurement, which
+    * is then read back. Gate-checks the whole write path, not just the
+    * SELECT translation. */
+  private def influxqlInto(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("influxql_into").toString
+    val store = new graft.store.MeasurementStore(spark, root)
+    store.append("flow", load(spark, dir, "events")
+      .select(col("event_type"), col("ts").as("time"), col("value")))
+    store.influxql("flow",
+      "SELECT mean(value) AS mv INTO daily_mean FROM flow " +
+        "GROUP BY time(1d), event_type")
+    totalOrder(store.read("daily_mean")
+      .select(col("time"), col("event_type"), col("mv")))
+  }
+
   /** All fixture tables as the measurement catalog (metadata queries). */
   private def catalog(spark: SparkSession, dir: String): Seq[(String, DataFrame)] =
     graft.Tables.names.map { n =>
@@ -290,6 +307,7 @@ object InfluxQlOps {
     "influxql_epoch_bound" -> run(EpochBoundQ) _,
     "influxql_math" -> run(MathQ) _,
     "influxql_math_agg" -> run(MathAggQ) _,
+    "influxql_into" -> (influxqlInto _),
     "influxql_arith" -> run(ArithQ) _,
     "influxql_now_relative" -> runAt(NowQ) _,
     "influxql_regex_tag" -> run(RegexTagQ) _,
@@ -797,5 +815,10 @@ object InfluxQlOps {
          |  floor(${sqlDavg("value")}) AS fm,
          |  ceil(MAX(value) / 10) AS cm
          |FROM events GROUP BY 1
-         |${orderAll("time", "fm", "cm")}""".stripMargin)
+         |${orderAll("time", "fm", "cm")}""".stripMargin,
+    "influxql_into" ->
+      s"""SELECT ${sqlBucket("CAST(ts AS TIMESTAMP)", 86400)} AS time,
+         |  event_type, ${sqlDavg("value")} AS mv
+         |FROM events GROUP BY 1, 2
+         |${orderAll("time", "event_type", "mv")}""".stripMargin)
 }

@@ -122,7 +122,30 @@ object Text {
 
   // ----------------------------------------------------------------- wiring
 
+  /** A 3-gram this widespread is template text, not content; production
+    * sets this near [[Dedup.MaxShingleDf]] (where near-dup discards the
+    * vocabulary as non-discriminative) — the fixture corpus tops out at
+    * df 7, so the demo threshold sits below that. */
+  private val BoilerplateDf = 5
+
+  /** Boilerplate n-gram mining — the other half of the dedup df-cap: a
+    * word 3-gram appearing in [[BoilerplateDf]]+ distinct documents is
+    * template text (headers, footers, license blocks), exactly the
+    * vocabulary the near-dup path treats as noise. Every corpus audit
+    * mines this list to build its strip rules. Per-doc distinct shingles
+    * (shared plumbing with dedup) → partial-aggregated df per shingle
+    * string → high-df survivors with the lowest containing doc as the
+    * exemplar. Shuffles only (shingle, doc_id) postings, never documents;
+    * at 100 TB the high-df tail is tiny by construction. */
+  def textBoilerplate(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(Dedup.shingled(spark, dir)
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("first_doc"))
+      .filter(col("df") >= BoilerplateDf))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_boilerplate" -> textBoilerplate,
     "text_tokenize_tf" -> textTokenizeTf,
     "text_token_count" -> textTokenCount,
     "text_quality" -> textQuality,
@@ -131,6 +154,22 @@ object Text {
     "text_fingerprint" -> textFingerprint)
 
   val oracle: Map[String, String] = Map(
+    "text_boilerplate" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_filter(
+         |    regexp_split_to_array(lower(text), '[^a-z0-9'']+'), t -> t <> '') AS t
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    range(1, greatest(len(t) - 2, 1) + 1),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+         |  FROM tok WHERE len(t) >= 3)
+         |SELECT s, df, first_doc FROM (
+         |  SELECT sh AS s, COUNT(*) AS df, MIN(doc_id) AS first_doc
+         |  FROM (SELECT doc_id, unnest(s) AS sh FROM sh)
+         |  GROUP BY sh)
+         |WHERE df >= 5
+         |${orderAll("s", "df", "first_doc")}""".stripMargin,
     "text_tokenize_tf" ->
       s"""SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
          |FROM (SELECT doc_id,
