@@ -36,6 +36,26 @@ object Text {
       .groupBy(col("token"))
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df")))
 
+  /** BPE vocabulary training, first merge iteration: corpus-wide counts of
+    * ADJACENT token pairs — the argmax of this table is the merge every BPE
+    * trainer performs next; iterating (merge, recount) yields the full
+    * vocabulary. One partial-aggregated count over exploded (tokᵢ, tokᵢ₊₁)
+    * postings — the shuffle key is the pair string, never the document; at
+    * 100 TB this is a textbook map-side-combine aggregation. Top pairs only
+    * (count ≥ 5) to keep the demo output bounded; the cut is on the
+    * POST-aggregation table, so the plan is identical without it. */
+  def textBpePairs(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(load(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("t")).cache()
+      .filter(size(col("t")) >= 2)
+      .select(explode(transform(
+        sequence(lit(0), size(col("t")) - 2),
+        i => struct(element_at(col("t"), i + 1).as("a"),
+          element_at(col("t"), i + 2).as("b")))).as("p"))
+      .groupBy(col("p.a").as("left_tok"), col("p.b").as("right_tok"))
+      .agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= 5))
+
   /** Per-document token counts: whitespace tokens and a BPE-ish regex
     * (contractions / word / number / punct-run classes). */
   def textTokenCount(spark: SparkSession, dir: String): DataFrame = {
@@ -146,6 +166,7 @@ object Text {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_boilerplate" -> textBoilerplate,
+    "text_bpe_pairs" -> textBpePairs,
     "text_tokenize_tf" -> textTokenizeTf,
     "text_token_count" -> textTokenCount,
     "text_quality" -> textQuality,
@@ -170,6 +191,19 @@ object Text {
          |  GROUP BY sh)
          |WHERE df >= 5
          |${orderAll("s", "df", "first_doc")}""".stripMargin,
+    "text_bpe_pairs" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_filter(
+         |    regexp_split_to_array(lower(text), '[^a-z0-9'']+'), t -> t <> '') AS t
+         |  FROM documents),
+         |pairs AS (
+         |  SELECT unnest(list_transform(range(1, len(t)),
+         |    i -> struct_pack(a := t[i], b := t[i + 1]))) AS p
+         |  FROM tok WHERE len(t) >= 2)
+         |SELECT p.a AS left_tok, p.b AS right_tok, COUNT(*) AS pair_count
+         |FROM pairs GROUP BY 1, 2
+         |HAVING COUNT(*) >= 5
+         |${orderAll("left_tok", "right_tok", "pair_count")}""".stripMargin,
     "text_tokenize_tf" ->
       s"""SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
          |FROM (SELECT doc_id,
