@@ -803,7 +803,12 @@ object InfluxQL {
           val others = base.columns.filter(_ != "time").sorted.map(col)
           base.select(col("time") +: others.toSeq: _*)
         } else {
-          val cols = col("time") +: p.fields.map(selRaw(_, q))
+          // a raw select under GROUP BY <tag> is InfluxDB's series-grouped
+          // point listing — the tags ride along in the flattened output
+          // (and applyLimit's per-series window needs them resolvable)
+          val fieldNames = p.fields.map(outName).toSet
+          val tagCols = p.groupTags.filterNot(fieldNames).map(col)
+          val cols = (col("time") +: tagCols) ++ p.fields.map(selRaw(_, q))
           base.select(cols: _*)
         }
       case None =>
@@ -870,8 +875,10 @@ object InfluxQL {
       case (None, None) =>
         if (p.orderDesc) afterSeries.orderBy(key +: rest: _*) else afterSeries
       case (lim, _) if p.groupTags.nonEmpty =>
+        // rest-column tiebreak: raw points can share a timestamp within a
+        // series, and an undetermined rank would flap the differential gate
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(p.groupTags.map(col): _*).orderBy(key)
+          .partitionBy(p.groupTags.map(col): _*).orderBy(key +: rest: _*)
         afterSeries.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") > off &&
             lim.map(l => col("__rn") <= off + l).getOrElse(lit(true)))

@@ -183,6 +183,13 @@ object InfluxQlOps {
   private val BottomQ =
     "SELECT bottom(value, 2) AS v FROM events GROUP BY event_type"
 
+  // raw points under GROUP BY tag: the newest 3 points PER SERIES, tags
+  // riding along in the flattened output (the series-grouped listing shape)
+  private val RawSeriesQ =
+    "SELECT value FROM events " +
+      "WHERE time >= '2024-01-02 00:00:00' AND time < '2024-01-05 00:00:00' " +
+      "GROUP BY event_type ORDER BY time DESC LIMIT 3"
+
   // distinct(): the unique field values per bucket, one row each
   private val DistinctQ =
     "SELECT distinct(user_id) AS u FROM events " +
@@ -299,6 +306,7 @@ object InfluxQlOps {
     "influxql_top" -> run(TopQ) _,
     "influxql_bottom_tag" -> run(BottomQ) _,
     "influxql_group_star" -> run(GroupStarQ) _,
+    "influxql_raw_series" -> run(RawSeriesQ) _,
     "influxql_distinct" -> run(DistinctQ) _,
     "influxql_mode" -> run(ModeQ) _,
     "influxql_fill_value" -> run(FillValueQ) _,
@@ -740,6 +748,19 @@ object InfluxQlOps {
          |      ORDER BY value ASC, CAST(ts AS TIMESTAMP) ASC) AS rn
          |  FROM events) WHERE rn <= 2
          |${orderAll("time", "event_type", "v")}""".stripMargin,
+    "influxql_raw_series" ->
+      s"""WITH f AS (
+         |  SELECT CAST(ts AS TIMESTAMP) AS time, event_type, value
+         |  FROM events
+         |  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-02 00:00:00'
+         |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-05 00:00:00'),
+         |r AS (
+         |  SELECT time, event_type, value,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type
+         |      ORDER BY time DESC, event_type ASC, value ASC) AS rn
+         |  FROM f)
+         |SELECT time, event_type, value FROM r WHERE rn <= 3
+         |${orderAll("time", "event_type", "value")}""".stripMargin,
     "influxql_distinct" ->
       s"""SELECT DISTINCT ${sqlBucket("CAST(ts AS TIMESTAMP)", 86400)} AS time,
          |  user_id AS u

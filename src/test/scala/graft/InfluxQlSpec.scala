@@ -400,6 +400,22 @@ class InfluxQlSpec extends SparkTestBase {
       newest.select("time", "event_type", "n").collect().toSet)
   }
 
+  test("raw select under GROUP BY tag keeps the tag and limits per series") {
+    val m = Tables.load(spark, sf, "events").withColumnRenamed("ts", "time")
+    val out = InfluxQL.run(spark, m,
+      "SELECT value FROM events GROUP BY event_type ORDER BY time DESC LIMIT 3")
+    assert(out.columns.toSeq == Seq("time", "event_type", "value"))
+    val perSeries = out.groupBy("event_type").count().as[(String, Long)]
+      .collect().toMap
+    val nTypes = m.select("event_type").distinct().count()
+    assert(perSeries.size == nTypes && perSeries.values.forall(_ == 3),
+      s"3 newest points per series: $perSeries")
+    // selecting the tag explicitly doesn't duplicate the column
+    val dup = InfluxQL.run(spark, m,
+      "SELECT event_type, value FROM events GROUP BY event_type LIMIT 1")
+    assert(dup.columns.count(_ == "event_type") == 1)
+  }
+
   test("DROP SERIES removes one series across all time; others untouched") {
     val root = java.nio.file.Files.createTempDirectory("ms_dropser").toString
     val store = new graft.store.MeasurementStore(spark, root)
