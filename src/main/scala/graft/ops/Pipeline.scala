@@ -63,19 +63,52 @@ object Pipeline {
     * shards (the "pack to 8k context" step of every pre-training run) by
     * cumulative token count in deterministic doc_id order —
     * shard = ⌊(cum_tokens − n_tokens) / budget⌋, i.e. a doc starts in the
-    * shard its first token falls into. One global running-sum window at
-    * fixture scale; at 100 TB the same expression runs per source
-    * partition (add `source` to the window key) so no single sort owns
-    * the corpus — the per-partition variant is what `pipeline_source_mix`
-    * feeds. */
+    * shard its first token falls into.
+    *
+    * The global running sum is a classic two-pass parallel prefix sum, NOT
+    * a single unpartitioned window (which would collapse the whole corpus
+    * into one sort task): documents bucket by a deterministic doc_id range
+    * (pass 0 reads only max(doc_id) — a column-pruned scan); pass 1
+    * aggregates per-bucket token subtotals (≤ `PackBuckets` rows) and turns
+    * them into exclusive prefix offsets with a window over those few rows;
+    * pass 2 broadcast-joins the offsets back and runs the running sum
+    * INSIDE each bucket (a partitioned window — every bucket sorts in
+    * parallel). Range buckets are contiguous in doc_id, so
+    * per-bucket-cumsum + bucket-offset equals the global prefix sum
+    * exactly — the output (and the DuckDB oracle) is byte-identical to the
+    * naive global window. At 100 TB, raise `PackBuckets` to the task count;
+    * no stage ever sees more than one bucket's rows. */
+  private[graft] val PackBuckets = 32
+
   def pipelinePackSequences(spark: SparkSession, dir: String): DataFrame = {
     val budget = 4096L
-    val w = Window.orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    totalOrder(load(spark, dir, "documents")
+    val docs = load(spark, dir, "documents")
+    val maxId = docs.agg(max(col("doc_id"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r                  => r.getLong(0)
+    }
+    val width = maxId / PackBuckets + 1
+    val base = docs
       .withColumn("n_tokens",
         size(filter(split(lower(col("text")), "[^a-z0-9']+"), t => t =!= "")))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("bucket", floor(col("doc_id") / width))
+      .select(col("doc_id"), col("n_tokens"), col("bucket"))
+    // pass 1: per-bucket subtotals → exclusive prefix offsets. The window
+    // here is unpartitioned BUT runs over ≤ PackBuckets aggregated rows —
+    // constant-size regardless of corpus scale.
+    val wOff = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("bucket_tokens"))
+      .withColumn("offset",
+        coalesce(sum(col("bucket_tokens")).over(wOff), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    // pass 2: partitioned running sum + broadcast offset
+    val wRun = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    totalOrder(base
+      .join(broadcast(offsets), "bucket")
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(wRun) + col("offset"))
       .withColumn("shard",
         floor((col("cum_tokens") - col("n_tokens")) / budget))
       .select(col("doc_id"), col("n_tokens"), col("cum_tokens"), col("shard")))

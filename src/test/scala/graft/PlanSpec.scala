@@ -178,6 +178,27 @@ class PlanSpec extends SparkTestBase {
     assert(aggs >= 2, s"no partial aggregation: $aggs HashAggregate nodes")
   }
 
+  test("pipeline_pack_sequences: corpus running sum partitions by bucket") {
+    val plan = planOf(ops.Pipeline.pipelinePackSequences(spark, sf))
+    // the corpus-wide cumulative sum must run as a PARTITIONED window
+    // (per doc_id-range bucket) — never one global single-partition sort
+    assert(plan.contains("hashpartitioning(bucket"),
+      s"running-sum window not bucket-partitioned:\n${plan.take(2000)}")
+    // every window ordered by doc_id (the corpus-scale one) carries the
+    // bucket partition key; the only unpartitioned window allowed is the
+    // constant-size (≤ PackBuckets rows) offsets prefix over bucket_tokens
+    val wins = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    val corpusWins = wins.filter(_.contains("doc_id"))
+    assert(corpusWins.nonEmpty &&
+      corpusWins.forall(_.contains("bucket")),
+      s"unpartitioned corpus window:\n${wins.mkString("\n")}")
+    // at most one single-partition exchange (the tiny offsets side);
+    // the corpus path must not contribute one
+    val singles = plan.linesIterator.count(_.contains("SinglePartition"))
+    assert(singles <= 1, s"$singles single-partition stages:\n${plan.take(2000)}")
+  }
+
   test("pipeline_shuffle_order: rank window partitions by shard, no global sort") {
     val plan = planOf(ops.Pipeline.pipelineShuffleOrder(spark, sf))
     // the epoch-shuffle rank must never collapse to one partition — a
