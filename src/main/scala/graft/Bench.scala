@@ -20,7 +20,7 @@ object Bench {
     // bucketed layout is a write-once storage decision: create it here so
     // join_bucketed times the join, not the table build
     ops.Joins.ensureBucketedTables(spark, sfDir)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // failures are loud: a crashing query must fail the bench run, not
       // masquerade as a fast "-1 rows" timing
@@ -31,10 +31,27 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       // per-query caches must not leak into the next measurement (or pile
-      // up across the 99-query session)
+      // up across the 170-query session)
       spark.catalog.clearCache()
-      name -> dt
+      dt
     }
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> timeOne(name, fn)
+    }
+    // single timings swing up to 3× between runs (JIT, GC, page cache), so
+    // the slowest queries — the ones round-over-round verdicts actually
+    // compare — are re-run twice more and reported as the MEDIAN of three;
+    // the fast tail keeps its single timing (noise there is absolute ~ms)
+    val Reruns = 20
+    val rerunSet = firstPass.sortBy(-_._2).take(Reruns).map(_._1).toSet
+    val samples: Map[String, Seq[Double]] = firstPass.map { case (name, t1) =>
+      if (rerunSet(name)) {
+        val fn = SparkEntry.queries(name)
+        name -> (Seq(t1, timeOne(name, fn), timeOne(name, fn)).sorted)
+      } else name -> Seq(t1)
+    }.toMap
+    def median(ts: Seq[Double]): Double = ts(ts.size / 2)
+    val results = firstPass.map { case (name, _) => name -> median(samples(name)) }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     def jsonMap(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + r3(v) }
@@ -54,8 +71,12 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},""" +
         s""""queries":${jsonMap(shown.sortBy(_._1))},""" +
         s""""omitted_fastest":$omitted,"full":"BENCH_LOCAL.json","sf":"$sfDir"}"""
+    // min map for the re-run set: the floor a plan change must beat
+    val mins = samples.filter(_._2.size > 1).toSeq
+      .map { case (k, ts) => k -> ts.min }.sortBy(_._1)
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},""" +
+        s""""min_of_3":${jsonMap(mins)},"sf":"$sfDir"}"""
     Files.writeString(Paths.get("BENCH_LOCAL.json"), full + "\n")
     println(line)
     spark.stop()

@@ -101,11 +101,12 @@ object InfluxQL {
     orConds: Seq[Seq[Cond]] = Nil, // AND-joined OR-groups: (a OR b) AND ...
     tz: Option[String] = None,    // tz('Area/City'): local bucket alignment
     bucketOffset: Option[String] = None, // GROUP BY time(n, off) boundary shift
-    fromRegex: Option[String] = None)    // FROM /re/ multi-measurement match
+    fromRegex: Option[String] = None,    // FROM /re/ multi-measurement match
+    fromList: Seq[String] = Nil)         // FROM "a", "b" comma list (size ≥ 2)
 
   private val SelectRe =
     ("""(?is)^\s*SELECT\s+(.+?)""" +
-      """(?:\s+INTO\s+"?([\w.]+)"?)?\s+FROM\s+(?:"?([\w.]+)"?|/([^/\s]+)/)""" +
+      """(?:\s+INTO\s+"?([\w.]+)"?)?\s+FROM\s+(?:("?[\w.]+"?(?:\s*,\s*"?[\w.]+"?)*)|/([^/\s]+)/)""" +
       """(?:\s+WHERE\s+(.+?))?""" +
       """(?:\s+GROUP\s+BY\s+(.+?))?""" +
       """(?:\s+fill\((-?[0-9.]+|\w+)\))?""" +
@@ -281,12 +282,18 @@ object InfluxQL {
             bucket = Some((n.toInt, u)); bucketOff = Option(off); None
           case t => Some(t.stripPrefix("\"").stripSuffix("\""))
         }
-        Query(fields, Option(meas).getOrElse("__regex"), conds, bucket, tags,
+        // FROM may be one measurement or InfluxQL's comma list
+        // (`FROM "a", "b"` — one series set per measurement, unioned)
+        val measList = Option(meas).toSeq
+          .flatMap(_.split(",").toSeq)
+          .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        Query(fields, measList.headOption.getOrElse("__regex"), conds, bucket, tags,
           Option(fillS).map(_.toLowerCase),
           descS != null, Option(limitS).map(_.toInt), Option(intoS),
           Option(offS).map(_.toInt), Option(slimS).map(_.toInt),
           Option(soffS).map(_.toInt), subText.map(parse), orConds,
-          Option(tzS), bucketOff, Option(measRe))
+          Option(tzS), bucketOff, Option(measRe),
+          if (measList.size > 1) measList else Nil)
       case _ => fail(q, "not a supported InfluxQL SELECT")
     }
   }
@@ -718,6 +725,8 @@ object InfluxQL {
     val p = parse(q)
     if (p.fromRegex.nonEmpty)
       fail(q, "FROM /regex/ needs a measurement catalog — use runCatalog")
+    if (p.fromList.nonEmpty)
+      fail(q, "a FROM measurement list needs a catalog — use runCatalog")
     runParsed(spark, source, p, q, now)
   }
 
@@ -731,19 +740,24 @@ object InfluxQL {
     val p = parse(q)
     def one(name: String, df: DataFrame): DataFrame = {
       val r = runParsed(spark, df,
-        p.copy(fromRegex = None, measurement = name), q, now)
+        p.copy(fromRegex = None, fromList = Nil, measurement = name), q, now)
       r.select(lit(name).as("measurement") +: r.columns.toSeq.map(col): _*)
     }
+    def byName(m: String): DataFrame =
+      catalog.collectFirst { case (n, d) if n == m => d }
+        .getOrElse(fail(q, s"unknown measurement '$m'"))
     p.fromRegex match {
       case Some(re) =>
         val rx = re.r
         val hits = catalog.filter { case (n, _) => rx.findFirstIn(n).isDefined }
         if (hits.isEmpty) fail(q, s"no measurement matches /$re/")
         hits.map { case (n, df) => one(n, df) }.reduce(_ unionByName _)
+      case None if p.fromList.nonEmpty =>
+        // FROM "a", "b": same union-of-series-sets shape as FROM /regex/,
+        // but the list is explicit — unknown names fail loudly
+        p.fromList.map(m => one(m, byName(m))).reduce(_ unionByName _)
       case None =>
-        val df = catalog.collectFirst { case (n, d) if n == p.measurement => d }
-          .getOrElse(fail(q, s"unknown measurement '${p.measurement}'"))
-        runParsed(spark, df, p, q, now)
+        runParsed(spark, byName(p.measurement), p, q, now)
     }
   }
 
@@ -978,6 +992,11 @@ object InfluxQL {
   private val ShowFieldAllRe = """(?i)^\s*SHOW\s+FIELD\s+KEYS\s*;?\s*$""".r
   private val ShowTagValsRe =
     """(?i)^\s*SHOW\s+TAG\s+VALUES\s+FROM\s+"?(\w+)"?\s+WITH\s+KEY\s*=\s*"?(\w+)"?\s*;?\s*$""".r
+  // Grafana template variables also emit the multi-key and regex forms
+  private val ShowTagValsInRe =
+    """(?i)^\s*SHOW\s+TAG\s+VALUES\s+FROM\s+"?(\w+)"?\s+WITH\s+KEY\s+IN\s*\(([^)]+)\)\s*;?\s*$""".r
+  private val ShowTagValsRegexRe =
+    """(?i)^\s*SHOW\s+TAG\s+VALUES\s+FROM\s+"?(\w+)"?\s+WITH\s+KEY\s*=~\s*/([^/]+)/\s*;?\s*$""".r
   private val ShowSeriesRe =
     """(?i)^\s*SHOW\s+SERIES\s+FROM\s+"?(\w+)"?\s*;?\s*$""".r
   private val CqRe =
@@ -1011,6 +1030,17 @@ object InfluxQL {
     * answered from the catalog of measurement frames. Influx convention:
     * tags are the string-typed columns, fields the numeric/boolean ones,
     * `time` is neither. */
+  /** Distinct (key, value) pairs for a set of tag keys — one per-key
+    * distinct, unioned; stays a single declarative plan (each distinct is
+    * its own partial+final agg, no collect). */
+  private def tagValues(df: DataFrame, q: String, keys: Seq[String]): DataFrame = {
+    if (keys.isEmpty) fail(q, "no matching tag keys")
+    keys.map(k => df.select(lit(k).as("key"),
+        col(k).cast("string").as("value")).distinct())
+      .reduce(_ unionByName _)
+      .orderBy(col("key"), col("value"))
+  }
+
   def runMeta(spark: SparkSession,
     catalog: Seq[(String, DataFrame)], q: String): DataFrame = {
     import spark.implicits._
@@ -1025,6 +1055,24 @@ object InfluxQL {
         frame(m).select(lit(key).as("key"),
             col(key).cast("string").as("value"))
           .distinct().orderBy(col("value"))
+      case ShowTagValsInRe(m, keysS) =>
+        // WITH KEY IN ("k1", "k2"): one series-key section per listed tag;
+        // keys that are not tags of the measurement are skipped (InfluxDB
+        // returns nothing for them rather than erroring)
+        val keys = keysS.split(",").toSeq
+          .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        tagValues(frame(m), q, keys.filter(frame(m).columns.contains))
+      case ShowTagValsRegexRe(m, re) =>
+        // WITH KEY =~ /re/: every tag key of the measurement matching the
+        // (unanchored, InfluxDB-style) pattern
+        val rx = re.r
+        val df = frame(m)
+        val keys = df.schema.fields
+          .filter(f => f.name != "time" &&
+            f.dataType == org.apache.spark.sql.types.StringType)
+          .map(_.name).toSeq.sorted
+          .filter(k => rx.findFirstIn(k).isDefined)
+        tagValues(df, q, keys)
       case ShowSeriesRe(m) =>
         // one row per distinct tag combination, Influx line-protocol style
         val df = frame(m)

@@ -242,6 +242,18 @@ object InfluxQlOps {
     totalOrder(InfluxQL.runCatalog(spark, cat, sql))
   }
 
+  /** SHOW DATABASES through the database-level catalog — the very first
+    * statement a deployment issues (reference deployment_guide: CREATE
+    * DATABASE before any write) and the first discovery query a Grafana
+    * datasource sends. Exercises the full create → register → list flow. */
+  private def showDatabases(spark: SparkSession, dir: String): DataFrame = {
+    val cat = new graft.influxql.MeasurementCatalog(spark)
+    cat.statement("CREATE DATABASE ciwsdb")
+    cat.statement("CREATE DATABASE telegraf")
+    cat.register("ciwsdb", "events", measurement(spark, dir))
+    totalOrder(cat.statement("SHOW DATABASES"))
+  }
+
   /** `SELECT ... INTO` through the store — the reference's
     * read-transform-write loop (get_hot_intake_interval.py:68-85) as one
     * statement: the daily per-tag mean lands in a new measurement, which
@@ -324,6 +336,13 @@ object InfluxQlOps {
     "influxql_show_measurements" -> meta("SHOW MEASUREMENTS") _,
     "influxql_show_tag_values" ->
       meta("SHOW TAG VALUES FROM events WITH KEY = event_type") _,
+    "influxql_show_tag_values_in" ->
+      meta("""SHOW TAG VALUES FROM events WITH KEY IN ("event_type", "props")""") _,
+    "influxql_show_tag_values_regex" ->
+      meta("SHOW TAG VALUES FROM events WITH KEY =~ /type/") _,
+    "influxql_show_databases" -> (showDatabases _),
+    "influxql_from_list" ->
+      runCat("""SELECT count(value) AS n FROM "events", "events_clicks" GROUP BY time(1d)""") _,
     "influxql_show_series" -> meta("SHOW SERIES FROM events") _,
     "influxql_select_star" ->
       run("SELECT * FROM events " +
@@ -534,6 +553,33 @@ object InfluxQlOps {
       s"""SELECT DISTINCT 'event_type' AS key, event_type AS value
          |FROM events
          |${orderAll("key", "value")}""".stripMargin,
+    "influxql_show_tag_values_in" ->
+      s"""SELECT * FROM (
+         |  SELECT DISTINCT 'event_type' AS key, event_type AS value FROM events
+         |  UNION ALL
+         |  SELECT DISTINCT 'props' AS key, props AS value FROM events)
+         |${orderAll("key", "value")}""".stripMargin,
+    "influxql_show_tag_values_regex" ->
+      s"""SELECT DISTINCT 'event_type' AS key, event_type AS value
+         |FROM events
+         |${orderAll("key", "value")}""".stripMargin,
+    "influxql_show_databases" ->
+      s"""SELECT name FROM (VALUES ('ciwsdb'), ('telegraf')) AS t(name)
+         |${orderAll("name")}""".stripMargin,
+    "influxql_from_list" ->
+      s"""WITH a AS (
+         |  SELECT ${sqlBucket("CAST(ts AS TIMESTAMP)", 86400)} AS time,
+         |    COUNT(value) AS n
+         |  FROM events GROUP BY 1),
+         |b AS (
+         |  SELECT ${sqlBucket("CAST(ts AS TIMESTAMP)", 86400)} AS time,
+         |    COUNT(value) AS n
+         |  FROM events WHERE event_type = 'click' GROUP BY 1)
+         |SELECT * FROM (
+         |  SELECT 'events' AS measurement, time, n FROM a
+         |  UNION ALL
+         |  SELECT 'events_clicks' AS measurement, time, n FROM b)
+         |${orderAll("measurement", "time", "n")}""".stripMargin,
     "influxql_arith" ->
       s"""SELECT ${sqlBucket("CAST(ts AS TIMESTAMP)", 86400)} AS time,
          |  ${sqlDsum("value")} * 0.264172 AS gallons,

@@ -596,4 +596,69 @@ class InfluxQlSpec extends SparkTestBase {
       .count()
     assert(regressions == 0, "LOCF must carry values forward")
   }
+
+  test("measurement catalog: create/use/drop database lifecycle") {
+    val m = Tables.load(spark, sf, "events").withColumnRenamed("ts", "time")
+    val cat = new graft.influxql.MeasurementCatalog(spark)
+    // DDL returns Influx's empty result; SHOW DATABASES lists names sorted
+    assert(cat.statement("CREATE DATABASE ciwsdb").count() == 0)
+    cat.statement("CREATE DATABASE staging")
+    assert(cat.statement("SHOW DATABASES").collect().map(_.getString(0)).toSeq
+      == Seq("ciwsdb", "staging"))
+    // CREATE is idempotent — re-creating never drops measurements
+    cat.register("ciwsdb", "events", m)
+    cat.statement("CREATE DATABASE ciwsdb")
+    assert(cat.measurements("ciwsdb").map(_._1) == Seq("events"))
+    // the first database created is current: SELECT resolves against it
+    val n = cat.statement(
+      "SELECT count(value) AS n FROM events GROUP BY time(1d)").count()
+    assert(n > 0)
+    // metadata queries route through the same front door
+    assert(cat.statement("SHOW MEASUREMENTS")
+      .collect().map(_.getString(0)).toSeq == Seq("events"))
+    // USE switches; querying a measurement not in the new db fails loudly
+    cat.statement("USE staging")
+    intercept[IllegalArgumentException](
+      cat.statement("SELECT count(value) AS n FROM events GROUP BY time(1d)"))
+    // DROP removes; current falls back to the first remaining database
+    cat.statement("DROP DATABASE staging")
+    assert(cat.statement("SHOW DATABASES").collect().map(_.getString(0)).toSeq
+      == Seq("ciwsdb"))
+    assert(cat.statement("SHOW MEASUREMENTS")
+      .collect().map(_.getString(0)).toSeq == Seq("events"))
+    intercept[IllegalArgumentException](cat.use("nosuch"))
+  }
+
+  test("FROM comma list unions series sets; unknown names fail loudly") {
+    val m = Tables.load(spark, sf, "events").withColumnRenamed("ts", "time")
+    val cat = Seq(
+      "events" -> m,
+      "events_clicks" -> m.filter(col("event_type") === "click"))
+    val both = InfluxQL.runCatalog(spark, cat,
+      """SELECT count(value) AS n FROM "events", "events_clicks" GROUP BY time(1d)""")
+    assert(both.select("measurement").distinct().collect().map(_.getString(0))
+      .toSet == Set("events", "events_clicks"))
+    // without a catalog the list form is rejected, like FROM /regex/
+    intercept[IllegalArgumentException](InfluxQL.run(spark, m,
+      """SELECT count(value) AS n FROM "events", "events_clicks" GROUP BY time(1d)"""))
+    intercept[IllegalArgumentException](InfluxQL.runCatalog(spark, cat,
+      """SELECT count(value) AS n FROM "events", "nosuch" GROUP BY time(1d)"""))
+  }
+
+  test("SHOW TAG VALUES WITH KEY IN / =~ answer the Grafana variable forms") {
+    val m = Tables.load(spark, sf, "events").withColumnRenamed("ts", "time")
+    val cat = Seq("events" -> m)
+    val in = InfluxQL.runMeta(spark, cat,
+      """SHOW TAG VALUES FROM events WITH KEY IN ("event_type", "nosuchkey")""")
+    // unknown keys are skipped (Influx returns nothing for them), known ones answer
+    assert(in.select("key").distinct().collect().map(_.getString(0)).toSeq
+      == Seq("event_type"))
+    val re = InfluxQL.runMeta(spark, cat,
+      "SHOW TAG VALUES FROM events WITH KEY =~ /type/")
+    assert(re.select("key").distinct().collect().map(_.getString(0)).toSeq
+      == Seq("event_type"))
+    // a pattern matching no tag key fails loudly rather than returning junk
+    intercept[IllegalArgumentException](InfluxQL.runMeta(spark, cat,
+      "SHOW TAG VALUES FROM events WITH KEY =~ /zzz/"))
+  }
 }
