@@ -184,6 +184,11 @@ object InfluxQL {
           (parts.init.mkString(", "), Some(parts.last))
         else (content.trim, None)
       val inner = parseField(q, innerS) match {
+        // distinct/mode are standalone result-set shapes, not aggregates a
+        // transform can consume — reject cleanly (as MathRe does) instead
+        // of letting them reach aggExpr's match
+        case a: Agg if a.fn == "distinct" || a.fn == "mode" =>
+          fail(q, s"$fn cannot wrap ${a.fn}()")
         case a: Agg if a.alias.isEmpty => a
         case _: Agg => fail(q, s"no AS alias inside $fn(...)")
         case _ => fail(q, s"$fn requires an aggregate argument")
@@ -208,6 +213,8 @@ object InfluxQL {
     case ArithRe(innerS, op, k, al) =>
       val inner = parseField(q, innerS.trim)
       inner match {
+        case a: Agg if a.fn == "distinct" || a.fn == "mode" =>
+          fail(q, s"arithmetic cannot wrap ${a.fn}()")
         case _: Raw | _: Agg | _: Arith | _: MathFn => ()
         case _ => fail(q, "arithmetic applies to fields and aggregates only")
       }
@@ -438,6 +445,20 @@ object InfluxQL {
 
   private def outName(f: Field): String = f.alias.getOrElse(defaultName(f))
 
+  /** Output names for a whole select list, with InfluxDB's duplicate
+    * disambiguation: a repeated default name gets `_1`, `_2`, ... suffixes
+    * (`SELECT abs(a), abs(b)` → abs, abs_1) so downstream select/orderBy on
+    * the name is never ambiguous. Explicit aliases are kept verbatim. */
+  private def outNames(fields: Seq[Field]): Seq[String] = {
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    fields.map { f =>
+      val base = outName(f)
+      val n = seen.getOrElse(base, 0)
+      seen(base) = n + 1
+      if (n == 0) base else s"${base}_$n"
+    }
+  }
+
   /** The IEEE-exact math functions (see [[MathFn]]). Spark's floor/ceil
     * return BIGINT; InfluxDB's (and DuckDB's) stay float — cast back so
     * the wire type matches the engine being replaced. */
@@ -451,27 +472,36 @@ object InfluxQL {
 
   /** Aliased aggregate column for an Agg, possibly under Arith/MathFn
     * wrappers. */
-  private def selAgg(f: Field, q: String): Column = {
-    def expr(f: Field): Column = f match {
-      case a: Agg => aggExpr(a)
-      case Arith(i, op, k, _) => applyOp(expr(i), op, k)
-      case MathFn(fn, i, _) => applyMath(fn, expr(i))
-      case _ => fail(q, "expected an aggregate select item")
-    }
-    expr(f).as(outName(f))
+  private def selAgg(f: Field, q: String): Column =
+    selAggExpr(f, q).as(outName(f))
+
+  private def selAggExpr(f: Field, q: String): Column = f match {
+    case a: Agg => aggExpr(a)
+    case Arith(i, op, k, _) => applyOp(selAggExpr(i, q), op, k)
+    case MathFn(fn, i, _) => applyMath(fn, selAggExpr(i, q))
+    case _ => fail(q, "expected an aggregate select item")
   }
+
+  /** Whole aggregate select list, duplicate default names disambiguated
+    * ([[outNames]] — `abs, abs_1`). */
+  private def selAggs(fields: Seq[Field], q: String): Seq[Column] =
+    fields.zip(outNames(fields)).map { case (f, n) => selAggExpr(f, q).as(n) }
 
   /** Aliased projection column for a Raw, possibly under Arith/MathFn
     * wrappers. */
-  private def selRaw(f: Field, q: String): Column = {
-    def expr(f: Field): Column = f match {
-      case Raw(n, _) => col(n)
-      case Arith(i, op, k, _) => applyOp(expr(i), op, k)
-      case MathFn(fn, i, _) => applyMath(fn, expr(i))
-      case _ => fail(q, "expected a field select item")
-    }
-    expr(f).as(outName(f))
+  private def selRaw(f: Field, q: String): Column =
+    selRawExpr(f, q).as(outName(f))
+
+  private def selRawExpr(f: Field, q: String): Column = f match {
+    case Raw(n, _) => col(n)
+    case Arith(i, op, k, _) => applyOp(selRawExpr(i, q), op, k)
+    case MathFn(fn, i, _) => applyMath(fn, selRawExpr(i, q))
+    case _ => fail(q, "expected a field select item")
   }
+
+  /** Whole raw select list, duplicate default names disambiguated. */
+  private def selRaws(fields: Seq[Field], q: String): Seq[Column] =
+    fields.zip(outNames(fields)).map { case (f, n) => selRawExpr(f, q).as(n) }
 
   private def aggExpr(a: Agg): Column = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -505,6 +535,10 @@ object InfluxQL {
       case "median" => rankVal(50.0)
       case "percentile" =>
         rankVal(a.arg.getOrElse(fail("", "percentile requires an argument")))
+      // distinct/mode are dispatched to runDistinctMode before any path
+      // reaches here; anything else arriving is a parser gap — fail the
+      // clean way every other invalid shape does, never a MatchError
+      case other => fail("", s"$other() is not an aggregate expression")
     }
     out
   }
@@ -683,17 +717,26 @@ object InfluxQL {
     * value cardinality per bucket, never raw points. */
   private def runDistinctMode(base: DataFrame, p: Query, a: Agg): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // distinct/mode return the value set itself — there is no aggregate to
+    // densify, so fill() has nothing defined to do: reject loudly (the
+    // convention every unsupported fill takes) instead of ignoring it
+    p.fill.filter(_ != "none").foreach(f =>
+      fail("", s"fill($f) is not supported with ${a.fn}()"))
     val out = a.alias.getOrElse(a.fn)
     val v = col(a.field)
     val withT = p.timeBucket match {
       case Some((n, u)) =>
         // the same epoch-floor alignment window() uses, as a plain
-        // projection expression (usable outside groupBy)
+        // projection expression (usable outside groupBy). FLOOR division
+        // via the sign-safe `x - ((x % s + s) % s)` form — Spark's DIV
+        // truncates toward zero, which would bucket pre-1970 timestamps
+        // one step late relative to every other aggregate path
         val stepUs = durSec(s"$n$u") * 1000000L
         val offUs = bucketOffsetUs(p)
+        val x = s"(unix_micros(time) - $offUs)"
         base.withColumn("__t", expr(
-          s"timestamp_micros((((unix_micros(time) - $offUs) DIV $stepUs)" +
-            s" * $stepUs) + $offUs)"))
+          s"timestamp_micros(($x - ((($x % $stepUs) + $stepUs) % $stepUs))" +
+            s" + $offUs)"))
       case None =>
         base.withColumn("__t", to_timestamp(lit("1970-01-01 00:00:00")))
     }
@@ -820,15 +863,15 @@ object InfluxQL {
           // a raw select under GROUP BY <tag> is InfluxDB's series-grouped
           // point listing — the tags ride along in the flattened output
           // (and applyLimit's per-series window needs them resolvable)
-          val fieldNames = p.fields.map(outName).toSet
+          val fieldNames = outNames(p.fields).toSet
           val tagCols = p.groupTags.filterNot(fieldNames).map(col)
-          val cols = (col("time") +: tagCols) ++ p.fields.map(selRaw(_, q))
+          val cols = (col("time") +: tagCols) ++ selRaws(p.fields, q)
           base.select(cols: _*)
         }
       case None =>
         // global aggregation (no bucket): one row
-        base.agg(selAgg(p.fields.head, q),
-          p.fields.tail.map(selAgg(_, q)): _*)
+        val aggs = selAggs(p.fields, q)
+        base.agg(aggs.head, aggs.tail: _*)
       case Some((n, u)) =>
         val agged = p.tz match {
           case Some(z) =>
@@ -843,14 +886,14 @@ object InfluxQL {
             val bucket = expr(
               s"to_utc_timestamp(timestamp_micros((unix_micros(" +
                 s"from_utc_timestamp(time, '$z')) DIV $stepUs) * $stepUs), '$z')")
+            val aggs = selAggs(p.fields, q)
             base.groupBy(bucket.as("time") +: p.groupTags.map(col): _*)
-              .agg(selAgg(p.fields.head, q),
-                p.fields.tail.map(selAgg(_, q)): _*)
+              .agg(aggs.head, aggs.tail: _*)
           case None =>
             val keys = winCol(p).as("w") +: p.groupTags.map(col)
+            val aggs = selAggs(p.fields, q)
             base.groupBy(keys: _*)
-              .agg(selAgg(p.fields.head, q),
-                p.fields.tail.map(selAgg(_, q)): _*)
+              .agg(aggs.head, aggs.tail: _*)
               .withColumn("time", col("w.start")).drop("w")
         }
         p.fill match {
@@ -1006,9 +1049,10 @@ object InfluxQL {
   /** Parse `CREATE CONTINUOUS QUERY <name> ON <db> BEGIN <select> END` —
     * the reference's cron-run downsampling jobs as first-class statements;
     * the body runs as a Structured Streaming query
-    * ([[graft.streaming.StreamingOps.continuousQuery]]). */
-  def parseCq(stmt: String): (String, Query) = stmt match {
-    case CqRe(name, _, body) => (name, parse(body))
+    * ([[graft.streaming.StreamingOps.continuousQuery]], with the managed
+    * lifecycle in [[graft.streaming.CqRegistry]]). Returns (name, db, body). */
+  def parseCq(stmt: String): (String, String, Query) = stmt match {
+    case CqRe(name, db, body) => (name, db, parse(body))
     case _ => fail(stmt, "not a supported CREATE CONTINUOUS QUERY")
   }
 
@@ -1020,8 +1064,9 @@ object InfluxQL {
     if (p.timeBucket.isEmpty)
       fail(q, "a continuous query requires GROUP BY time()")
     val keys = winCol(p).as("w") +: p.groupTags.map(col)
+    val aggs = selAggs(p.fields, q)
     stream.groupBy(keys: _*)
-      .agg(selAgg(p.fields.head, q), p.fields.tail.map(selAgg(_, q)): _*)
+      .agg(aggs.head, aggs.tail: _*)
       .withColumn("time", col("w.start")).drop("w")
   }
 

@@ -254,6 +254,26 @@ object InfluxQlOps {
     totalOrder(cat.statement("SHOW DATABASES"))
   }
 
+  /** SHOW CONTINUOUS QUERIES through the managed registry — the lifecycle
+    * half of the reference's cron-replacement: create three, drop one, list
+    * the survivors. (Checkpointed resume of a registered CQ is spec-gated
+    * in IngestStoreStreamSpec.) */
+  private def showContinuousQueries(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("cq_registry").toString
+    val reg = new graft.streaming.CqRegistry(spark, root)
+    reg.statement("CREATE CONTINUOUS QUERY cq_hourly ON ciwsdb BEGIN " +
+      "SELECT mean(value) AS mv INTO hourly_means FROM events " +
+      "GROUP BY time(1h), event_type END")
+    reg.statement("CREATE CONTINUOUS QUERY cq_daily ON ciwsdb BEGIN " +
+      "SELECT count(value) AS n INTO daily_counts FROM events " +
+      "GROUP BY time(1d) END")
+    reg.statement("CREATE CONTINUOUS QUERY cq_tmp ON staging BEGIN " +
+      "SELECT max(value) AS mx INTO tmp_max FROM events " +
+      "GROUP BY time(1d) END")
+    reg.statement("DROP CONTINUOUS QUERY cq_tmp ON staging")
+    totalOrder(reg.statement("SHOW CONTINUOUS QUERIES"))
+  }
+
   /** `SELECT ... INTO` through the store — the reference's
     * read-transform-write loop (get_hot_intake_interval.py:68-85) as one
     * statement: the daily per-tag mean lands in a new measurement, which
@@ -341,6 +361,7 @@ object InfluxQlOps {
     "influxql_show_tag_values_regex" ->
       meta("SHOW TAG VALUES FROM events WITH KEY =~ /type/") _,
     "influxql_show_databases" -> (showDatabases _),
+    "influxql_show_continuous_queries" -> (showContinuousQueries _),
     "influxql_from_list" ->
       runCat("""SELECT count(value) AS n FROM "events", "events_clicks" GROUP BY time(1d)""") _,
     "influxql_show_series" -> meta("SHOW SERIES FROM events") _,
@@ -566,6 +587,14 @@ object InfluxQlOps {
     "influxql_show_databases" ->
       s"""SELECT name FROM (VALUES ('ciwsdb'), ('telegraf')) AS t(name)
          |${orderAll("name")}""".stripMargin,
+    "influxql_show_continuous_queries" ->
+      s"""SELECT * FROM (VALUES
+         |  ('ciwsdb', 'cq_hourly',
+         |   'CREATE CONTINUOUS QUERY cq_hourly ON ciwsdb BEGIN SELECT mean(value) AS mv INTO hourly_means FROM events GROUP BY time(1h), event_type END'),
+         |  ('ciwsdb', 'cq_daily',
+         |   'CREATE CONTINUOUS QUERY cq_daily ON ciwsdb BEGIN SELECT count(value) AS n INTO daily_counts FROM events GROUP BY time(1d) END')
+         |) AS t(db, name, query)
+         |${orderAll("db", "name", "query")}""".stripMargin,
     "influxql_from_list" ->
       s"""WITH a AS (
          |  SELECT ${sqlBucket("CAST(ts AS TIMESTAMP)", 86400)} AS time,

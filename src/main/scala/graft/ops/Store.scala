@@ -112,13 +112,47 @@ object Store {
         count_distinct(col("event_type")).as("kinds")))
   }
 
+  private val SeriesWindowBound = "2024-01-04 06:00:00"
+
+  /** Tag-scoped DELETE roundtrip — the site decommission that keeps recent
+    * data for audit: write events as points, `DELETE WHERE event_type =
+    * 'error' AND time < bound` (one series, bounded window; every touched
+    * day still holds other series, so all are rewritten to survivors in
+    * one job), read back per-day aggregates. */
+  def storeDeleteSeriesWindow(spark: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("store_delete_sw").toString
+    val store = new MeasurementStore(spark, root)
+    val points = load(spark, dir, "events")
+      .select(col("event_type"), col("user_id"), col("ts").as("time"),
+        col("value"))
+    store.append("RawData", points)
+    val (dropped, rewritten) = store.deleteWhere(
+      s"DELETE FROM RawData WHERE event_type = 'error' AND time < '$SeriesWindowBound'")
+    require(dropped.isEmpty && rewritten.nonEmpty,
+      s"series-window delete exercised nothing: $rewritten")
+    totalOrder(store.read("RawData")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+        count(when(col("event_type") === "error", 1)).as("n_error")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "store_delete_series_window" -> storeDeleteSeriesWindow,
     "store_upsert_roundtrip" -> storeRoundtrip,
     "store_delete_roundtrip" -> storeDeleteRoundtrip,
     "store_drop_series" -> storeDropSeries,
     "sink_influx_write" -> sinkInfluxWrite)
 
   val oracle: Map[String, String] = Map(
+    "store_delete_series_window" ->
+      s"""SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+         |  COUNT(*) AS n, ${sqlDsum("value")} AS sum_value,
+         |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error
+         |FROM events
+         |WHERE NOT (event_type = 'error'
+         |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '$SeriesWindowBound')
+         |GROUP BY 1
+         |${orderAll("day", "n", "sum_value", "n_error")}""".stripMargin,
     "store_upsert_roundtrip" ->
       s"""SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
          |  COUNT(*) AS n,

@@ -141,14 +141,34 @@ class MeasurementStore(spark: SparkSession, root: String) {
 
   private val DeleteRe =
     """(?i)^\s*DELETE\s+FROM\s+"?(\w+)"?\s+WHERE\s+time\s*(<=|<|>=|>)\s*'([^']*)'\s*;?\s*$""".r
+  // tag + time conjunction, both orders (InfluxDB 1.x supports tag-scoped
+  // deletes — the decommission-a-site-but-keep-recent-audit-data shape)
+  private val DeleteTagTimeRe =
+    ("""(?i)^\s*DELETE\s+FROM\s+"?(\w+)"?\s+WHERE\s+"?(\w+)"?\s*=\s*'([^']*)'""" +
+      """\s+AND\s+time\s*(<=|<|>=|>)\s*'([^']*)'\s*;?\s*$""").r
+  private val DeleteTimeTagRe =
+    ("""(?i)^\s*DELETE\s+FROM\s+"?(\w+)"?\s+WHERE\s+time\s*(<=|<|>=|>)\s*'([^']*)'""" +
+      """\s+AND\s+"?(\w+)"?\s*=\s*'([^']*)'\s*;?\s*$""").r
 
   /** InfluxQL `DELETE FROM <m> WHERE time <op> '<ts>'` — the management
     * statement behind the reference's delete-oldest-until-enough-space loop
     * (memory_manager.py:8-17). Day partitions entirely inside the deleted
     * range are DROPPED (a metadata operation — no data read); only the one
     * boundary day containing the bound is rewritten, through the same
-    * crash-safe swap as [[compact]]. Returns (dropped days, rewritten days). */
+    * crash-safe swap as [[compact]]. Returns (dropped days, rewritten days).
+    *
+    * The tag-scoped form `DELETE FROM m WHERE <tag> = 'v' AND time <op> t`
+    * (either conjunct order) removes one series within a time range — a
+    * site decommission that must keep recent data for audit. Days in the
+    * range still hold other series, so nothing can metadata-drop: every
+    * affected day (located by a tag-pushdown scan) is rewritten to its
+    * survivors in ONE distributed job and swapped in crash-safe, the
+    * [[dropSeries]] pattern. Returns (Nil, rewritten-or-dropped days). */
   def deleteWhere(statement: String): (Seq[String], Seq[String]) = statement match {
+    case DeleteTagTimeRe(measurement, tag, v, op, ts) =>
+      (Seq.empty, deleteSeriesWindow(measurement, tag, v, op, ts))
+    case DeleteTimeTagRe(measurement, op, ts, tag, v) =>
+      (Seq.empty, deleteSeriesWindow(measurement, tag, v, op, ts))
     case DeleteRe(measurement, op, ts) =>
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(path(measurement)).resolve("/"),
@@ -224,33 +244,81 @@ class MeasurementStore(spark: SparkSession, root: String) {
       val affected = readRaw(measurement).filter(col(tag) === v)
         .select("day").distinct().collect().map(_.getString(0)).toSeq.sorted
       if (affected.isEmpty) return Seq.empty
-      // one job: survivors of all affected days, laid out day-partitioned
-      val tmpRoot = new org.apache.hadoop.fs.Path(rootPath, ".dropseries_tmp")
-      if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true)
-      readRaw(measurement)
-        .filter(col("day").isin(affected: _*)) // partition-prunes the scan
-        .filter(col(tag) =!= v || col(tag).isNull)
-        .write.mode(SaveMode.Overwrite).partitionBy("day")
-        .parquet(tmpRoot.toString)
-      // metadata-only swaps: promote each rewritten day through the
-      // .compact_/.old_ convention recoverCompaction already heals
-      affected.foreach { d =>
-        def p(n: String) = new org.apache.hadoop.fs.Path(rootPath, n)
-        val tmpDay = new org.apache.hadoop.fs.Path(tmpRoot, s"day=$d")
-        if (fs.exists(tmpDay)) {
-          fs.rename(tmpDay, p(s".compact_$d"))
-          fs.rename(p(s"day=$d"), p(s".old_$d"))
-          fs.rename(p(s".compact_$d"), p(s"day=$d"))
-          fs.delete(p(s".old_$d"), true)
-        } else {
-          // every row of the day belonged to the series
-          fs.delete(p(s"day=$d"), true)
-        }
-      }
-      fs.delete(tmpRoot, true)
+      rewriteDays(measurement, fs, rootPath, affected,
+        col(tag) =!= v || col(tag).isNull)
       affected
     case _ => throw new IllegalArgumentException(
       s"not a supported DROP SERIES statement: $statement")
+  }
+
+  /** Tag-scoped, time-bounded delete (the [[deleteWhere]] tag+time form):
+    * rewrite every day holding matching rows to its survivors. Affected
+    * days are located with the day-partition prune FIRST (only days the
+    * time bound can reach are scanned for the tag). */
+  private def deleteSeriesWindow(measurement: String, tag: String, v: String,
+    op: String, ts: String): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path(measurement)).resolve("/"),
+      spark.sparkContext.hadoopConfiguration)
+    val rootPath = new org.apache.hadoop.fs.Path(path(measurement))
+    if (!fs.exists(rootPath)) return Seq.empty
+    recoverCompaction(measurement)
+    val bound = to_timestamp(lit(ts))
+    val timePred = op match {
+      case "<"  => col("time") < bound
+      case "<=" => col("time") <= bound
+      case ">"  => col("time") > bound
+      case ">=" => col("time") >= bound
+    }
+    val boundDay = ts.take(10)
+    val dayPred =
+      if (op.startsWith("<")) col("day") <= boundDay else col("day") >= boundDay
+    val affected = readRaw(measurement).filter(dayPred)
+      .filter(col(tag) === v && timePred)
+      .select("day").distinct().collect().map(_.getString(0)).toSeq.sorted
+    if (affected.isEmpty) return Seq.empty
+    // survivors: other series, null-tag rows, and the series outside the
+    // time bound (spelled null-safely — !(tag = v) drops null tags)
+    rewriteDays(measurement, fs, rootPath, affected,
+      col(tag).isNull || col(tag) =!= v || !timePred)
+    affected
+  }
+
+  /** One distributed job + per-day crash-safe swaps, shared by
+    * [[dropSeries]] and the tag-scoped [[deleteWhere]]: write the
+    * survivors (`keep`) of every affected day, laid out day-partitioned,
+    * under `.dropseries_tmp`, then promote each rewritten day through the
+    * `.compact_`/`.old_` rename convention [[recoverCompaction]] heals.
+    * A day with no surviving rows drops entirely (metadata delete). A
+    * crash mid-swap-loop is healed by recovery: staged days still under
+    * `.dropseries_tmp` (the job's `_SUCCESS` marker proves them complete)
+    * are promoted; only the no-survivor days not yet dropped need a
+    * statement rerun, which recomputes them. */
+  private def rewriteDays(measurement: String,
+    fs: org.apache.hadoop.fs.FileSystem,
+    rootPath: org.apache.hadoop.fs.Path,
+    affected: Seq[String], keep: Column): Unit = {
+    val tmpRoot = new org.apache.hadoop.fs.Path(rootPath, ".dropseries_tmp")
+    if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true)
+    readRaw(measurement)
+      .filter(col("day").isin(affected: _*)) // partition-prunes the scan
+      .filter(keep)
+      .write.mode(SaveMode.Overwrite).partitionBy("day")
+      .parquet(tmpRoot.toString)
+    affected.foreach { d =>
+      def p(n: String) = new org.apache.hadoop.fs.Path(rootPath, n)
+      val tmpDay = new org.apache.hadoop.fs.Path(tmpRoot, s"day=$d")
+      if (fs.exists(tmpDay)) {
+        fs.rename(tmpDay, p(s".compact_$d"))
+        fs.rename(p(s"day=$d"), p(s".old_$d"))
+        fs.rename(p(s".compact_$d"), p(s"day=$d"))
+        fs.delete(p(s".old_$d"), true)
+      } else {
+        // every row of the day failed `keep`
+        fs.delete(p(s"day=$d"), true)
+      }
+    }
+    fs.delete(tmpRoot, true)
   }
 
   private val DropRe =
@@ -304,9 +372,29 @@ class MeasurementStore(spark: SparkSession, root: String) {
         val day = n.stripPrefix(".compact_")
         if (fs.exists(p(s"day=$day"))) fs.delete(p(n), true)
       case ".dropseries_tmp" =>
-        // a dropSeries that crashed before its swaps started — live days
-        // are untouched, so the staged rewrite is safely discarded
-        fs.delete(p(".dropseries_tmp"), true)
+        val tmpRoot = p(".dropseries_tmp")
+        if (fs.exists(new org.apache.hadoop.fs.Path(tmpRoot, "_SUCCESS"))) {
+          // the rewrite job completed, so the crash hit the swap loop:
+          // already-swapped days were renamed OUT of the staging dir —
+          // whatever day= dirs remain are complete survivors not yet
+          // promoted. Finish their swaps instead of discarding them
+          // (re-promoting a day that equals its staged copy is harmless).
+          // Only fully-deleted days (no survivors staged, not yet dropped)
+          // are left over; a statement rerun recomputes and drops them.
+          fs.listStatus(tmpRoot).toSeq
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
+            .foreach { s =>
+              val day = s.getPath.getName.stripPrefix("day=")
+              val live = p(s"day=$day")
+              fs.rename(s.getPath, p(s".compact_$day"))
+              if (fs.exists(live)) fs.rename(live, p(s".old_$day"))
+              fs.rename(p(s".compact_$day"), live)
+              fs.delete(p(s".old_$day"), true)
+            }
+        }
+        // crash before the job finished (no _SUCCESS): live days are
+        // untouched, the partial rewrite is safely discarded
+        fs.delete(tmpRoot, true)
       case _ => ()
     }
   }
@@ -362,11 +450,13 @@ class MeasurementStore(spark: SparkSession, root: String) {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val drop = counts.filter(col("cum") > rowBudget)
       .select("day").collect().map(_.getString(0)).toSeq
+    // Hadoop FS, not java.io.File — the deletion must work on any store
+    // Spark can read (HDFS/S3A/...), same as the byte-budget sibling
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path(measurement)).resolve("/"),
+      spark.sparkContext.hadoopConfiguration)
     drop.foreach { d =>
-      val dir = new java.io.File(s"${path(measurement)}/day=$d")
-      if (dir.exists()) {
-        dir.listFiles().foreach(_.delete()); dir.delete()
-      }
+      fs.delete(new org.apache.hadoop.fs.Path(s"${path(measurement)}/day=$d"), true)
     }
     drop
   }

@@ -210,7 +210,7 @@ object StreamingOps {
       "CREATE CONTINUOUS QUERY cq_hourly ON graft BEGIN " +
         "SELECT mean(value) AS mv, count(value) AS n INTO hourly_means " +
         "FROM events GROUP BY time(1h), event_type END"
-    val (_, body) = graft.influxql.InfluxQL.parseCq(stmt)
+    val (_, _, body) = graft.influxql.InfluxQL.parseCq(stmt)
     val stream = eventsStream(spark, dir).withColumnRenamed("ts", "time")
     val agged = graft.influxql.InfluxQL.streamingAggregate(stream, body, stmt)
     totalOrder(runToTable(agged, OutputMode.Complete()))

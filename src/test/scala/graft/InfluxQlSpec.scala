@@ -42,7 +42,10 @@ class InfluxQlSpec extends SparkTestBase {
       n <- ident; p <- Gen.chooseNum(1, 99)
     } yield InfluxQL.Agg("percentile", n, None, Some(p.toDouble))
     val transform = for {
-      inner <- Gen.oneOf(agg, perc)
+      // distinct/mode are standalone shapes: the parser now rejects them
+      // inside transforms (as it always did inside math fns)
+      inner <- Gen.oneOf(
+        agg.suchThat(a => a.fn != "distinct" && a.fn != "mode"), perc)
       fnArg <- Gen.oneOf(
         Gen.zip(Gen.oneOf("derivative", "non_negative_derivative"),
           Gen.option(Gen.zip(Gen.chooseNum(1, 60), Gen.oneOf("s", "m", "h"))
@@ -62,7 +65,8 @@ class InfluxQlSpec extends SparkTestBase {
     val arith = for {
       inner <- Gen.oneOf(
         ident.map(InfluxQL.Raw(_, None): InfluxQL.Field),
-        agg.map(a => a: InfluxQL.Field))
+        agg.suchThat(a => a.fn != "distinct" && a.fn != "mode")
+          .map(a => a: InfluxQL.Field))
       op <- Gen.oneOf("*", "/", "+", "-")
       k <- Gen.oneOf(Gen.chooseNum(1, 999).map(_.toDouble),
         Gen.chooseNum(1, 999).map(_ / 100.0))
@@ -595,6 +599,57 @@ class InfluxQlSpec extends SparkTestBase {
       .filter(col("seen") > 0 && col("mv").isNull)
       .count()
     assert(regressions == 0, "LOCF must carry values forward")
+  }
+
+  test("distinct/mode reject wrappers and fill() loudly, never MatchError") {
+    val m = Tables.load(spark, sf, "events").withColumnRenamed("ts", "time")
+    // arithmetic / transform / math wrappers around distinct() or mode()
+    // must fail the same clean way every other invalid shape does
+    intercept[IllegalArgumentException](InfluxQL.run(spark, m,
+      "SELECT distinct(value) * 2 FROM events"))
+    intercept[IllegalArgumentException](InfluxQL.run(spark, m,
+      "SELECT moving_average(distinct(value), 2) FROM events"))
+    intercept[IllegalArgumentException](InfluxQL.run(spark, m,
+      "SELECT abs(mode(value)) FROM events"))
+    // fill() has no defined meaning for a value-set result: loud, not ignored
+    intercept[IllegalArgumentException](InfluxQL.run(spark, m,
+      "SELECT distinct(value) FROM events GROUP BY time(1d) fill(0)"))
+    // fill(none) is the explicit no-op and stays allowed
+    assert(InfluxQL.run(spark, m,
+      "SELECT distinct(event_type) FROM events GROUP BY time(1d) fill(none)")
+      .count() > 0)
+  }
+
+  test("duplicate math-fn default names disambiguate as fn, fn_1") {
+    val m = Tables.load(spark, sf, "events").withColumnRenamed("ts", "time")
+    val df = InfluxQL.run(spark, m,
+      "SELECT abs(value), abs(value - 500) FROM events " +
+        "WHERE time >= '2024-01-02 00:00:00' AND time < '2024-01-02 06:00:00'")
+    assert(df.columns.toSeq == Seq("time", "abs", "abs_1"))
+    // aggregate path too
+    // (the bucketed agg path appends `time` after the aggregation)
+    val agg = InfluxQL.run(spark, m,
+      "SELECT floor(mean(value)), floor(max(value)) FROM events GROUP BY time(1d)")
+    assert(agg.columns.toSeq == Seq("floor", "floor_1", "time"))
+  }
+
+  test("distinct buckets pre-1970 timestamps like every other aggregate path") {
+    import spark.implicits._
+    val m = Seq(
+      (java.sql.Timestamp.valueOf("1969-12-31 22:00:00"), 1.0),
+      (java.sql.Timestamp.valueOf("1969-12-31 23:30:00"), 2.0),
+      (java.sql.Timestamp.valueOf("1970-01-01 01:00:00"), 3.0))
+      .toDF("time", "value")
+    val viaDistinct = InfluxQL.run(spark, m,
+      "SELECT distinct(value) FROM m GROUP BY time(1d)")
+      .select("time").distinct().collect().map(_.getTimestamp(0)).toSet
+    val viaMean = InfluxQL.run(spark, m,
+      "SELECT mean(value) AS mv FROM m GROUP BY time(1d)")
+      .select("time").collect().map(_.getTimestamp(0)).toSet
+    // truncate-toward-zero would put the 1969 points in the 1970-01-01
+    // bucket on the distinct path only; floor-division keeps the paths equal
+    assert(viaDistinct == viaMean)
+    assert(viaDistinct.contains(java.sql.Timestamp.valueOf("1969-12-31 00:00:00")))
   }
 
   test("measurement catalog: create/use/drop database lifecycle") {

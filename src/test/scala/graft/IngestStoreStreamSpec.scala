@@ -77,6 +77,89 @@ class IngestStoreStreamSpec extends SparkTestBase {
     assert(dropped.max < remainingDays.min)
   }
 
+  test("tag-scoped DELETE removes one series inside the bound, either conjunct order") {
+    val root = Files.createTempDirectory("ms_sw").toString
+    val store = new graft.store.MeasurementStore(spark, root)
+    val pts = Tables.load(spark, sf, "events")
+      .select(col("event_type"), col("user_id"), col("ts").as("time"), col("value"))
+    store.append("m", pts)
+    val bound = "2024-01-04 00:00:00"
+    val (dropped, rewritten) = store.deleteWhere(
+      s"DELETE FROM m WHERE event_type = 'error' AND time < '$bound'")
+    assert(dropped.isEmpty && rewritten.nonEmpty)
+    val back = store.read("m")
+    // the series is gone inside the bound, intact outside; others untouched
+    assert(back.filter(col("event_type") === "error"
+      && col("time") < to_timestamp(lit(bound))).count() == 0)
+    val expected = pts.filter(!(col("event_type") === "error"
+      && col("time") < to_timestamp(lit(bound)))).count()
+    assert(back.count() == expected)
+    // reversed conjunct order parses to the same statement; nothing left
+    val (d2, r2) = store.deleteWhere(
+      s"DELETE FROM m WHERE time < '$bound' AND event_type = 'error'")
+    assert(d2.isEmpty && r2.isEmpty)
+  }
+
+  test("dropSeries mid-swap crash: recovery completes staged day swaps") {
+    val root = Files.createTempDirectory("ms_crash").toString
+    val store = new graft.store.MeasurementStore(spark, root)
+    val pts = Tables.load(spark, sf, "events")
+      .select(col("event_type"), col("user_id"), col("ts").as("time"), col("value"))
+    store.append("m", pts)
+    val expected = pts.filter(col("event_type") =!= "error").count()
+    // fabricate the mid-loop crash state: the one-job rewrite completed
+    // (_SUCCESS present) but NO swap has run yet — stage survivors of every
+    // affected day under .dropseries_tmp exactly as rewriteDays lays them out
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root).resolve("/"),
+      spark.sparkContext.hadoopConfiguration)
+    val tmpRoot = new org.apache.hadoop.fs.Path(s"$root/m/.dropseries_tmp")
+    store.read("m").filter(col("event_type") =!= "error")
+      .write.partitionBy("day").parquet(tmpRoot.toString)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(tmpRoot, "_SUCCESS")))
+    // recovery (run at the start of every store mutation) must PROMOTE the
+    // staged days rather than discard them
+    store.recoverCompaction("m")
+    assert(!fs.exists(tmpRoot))
+    assert(store.read("m").filter(col("event_type") === "error").count() == 0)
+    assert(store.read("m").count() == expected)
+  }
+
+  test("CQ registry: restart resumes from checkpoint, reprocesses nothing") {
+    val root = Files.createTempDirectory("cq_resume").toString
+    val landing = Files.createTempDirectory("cq_landing").toString
+    val reg = new graft.streaming.CqRegistry(spark, root)
+    reg.create("CREATE CONTINUOUS QUERY cq_test ON graft BEGIN " +
+      "SELECT count(value) AS n INTO daily FROM events GROUP BY time(1d) END")
+    val events = Tables.load(spark, sf, "events")
+      .select(col("ts").as("time"), col("event_type"), col("value"))
+    val batchA = events.filter(pmod(col("value").cast("long"), lit(2)) === 0)
+    val batchB = events.filter(pmod(col("value").cast("long"), lit(2)) === 1)
+    def stream = spark.readStream.schema(events.schema).parquet(landing)
+    // run 1: only batch A is on the landing dir
+    batchA.write.mode("append").parquet(landing)
+    val out1 = reg.run("cq_test", stream)
+    val firstRows = reg.lastRunInputRows
+    assert(firstRows == batchA.count())
+    assert(out1.agg(sum("n")).head.getLong(0) == batchA.count())
+    // run 2: batch B lands; the restart must consume ONLY the new files
+    batchB.write.mode("append").parquet(landing)
+    reg.run("cq_test", stream)
+    assert(reg.lastRunInputRows == batchB.count(),
+      s"reprocessed: read ${reg.lastRunInputRows}, new rows ${batchB.count()}")
+    // and the maintained result now covers both batches
+    val out2 = spark.read.parquet(s"$root/graft/daily")
+    assert(out2.agg(sum("n")).head.getLong(0) == events.count())
+    // management surface: duplicate create and unknown drop fail loudly
+    intercept[IllegalArgumentException](reg.create(
+      "CREATE CONTINUOUS QUERY cq_test ON graft BEGIN " +
+        "SELECT count(value) AS n INTO daily FROM events GROUP BY time(1d) END"))
+    intercept[IllegalArgumentException](reg.drop("nosuch"))
+    assert(reg.statement("SHOW CONTINUOUS QUERIES").count() == 1)
+    reg.statement("DROP CONTINUOUS QUERY cq_test")
+    assert(reg.statement("SHOW CONTINUOUS QUERIES").count() == 0)
+  }
+
   test("byte-budget retention: plan matches on-disk sizes, drops oldest") {
     val root = Files.createTempDirectory("ms4").toString
     val store = new graft.store.MeasurementStore(spark, root)
