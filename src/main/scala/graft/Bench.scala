@@ -31,7 +31,9 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       // per-query caches must not leak into the next measurement (or pile
-      // up across the 170-query session)
+      // up across the ~180-query session): release op-registered caches
+      // (blocking), then clear strays
+      OpCaches.releaseAll()
       spark.catalog.clearCache()
       dt
     }

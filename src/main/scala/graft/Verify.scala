@@ -26,7 +26,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // per-query caches must not accumulate across the ~99-query session
+      // per-query caches must not accumulate across the ~180-query session:
+      // release the op-registered caches explicitly, then clear strays
+      OpCaches.releaseAll()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -543,6 +543,15 @@ object InfluxQL {
     out
   }
 
+  /** Sign-safe floor alignment as a SQL fragment: `x − ((x % s + s) % s)`
+    * is the largest multiple of `s` ≤ x for ANY sign of x — Spark's DIV
+    * truncates toward zero, which would bucket pre-1970 instants one step
+    * late. Every hand-rolled bucket expression (distinct/mode, tz(), the
+    * fill() spine) aligns through this one definition; post-epoch it is
+    * identical to the DIV form, so the oracle is unaffected. */
+  private def floorAlignUs(x: String, stepUs: Long): String =
+    s"($x - ((($x % $stepUs) + $stepUs) % $stepUs))"
+
   private val UnitSec = Map('s' -> 1L, 'm' -> 60L, 'h' -> 3600L, 'd' -> 86400L)
 
   private def durSec(arg: String): Long =
@@ -735,8 +744,7 @@ object InfluxQL {
         val offUs = bucketOffsetUs(p)
         val x = s"(unix_micros(time) - $offUs)"
         base.withColumn("__t", expr(
-          s"timestamp_micros(($x - ((($x % $stepUs) + $stepUs) % $stepUs))" +
-            s" + $offUs)"))
+          s"timestamp_micros(${floorAlignUs(x, stepUs)} + $offUs)"))
       case None =>
         base.withColumn("__t", to_timestamp(lit("1970-01-01 00:00:00")))
     }
@@ -883,9 +891,10 @@ object InfluxQL {
             if (p.bucketOffset.nonEmpty)
               fail(q, "time() offset with tz() is unsupported")
             val stepUs = durSec(s"$n$u") * 1000000L
+            val local = s"unix_micros(from_utc_timestamp(time, '$z'))"
             val bucket = expr(
-              s"to_utc_timestamp(timestamp_micros((unix_micros(" +
-                s"from_utc_timestamp(time, '$z')) DIV $stepUs) * $stepUs), '$z')")
+              s"to_utc_timestamp(timestamp_micros(" +
+                s"${floorAlignUs(local, stepUs)}), '$z')")
             val aggs = selAggs(p.fields, q)
             base.groupBy(bucket.as("time") +: p.groupTags.map(col): _*)
               .agg(aggs.head, aggs.tail: _*)
@@ -970,8 +979,8 @@ object InfluxQL {
     val stepUs = durSec(s"$n$u") * 1000000L
     val offUs = bucketOffsetUs(p)
     def bucketFloor(tsLit: String): Column = expr(
-      s"timestamp_micros((((unix_micros(to_timestamp('$tsLit')) - $offUs)" +
-        s" DIV $stepUs) * $stepUs) + $offUs)")
+      s"timestamp_micros(${floorAlignUs(
+        s"(unix_micros(to_timestamp('$tsLit')) - $offUs)", stepUs)} + $offUs)")
     val spineEnd =
       if (hiCond.op == "<=") bucketFloor(hi)
       else to_timestamp(lit(hi)) - expr("INTERVAL 1 MICROSECOND")

@@ -63,9 +63,31 @@ class MeasurementCatalog(spark: SparkSession) {
       throw new IllegalStateException("no database selected — CREATE/USE first"))
   }
 
+  /** Continuous-query registry behind this catalog's front door (lazy: a
+    * catalog used only for data queries never touches the CQ machinery).
+    * Checkpoints/outputs live under the JVM temp dir unless
+    * [[attachCqRegistry]] points somewhere durable. */
+  private var cqRegistry: Option[graft.streaming.CqRegistry] = None
+
+  def attachCqRegistry(reg: graft.streaming.CqRegistry): Unit =
+    synchronized { cqRegistry = Some(reg) }
+
+  private def cqs: graft.streaming.CqRegistry = synchronized {
+    cqRegistry.getOrElse {
+      val reg = new graft.streaming.CqRegistry(spark,
+        java.nio.file.Files.createTempDirectory("graft_cq").toString)
+      cqRegistry = Some(reg)
+      reg
+    }
+  }
+
+  private val CqStmtRe =
+    """(?i)^\s*(?:CREATE\s+CONTINUOUS\s+QUERY|SHOW\s+CONTINUOUS\s+QUERIES|DROP\s+CONTINUOUS\s+QUERY).*""".r
+
   /** One front door for every statement the CLI or a datasource sends.
     * Database DDL mutates the catalog and returns the empty result InfluxDB
-    * returns; `SHOW DATABASES` lists names; everything else resolves
+    * returns; `SHOW DATABASES` lists names; CONTINUOUS QUERY management
+    * routes to the [[graft.streaming.CqRegistry]]; everything else resolves
     * against the current database — SELECT through the full query
     * translation, SHOW through the metadata path. */
   def statement(q: String, now: Option[String] = None): DataFrame = q match {
@@ -77,6 +99,8 @@ class MeasurementCatalog(spark: SparkSession) {
       dropDatabase(name); emptyNames
     case UseRe(name) =>
       use(name); emptyNames
+    case CqStmtRe() =>
+      cqs.statement(q)
     case _ if q.trim.toUpperCase.startsWith("SELECT") =>
       InfluxQL.runCatalog(spark, measurements(currentDb), q, now)
     case _ =>

@@ -38,7 +38,7 @@ object Dedup {
       // expression per OUTPUT row, so exploding the un-materialized
       // transform() recomputes the whole shingle array once per shingle
       // (~50x the work; measured 30s vs 0.4s at sf0.1)
-      .cache()
+      .transform(graft.OpCaches.cached)
   }
 
   /** Exact dedup: group by content hash of normalized text; the canonical
@@ -76,7 +76,7 @@ object Dedup {
       // the size lookup (and the MinHash path); without it Catalyst
       // re-derives the shingling subtree once per reference. At cluster
       // scale this would be a checkpoint to break the lineage.
-      .cache()
+      .transform(graft.OpCaches.cached)
   }
 
   /** Near-dup pairs by exact Jaccard over the discriminative vocabulary:
@@ -218,7 +218,7 @@ object Dedup {
     * the lower doc id. */
   def dedupEmbcos(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.GraftFunctions.vecDot
-    val base = SignLsh.withKeys(spark, dir).cache()
+    val base = SignLsh.withKeys(spark, dir).transform(graft.OpCaches.cached)
     totalOrder(SignLsh.candidates(base)
       .join(base.select(col("vec_id").as("id_a"),
         col("embedding").as("ea"), col("nrm").as("na")), "id_a")

@@ -157,7 +157,7 @@ object Pipeline {
       .select(col("doc_id"), col("grams"))
       // cache before explode: Generate re-evaluates the un-materialized
       // transform() once per output row (see Dedup.shingled)
-      .cache()
+      .transform(graft.OpCaches.cached)
     val posting = withGrams
       .select(col("doc_id"), explode(col("grams")).as("g"))
     val isEval = col("doc_id") % 97 === 0

@@ -31,7 +31,7 @@ object Text {
     totalOrder(load(spark, dir, "documents")
       // materialize the token array before exploding: Generate re-evaluates
       // its child per output row, which would re-split the text per token
-      .select(col("doc_id"), tokens(col("text")).as("toks")).cache()
+      .select(col("doc_id"), tokens(col("text")).as("toks")).transform(graft.OpCaches.cached)
       .select(col("doc_id"), explode(col("toks")).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df")))
@@ -46,7 +46,7 @@ object Text {
     * POST-aggregation table, so the plan is identical without it. */
   def textBpePairs(spark: SparkSession, dir: String): DataFrame =
     totalOrder(load(spark, dir, "documents")
-      .select(col("doc_id"), tokens(col("text")).as("t")).cache()
+      .select(col("doc_id"), tokens(col("text")).as("t")).transform(graft.OpCaches.cached)
       .filter(size(col("t")) >= 2)
       .select(explode(transform(
         sequence(lit(0), size(col("t")) - 2),

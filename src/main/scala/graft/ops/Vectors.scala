@@ -65,7 +65,7 @@ object Vectors {
     * near-dups is asserted in the spec. */
   def simCosineLsh(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.GraftFunctions.vecDot
-    val base = SignLsh.withKeys(spark, dir).cache()
+    val base = SignLsh.withKeys(spark, dir).transform(graft.OpCaches.cached)
     totalOrder(SignLsh.candidates(base)
       .join(base.select(col("vec_id").as("id_a"),
         col("embedding").as("ea"), col("nrm").as("na")), "id_a")
@@ -151,7 +151,7 @@ object Vectors {
     val nprobe = 2
     val base = load(spark, dir, "embeddings")
       .withColumn("nrm", sqrt(vecDot(spark, col("embedding"), col("embedding"))))
-      .cache()
+      .transform(graft.OpCaches.cached)
     // k = ⌊√n⌋ via seed stride ⌈n/k⌉ over the (dense) id space — counts only,
     // no global sort; at cluster scale this is the sample-seeding analog
     val stride = base.agg(ceil(count(lit(1)) / floor(sqrt(count(lit(1)))))

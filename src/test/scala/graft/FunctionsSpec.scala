@@ -125,4 +125,26 @@ class FunctionsSpec extends SparkTestBase {
     assert(agg.finish(single).toSeq == agg.finish(merged).toSeq)
     assert(single._2 == 4L)
   }
+
+  test("op-internal caches release: cache manager empty after each family") {
+    // every op family that caches an intermediate (dedup, text, vectors,
+    // decontaminate) must leave NOTHING cached once the caller releases —
+    // a long-lived library session must not accumulate executor memory
+    spark.catalog.clearCache()
+    OpCaches.releaseAll()
+    val caching = Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)](
+      "dedup_ngram_jaccard" -> ops.Dedup.dedupNgramJaccard _,
+      "text_tokenize_tf" -> ops.Text.textTokenizeTf _,
+      "sim_cosine_lsh" -> ops.Vectors.simCosineLsh _,
+      "pipeline_decontaminate" -> ops.Pipeline.pipelineDecontaminate _)
+    caching.foreach { case (name, fn) =>
+      fn(spark, sf).count()
+      assert(!spark.sharedState.cacheManager.isEmpty,
+        s"$name no longer caches — drop it from this spec")
+      OpCaches.releaseAll()
+      assert(spark.sharedState.cacheManager.isEmpty,
+        s"$name left cached frames behind after releaseAll")
+    }
+  }
 }

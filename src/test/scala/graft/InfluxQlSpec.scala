@@ -682,6 +682,13 @@ class InfluxQlSpec extends SparkTestBase {
     assert(cat.statement("SHOW MEASUREMENTS")
       .collect().map(_.getString(0)).toSeq == Seq("events"))
     intercept[IllegalArgumentException](cat.use("nosuch"))
+    // CONTINUOUS QUERY management routes through the same front door
+    cat.statement("CREATE CONTINUOUS QUERY cq1 ON ciwsdb BEGIN " +
+      "SELECT mean(value) AS mv INTO hourly FROM events GROUP BY time(1h) END")
+    assert(cat.statement("SHOW CONTINUOUS QUERIES")
+      .select("name").collect().map(_.getString(0)).toSeq == Seq("cq1"))
+    cat.statement("DROP CONTINUOUS QUERY cq1")
+    assert(cat.statement("SHOW CONTINUOUS QUERIES").count() == 0)
   }
 
   test("FROM comma list unions series sets; unknown names fail loudly") {
