@@ -24,17 +24,66 @@ class MeasurementCatalog(spark: SparkSession) {
     mutable.LinkedHashMap[String, mutable.LinkedHashMap[String, DataFrame]]()
   private var current: Option[String] = None
 
+  /** (db, policy name) → (duration seconds, 0 = infinite; replication;
+    * default?). Every database is born with InfluxDB's `autogen` policy
+    * (infinite duration, the default), so Grafana's datasource handshake —
+    * `SHOW RETENTION POLICIES` right after `SHOW DATABASES` — answers. */
+  private val rps =
+    mutable.LinkedHashMap[(String, String), (Long, Int, Boolean)]()
+
   /** Idempotent, as InfluxDB's CREATE DATABASE — re-creating an existing
     * database never drops its measurements. The first database created
     * becomes current until USE says otherwise. */
   def createDatabase(name: String): Unit = synchronized {
-    dbs.getOrElseUpdate(name, mutable.LinkedHashMap())
+    if (!dbs.contains(name)) {
+      dbs(name) = mutable.LinkedHashMap()
+      rps((name, "autogen")) = (0L, 1, true)
+    }
     if (current.isEmpty) current = Some(name)
   }
 
   def dropDatabase(name: String): Unit = synchronized {
     dbs.remove(name)
+    rps.filterInPlace { case ((db, _), _) => db != name }
     if (current.contains(name)) current = dbs.keys.headOption
+  }
+
+  /** Register a retention policy; DEFAULT demotes the previous default.
+    * `durationSec` 0 means infinite (InfluxDB's convention). */
+  def createRetentionPolicy(db: String, name: String, durationSec: Long,
+    replication: Int, default: Boolean): Unit = synchronized {
+    if (!dbs.contains(db))
+      throw new IllegalArgumentException(s"unknown database '$db'")
+    if (default)
+      rps.mapValuesInPlace { case ((d, _), (dur, rep, _)) if d == db =>
+        (dur, rep, false)
+      case (_, v) => v }
+    rps((db, name)) = (durationSec, replication, default)
+  }
+
+  def retentionPolicies(db: String): Seq[(String, Long, Int, Boolean)] =
+    synchronized(rps.collect {
+      case ((d, n), (dur, rep, df)) if d == db => (n, dur, rep, df)
+    }.toSeq)
+
+  /** Enforce the database's DEFAULT retention policy on one stored
+    * measurement: a finite duration becomes `DELETE ... WHERE time <
+    * now − duration` through the store's crash-safe delete (whole days
+    * drop as metadata ops, the boundary day is rewritten). `now` is
+    * injectable for determinism. Returns the dropped + rewritten days. */
+  def applyRetention(store: graft.store.MeasurementStore, db: String,
+    measurement: String, nowIso: String): Seq[String] = {
+    val durSec = synchronized(rps.collectFirst {
+      case ((d, _), (dur, _, true)) if d == db => dur
+    }).getOrElse(0L)
+    if (durSec <= 0L) return Seq.empty // infinite retention
+    val cutoff = java.time.LocalDateTime
+      .parse(nowIso.replace(' ', 'T')).minusSeconds(durSec)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss"))
+    val (dropped, rewritten) =
+      store.deleteWhere(s"DELETE FROM $measurement WHERE time < '$cutoff'")
+    dropped ++ rewritten
   }
 
   def use(name: String): Unit = synchronized {
@@ -99,6 +148,22 @@ class MeasurementCatalog(spark: SparkSession) {
       dropDatabase(name); emptyNames
     case UseRe(name) =>
       use(name); emptyNames
+    case CreateRpRe(name, db, dur, rep, dflt) =>
+      createRetentionPolicy(db, name, parseDur(dur), rep.toInt, dflt != null)
+      emptyNames
+    case DropRpRe(name, db) =>
+      synchronized {
+        if (rps.remove((db, name)).isEmpty)
+          throw new IllegalArgumentException(s"unknown retention policy '$name'")
+      }
+      emptyNames
+    case ShowRpRe(dbOpt) =>
+      // InfluxDB's rendering: duration 0s = infinite; default flag marks
+      // the policy writes land in
+      val db = Option(dbOpt).getOrElse(currentDb)
+      retentionPolicies(db).sortBy(_._1)
+        .map { case (n, dur, rep, df) => (n, s"${dur}s", rep, df) }
+        .toDF("name", "duration", "replicaN", "default")
     case CqStmtRe() =>
       cqs.statement(q)
     case _ if q.trim.toUpperCase.startsWith("SELECT") =>
@@ -115,4 +180,20 @@ object MeasurementCatalog {
   private val CreateDbRe = """(?i)^\s*CREATE\s+DATABASE\s+"?([\w.]+)"?\s*;?\s*$""".r
   private val DropDbRe = """(?i)^\s*DROP\s+DATABASE\s+"?([\w.]+)"?\s*;?\s*$""".r
   private val UseRe = """(?i)^\s*USE\s+"?([\w.]+)"?\s*;?\s*$""".r
+  private val CreateRpRe =
+    ("""(?i)^\s*CREATE\s+RETENTION\s+POLICY\s+"?(\w+)"?\s+ON\s+"?([\w.]+)"?""" +
+      """\s+DURATION\s+(\d+[smhdw]|INF)\s+REPLICATION\s+(\d+)""" +
+      """(\s+DEFAULT)?\s*;?\s*$""").r
+  private val DropRpRe =
+    """(?i)^\s*DROP\s+RETENTION\s+POLICY\s+"?(\w+)"?\s+ON\s+"?([\w.]+)"?\s*;?\s*$""".r
+  private val ShowRpRe =
+    """(?i)^\s*SHOW\s+RETENTION\s+POLICIES(?:\s+ON\s+"?([\w.]+)"?)?\s*;?\s*$""".r
+
+  private val UnitSec =
+    Map('s' -> 1L, 'm' -> 60L, 'h' -> 3600L, 'd' -> 86400L, 'w' -> 604800L)
+
+  /** `INF` → 0 (infinite, InfluxDB's convention); else `<n><unit>`. */
+  private def parseDur(d: String): Long =
+    if (d.equalsIgnoreCase("INF")) 0L
+    else d.init.toLong * UnitSec(d.last.toLower)
 }

@@ -254,6 +254,19 @@ object InfluxQlOps {
     totalOrder(cat.statement("SHOW DATABASES"))
   }
 
+  /** SHOW RETENTION POLICIES — the second statement of Grafana's datasource
+    * handshake (right after SHOW DATABASES): every database is born with
+    * InfluxDB's `autogen` (infinite, default); CREATE RETENTION POLICY
+    * registers more and DEFAULT demotes the previous default. Enforcement
+    * (duration → store DELETE) is spec-gated in InfluxQlSpec. */
+  private def showRetentionPolicies(spark: SparkSession, dir: String): DataFrame = {
+    val cat = new graft.influxql.MeasurementCatalog(spark)
+    cat.statement("CREATE DATABASE ciwsdb")
+    cat.statement(
+      "CREATE RETENTION POLICY one_week ON ciwsdb DURATION 7d REPLICATION 1 DEFAULT")
+    totalOrder(cat.statement("SHOW RETENTION POLICIES ON ciwsdb"))
+  }
+
   /** SHOW CONTINUOUS QUERIES through the managed registry — the lifecycle
     * half of the reference's cron-replacement: create three, drop one, list
     * the survivors. (Checkpointed resume of a registered CQ is spec-gated
@@ -362,6 +375,7 @@ object InfluxQlOps {
       meta("SHOW TAG VALUES FROM events WITH KEY =~ /type/") _,
     "influxql_show_databases" -> (showDatabases _),
     "influxql_show_continuous_queries" -> (showContinuousQueries _),
+    "influxql_show_retention_policies" -> (showRetentionPolicies _),
     "influxql_from_list" ->
       runCat("""SELECT count(value) AS n FROM "events", "events_clicks" GROUP BY time(1d)""") _,
     "influxql_show_series" -> meta("SHOW SERIES FROM events") _,
@@ -587,6 +601,12 @@ object InfluxQlOps {
     "influxql_show_databases" ->
       s"""SELECT name FROM (VALUES ('ciwsdb'), ('telegraf')) AS t(name)
          |${orderAll("name")}""".stripMargin,
+    "influxql_show_retention_policies" ->
+      s"""SELECT * FROM (VALUES
+         |  ('autogen', '0s', 1, false),
+         |  ('one_week', '604800s', 1, true)
+         |) AS t(name, duration, "replicaN", "default")
+         |${orderAll("name", "duration", "\"replicaN\"", "\"default\"")}""".stripMargin,
     "influxql_show_continuous_queries" ->
       s"""SELECT * FROM (VALUES
          |  ('ciwsdb', 'cq_hourly',

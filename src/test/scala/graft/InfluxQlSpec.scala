@@ -691,6 +691,37 @@ class InfluxQlSpec extends SparkTestBase {
     assert(cat.statement("SHOW CONTINUOUS QUERIES").count() == 0)
   }
 
+  test("retention policies: autogen default, DEFAULT demotion, enforcement") {
+    val cat = new graft.influxql.MeasurementCatalog(spark)
+    cat.statement("CREATE DATABASE ciwsdb")
+    // born with autogen (infinite, default) — the Grafana handshake answer
+    val auto = cat.statement("SHOW RETENTION POLICIES ON ciwsdb").collect()
+    assert(auto.map(r => (r.getString(0), r.getString(1), r.getBoolean(3))).toSeq
+      == Seq(("autogen", "0s", true)))
+    // a new DEFAULT policy demotes autogen
+    cat.statement(
+      "CREATE RETENTION POLICY two_days ON ciwsdb DURATION 2d REPLICATION 1 DEFAULT")
+    val rows = cat.statement("SHOW RETENTION POLICIES ON ciwsdb").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(3))).toSet
+    assert(rows == Set(("autogen", "0s", false), ("two_days", "172800s", true)))
+    // enforcement: the default policy's duration becomes a store DELETE
+    val root = java.nio.file.Files.createTempDirectory("rp_enforce").toString
+    val store = new graft.store.MeasurementStore(spark, root)
+    store.append("m", Tables.load(spark, sf, "events")
+      .select(col("event_type"), col("ts").as("time"), col("value")))
+    val touched = cat.applyRetention(store, "ciwsdb", "m", "2024-01-05 00:00:00")
+    assert(touched.nonEmpty)
+    assert(store.read("m")
+      .filter(col("time") < to_timestamp(lit("2024-01-03 00:00:00")))
+      .count() == 0)
+    assert(store.read("m").count() > 0)
+    // infinite retention (autogen default) touches nothing
+    cat.statement("DROP RETENTION POLICY two_days ON ciwsdb")
+    assert(cat.statement("SHOW RETENTION POLICIES ON ciwsdb").count() == 1)
+    intercept[IllegalArgumentException](
+      cat.statement("DROP RETENTION POLICY nosuch ON ciwsdb"))
+  }
+
   test("FROM comma list unions series sets; unknown names fail loudly") {
     val m = Tables.load(spark, sf, "events").withColumnRenamed("ts", "time")
     val cat = Seq(
