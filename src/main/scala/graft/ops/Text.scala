@@ -93,6 +93,34 @@ object Text {
           + when(col("n_tokens") >= 20.0, 0.2).otherwise(0.0)).as("quality")))
   }
 
+  /** Shannon entropy of the per-document token distribution (bits/token) —
+    * the Gopher-style repetition signal: low entropy ⇒ templated or
+    * repetitive text wasting its token budget. Pure per-row array
+    * expressions, no shuffle: H = −Σ (c/n)·log₂(c/n) over the distinct
+    * tokens of the document. Each term is rounded to 6 dp and
+    * decimal-accumulated so the fold is associative and engine-stable (the
+    * stddev/moving-average convention, here for the one libm call, log2).
+    * Per-row cost is O(u·n) in the document's token counts — document-sized
+    * rows by construction; a corpus of pathological megadocs would switch
+    * to explode + hash-agg (the [[textTokenizeTf]] shape keyed by doc). */
+  def textEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val n = size(col("t")).cast(DoubleType)
+    totalOrder(load(spark, dir, "documents")
+      .withColumn("t", tokens(col("text")))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"),
+        size(col("t")).as("n_tokens"),
+        size(array_distinct(col("t"))).as("n_distinct"),
+        aggregate(array_distinct(col("t")),
+          lit(0).cast(DecimalType(38, 6)),
+          (acc, x) => {
+            val p = size(filter(col("t"), y => y === x)).cast(DoubleType) / n
+            acc + round(-p * log2(p), 6).cast(DecimalType(38, 6))
+          })
+          .cast(DoubleType).as("entropy_bits")))
+  }
+
   /** Language ID by stopword-list hits (the n-gram heuristic of SURVEY
     * §2.10): count per-language function-word matches, argmax with a fixed
     * tie order. Emits the guess and agreement with the labeled lang. */
@@ -170,6 +198,7 @@ object Text {
     "text_tokenize_tf" -> textTokenizeTf,
     "text_token_count" -> textTokenCount,
     "text_quality" -> textQuality,
+    "text_entropy" -> textEntropy,
     "text_lang_id" -> textLangId,
     "text_lang_topk" -> textLangTopk,
     "text_fingerprint" -> textFingerprint)
@@ -237,6 +266,23 @@ object Text {
          |    + (CASE WHEN n_tokens >= 20.0 THEN 0.2 ELSE 0.0 END) AS quality
          |FROM t
          |${orderAll("doc_id", "n_chars", "n_tokens", "stop_ratio")}""".stripMargin,
+    "text_entropy" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_filter(
+         |    regexp_split_to_array(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS t
+         |  FROM documents),
+         |x AS (
+         |  SELECT doc_id, len(t) AS n, unnest(t) AS tk
+         |  FROM tok WHERE len(t) > 0),
+         |c AS (
+         |  SELECT doc_id, n, tk, COUNT(*) AS cnt FROM x GROUP BY doc_id, n, tk)
+         |SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+         |  CAST(COUNT(*) AS INTEGER) AS n_distinct,
+         |  CAST(SUM(CAST(round(-(cnt / CAST(n AS DOUBLE))
+         |      * log2(cnt / CAST(n AS DOUBLE)), 6) AS DECIMAL(38, 6)))
+         |    AS DOUBLE) AS entropy_bits
+         |FROM c GROUP BY doc_id, n
+         |${orderAll("doc_id", "n_tokens", "n_distinct", "entropy_bits")}""".stripMargin,
     "text_lang_id" ->
       s"""WITH h AS (
          |  SELECT doc_id, lang,

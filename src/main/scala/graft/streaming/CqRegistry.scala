@@ -86,6 +86,40 @@ class CqRegistry(spark: SparkSession, root: String) {
     lastRunInputRows = q.recentProgress.map(_.numInputRows).sum
     spark.read.parquet(out)
   }
+
+  /** As [[run]], but the INTO target lands in a [[graft.store.MeasurementStore]]
+    * measurement instead of a bare parquet dir — the continuous path writes
+    * the SAME day-partitioned, upsert-merged layout the batch InfluxQL front
+    * door reads, so a dashboard queries one measurement regardless of which
+    * engine mode produced it. Each micro-batch upserts the maintained
+    * result on (time, tags) with the batch id as the version — re-emission
+    * of a bucket last-write-wins, and a resumed run (same checkpoint) stays
+    * idempotent. */
+  def runIntoStore(name: String, stream: DataFrame,
+    store: graft.store.MeasurementStore): DataFrame = {
+    val (db, stmt) = synchronized(cqs.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown continuous query '$name'")))
+    val (_, _, body) = graft.influxql.InfluxQL.parseCq(stmt)
+    val target = body.into.getOrElse(throw new IllegalArgumentException(
+      s"continuous query '$name' has no INTO target"))
+    val ckpt = s"$root/$db/.cq_ckpt_$name"
+    val keys = "time" +: body.groupTags
+    val agged = graft.influxql.InfluxQL.streamingAggregate(stream, body, stmt)
+    val q = agged.writeStream
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.upsert(target,
+          batch.withColumn("__cq_version", org.apache.spark.sql.functions.lit(batchId)),
+          keys, "__cq_version")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    lastRunInputRows = q.recentProgress.map(_.numInputRows).sum
+    store.read(target)
+  }
 }
 
 object CqRegistry {

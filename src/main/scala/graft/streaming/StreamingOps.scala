@@ -117,7 +117,13 @@ object StreamingOps {
       PState(firstPulse = false, datasetFlag = false, 0, 0L, hasRunStart = false, Nil))
     val out = scala.collection.mutable.ListBuffer.empty[Rated]
     // within one batch rows arrive unordered; event-time order is restored
-    // per key (cross-batch ordering is the watermark's job upstream)
+    // per key (cross-batch ordering is the watermark's job upstream).
+    // PRODUCTION NOTE: the sort materializes one key's micro-batch on one
+    // executor — bounded here by the per-building meter cadence (≤ a few
+    // thousand points per trigger), which is the deployment this models. A
+    // source that can deliver an adversarially hot key should cap the
+    // trigger (maxFilesPerTrigger / maxOffsetsPerTrigger) so key-batch ×
+    // cadence stays executor-sized; the state itself stays O(zero-run).
     val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
     for (e <- sorted) {
       val sec = e.ts.getTime / 1000
@@ -216,6 +222,23 @@ object StreamingOps {
     totalOrder(runToTable(agged, OutputMode.Complete()))
   }
 
+  /** The registered-CQ path end to end: the CQ body streams into a REAL
+    * [[graft.store.MeasurementStore]] measurement (day-partitioned,
+    * upsert-merged — the layout the batch InfluxQL front door reads), via
+    * [[CqRegistry.runIntoStore]]'s per-batch keyed upsert. The read-back
+    * equals the batch aggregation of the same body, which is the oracle. */
+  def continuousQueryIntoStore(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("cq_store").toString
+    val reg = new CqRegistry(spark, root)
+    reg.create("CREATE CONTINUOUS QUERY cq_store ON graft BEGIN " +
+      "SELECT mean(value) AS mv, count(value) AS n INTO hourly_means " +
+      "FROM events GROUP BY time(1h), event_type END")
+    val store = new graft.store.MeasurementStore(spark, s"$root/store")
+    val stream = eventsStream(spark, dir).withColumnRenamed("ts", "time")
+    totalOrder(reg.runIntoStore("cq_store", stream, store)
+      .select(col("time"), col("event_type"), col("mv"), col("n")))
+  }
+
   // ------------------- streaming CSV ingest (the production loop, §2.8) ---
 
   /** The reference's actual production loop (loader.py:32-86: watch a
@@ -287,7 +310,8 @@ object StreamingOps {
     "stream_csv_ingest" -> streamCsvIngest,
     "stream_session_window" -> streamSessionWindow,
     "stream_stream_join" -> streamStreamJoin,
-    "stream_continuous_query" -> continuousQuery)
+    "stream_continuous_query" -> continuousQuery,
+    "stream_cq_into_store" -> continuousQueryIntoStore)
 
   val oracle: Map[String, String] = Map(
     "stream_time_bucket" ->
@@ -313,6 +337,14 @@ object StreamingOps {
          |  WHERE c.event_type = 'click' AND p.event_type = 'purchase')
          |${orderAll("user_id", "click_id", "purchase_id", "gap_us")}""".stripMargin,
     "stream_continuous_query" ->
+      s"""SELECT TIMESTAMP '1970-01-01 00:00:00' +
+         |    ((CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 3600)
+         |    * 3600) * INTERVAL 1 SECOND AS time,
+         |  event_type,
+         |  ${Tables.sqlDavg("value")} AS mv, COUNT(value) AS n
+         |FROM events GROUP BY 1, 2
+         |${orderAll("time", "event_type", "mv", "n")}""".stripMargin,
+    "stream_cq_into_store" ->
       s"""SELECT TIMESTAMP '1970-01-01 00:00:00' +
          |    ((CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 3600)
          |    * 3600) * INTERVAL 1 SECOND AS time,
