@@ -216,6 +216,97 @@ object Vectors {
         col("rk"), col("cosine")))
   }
 
+  private val PqM = 4       // subspaces
+  private val PqSub = 16    // dims per subspace (4 × 16 = the 64-dim corpus)
+  private val PqK = 16      // codebook entries per subspace
+  private val PqRerank = 20 // ADC candidates re-ranked exactly
+
+  /** Product-quantization kNN with asymmetric distance (SURVEY §2.10 scale
+    * path, one tier beyond [[simKnnIvf]]): the memory-bound regime's answer
+    * at 100 TB — the corpus is scanned as M=4 one-byte codes per vector
+    * (64× smaller than the float embeddings), full vectors touched only for
+    * the final re-rank.
+    *
+    * Train (deterministic ⇒ full DuckDB oracle): per subspace, K=16
+    * codewords from id-stride seeds + one Lloyd iteration — assignment is a
+    * broadcast of the (M·K)-row codebook + per-(vector, subspace) argmin;
+    * the update is the exact micro-unit mean ([[graft.functions.GraftFunctions.VecCentroid]],
+    * bit-identical to the oracle's decimal per-dim mean). Encode: nearest
+    * codeword per subspace under the trained book. Query (ADC): each query
+    * precomputes its |Q|·M·K distance table (tiny, broadcast); the
+    * approximate distance of a corpus vector is the DECIMAL-accumulated sum
+    * of its M table entries — order-independent, so ranking is engine-exact.
+    * Top-[[PqRerank]] ADC candidates per query are re-ranked by exact
+    * cosine → top-5, the standard PQ + re-rank pipeline. Recall vs the
+    * brute-force baseline is asserted in the spec. */
+  def simKnnPq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.vecDot
+    def l2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b,
+        (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val base = load(spark, dir, "embeddings")
+      .withColumn("nrm", sqrt(vecDot(spark, col("embedding"), col("embedding"))))
+      .transform(graft.OpCaches.cached)
+    // per-(vector, subspace) slices — the only shape training/encode touch
+    val subs = (0 until PqM).map(m =>
+        base.select(col("vec_id"), lit(m).as("m"),
+          slice(col("embedding"), m * PqSub + 1, PqSub).as("sub")))
+      .reduce(_ unionByName _)
+    val stride = base.agg(
+      ceil(count(lit(1)) / lit(PqK.toDouble)).cast("long").as("stride"))
+    val cb0 = subs.crossJoin(broadcast(stride))
+      .filter(col("vec_id") % col("stride") === 0)
+      .select(col("m"), col("vec_id").as("cid"),
+        transform(col("sub"), x => x.cast(DoubleType)).as("cvec"))
+    // nearest codeword per (vector, subspace): argmin d², ties → lowest cid;
+    // max_by partial-aggregates, so map tasks reduce n·K scored rows locally
+    def assign(cb: DataFrame): DataFrame =
+      subs.join(broadcast(cb), "m")
+        .withColumn("d2", l2(col("sub"), col("cvec")))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(max_by(col("cid"), struct(-col("d2"), -col("cid"))).as("cid"))
+    val subAgg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.GraftFunctions.VecCentroid(PqSub),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
+    // one Lloyd update: exact decimal mean of each codeword's members
+    val cb1 = subs.join(assign(cb0.localCheckpoint()), Seq("vec_id", "m"))
+      .groupBy(col("m"), col("cid"))
+      .agg(subAgg(col("sub")).as("cvec"))
+      .localCheckpoint()
+    val codes = assign(cb1) // (vec_id, m, cid): the M-byte PQ code
+    val queries = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    // ADC tables: |Q|·M·K rows, broadcast to meet the codes map-side
+    val dtab = (0 until PqM).map(m =>
+        queries.select(col("q_id"), lit(m).as("m"),
+          slice(col("q_emb"), m * PqSub + 1, PqSub).as("qsub")))
+      .reduce(_ unionByName _)
+      .join(cb1, "m")
+      .select(col("q_id"), col("m"), col("cid"),
+        l2(col("qsub"), col("cvec")).as("qd2"))
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist").asc, col("vec_id"))
+    val cand = codes.join(broadcast(dtab), Seq("m", "cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      // decimal-accumulated: the M per-subspace terms add associatively,
+      // so Spark's partial-agg order and the oracle's agree bit-for-bit
+      .agg(dsum(col("qd2")).as("adist"))
+      .withColumn("ar", row_number().over(wAdc))
+      .filter(col("ar") <= PqRerank)
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    totalOrder(cand.join(base, "vec_id").join(broadcast(queries), "q_id")
+      .withColumn("cosine",
+        vecDot(spark, col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("rk"), col("cosine")))
+  }
+
   /** Per-vector symmetric int8 quantization (SURVEY §2.10 scale path): the
     * 4× memory/bandwidth lever every 100 TB ANN index applies before
     * anything else — scale = max|xᵢ|/127, qᵢ = round(xᵢ/scale) ∈ [−127,127].
@@ -250,6 +341,7 @@ object Vectors {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vec_quantize_int8" -> vecQuantizeInt8,
+    "sim_knn_pq" -> simKnnPq,
     "sim_knn_bruteforce" -> simKnnBruteforce,
     "sim_knn_native" -> simKnnNative,
     "sim_knn_ivf" -> simKnnIvf,
@@ -312,6 +404,69 @@ object Vectors {
          |    'sum') / len(embedding) AS mse
          |FROM q
          |${orderAll("vec_id", "label", "scale", "sum_q", "max_abs_err", "mse")}""".stripMargin) +
+    ("sim_knn_pq" -> {
+      val l2 = "list_aggregate(list_transform(list_zip(%s, %s), " +
+        "x -> (CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2])), 'sum')"
+      def assignCte(a: String, c: String): String =
+        s"""$a AS (
+           |  SELECT vec_id, m, cid FROM (
+           |    SELECT s.vec_id, s.m, c.cid,
+           |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+           |        ${l2.format("s.sub", "c.cvec")} ASC, c.cid ASC) AS rn
+           |    FROM subs s JOIN $c c ON c.m = s.m) WHERE rn = 1)""".stripMargin
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding, ${sqlNorm.format("embedding")} AS nrm
+         |  FROM embeddings),
+         |p AS (SELECT CAST(ceil(COUNT(*) / 16.0) AS BIGINT) AS stride FROM base),
+         |subs AS (
+         |  SELECT vec_id, t.m, embedding[(t.m*16+1):(t.m*16+16)] AS sub
+         |  FROM base, (SELECT unnest(range(0, 4)) AS m) AS t),
+         |cb0 AS (
+         |  SELECT m, vec_id AS cid,
+         |    list_transform(sub, x -> CAST(x AS DOUBLE)) AS cvec
+         |  FROM subs WHERE vec_id % (SELECT stride FROM p) = 0),
+         |${assignCte("a0", "cb0")},
+         |cb1 AS (
+         |  SELECT m, cid, list(c ORDER BY i) AS cvec FROM (
+         |    SELECT a.m, a.cid, t.i,
+         |      ${graft.Tables.sqlDavg("CAST(s.sub[t.i] AS DOUBLE)")} AS c
+         |    FROM a0 a JOIN subs s ON s.vec_id = a.vec_id AND s.m = a.m,
+         |      generate_series(1, 16) AS t(i)
+         |    GROUP BY a.m, a.cid, t.i) GROUP BY m, cid),
+         |${assignCte("codes", "cb1")},
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+         |      FROM base WHERE vec_id % 100 = 0),
+         |qsubs AS (
+         |  SELECT q_id, t.m, q_emb[(t.m*16+1):(t.m*16+16)] AS qsub
+         |  FROM q, (SELECT unnest(range(0, 4)) AS m) AS t),
+         |dtab AS (
+         |  SELECT s.q_id, s.m, c.cid, ${l2.format("s.qsub", "c.cvec")} AS qd2
+         |  FROM qsubs s JOIN cb1 c ON c.m = s.m),
+         |approx AS (
+         |  SELECT d.q_id, k.vec_id, ${graft.Tables.sqlDsum("qd2")} AS adist
+         |  FROM codes k JOIN dtab d ON d.m = k.m AND d.cid = k.cid
+         |  WHERE k.vec_id <> d.q_id
+         |  GROUP BY d.q_id, k.vec_id),
+         |cand AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id
+         |        ORDER BY adist ASC, vec_id) AS ar
+         |    FROM approx) WHERE ar <= 20),
+         |scored AS (
+         |  SELECT c.q_id, b.vec_id,
+         |    ${sqlDot.format("b.embedding", "q.q_emb")} / (b.nrm * q.q_nrm) AS cosine
+         |  FROM cand c
+         |  JOIN base b ON b.vec_id = c.vec_id
+         |  JOIN q ON q.q_id = c.q_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id AS neighbor_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY cosine DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT q_id, neighbor_id, rk, cosine FROM ranked WHERE rk <= 5
+         |${orderAll("q_id", "neighbor_id", "rk", "cosine")}""".stripMargin
+    }) +
     ("sim_knn_native" -> oracleBase("sim_knn_bruteforce")) +
     ("vec_centroid_native" -> oracleBase("vec_centroid")) +
     ("sim_knn_ivf" ->

@@ -92,6 +92,20 @@ class ExtensionSpec extends SparkTestBase {
     assert(recall >= 0.1, s"recall@5 = $recall")
   }
 
+  test("pq knn: valid structure and nontrivial recall vs brute force") {
+    val pq = ops.Vectors.simKnnPq(spark, sf)
+    assert(pq.filter(col("q_id") === col("neighbor_id")).count() == 0)
+    val counts = pq.groupBy("q_id").count().select("count").as[Long].collect()
+    assert(counts.nonEmpty && counts.forall(_ == 5L))
+    val bf = ops.Vectors.simKnnBruteforce(spark, sf)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = pq.select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = got.intersect(bf).size.toDouble / bf.size
+    // 4×16-dim codebooks over random near-orthogonal vectors are PQ's worst
+    // case; ADC + exact re-rank of 20 must still beat a trivial floor
+    assert(recall >= 0.1, s"recall@5 = $recall")
+  }
+
   test("lsh pairs are a subset of all >=0.4 cosine pairs and nonempty") {
     val n = ops.Vectors.simCosineLsh(spark, sf).count()
     assert(n > 0, "expected some near pairs at threshold 0.4")
