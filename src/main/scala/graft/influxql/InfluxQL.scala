@@ -886,8 +886,6 @@ object InfluxQL {
             // tz('Area/City'): buckets align to LOCAL boundaries (a
             // utility's "daily" is local midnight, not UTC) — floor in the
             // shifted frame, convert the boundary back to a UTC instant
-            if (p.fill.nonEmpty)
-              fail(q, "fill() with tz() is unsupported")
             if (p.bucketOffset.nonEmpty)
               fail(q, "time() offset with tz() is unsupported")
             val stepUs = durSec(s"$n$u") * 1000000L
@@ -976,18 +974,40 @@ object InfluxQL {
     // upper bound (<=) admits a point at exactly `hi`, whose bucket starts
     // at floor(hi) — extend the spine to that bucket so the aggregated
     // value isn't dropped by the spine join.
+    //
+    // With tz(), the spine is generated in the LOCAL naive frame (floor and
+    // step both local — a "daily" spine steps local midnights, spanning
+    // 23/25 UTC hours across a DST transition) and each boundary converts
+    // back to the UTC instant the aggregation path produced. WHERE time
+    // literals remain UTC instants (the store's convention; tz() affects
+    // bucket alignment and output boundaries, not filter interpretation).
     val stepUs = durSec(s"$n$u") * 1000000L
     val offUs = bucketOffsetUs(p)
     def bucketFloor(tsLit: String): Column = expr(
       s"timestamp_micros(${floorAlignUs(
         s"(unix_micros(to_timestamp('$tsLit')) - $offUs)", stepUs)} + $offUs)")
-    val spineEnd =
-      if (hiCond.op == "<=") bucketFloor(hi)
-      else to_timestamp(lit(hi)) - expr("INTERVAL 1 MICROSECOND")
-    val spine = spark.range(1).select(explode(sequence(
-      bucketFloor(lo),
-      spineEnd,
-      step)).as("time"))
+    val spine = p.tz match {
+      case Some(z) =>
+        def localFloor(tsLit: String): Column = expr(
+          s"timestamp_micros(${floorAlignUs(
+            s"unix_micros(from_utc_timestamp(to_timestamp('$tsLit'), '$z'))",
+            stepUs)})")
+        val localEnd =
+          if (hiCond.op == "<=") localFloor(hi)
+          else from_utc_timestamp(to_timestamp(lit(hi)), z) -
+            expr("INTERVAL 1 MICROSECOND")
+        spark.range(1).select(explode(sequence(
+            localFloor(lo), localEnd, step)).as("lt"))
+          .select(to_utc_timestamp(col("lt"), z).as("time"))
+      case None =>
+        val spineEnd =
+          if (hiCond.op == "<=") bucketFloor(hi)
+          else to_timestamp(lit(hi)) - expr("INTERVAL 1 MICROSECOND")
+        spark.range(1).select(explode(sequence(
+          bucketFloor(lo),
+          spineEnd,
+          step)).as("time"))
+    }
     val keyed =
       if (p.groupTags.isEmpty) spine
       else spine.crossJoin(base.select(p.groupTags.map(col): _*).distinct())

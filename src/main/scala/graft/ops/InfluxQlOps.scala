@@ -138,6 +138,14 @@ object InfluxQlOps {
     "SELECT count(value) AS n FROM events GROUP BY time(1d), event_type " +
       "tz('America/Denver')"
 
+  // fill() under tz(): the Grafana default panel shape (fill + configured
+  // timezone) — the spine steps LOCAL midnights (07:00 UTC in Denver's
+  // winter) and LOCF runs over the local-aligned grid
+  private val TzFillQ =
+    "SELECT mean(value) AS mv FROM events " +
+      "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-05 00:00:00' " +
+      "GROUP BY time(1d), event_type fill(previous) tz('America/Denver')"
+
   // OR-groups inside a conjunction (the multi-select dashboard filter)
   private val OrQ =
     "SELECT count(value) AS n FROM events " +
@@ -366,6 +374,7 @@ object InfluxQlOps {
     "influxql_regex_tag" -> run(RegexTagQ) _,
     "influxql_or_group" -> run(OrQ) _,
     "influxql_tz" -> run(TzQ) _,
+    "influxql_tz_fill" -> run(TzFillQ) _,
     "influxql_show_measurements" -> meta("SHOW MEASUREMENTS") _,
     "influxql_show_tag_values" ->
       meta("SHOW TAG VALUES FROM events WITH KEY = event_type") _,
@@ -674,6 +683,35 @@ object InfluxQlOps {
          |  event_type, COUNT(value) AS n
          |FROM loc GROUP BY 1, 2
          |${orderAll("time", "event_type", "n")}""".stripMargin,
+    "influxql_tz_fill" ->
+      s"""WITH f AS (
+         |  SELECT CAST(ts AS TIMESTAMP) AS t, event_type, value FROM events
+         |  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01 00:00:00'
+         |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-05 00:00:00'),
+         |loc AS (
+         |  SELECT timezone('America/Denver', CAST(t AS TIMESTAMPTZ)) AS lt,
+         |    event_type, value
+         |  FROM f),
+         |agg AS (
+         |  SELECT CAST(timezone('America/Denver',
+         |      ${sqlBucket("lt", 86400)}) AS TIMESTAMP) AS time,
+         |    event_type, ${sqlDavg("value")} AS mv
+         |  FROM loc GROUP BY 1, 2),
+         |spine AS (
+         |  SELECT CAST(timezone('America/Denver', g) AS TIMESTAMP) AS time
+         |  FROM (SELECT unnest(generate_series(
+         |    TIMESTAMP '2023-12-31 00:00:00',
+         |    TIMESTAMP '2024-01-04 23:59:59.999999', INTERVAL 1 DAY)) AS g)),
+         |tags AS (SELECT DISTINCT event_type FROM f),
+         |grid AS (SELECT s.time, u.event_type FROM spine s CROSS JOIN tags u)
+         |SELECT * FROM (
+         |  SELECT g.time, g.event_type,
+         |    LAST_VALUE(a.mv IGNORE NULLS) OVER (
+         |      PARTITION BY g.event_type ORDER BY g.time
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mv
+         |  FROM grid g LEFT JOIN agg a
+         |    ON a.time = g.time AND a.event_type = g.event_type)
+         |${orderAll("time", "event_type", "mv")}""".stripMargin,
     "influxql_or_group" ->
       s"""SELECT ${sqlBucket("CAST(ts AS TIMESTAMP)", 86400)} AS time,
          |  event_type, COUNT(value) AS n

@@ -633,6 +633,30 @@ class InfluxQlSpec extends SparkTestBase {
     assert(agg.columns.toSeq == Seq("floor", "floor_1", "time"))
   }
 
+  test("fill() under tz(): local-midnight spine, DST day spans 23 UTC hours") {
+    import spark.implicits._
+    // one point per UTC day around the 2024-03-10 US spring-forward
+    val m = Seq(
+      (java.sql.Timestamp.valueOf("2024-03-09 12:00:00"), 1.0),
+      (java.sql.Timestamp.valueOf("2024-03-11 12:00:00"), 3.0))
+      .toDF("time", "value")
+    val filled = InfluxQL.run(spark, m,
+      "SELECT mean(value) AS mv FROM m " +
+        "WHERE time >= '2024-03-09 08:00:00' AND time < '2024-03-12 08:00:00' " +
+        "GROUP BY time(1d) fill(previous) tz('America/Denver')")
+    val times = filled.select("time").collect().map(_.getTimestamp(0)).sorted
+    // spine = Denver local midnights: 07:00 UTC before the transition,
+    // 06:00 UTC after — the DST day itself spans 23 UTC hours
+    assert(times.map(_.toString).toSeq == Seq(
+      "2024-03-09 07:00:00.0", "2024-03-10 07:00:00.0",
+      "2024-03-11 06:00:00.0", "2024-03-12 06:00:00.0"))
+    // LOCF carries the 03-09 value across the empty 03-10 local day
+    val byTime = filled.collect()
+      .map(r => r.getTimestamp(0).toString -> r.getDouble(1)).toMap
+    assert(byTime("2024-03-10 07:00:00.0") == 1.0)
+    assert(byTime("2024-03-11 06:00:00.0") == 3.0)
+  }
+
   test("distinct buckets pre-1970 timestamps like every other aggregate path") {
     import spark.implicits._
     val m = Seq(
