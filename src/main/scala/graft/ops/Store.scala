@@ -136,7 +136,33 @@ object Store {
         count(when(col("event_type") === "error", 1)).as("n_error")))
   }
 
+  /** Compaction roundtrip under the correctness gate: write events as two
+    * appends (every day lands ≥ 2 files — the reference's accumulating
+    * per-site daily batches), compact to one file per day through the
+    * crash-safe swap, then read back per-day aggregates — the oracle proves
+    * the rewrite is content-exact while the file counts prove it actually
+    * compacted. */
+  def storeCompact(spark: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("store_compact").toString
+    val store = new MeasurementStore(spark, root)
+    val ev = load(spark, dir, "events")
+    def sel(df: DataFrame): DataFrame =
+      df.select(col("event_type"), col("user_id"), col("ts").as("time"),
+        col("value"))
+    store.append("RawData", sel(ev.filter(col("event_id") % 2 === 0)))
+    store.append("RawData", sel(ev.filter(col("event_id") % 2 =!= 0)))
+    val report = store.compact("RawData", filesPerDay = 1)
+    require(report.nonEmpty && report.forall(_._3 == 1) &&
+      report.exists(_._2 > 1),
+      s"compaction exercised nothing: $report")
+    totalOrder(store.read("RawData")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+        min(col("time")).as("min_time"), max(col("time")).as("max_time")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "store_compact" -> storeCompact,
     "store_delete_series_window" -> storeDeleteSeriesWindow,
     "store_upsert_roundtrip" -> storeRoundtrip,
     "store_delete_roundtrip" -> storeDeleteRoundtrip,
@@ -144,6 +170,13 @@ object Store {
     "sink_influx_write" -> sinkInfluxWrite)
 
   val oracle: Map[String, String] = Map(
+    "store_compact" ->
+      s"""SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+         |  COUNT(*) AS n, ${sqlDsum("value")} AS sum_value,
+         |  MIN(CAST(ts AS TIMESTAMP)) AS min_time,
+         |  MAX(CAST(ts AS TIMESTAMP)) AS max_time
+         |FROM events GROUP BY 1
+         |${orderAll("day", "n", "sum_value", "min_time", "max_time")}""".stripMargin,
     "store_delete_series_window" ->
       s"""SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
          |  COUNT(*) AS n, ${sqlDsum("value")} AS sum_value,

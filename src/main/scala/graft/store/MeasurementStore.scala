@@ -141,6 +141,8 @@ class MeasurementStore(spark: SparkSession, root: String) {
 
   private val DeleteRe =
     """(?i)^\s*DELETE\s+FROM\s+"?(\w+)"?\s+WHERE\s+time\s*(<=|<|>=|>)\s*'([^']*)'\s*;?\s*$""".r
+  private val DeleteAllRe =
+    """(?i)^\s*DELETE\s+FROM\s+"?(\w+)"?\s*;?\s*$""".r
   // tag + time conjunction, both orders (InfluxDB 1.x supports tag-scoped
   // deletes — the decommission-a-site-but-keep-recent-audit-data shape)
   private val DeleteTagTimeRe =
@@ -165,6 +167,21 @@ class MeasurementStore(spark: SparkSession, root: String) {
     * survivors in ONE distributed job and swapped in crash-safe, the
     * [[dropSeries]] pattern. Returns (Nil, rewritten-or-dropped days). */
   def deleteWhere(statement: String): (Seq[String], Seq[String]) = statement match {
+    case DeleteAllRe(measurement) =>
+      // InfluxQL `DELETE FROM m` with no WHERE: drop every point but KEEP
+      // the measurement (unlike DROP MEASUREMENT) — all-metadata deletes
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path(measurement)).resolve("/"),
+        spark.sparkContext.hadoopConfiguration)
+      val rootPath = new org.apache.hadoop.fs.Path(path(measurement))
+      if (!fs.exists(rootPath)) return (Seq.empty, Seq.empty)
+      recoverCompaction(measurement)
+      val days = fs.listStatus(rootPath).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
+        .map(_.getPath.getName.stripPrefix("day=")).sorted
+      days.foreach(d =>
+        fs.delete(new org.apache.hadoop.fs.Path(rootPath, s"day=$d"), true))
+      (days, Seq.empty)
     case DeleteTagTimeRe(measurement, tag, v, op, ts) =>
       (Seq.empty, deleteSeriesWindow(measurement, tag, v, op, ts))
     case DeleteTimeTagRe(measurement, op, ts, tag, v) =>

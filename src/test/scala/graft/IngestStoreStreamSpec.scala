@@ -100,6 +100,20 @@ class IngestStoreStreamSpec extends SparkTestBase {
     assert(d2.isEmpty && r2.isEmpty)
   }
 
+  test("DELETE FROM m without WHERE wipes points, keeps the measurement") {
+    val root = Files.createTempDirectory("ms_delall").toString
+    val store = new graft.store.MeasurementStore(spark, root)
+    store.append("m", Tables.load(spark, sf, "events")
+      .select(col("event_type"), col("ts").as("time"), col("value")))
+    val (dropped, rewritten) = store.deleteWhere("DELETE FROM m")
+    assert(dropped.nonEmpty && rewritten.isEmpty)
+    // the measurement dir survives (unlike DROP MEASUREMENT), just empty
+    assert(new java.io.File(s"$root/m").exists())
+    store.append("m", Tables.load(spark, sf, "events").limit(10)
+      .select(col("event_type"), col("ts").as("time"), col("value")))
+    assert(store.read("m").count() == 10)
+  }
+
   test("dropSeries mid-swap crash: recovery completes staged day swaps") {
     val root = Files.createTempDirectory("ms_crash").toString
     val store = new graft.store.MeasurementStore(spark, root)
