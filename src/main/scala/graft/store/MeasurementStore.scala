@@ -112,10 +112,15 @@ class MeasurementStore(spark: SparkSession, root: String) {
     * dominate once files ≪ row groups. Content is preserved exactly; only
     * the file layout changes. Returns (day, files_before, files_after).
     *
-    * Crash safety: the swap is two renames (old aside, tmp into place), so
-    * the day dir is never deleted before its replacement exists. Every
-    * interrupted state is recoverable from the `.old_`/`.compact_` dirs and
-    * [[recoverCompaction]] (run at the start of every compact) heals it. */
+    * Scale shape: ONE distributed job rewrites every over-fragmented day
+    * (repartitioned so each day lands in exactly `filesPerDay` files), then
+    * each day swaps in with metadata-only renames — the [[dropSeries]]
+    * pattern; a per-day Spark-job loop would serialize into #days driver
+    * round-trips, the pattern that dies at a year of partitions.
+    *
+    * Crash safety: staged days live under the `.dropseries_tmp` /
+    * `.compact_`/`.old_` convention, every interrupted state healed by
+    * [[recoverCompaction]] (run at the start of every compact). */
   def compact(measurement: String, filesPerDay: Int = 1): Seq[(String, Int, Int)] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path(measurement)).resolve("/"),
@@ -123,20 +128,25 @@ class MeasurementStore(spark: SparkSession, root: String) {
     val rootPath = new org.apache.hadoop.fs.Path(path(measurement))
     if (!fs.exists(rootPath)) return Seq.empty
     recoverCompaction(measurement)
-    val days = fs.listStatus(rootPath).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
-    days.map { d =>
-      val day = d.getPath.getName.stripPrefix("day=")
-      def dataFiles = fs.listStatus(d.getPath)
+    def countFiles(day: String): Int =
+      fs.listStatus(new org.apache.hadoop.fs.Path(rootPath, s"day=$day"))
         .count(f => f.isFile && !f.getPath.getName.startsWith(".")
           && !f.getPath.getName.startsWith("_"))
-      val before = dataFiles
-      if (before > filesPerDay) {
-        swapDay(fs, rootPath, day,
-          spark.read.parquet(d.getPath.toString).coalesce(filesPerDay))
-      }
-      (day, before, dataFiles)
+    val days = fs.listStatus(rootPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
+      .map(_.getPath.getName.stripPrefix("day=")).sorted
+    val before = days.map(d => d -> countFiles(d)).toMap
+    val toCompact = days.filter(before(_) > filesPerDay)
+    if (toCompact.nonEmpty) {
+      // (day [, salt]) repartition → each day writes exactly filesPerDay
+      // files in the single staged job
+      val layout: DataFrame => DataFrame =
+        if (filesPerDay == 1) _.repartition(col("day"))
+        else _.repartition(col("day"),
+          pmod(hash(col("time")), lit(filesPerDay)))
+      rewriteDays(measurement, fs, rootPath, toCompact, lit(true), layout)
     }
+    days.map(d => (d, before(d), countFiles(d)))
   }
 
   private val DeleteRe =
@@ -314,12 +324,13 @@ class MeasurementStore(spark: SparkSession, root: String) {
   private def rewriteDays(measurement: String,
     fs: org.apache.hadoop.fs.FileSystem,
     rootPath: org.apache.hadoop.fs.Path,
-    affected: Seq[String], keep: Column): Unit = {
+    affected: Seq[String], keep: Column,
+    layout: DataFrame => DataFrame = identity): Unit = {
     val tmpRoot = new org.apache.hadoop.fs.Path(rootPath, ".dropseries_tmp")
     if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true)
-    readRaw(measurement)
+    layout(readRaw(measurement)
       .filter(col("day").isin(affected: _*)) // partition-prunes the scan
-      .filter(keep)
+      .filter(keep))
       .write.mode(SaveMode.Overwrite).partitionBy("day")
       .parquet(tmpRoot.toString)
     affected.foreach { d =>
