@@ -1071,6 +1071,12 @@ object InfluxQL {
     """(?i)^\s*SHOW\s+TAG\s+VALUES\s+FROM\s+"?(\w+)"?\s+WITH\s+KEY\s*=~\s*/([^/]+)/\s*;?\s*$""".r
   private val ShowSeriesRe =
     """(?i)^\s*SHOW\s+SERIES\s+FROM\s+"?(\w+)"?\s*;?\s*$""".r
+  // cardinality monitoring (the first thing an InfluxDB operator watches);
+  // answered EXACTLY here — the estimation and EXACT forms are one path
+  private val ShowSeriesCardRe =
+    """(?i)^\s*SHOW\s+SERIES\s+(?:EXACT\s+)?CARDINALITY(?:\s+FROM\s+"?(\w+)"?)?\s*;?\s*$""".r
+  private val ShowMeasCardRe =
+    """(?i)^\s*SHOW\s+MEASUREMENT\s+(?:EXACT\s+)?CARDINALITY\s*;?\s*$""".r
   private val CqRe =
     ("""(?is)^\s*CREATE\s+CONTINUOUS\s+QUERY\s+"?(\w+)"?\s+ON\s+"?(\w+)"?""" +
       """\s+BEGIN\s+(.+?)\s*;?\s+END\s*$""").r
@@ -1147,6 +1153,29 @@ object InfluxQL {
           .map(_.name).toSeq.sorted
           .filter(k => rx.findFirstIn(k).isDefined)
         tagValues(df, q, keys)
+      case ShowMeasCardRe() =>
+        Seq(catalog.size.toLong).toDF("count")
+      case ShowSeriesCardRe(mOpt) =>
+        // series = distinct tag combinations; FROM-less sums per-measurement
+        // cardinalities catalog-wide (the retention/skew monitoring number).
+        // Exact distinct per measurement — a partial+final agg per frame,
+        // not an all-measurement union (frames may have different schemas)
+        def card(df: DataFrame): Column = {
+          val tags = df.schema.fields
+            .filter(f => f.name != "time" &&
+              f.dataType == org.apache.spark.sql.types.StringType)
+            .map(_.name).toSeq.sorted
+          if (tags.isEmpty) lit(1L) else count_distinct(struct(tags.map(col): _*))
+        }
+        Option(mOpt) match {
+          case Some(m) =>
+            frame(m).agg(card(frame(m)).cast("long").as("count"))
+          case None =>
+            catalog.map { case (m, df) =>
+              df.agg(card(df).cast("long").as("count"))
+                .select(lit(m).as("measurement"), col("count"))
+            }.reduce(_ unionByName _).orderBy(col("measurement"))
+        }
       case ShowSeriesRe(m) =>
         // one row per distinct tag combination, Influx line-protocol style
         val df = frame(m)

@@ -388,6 +388,10 @@ object InfluxQlOps {
     "influxql_from_list" ->
       runCat("""SELECT count(value) AS n FROM "events", "events_clicks" GROUP BY time(1d)""") _,
     "influxql_show_series" -> meta("SHOW SERIES FROM events") _,
+    "influxql_series_cardinality" ->
+      metaCat("SHOW SERIES EXACT CARDINALITY") _,
+    "influxql_measurement_cardinality" ->
+      metaCat("SHOW MEASUREMENT EXACT CARDINALITY") _,
     "influxql_select_star" ->
       run("SELECT * FROM events " +
         "WHERE time >= '2024-01-02 00:00:00' AND time < '2024-01-02 06:00:00'") _,
@@ -461,6 +465,18 @@ object InfluxQlOps {
     "influxql_show_tag_keys" ->
       s"""SELECT * FROM (VALUES ('event_type'), ('props')) AS t(tagKey)
          |${orderAll("tagKey")}""".stripMargin,
+    "influxql_series_cardinality" ->
+      s"""SELECT measurement, count FROM (
+         |  SELECT 'events' AS measurement, CAST(COUNT(*) AS BIGINT) AS count
+         |  FROM (SELECT DISTINCT event_type, props FROM events)
+         |  UNION ALL
+         |  SELECT 'events_clicks' AS measurement, CAST(COUNT(*) AS BIGINT) AS count
+         |  FROM (SELECT DISTINCT event_type, props FROM events
+         |        WHERE event_type = 'click'))
+         |${orderAll("measurement", "count")}""".stripMargin,
+    "influxql_measurement_cardinality" ->
+      s"""SELECT CAST(2 AS BIGINT) AS count
+         |${orderAll("count")}""".stripMargin,
     "influxql_show_tag_keys_all" ->
       s"""SELECT * FROM (VALUES
          |  ('events', 'event_type'), ('events', 'props'),
