@@ -253,6 +253,16 @@ object Dedup {
     // sf0.1). Checkpointed frames are LogicalRDDs — no history to replay.
     val pairs = jaccardPairs(spark, dir).select(col("id_a"), col("id_b"))
       .localCheckpoint()
+    totalOrder(clusterSurvivorship(spark, pairs, "doc_id"))
+  }
+
+  /** Min-id connected components + survivorship columns over an
+    * (id_a, id_b) pair frame — the shared second half of every dedup
+    * family (pair emission alone doesn't say which rows to keep). Pairs
+    * MUST be lineage-cut (localCheckpoint) by the caller. Returns
+    * (<idName>, canonical_id, cluster_size, is_survivor), unsorted. */
+  private def clusterSurvivorship(spark: SparkSession, pairs: DataFrame,
+    idName: String): DataFrame = {
     // the label-propagation frames are |near-dup pairs| rows — orders of
     // magnitude below the corpus — so the iteration shuffles at a width
     // sized to THEM, not the session default (at 100 TB the same rule
@@ -290,13 +300,25 @@ object Dedup {
     }
     val sizes = labels.groupBy(col("lbl").as("canonical_id"))
       .agg(count(lit(1)).as("cluster_size"))
-    totalOrder(labels
-      .select(col("id").as("doc_id"), col("lbl").as("canonical_id"))
+    labels
+      .select(col("id").as(idName), col("lbl").as("canonical_id"))
       .join(sizes, "canonical_id")
-      .withColumn("is_survivor", col("doc_id") === col("canonical_id"))
-      .select(col("doc_id"), col("canonical_id"), col("cluster_size"),
-        col("is_survivor")))
+      .withColumn("is_survivor", col(idName) === col("canonical_id"))
+      .select(col(idName), col("canonical_id"), col("cluster_size"),
+        col("is_survivor"))
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /** Semantic-duplicate clusters: the same survivorship pass over the
+    * EMBEDDING-cosine pair graph ([[dedupEmbcos]]'s banded sign-LSH
+    * candidates) — textually distinct but semantically near-identical
+    * documents collapse to one survivor per component. Composition of the
+    * two scale paths: bounded LSH candidate pairs → tiny CC iteration. */
+  def dedupEmbcosClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupEmbcos(spark, dir)
+      .select(col("canonical_id").as("id_a"), col("dup_id").as("id_b"))
+      .localCheckpoint()
+    totalOrder(clusterSurvivorship(spark, pairs, "vec_id"))
   }
 
   /** Cross-source duplication matrix (corpus forensics): for every pair of
@@ -326,6 +348,7 @@ object Dedup {
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_pairs" -> dedupSimhashPairs,
     "dedup_embcos" -> dedupEmbcos,
+    "dedup_embcos_clusters" -> dedupEmbcosClusters,
     "dedup_clusters" -> dedupClusters)
 
   /** Shared CTE chain reconstructing the capped-shingle Jaccard pairs
@@ -403,6 +426,34 @@ object Dedup {
          |  l.id = l.canonical_id AS is_survivor
          |FROM labels l JOIN csizes s USING (canonical_id)
          |${orderAll("doc_id", "canonical_id", "cluster_size", "is_survivor")}""".stripMargin,
+    "dedup_embcos_clusters" ->
+      s"""WITH RECURSIVE ${SignLsh.sqlCandCtes()},
+         |scored AS (
+         |  SELECT c.id_a, c.id_b,
+         |    list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+         |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+         |      / (a.nrm * b.nrm) AS cosine
+         |  FROM cand c
+         |  JOIN base a ON a.vec_id = c.id_a
+         |  JOIN base b ON b.vec_id = c.id_b),
+         |epairs AS (SELECT id_a, id_b FROM scored WHERE cosine >= 0.45),
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM epairs
+         |  UNION ALL
+         |  SELECT id_b, id_a FROM epairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |walk AS (
+         |  SELECT id, id AS lbl FROM nodes
+         |  UNION
+         |  SELECT e.a AS id, w.lbl FROM walk w JOIN edges e ON e.b = w.id),
+         |labels AS (SELECT id, MIN(lbl) AS canonical_id FROM walk GROUP BY id),
+         |csizes AS (
+         |  SELECT canonical_id, COUNT(*) AS cluster_size
+         |  FROM labels GROUP BY canonical_id)
+         |SELECT l.id AS vec_id, l.canonical_id, s.cluster_size,
+         |  l.id = l.canonical_id AS is_survivor
+         |FROM labels l JOIN csizes s USING (canonical_id)
+         |${orderAll("vec_id", "canonical_id", "cluster_size", "is_survivor")}""".stripMargin,
     "dedup_embcos" ->
       s"""WITH ${SignLsh.sqlCandCtes()},
          |scored AS (

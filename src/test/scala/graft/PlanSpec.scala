@@ -166,6 +166,13 @@ class PlanSpec extends SparkTestBase {
       plan.contains("BroadcastExchange"), plan.take(2000))
   }
 
+  test("sim_knn_pq: ADC tables broadcast — the code scan never shuffles") {
+    val plan = planOf(ops.Vectors.simKnnPq(spark, sf))
+    // the |Q|·M·K distance table must replicate to the code-scan tasks;
+    // shuffling n·M code rows to meet it would defeat the PQ design
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("agg_hash_groupby: map-side partial aggregation before the shuffle") {
     val plan = planOf(ops.Aggregates.aggHashGroupby(spark, sf))
     // partial agg must appear below the exchange: find the line order
