@@ -67,15 +67,47 @@ object Windows {
         col("near_sum"), col("near_n")))
   }
 
+  /** Distribution-rank family: percent_rank / cume_dist (frameless) plus
+    * nth_value / first_value over an explicit running frame, one window
+    * spec each — the relative-standing queries (what percentile is this
+    * reading?) the rank family doesn't cover. The unique (value, event_id)
+    * order makes every rank tie-free, so the int/int divisions are
+    * engine-exact doubles. */
+  def winDistRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    totalOrder(load(spark, dir, "events")
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .withColumn("third_lowest", nth_value(col("value"), 3).over(wf))
+      .withColumn("lowest", first_value(col("value")).over(wf))
+      .select(col("event_type"), col("event_id"), col("value"),
+        col("pr"), col("cd"), col("third_lowest"), col("lowest")))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_rank" -> winRank,
+    "win_dist_rank" -> winDistRank,
     "win_running_sum" -> winRunningSum,
     "win_lag_lead" -> winLagLead,
     "win_frame_range" -> winFrameRange)
 
   val oracle: Map[String, String] = Map(
+    "win_dist_rank" ->
+      s"""SELECT event_type, event_id, value,
+         |  PERCENT_RANK() OVER w AS pr,
+         |  CUME_DIST() OVER w AS cd,
+         |  NTH_VALUE(value, 3) OVER wf AS third_lowest,
+         |  FIRST_VALUE(value) OVER wf AS lowest
+         |FROM events
+         |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id),
+         |  wf AS (PARTITION BY event_type ORDER BY value, event_id
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |${orderAll("event_type", "event_id", "value", "pr", "cd",
+             "third_lowest", "lowest")}""".stripMargin,
     "win_rank" ->
       s"""SELECT o_custkey, o_orderkey, o_totalprice, rn, rk, drk, quartile
          |FROM (

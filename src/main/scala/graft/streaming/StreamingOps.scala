@@ -222,6 +222,27 @@ object StreamingOps {
     totalOrder(runToTable(agged, OutputMode.Complete()))
   }
 
+  /** Streaming top-k: the "current leaderboard" every live dashboard shows —
+    * hottest users per hour. The unbounded half is a plain windowed count
+    * (state = open windows × users); the rank runs over the MATERIALIZED
+    * result per trigger (top-k is not incrementally maintainable in pure
+    * streaming SQL — ranking the compact aggregate is the standard shape).
+    * AvailableNow drains the fixture, so batch hourly counts + rank is the
+    * oracle. */
+  def streamTopk(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agged = eventsStream(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bucket", col("w.start")).drop("w")
+    val table = runToTable(agged, OutputMode.Complete())
+    val wR = Window.partitionBy(col("bucket"))
+      .orderBy(col("n").desc, col("user_id"))
+    totalOrder(table.withColumn("rk", row_number().over(wR))
+      .filter(col("rk") <= 3)
+      .select(col("bucket"), col("user_id"), col("n"), col("rk")))
+  }
+
   /** The registered-CQ path end to end: the CQ body streams into a REAL
     * [[graft.store.MeasurementStore]] measurement (day-partitioned,
     * upsert-merged — the layout the batch InfluxQL front door reads), via
@@ -311,7 +332,8 @@ object StreamingOps {
     "stream_session_window" -> streamSessionWindow,
     "stream_stream_join" -> streamStreamJoin,
     "stream_continuous_query" -> continuousQuery,
-    "stream_cq_into_store" -> continuousQueryIntoStore)
+    "stream_cq_into_store" -> continuousQueryIntoStore,
+    "stream_topk" -> streamTopk)
 
   val oracle: Map[String, String] = Map(
     "stream_time_bucket" ->
@@ -344,6 +366,17 @@ object StreamingOps {
          |  ${Tables.sqlDavg("value")} AS mv, COUNT(value) AS n
          |FROM events GROUP BY 1, 2
          |${orderAll("time", "event_type", "mv", "n")}""".stripMargin,
+    "stream_topk" ->
+      s"""SELECT bucket, user_id, n, rk FROM (
+         |  SELECT bucket, user_id, n,
+         |    ROW_NUMBER() OVER (PARTITION BY bucket
+         |      ORDER BY n DESC, user_id) AS rk
+         |  FROM (
+         |    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+         |      user_id, COUNT(*) AS n
+         |    FROM events GROUP BY 1, 2))
+         |WHERE rk <= 3
+         |${orderAll("bucket", "user_id", "n", "rk")}""".stripMargin,
     "stream_cq_into_store" ->
       s"""SELECT TIMESTAMP '1970-01-01 00:00:00' +
          |    ((CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 3600)
