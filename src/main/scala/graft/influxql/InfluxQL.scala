@@ -885,14 +885,16 @@ object InfluxQL {
           case Some(z) =>
             // tz('Area/City'): buckets align to LOCAL boundaries (a
             // utility's "daily" is local midnight, not UTC) — floor in the
-            // shifted frame, convert the boundary back to a UTC instant
-            if (p.bucketOffset.nonEmpty)
-              fail(q, "time() offset with tz() is unsupported")
+            // shifted frame, convert the boundary back to a UTC instant.
+            // time(n, off) shifts those local boundaries by `off` (a
+            // "daily from local 02:00" billing window).
             val stepUs = durSec(s"$n$u") * 1000000L
-            val local = s"unix_micros(from_utc_timestamp(time, '$z'))"
+            val offUs = bucketOffsetUs(p)
+            val local =
+              s"(unix_micros(from_utc_timestamp(time, '$z')) - $offUs)"
             val bucket = expr(
               s"to_utc_timestamp(timestamp_micros(" +
-                s"${floorAlignUs(local, stepUs)}), '$z')")
+                s"${floorAlignUs(local, stepUs)} + $offUs), '$z')")
             val aggs = selAggs(p.fields, q)
             base.groupBy(bucket.as("time") +: p.groupTags.map(col): _*)
               .agg(aggs.head, aggs.tail: _*)
@@ -990,8 +992,9 @@ object InfluxQL {
       case Some(z) =>
         def localFloor(tsLit: String): Column = expr(
           s"timestamp_micros(${floorAlignUs(
-            s"unix_micros(from_utc_timestamp(to_timestamp('$tsLit'), '$z'))",
-            stepUs)})")
+            s"(unix_micros(from_utc_timestamp(to_timestamp('$tsLit'), '$z'))" +
+              s" - $offUs)",
+            stepUs)} + $offUs)")
         val localEnd =
           if (hiCond.op == "<=") localFloor(hi)
           else from_utc_timestamp(to_timestamp(lit(hi)), z) -

@@ -138,6 +138,12 @@ object InfluxQlOps {
     "SELECT count(value) AS n FROM events GROUP BY time(1d), event_type " +
       "tz('America/Denver')"
 
+  // time(n, off) under tz(): the local billing window — daily buckets
+  // starting at local 02:00 (09:00 UTC in Denver's winter)
+  private val TzOffsetQ =
+    "SELECT count(value) AS n FROM events GROUP BY time(1d, 2h), event_type " +
+      "tz('America/Denver')"
+
   // fill() under tz(): the Grafana default panel shape (fill + configured
   // timezone) — the spine steps LOCAL midnights (07:00 UTC in Denver's
   // winter) and LOCF runs over the local-aligned grid
@@ -375,6 +381,7 @@ object InfluxQlOps {
     "influxql_or_group" -> run(OrQ) _,
     "influxql_tz" -> run(TzQ) _,
     "influxql_tz_fill" -> run(TzFillQ) _,
+    "influxql_tz_offset" -> run(TzOffsetQ) _,
     "influxql_show_measurements" -> meta("SHOW MEASUREMENTS") _,
     "influxql_show_tag_values" ->
       meta("SHOW TAG VALUES FROM events WITH KEY = event_type") _,
@@ -696,6 +703,17 @@ object InfluxQlOps {
          |  FROM events)
          |SELECT CAST(timezone('America/Denver',
          |    ${sqlBucket("lt", 86400)}) AS TIMESTAMP) AS time,
+         |  event_type, COUNT(value) AS n
+         |FROM loc GROUP BY 1, 2
+         |${orderAll("time", "event_type", "n")}""".stripMargin,
+    "influxql_tz_offset" ->
+      s"""WITH loc AS (
+         |  SELECT event_type, value,
+         |    timezone('America/Denver',
+         |      CAST(CAST(ts AS TIMESTAMP) AS TIMESTAMPTZ)) AS lt
+         |  FROM events)
+         |SELECT CAST(timezone('America/Denver',
+         |    ${sqlBucketOff("lt", 86400, 7200)}) AS TIMESTAMP) AS time,
          |  event_type, COUNT(value) AS n
          |FROM loc GROUP BY 1, 2
          |${orderAll("time", "event_type", "n")}""".stripMargin,

@@ -514,8 +514,14 @@ class InfluxQlSpec extends SparkTestBase {
     val neg = InfluxQL.run(spark, m,
       "SELECT count(value) AS n FROM events GROUP BY time(1d, -18h)")
     assert(neg.collect().toSet == out.collect().toSet)
-    intercept[IllegalArgumentException](InfluxQL.run(spark, m,
-      "SELECT count(value) FROM events GROUP BY time(1d, 6h) tz('America/Denver')"))
+    // under tz() the shift applies in the LOCAL frame: daily-from-local-
+    // 06:00 buckets are 13:00 UTC in Denver's winter (UTC−7)
+    val tzOff = InfluxQL.run(spark, m,
+      "SELECT count(value) AS n FROM events GROUP BY time(1d, 6h) tz('America/Denver')")
+    val tzStarts = tzOff.select(hour(col("time"))).distinct()
+      .as[Int].collect().toSet
+    assert(tzStarts == Set(13), s"local 06:00 = 13:00 UTC, got $tzStarts")
+    assert(tzOff.agg(sum("n")).as[Long].head() == m.count())
   }
 
   test("FROM /regex/ unions per-measurement results with a measurement column") {
