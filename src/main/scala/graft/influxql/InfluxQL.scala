@@ -367,7 +367,9 @@ object InfluxQL {
     val grp = if (grpItems.isEmpty) "" else " GROUP BY " + grpItems.mkString(", ")
     val from = q.sub.map(s => s"(${print(s)})")
       .orElse(q.fromRegex.map(r => s"/$r/"))
-      .getOrElse(q.measurement)
+      .getOrElse(
+        if (q.fromList.nonEmpty) q.fromList.map(m => s""""$m"""").mkString(", ")
+        else q.measurement)
     s"SELECT ${q.fields.map(f).mkString(", ")}" +
       q.into.map(t => s" INTO $t").getOrElse("") +
       s" FROM $from$where$grp" +

@@ -121,9 +121,13 @@ class InfluxQlSpec extends SparkTestBase {
       slimit <- Gen.option(Gen.chooseNum(1, 99))
       soffset <- Gen.option(Gen.chooseNum(1, 99))
       tz <- Gen.option(Gen.oneOf("America/Denver", "UTC", "Asia/Tokyo"))
-    } yield InfluxQL.Query(fields, meas, conds, bucket, tags, fill, desc,
+      fromList <- Gen.oneOf(Gen.const(Seq.empty[String]),
+        Gen.listOfN(2, ident), Gen.listOfN(3, ident))
+    } yield InfluxQL.Query(fields,
+      fromList.headOption.getOrElse(meas), conds, bucket, tags, fill, desc,
       limit, into, offset, slimit, soffset, orConds = orGroups, tz = tz,
-      bucketOffset = if (bucket.isDefined) bucketOff else None)
+      bucketOffset = if (bucket.isDefined) bucketOff else None,
+      fromList = if (fromList.size > 1) fromList else Nil)
     val qs = (0 until 200).flatMap(i =>
       query.apply(Gen.Parameters.default, Seed(1234L + i)))
     assert(qs.size > 150, "generator drought")
