@@ -59,6 +59,12 @@ object InfluxQL {
     * or Agg item; chains left-associatively. */
   final case class Arith(inner: Field, op: String, k: Double,
     alias: Option[String]) extends Field
+  /** Binary arithmetic between two select items of the SAME kind — both
+    * raw fields (per-point: `value / user_id`) or both aggregates
+    * (post-aggregation: `max(v) - min(v)`); InfluxQL's field math. Mixing
+    * kinds is rejected loudly, as InfluxDB does. */
+  final case class BinOp(left: Field, op: String, right: Field,
+    alias: Option[String]) extends Field
   /** InfluxQL math function (abs/sqrt/floor/ceil/round) over a field or an
     * aggregate — per-point when wrapping a field, post-aggregation when
     * wrapping an aggregate. The supported set is the IEEE-exact one (each
@@ -140,6 +146,14 @@ object InfluxQL {
   // `mean(value) / 60 AS per_sec` — one op, numeric literal on the right
   private val ArithRe =
     """(?i)^(.+?)\s*([*/+-])\s*(-?[0-9]+(?:\.[0-9]+)?)(?:\s+AS\s+(\w+))?$""".r
+  // binary arithmetic between two non-literal select items. The GREEDY left
+  // side + single-item right anchor split at the LAST operator, keeping
+  // `a - b - c` left-associative; tried only after ArithRe (the
+  // literal-right form) fails.
+  private val BinRe =
+    ("""(?i)^(.+)\s+([*/+-])\s+""" +
+      """((?:\w+\(\s*distinct\(\s*"?\w+"?\s*\)\s*\))|(?:\w+\([^()]*\))|"?\w+"?)""" +
+      """(?:\s+AS\s+(\w+))?$""").r
   private val CondRe = """(?i)^\s*"?(\w+)"?\s*(<=|>=|!=|=|<|>)\s*(?:'([^']*)'|(-?[0-9.]+))\s*$""".r
   private val CondNowRe =
     """(?i)^\s*"?(\w+)"?\s*(<=|>=|!=|=|<|>)\s*now\(\)(?:\s*([+-])\s*(\d+[smhd]))?\s*$""".r
@@ -215,10 +229,23 @@ object InfluxQL {
       inner match {
         case a: Agg if a.fn == "distinct" || a.fn == "mode" =>
           fail(q, s"arithmetic cannot wrap ${a.fn}()")
-        case _: Raw | _: Agg | _: Arith | _: MathFn => ()
+        case _: Raw | _: Agg | _: Arith | _: MathFn | _: BinOp => ()
         case _ => fail(q, "arithmetic applies to fields and aggregates only")
       }
       Arith(inner, op, k.toDouble, Option(al))
+    case BinRe(leftS, op, rightS, al) =>
+      val l = parseField(q, leftS.trim)
+      val r = parseField(q, rightS.trim)
+      def ok(x: Field): Boolean = x match {
+        case a: Agg if a.fn == "distinct" || a.fn == "mode" => false
+        case _: Raw | _: Agg | _: Arith | _: MathFn | _: BinOp => true
+        case _ => false
+      }
+      if (!ok(l) || !ok(r))
+        fail(q, "field arithmetic applies to fields and aggregates only")
+      if (isAggLike(l) != isAggLike(r))
+        fail(q, "cannot mix a raw field with an aggregate in arithmetic")
+      BinOp(l, op, r, Option(al))
     case RawRe(f, al) => Raw(f, Option(al))
     case other => fail(q, s"unsupported select item '$other'")
   }
@@ -346,6 +373,16 @@ object InfluxQL {
       case Integral(n, arg, _) => s"integral($n${arg.map(", " + _).getOrElse("")})"
       case Transform(fn, inner, arg, _) =>
         s"$fn(${f(inner.copy(alias = None))}${arg.map(", " + _).getOrElse("")})"
+      case BinOp(l, op, r, _) =>
+        def bare(x: Field): Field = x match {
+          case rr: Raw => rr.copy(alias = None)
+          case a: Agg => a.copy(alias = None)
+          case ar: Arith => ar.copy(alias = None)
+          case m: MathFn => m.copy(alias = None)
+          case b: BinOp => b.copy(alias = None)
+          case other => other
+        }
+        s"${f(bare(l))} $op ${f(bare(r))}"
     }) + fl.alias.map(" AS " + _).getOrElse("")
     def renderCond(c: Cond): String = {
       val rhs = c.nowOffset match {
@@ -430,10 +467,21 @@ object InfluxQL {
     case "-" => c - lit(k)
   }
 
+  /** Column-to-column arithmetic ([[BinOp]]); division runs in double so
+    * integer fields divide as InfluxQL (and the oracle) do. */
+  private def applyOpCol(a: Column, op: String, b: Column): Column = op match {
+    case "*" => a * b
+    case "/" => a.cast(org.apache.spark.sql.types.DoubleType) /
+      b.cast(org.apache.spark.sql.types.DoubleType)
+    case "+" => a + b
+    case "-" => a - b
+  }
+
   private def isAggLike(f: Field): Boolean = f match {
     case _: Agg => true
     case Arith(i, _, _, _) => isAggLike(i)
     case MathFn(_, i, _) => isAggLike(i)
+    case BinOp(l, _, r, _) => isAggLike(l) && isAggLike(r)
     case _ => false
   }
 
@@ -442,6 +490,7 @@ object InfluxQL {
     case Raw(n, _) => n
     case Arith(i, _, _, _) => defaultName(i)
     case MathFn(fn, _, _) => fn // InfluxDB names the column after the fn
+    case BinOp(l, _, r, _) => s"${defaultName(l)}_${defaultName(r)}"
     case other => other.alias.getOrElse("value")
   }
 
@@ -481,6 +530,8 @@ object InfluxQL {
     case a: Agg => aggExpr(a)
     case Arith(i, op, k, _) => applyOp(selAggExpr(i, q), op, k)
     case MathFn(fn, i, _) => applyMath(fn, selAggExpr(i, q))
+    case BinOp(l, op, r, _) =>
+      applyOpCol(selAggExpr(l, q), op, selAggExpr(r, q))
     case _ => fail(q, "expected an aggregate select item")
   }
 
@@ -498,6 +549,8 @@ object InfluxQL {
     case Raw(n, _) => col(n)
     case Arith(i, op, k, _) => applyOp(selRawExpr(i, q), op, k)
     case MathFn(fn, i, _) => applyMath(fn, selRawExpr(i, q))
+    case BinOp(l, op, r, _) =>
+      applyOpCol(selRawExpr(l, q), op, selRawExpr(r, q))
     case _ => fail(q, "expected a field select item")
   }
 

@@ -138,6 +138,17 @@ object InfluxQlOps {
     "SELECT count(value) AS n FROM events GROUP BY time(1d), event_type " +
       "tz('America/Denver')"
 
+  // field-to-field arithmetic (per point) — InfluxQL's field math beyond
+  // the literal form: a derived ratio of two numeric fields
+  private val FieldBinopQ =
+    "SELECT value / user_id AS ratio FROM events " +
+      "WHERE time >= '2024-01-02 00:00:00' AND time < '2024-01-03 00:00:00'"
+
+  // aggregate-to-aggregate arithmetic (post-aggregation per bucket)
+  private val AggBinopQ =
+    "SELECT max(value) - min(value) AS vrange FROM events " +
+      "GROUP BY time(1d), event_type"
+
   // time(n, off) under tz(): the local billing window — daily buckets
   // starting at local 02:00 (09:00 UTC in Denver's winter)
   private val TzOffsetQ =
@@ -382,6 +393,8 @@ object InfluxQlOps {
     "influxql_tz" -> run(TzQ) _,
     "influxql_tz_fill" -> run(TzFillQ) _,
     "influxql_tz_offset" -> run(TzOffsetQ) _,
+    "influxql_field_binop" -> run(FieldBinopQ) _,
+    "influxql_agg_binop" -> run(AggBinopQ) _,
     "influxql_show_measurements" -> meta("SHOW MEASUREMENTS") _,
     "influxql_show_tag_values" ->
       meta("SHOW TAG VALUES FROM events WITH KEY = event_type") _,
@@ -706,6 +719,18 @@ object InfluxQlOps {
          |  event_type, COUNT(value) AS n
          |FROM loc GROUP BY 1, 2
          |${orderAll("time", "event_type", "n")}""".stripMargin,
+    "influxql_field_binop" ->
+      s"""SELECT CAST(ts AS TIMESTAMP) AS time,
+         |  value / CAST(user_id AS DOUBLE) AS ratio
+         |FROM events
+         |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-02 00:00:00'
+         |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-03 00:00:00'
+         |${orderAll("time", "ratio")}""".stripMargin,
+    "influxql_agg_binop" ->
+      s"""SELECT ${sqlBucket("CAST(ts AS TIMESTAMP)", 86400)} AS time,
+         |  event_type, MAX(value) - MIN(value) AS vrange
+         |FROM events GROUP BY 1, 2
+         |${orderAll("time", "event_type", "vrange")}""".stripMargin,
     "influxql_tz_offset" ->
       s"""WITH loc AS (
          |  SELECT event_type, value,

@@ -80,11 +80,24 @@ class InfluxQlSpec extends SparkTestBase {
           .map(a => a: InfluxQL.Field))
       a <- Gen.option(ident)
     } yield InfluxQL.MathFn(fn, inner, a)
+    val binop = for {
+      // both sides the SAME kind (the parser rejects mixing)
+      pair <- Gen.oneOf(
+        Gen.zip(ident.map(InfluxQL.Raw(_, None): InfluxQL.Field),
+          ident.map(InfluxQL.Raw(_, None): InfluxQL.Field)),
+        Gen.zip(
+          agg.suchThat(a => a.fn != "distinct" && a.fn != "mode")
+            .map(a => a: InfluxQL.Field),
+          agg.suchThat(a => a.fn != "distinct" && a.fn != "mode")
+            .map(a => a: InfluxQL.Field)))
+      op <- Gen.oneOf("*", "/", "+", "-")
+      a <- Gen.option(ident)
+    } yield InfluxQL.BinOp(pair._1, op, pair._2, a)
     val field = Gen.oneOf(
       Gen.zip(ident, Gen.option(ident)).map { case (n, a) => InfluxQL.Raw(n, a) },
       Gen.zip(agg, Gen.option(ident)).map { case (g, a) => g.copy(alias = a) },
       Gen.zip(perc, Gen.option(ident)).map { case (g, a) => g.copy(alias = a) },
-      transform, elapsed, integral, arith, mathFn)
+      transform, elapsed, integral, arith, mathFn, binop)
     val cond = for {
       c <- Gen.oneOf(ident, Gen.const("time"))
       op <- Gen.oneOf("=", "!=", "<", "<=", ">", ">=")
@@ -684,6 +697,25 @@ class InfluxQlSpec extends SparkTestBase {
     // bucket on the distinct path only; floor-division keeps the paths equal
     assert(viaDistinct == viaMean)
     assert(viaDistinct.contains(java.sql.Timestamp.valueOf("1969-12-31 00:00:00")))
+  }
+
+  test("field arithmetic: left-associative, kind mixing rejected") {
+    import spark.implicits._
+    val m = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 10.0, 3.0, 2.0))
+      .toDF("time", "a", "b", "c")
+    // a - b - c must be (a - b) - c = 5, not a - (b - c) = 9
+    val out = InfluxQL.run(spark, m, "SELECT a - b - c AS x FROM m")
+    assert(out.select("x").head.getDouble(0) == 5.0)
+    // division runs in double even over integer-typed fields
+    val ints = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, 2L))
+      .toDF("time", "p", "q")
+    assert(InfluxQL.run(spark, ints, "SELECT p / q AS r FROM m")
+      .select("r").head.getDouble(0) == 0.5)
+    // raw-field × aggregate arithmetic is rejected loudly, as InfluxDB does
+    intercept[IllegalArgumentException](InfluxQL.run(spark, m,
+      "SELECT mean(a) + b FROM m GROUP BY time(1d)"))
+    intercept[IllegalArgumentException](InfluxQL.run(spark, m,
+      "SELECT distinct(a) + distinct(b) FROM m"))
   }
 
   test("measurement catalog: create/use/drop database lifecycle") {
