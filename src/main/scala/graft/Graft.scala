@@ -1,23 +1,72 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Library entry point: one call builds a session with every config the
+/** The library front door — the single object a user of the reference
+  * deployment switches to. One `Graft` instance wires the whole surface
+  * together over an existing SparkSession:
+  *
+  *  - [[catalog]]: databases, measurements, retention policies, and every
+  *    InfluxQL statement (SELECT / SHOW / DDL / CQ management) through
+  *    [[statement]] — the CLI/Grafana dialogue verbatim;
+  *  - [[store]]: day-partitioned measurement storage with upsert, delete,
+  *    drop, compaction, and retention enforcement;
+  *  - [[cqRegistry]]: managed continuous queries with checkpointed resume;
+  *  - the custom Catalyst surface (vec_dot, LSH signatures, the
+  *    VecDotRewrite rule) registered at construction, so `spark.sql` and
+  *    every operator in `graft.ops` are immediately usable.
+  *
+  * {{{
+  * val g = Graft(Graft.session())
+  * g.statement("CREATE DATABASE ciwsdb")
+  * g.register("ciwsdb", "flow", flowFrame)
+  * g.statement("SELECT mean(value) FROM flow GROUP BY time(1h)")
+  * }}}
+  *
+  * Construction performs no Spark jobs — everything stays lazy until a
+  * statement runs. Release operator-internal caches with
+  * [[OpCaches.releaseAll]] once results are consumed.
+  */
+class Graft(val spark: SparkSession) {
+  functions.GraftFunctions.register(spark)
+
+  /** Database-level catalog; serves every InfluxQL statement. */
+  val catalog = new influxql.MeasurementCatalog(spark)
+
+  /** Open (or create) a measurement store rooted at `root` — any
+    * Hadoop-reachable URI (local, HDFS, S3A, ...). */
+  def store(root: String): _root_.graft.store.MeasurementStore =
+    Graft.store(spark, root)
+
+  /** Managed continuous queries with per-CQ checkpoints under `root`. */
+  def cqRegistry(root: String): streaming.CqRegistry =
+    new streaming.CqRegistry(spark, root)
+
+  /** Register a measurement frame (time column named `time`) under `db`,
+    * creating the database on first use. */
+  def register(db: String, measurement: String, df: DataFrame): Unit =
+    catalog.register(db, measurement, df)
+
+  /** Run one InfluxQL statement — the whole dialect: SELECT (aggregates,
+    * fills, tz, transforms, subqueries, INTO, FROM lists/regex), SHOW
+    * discovery and cardinality, database/retention DDL, and CONTINUOUS
+    * QUERY management. `now` pins now()-relative bounds for tests. */
+  def statement(q: String, now: Option[String] = None): DataFrame =
+    catalog.statement(q, now)
+}
+
+/** Session-level helpers: one call builds a session with every config the
   * engine needs (nanos-timestamp parquet reads, UTC, AQE, warehouse dir)
   * and the custom Catalyst functions registered — so
   * `SELECT vec_dot(a, b)` and `band_keys(emb)` work from plain SQL too.
-  *
-  * {{{
-  * val spark = Graft.session()                  // local, all cores
-  * val store = Graft.store(spark, "/data/tsdb") // measurement store
-  * store.influxql("flow", "SELECT mean(value) FROM flow GROUP BY time(1h)")
-  * }}}
   *
   * A cluster deployment instead sets
   * `spark.sql.extensions=graft.functions.GraftExtensions` on its own
   * builder and copies [[Tables.sessionConfs]].
   */
 object Graft {
+
+  def apply(spark: SparkSession): Graft = new Graft(spark)
 
   /** Build (or reuse) a configured session. `shufflePartitions` defaults
     * to the core count — the local-mode analog of sizing partitions to

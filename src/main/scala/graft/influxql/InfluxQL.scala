@@ -146,14 +146,36 @@ object InfluxQL {
   // `mean(value) / 60 AS per_sec` — one op, numeric literal on the right
   private val ArithRe =
     """(?i)^(.+?)\s*([*/+-])\s*(-?[0-9]+(?:\.[0-9]+)?)(?:\s+AS\s+(\w+))?$""".r
-  // binary arithmetic between two non-literal select items. The GREEDY left
-  // side + single-item right anchor split at the LAST operator, keeping
-  // `a - b - c` left-associative; tried only after ArithRe (the
-  // literal-right form) fails.
-  private val BinRe =
-    ("""(?i)^(.+)\s+([*/+-])\s+""" +
-      """((?:\w+\(\s*distinct\(\s*"?\w+"?\s*\)\s*\))|(?:\w+\([^()]*\))|"?\w+"?)""" +
-      """(?:\s+AS\s+(\w+))?$""").r
+  private val BinAliasRe = """(?i)^(.*\S)\s+AS\s+(\w+)\s*$""".r
+  private val NumLitRe = """-?[0-9]+(?:\.[0-9]+)?""".r
+
+  /** Split a select item at its LAST paren-depth-0, space-surrounded
+    * arithmetic operator (left-associative: `a - b - c` = `(a - b) - c`).
+    * A numeric-literal right side is left for the ArithRe form. Returns
+    * (left, op, right, alias). */
+  private def topBinSplit(item: String): Option[(String, String, String, Option[String])] = {
+    val (body, alias) = item match {
+      case BinAliasRe(b, a) => (b, Some(a))
+      case _ => (item, None)
+    }
+    var depth = 0
+    var best = -1
+    for (i <- body.indices) body(i) match {
+      case '(' => depth += 1
+      case ')' => depth -= 1
+      case c if depth == 0 && "*/+-".contains(c) &&
+        i > 0 && i < body.length - 1 &&
+        body(i - 1) == ' ' && body(i + 1) == ' ' =>
+        best = i
+      case _ => ()
+    }
+    if (best < 0) None
+    else {
+      val right = body.substring(best + 1).trim
+      if (NumLitRe.matches(right)) None // the literal form is ArithRe's
+      else Some((body.substring(0, best).trim, body(best).toString, right, alias))
+    }
+  }
   private val CondRe = """(?i)^\s*"?(\w+)"?\s*(<=|>=|!=|=|<|>)\s*(?:'([^']*)'|(-?[0-9.]+))\s*$""".r
   private val CondNowRe =
     """(?i)^\s*"?(\w+)"?\s*(<=|>=|!=|=|<|>)\s*now\(\)(?:\s*([+-])\s*(\d+[smhd]))?\s*$""".r
@@ -183,7 +205,29 @@ object InfluxQL {
     (out += sb.toString).result().map(_.trim)
   }
 
+  private object BinSplit {
+    def unapply(item: String): Option[(String, String, String, Option[String])] =
+      topBinSplit(item)
+  }
+
   private def parseField(q: String, item: String): Field = item match {
+    // a depth-0 operator splits FIRST, so `abs(a) - abs(b)` is a BinOp of
+    // two math fns, not a math fn over garbage (no later pattern carries
+    // a space-surrounded top-level operator; literal rights fall through
+    // to the ArithRe form below)
+    case BinSplit(leftS, op, rightS, al) =>
+      val l = parseField(q, leftS)
+      val r = parseField(q, rightS)
+      def ok(x: Field): Boolean = x match {
+        case a: Agg if a.fn == "distinct" || a.fn == "mode" => false
+        case _: Raw | _: Agg | _: Arith | _: MathFn | _: BinOp => true
+        case _ => false
+      }
+      if (!ok(l) || !ok(r))
+        fail(q, "field arithmetic applies to fields and aggregates only")
+      if (isAggLike(l) != isAggLike(r))
+        fail(q, "cannot mix a raw field with an aggregate in arithmetic")
+      BinOp(l, op, r, al)
     case CountDistinctRe(f, al) => Agg("count_distinct", f, Option(al))
     case AggRe(fn, f, al) => Agg(fn.toLowerCase, f, Option(al))
     case PercRe(f, p, al) => Agg("percentile", f, Option(al), Some(p.toDouble))
@@ -220,7 +264,7 @@ object InfluxQL {
       inner match {
         case a: Agg if a.fn == "distinct" || a.fn == "mode" =>
           fail(q, s"$fn cannot wrap ${a.fn}()")
-        case _: Raw | _: Agg | _: Arith | _: MathFn => ()
+        case _: Raw | _: Agg | _: Arith | _: MathFn | _: BinOp => ()
         case _ => fail(q, s"$fn applies to fields and aggregates only")
       }
       MathFn(fn.toLowerCase, inner, Option(al))
@@ -233,19 +277,6 @@ object InfluxQL {
         case _ => fail(q, "arithmetic applies to fields and aggregates only")
       }
       Arith(inner, op, k.toDouble, Option(al))
-    case BinRe(leftS, op, rightS, al) =>
-      val l = parseField(q, leftS.trim)
-      val r = parseField(q, rightS.trim)
-      def ok(x: Field): Boolean = x match {
-        case a: Agg if a.fn == "distinct" || a.fn == "mode" => false
-        case _: Raw | _: Agg | _: Arith | _: MathFn | _: BinOp => true
-        case _ => false
-      }
-      if (!ok(l) || !ok(r))
-        fail(q, "field arithmetic applies to fields and aggregates only")
-      if (isAggLike(l) != isAggLike(r))
-        fail(q, "cannot mix a raw field with an aggregate in arithmetic")
-      BinOp(l, op, r, Option(al))
     case RawRe(f, al) => Raw(f, Option(al))
     case other => fail(q, s"unsupported select item '$other'")
   }

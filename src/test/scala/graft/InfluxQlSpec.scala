@@ -711,11 +711,38 @@ class InfluxQlSpec extends SparkTestBase {
       .toDF("time", "p", "q")
     assert(InfluxQL.run(spark, ints, "SELECT p / q AS r FROM m")
       .select("r").head.getDouble(0) == 0.5)
+    // math fns compose with field arithmetic in both nesting orders
+    assert(InfluxQL.run(spark, m, "SELECT abs(c - a) AS d FROM m")
+      .select("d").head.getDouble(0) == 8.0)
+    assert(InfluxQL.run(spark, m, "SELECT abs(a) - abs(b) AS d FROM m")
+      .select("d").head.getDouble(0) == 7.0)
     // raw-field × aggregate arithmetic is rejected loudly, as InfluxDB does
     intercept[IllegalArgumentException](InfluxQL.run(spark, m,
       "SELECT mean(a) + b FROM m GROUP BY time(1d)"))
     intercept[IllegalArgumentException](InfluxQL.run(spark, m,
       "SELECT distinct(a) + distinct(b) FROM m"))
+  }
+
+  test("Graft facade: the reference dialogue end to end") {
+    val g = Graft(spark)
+    g.statement("CREATE DATABASE ciwsdb")
+    g.register("ciwsdb", "events",
+      Tables.load(spark, sf, "events").withColumnRenamed("ts", "time"))
+    // the Grafana handshake: databases → retention policies → measurements
+    assert(g.statement("SHOW DATABASES").collect().map(_.getString(0)).toSeq
+      == Seq("ciwsdb"))
+    assert(g.statement("SHOW RETENTION POLICIES ON ciwsdb").count() == 1)
+    assert(g.statement("SHOW MEASUREMENTS")
+      .collect().map(_.getString(0)).toSeq == Seq("events"))
+    // a data query with the full dialect through the same front door
+    val daily = g.statement(
+      "SELECT count(value) AS n, max(value) - min(value) AS vrange " +
+        "FROM events GROUP BY time(1d)")
+    assert(daily.count() > 0)
+    // custom Catalyst surface registered by construction
+    assert(spark.sql("SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))")
+      .head.getDouble(0) == 11.0)
+    OpCaches.releaseAll()
   }
 
   test("measurement catalog: create/use/drop database lifecycle") {
