@@ -114,7 +114,27 @@ object Aggregates {
         sum(col("c")).as("n")))
   }
 
+  /** Long→wide pivot: daily event counts, one column per event type — the
+    * report shape every dashboard export needs. Values are passed
+    * EXPLICITLY to `.pivot` (collected from a sorted distinct over the
+    * low-cardinality tag — bounded driver metadata): without them Spark
+    * must launch an extra job anyway and the column order would depend on
+    * collection order. The plan is one partial+final hash aggregation with
+    * the pivot expressions fused — identical shape to conditional
+    * aggregation, which is exactly how the oracle states it. */
+  def aggPivot(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+    val types = ev.select(col("event_type")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    totalOrder(ev
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .groupBy(col("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1))))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_pivot" -> aggPivot,
     "agg_salted_skew" -> aggSaltedSkew,
     "agg_hash_groupby" -> aggHashGroupby,
     "agg_distinct" -> aggDistinct,
@@ -126,6 +146,15 @@ object Aggregates {
     "agg_approx_percentile" -> aggApproxPercentile)
 
   val oracle: Map[String, String] = Map(
+    "agg_pivot" ->
+      s"""SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+         |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+         |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+         |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+         |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+         |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+         |FROM events GROUP BY 1
+         |${orderAll("day", "click", "error", "purchase", "signup", "view")}""".stripMargin,
     "agg_salted_skew" ->
       s"""SELECT event_type, ${sqlDsum("value")} AS sum_value, COUNT(*) AS n
          |FROM events GROUP BY event_type
