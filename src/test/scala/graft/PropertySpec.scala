@@ -154,4 +154,60 @@ class PropertySpec extends SparkTestBase {
       assert(m(1L) == m(2L), "order must not matter (majority vote)")
     }
   }
+
+  test("store model law: random mutation sequences match a reference map") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // small deterministic domain: 3 series × 4 days × 4 slots
+    val tags = Seq("a", "b", "c")
+    val times = for {
+      d <- 1 to 4; h <- Seq(0, 6, 12, 18)
+    } yield Timestamp.valueOf(f"2024-01-0$d $h%02d:00:00")
+    val rnd = new scala.util.Random(4242)
+    val root = java.nio.file.Files.createTempDirectory("ms_model").toString
+    val store = new graft.store.MeasurementStore(spark, root)
+    val model = scala.collection.mutable.Map.empty[(String, Timestamp), Double]
+    var version = 0L
+    def writeBatch(keys: Seq[(String, Timestamp)]): Unit = {
+      version += 1
+      val rows = keys.map { case (tag, t) =>
+        val v = rnd.nextInt(1000).toDouble
+        model((tag, t)) = v
+        (tag, t, v, version)
+      }
+      store.upsert("m", rows.toDF("event_type", "time", "value", "ver"),
+        keys = Seq("event_type", "time"), versionCol = "ver")
+    }
+    def check(label: String): Unit = {
+      val got = store.read("m")
+        .select("event_type", "time", "value")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1)) -> r.getDouble(2))
+        .toMap
+      assert(got == model.toMap, s"divergence after $label")
+    }
+    writeBatch(for (tag <- tags; t <- times) yield (tag, t)) // seed all keys
+    for (step <- 1 to 12) {
+      rnd.nextInt(5) match {
+        case 0 => // upsert a random subset (overrides, last-write-wins)
+          writeBatch(Seq.fill(6)((tags(rnd.nextInt(3)), times(rnd.nextInt(times.size)))))
+        case 1 => // time-scoped DELETE
+          val bound = times(rnd.nextInt(times.size))
+          store.deleteWhere(s"DELETE FROM m WHERE time < '$bound'")
+          model.filterInPlace { case ((_, t), _) => !t.before(bound) }
+        case 2 => // tag+time-scoped DELETE
+          val tag = tags(rnd.nextInt(3))
+          val bound = times(rnd.nextInt(times.size))
+          store.deleteWhere(s"DELETE FROM m WHERE event_type = '$tag' AND time < '$bound'")
+          model.filterInPlace { case ((g, t), _) => !(g == tag && t.before(bound)) }
+        case 3 => // DROP SERIES, then re-seed it so later steps have data
+          val tag = tags(rnd.nextInt(3))
+          store.dropSeries(s"DROP SERIES FROM m WHERE event_type = '$tag'")
+          model.filterInPlace { case ((g, _), _) => g != tag }
+          writeBatch(times.take(4).map(t => (tag, t)))
+        case 4 => // compaction must be invisible to content
+          store.compact("m")
+      }
+      check(s"step $step")
+    }
+  }
 }
