@@ -47,7 +47,8 @@ class MeasurementStore(spark: SparkSession, root: String) {
   def upsert(measurement: String, updates: DataFrame,
     keys: Seq[String], versionCol: String): Unit = {
     val up = withDay(updates)
-    val days = up.select("day").distinct().collect().map(_.getString(0))
+    val days = up.select("day").distinct().collect()
+      .map(_.getString(0)).toIndexedSeq
     val existing =
       try readRaw(measurement).filter(col("day").isin(days: _*))
       catch { case _: Throwable => spark.emptyDataFrame }
@@ -91,7 +92,8 @@ class MeasurementStore(spark: SparkSession, root: String) {
     val pruned = q.conds
       .filter(c => c.col == "time" && c.value.isLeft)
       .foldLeft(readRaw(measurement)) { (df, c) =>
-        val day = date_format(to_timestamp(lit(c.value.left.get)), "yyyy-MM-dd")
+        val day = date_format(
+          to_timestamp(lit(c.value.swap.getOrElse(""))), "yyyy-MM-dd")
         c.op match {
           case ">" | ">=" => df.filter(col("day") >= day)
           case "<" | "<=" => df.filter(col("day") <= day)
