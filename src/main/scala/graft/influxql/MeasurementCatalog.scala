@@ -167,7 +167,14 @@ class MeasurementCatalog(spark: SparkSession) {
     case CqStmtRe() =>
       cqs.statement(q)
     case _ if q.trim.toUpperCase.startsWith("SELECT") =>
-      InfluxQL.runCatalog(spark, measurements(currentDb), q, now)
+      val db = currentDb
+      val result = InfluxQL.runCatalog(spark, measurements(db), q, now)
+      // SELECT ... INTO at the catalog level registers the result as a new
+      // measurement of the current database (the store-backed variant
+      // persists instead — MeasurementStore.influxql); the INTO target is
+      // immediately queryable, as InfluxDB's is
+      InfluxQL.parse(q).into.foreach(target => register(db, target, result))
+      result
     case _ =>
       InfluxQL.runMeta(spark, measurements(currentDb), q)
   }

@@ -742,6 +742,12 @@ class InfluxQlSpec extends SparkTestBase {
     // custom Catalyst surface registered by construction
     assert(spark.sql("SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))")
       .head.getDouble(0) == 11.0)
+    // SELECT INTO registers its result as a queryable measurement
+    g.statement("SELECT mean(value) AS mv INTO daily_mean FROM events " +
+      "GROUP BY time(1d), event_type")
+    assert(g.statement("SHOW MEASUREMENTS")
+      .collect().map(_.getString(0)).toSeq == Seq("daily_mean", "events"))
+    assert(g.statement("SELECT count(mv) AS n FROM daily_mean").count() == 1)
     OpCaches.releaseAll()
   }
 
