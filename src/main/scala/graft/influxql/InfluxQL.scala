@@ -1153,7 +1153,10 @@ object InfluxQL {
   private val ShowFieldAllRe = """(?i)^\s*SHOW\s+FIELD\s+KEYS\s*;?\s*$""".r
   private val ShowTagValsRe =
     """(?i)^\s*SHOW\s+TAG\s+VALUES\s+FROM\s+"?(\w+)"?\s+WITH\s+KEY\s*=\s*"?(\w+)"?\s*;?\s*$""".r
-  // Grafana template variables also emit the multi-key and regex forms
+  // Grafana template variables also emit the multi-key, regex, and
+  // FROM-less (catalog-wide) forms
+  private val ShowTagValsAllRe =
+    """(?i)^\s*SHOW\s+TAG\s+VALUES\s+WITH\s+KEY\s*=\s*"?(\w+)"?\s*;?\s*$""".r
   private val ShowTagValsInRe =
     """(?i)^\s*SHOW\s+TAG\s+VALUES\s+FROM\s+"?(\w+)"?\s+WITH\s+KEY\s+IN\s*\(([^)]+)\)\s*;?\s*$""".r
   private val ShowTagValsRegexRe =
@@ -1224,6 +1227,19 @@ object InfluxQL {
         frame(m).select(lit(key).as("key"),
             col(key).cast("string").as("value"))
           .distinct().orderBy(col("value"))
+      case ShowTagValsAllRe(key) =>
+        // FROM-less: distinct values of the tag across every measurement
+        // that carries it (the unpinned-datasource variable query)
+        val having = catalog.collect {
+          case (_, df) if df.columns.contains(key) &&
+            df.schema(key).dataType ==
+              org.apache.spark.sql.types.StringType => df
+        }
+        if (having.isEmpty) fail(q, s"no measurement has tag '$key'")
+        having.map(df => df.select(lit(key).as("key"),
+            col(key).cast("string").as("value")).distinct())
+          .reduce(_ unionByName _).distinct()
+          .orderBy(col("value"))
       case ShowTagValsInRe(m, keysS) =>
         // WITH KEY IN ("k1", "k2"): one series-key section per listed tag;
         // keys that are not tags of the measurement are skipped (InfluxDB

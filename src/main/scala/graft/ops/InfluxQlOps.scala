@@ -402,6 +402,8 @@ object InfluxQlOps {
       meta("""SHOW TAG VALUES FROM events WITH KEY IN ("event_type", "props")""") _,
     "influxql_show_tag_values_regex" ->
       meta("SHOW TAG VALUES FROM events WITH KEY =~ /type/") _,
+    "influxql_show_tag_values_all" ->
+      metaCat("SHOW TAG VALUES WITH KEY = event_type") _,
     "influxql_show_databases" -> (showDatabases _),
     "influxql_show_continuous_queries" -> (showContinuousQueries _),
     "influxql_show_retention_policies" -> (showRetentionPolicies _),
@@ -640,6 +642,10 @@ object InfluxQlOps {
          |  SELECT DISTINCT 'props' AS key, props AS value FROM events)
          |${orderAll("key", "value")}""".stripMargin,
     "influxql_show_tag_values_regex" ->
+      s"""SELECT DISTINCT 'event_type' AS key, event_type AS value
+         |FROM events
+         |${orderAll("key", "value")}""".stripMargin,
+    "influxql_show_tag_values_all" ->
       s"""SELECT DISTINCT 'event_type' AS key, event_type AS value
          |FROM events
          |${orderAll("key", "value")}""".stripMargin,
