@@ -149,26 +149,30 @@ object InfluxQL {
   private val BinAliasRe = """(?i)^(.*\S)\s+AS\s+(\w+)\s*$""".r
   private val NumLitRe = """-?[0-9]+(?:\.[0-9]+)?""".r
 
-  /** Split a select item at its LAST paren-depth-0, space-surrounded
-    * arithmetic operator (left-associative: `a - b - c` = `(a - b) - c`).
-    * A numeric-literal right side is left for the ArithRe form. Returns
-    * (left, op, right, alias). */
+  /** Split a select item at the LAST paren-depth-0, space-surrounded
+    * operator of the LOWEST precedence tier present (`+`/`-` bind looser
+    * than `*`/`/`, as in InfluxQL), so recursion yields standard
+    * precedence with left-associativity: `a + b * c` = `a + (b * c)`,
+    * `a - b - c` = `(a - b) - c`. A numeric-literal right side is left
+    * for the ArithRe form. Returns (left, op, right, alias). */
   private def topBinSplit(item: String): Option[(String, String, String, Option[String])] = {
     val (body, alias) = item match {
       case BinAliasRe(b, a) => (b, Some(a))
       case _ => (item, None)
     }
     var depth = 0
-    var best = -1
+    var bestAdd = -1 // last depth-0 + or - (lowest precedence: split here first)
+    var bestMul = -1 // last depth-0 * or /
     for (i <- body.indices) body(i) match {
       case '(' => depth += 1
       case ')' => depth -= 1
       case c if depth == 0 && "*/+-".contains(c) &&
         i > 0 && i < body.length - 1 &&
         body(i - 1) == ' ' && body(i + 1) == ' ' =>
-        best = i
+        if (c == '+' || c == '-') bestAdd = i else bestMul = i
       case _ => ()
     }
+    val best = if (bestAdd >= 0) bestAdd else bestMul
     if (best < 0) None
     else {
       val right = body.substring(best + 1).trim
@@ -210,6 +214,44 @@ object InfluxQL {
       topBinSplit(item)
   }
 
+  /** `(expr)` / `(expr) AS x` — a single paren pair wrapping the whole
+    * item; InfluxQL allows explicit grouping to override precedence. */
+  private object ParenGroup {
+    def unapply(item: String): Option[(String, Option[String])] = {
+      val (body, alias) = item.trim match {
+        case BinAliasRe(b, a) => (b.trim, Some(a))
+        case t => (t, None)
+      }
+      if (body.length < 2 || body.head != '(' || body.last != ')') None
+      else {
+        var depth = 0
+        var wraps = true
+        for (i <- body.indices) body(i) match {
+          case '(' => depth += 1
+          case ')' =>
+            depth -= 1
+            if (depth == 0 && i < body.length - 1) wraps = false
+          case _ => ()
+        }
+        if (wraps && depth == 0)
+          Some((body.substring(1, body.length - 1).trim, alias))
+        else None
+      }
+    }
+  }
+
+  private def withAlias(fl: Field, a: String): Field = fl match {
+    case x: Raw => x.copy(alias = Some(a))
+    case x: Agg => x.copy(alias = Some(a))
+    case x: Transform => x.copy(alias = Some(a))
+    case x: Selector => x.copy(alias = Some(a))
+    case x: Arith => x.copy(alias = Some(a))
+    case x: BinOp => x.copy(alias = Some(a))
+    case x: MathFn => x.copy(alias = Some(a))
+    case x: Elapsed => x.copy(alias = Some(a))
+    case x: Integral => x.copy(alias = Some(a))
+  }
+
   private def parseField(q: String, item: String): Field = item match {
     // a depth-0 operator splits FIRST, so `abs(a) - abs(b)` is a BinOp of
     // two math fns, not a math fn over garbage (no later pattern carries
@@ -228,6 +270,11 @@ object InfluxQL {
       if (isAggLike(l) != isAggLike(r))
         fail(q, "cannot mix a raw field with an aggregate in arithmetic")
       BinOp(l, op, r, al)
+    // explicit grouping: `(a + b) / c` — strip the wrapping parens and
+    // recurse (only reachable when no depth-0 operator splits first)
+    case ParenGroup(inner, al) =>
+      val f0 = parseField(q, inner)
+      al.fold(f0)(withAlias(f0, _))
     case CountDistinctRe(f, al) => Agg("count_distinct", f, Option(al))
     case AggRe(fn, f, al) => Agg(fn.toLowerCase, f, Option(al))
     case PercRe(f, p, al) => Agg("percentile", f, Option(al), Some(p.toDouble))
@@ -277,6 +324,11 @@ object InfluxQL {
         case _ => fail(q, "arithmetic applies to fields and aggregates only")
       }
       Arith(inner, op, k.toDouble, Option(al))
+    // a bare numeric operand (e.g. the `2` in `a + 2 * b`) would otherwise
+    // match RawRe as a field named "2" — reject loudly; literals are only
+    // supported on the right of an expression (the ArithRe form)
+    case lit if NumLitRe.matches(lit.trim) =>
+      fail(q, "numeric literals are only supported as the right operand")
     case RawRe(f, al) => Raw(f, Option(al))
     case other => fail(q, s"unsupported select item '$other'")
   }
@@ -376,6 +428,20 @@ object InfluxQL {
   def print(q: Query): String = {
     def num(d: Double): String =
       if (d == d.toLong.toDouble) d.toLong.toString else d.toString
+    // re-parse fidelity: a nested operand whose operator binds looser than
+    // its parent's (or ties on the right — the ops are left-associative)
+    // must print parenthesized, else `max(v) - (min(v) - 2)` would come
+    // back as `(max(v) - min(v)) - 2`
+    def prec(op: String): Int = if (op == "+" || op == "-") 1 else 2
+    def topOp(x: Field): Option[String] = x match {
+      case BinOp(_, o, _, _) => Some(o)
+      case Arith(_, o, _, _) => Some(o)
+      case _ => None
+    }
+    def wrapL(parent: String, x: Field, s: String): String =
+      if (topOp(x).exists(o => prec(o) < prec(parent))) s"($s)" else s
+    def wrapR(parent: String, x: Field, s: String): String =
+      if (topOp(x).exists(o => prec(o) <= prec(parent))) s"($s)" else s
     def f(fl: Field): String = (fl match {
       case Raw(n, _) => n
       case Agg("percentile", n, _, Some(p)) => s"percentile($n, ${num(p)})"
@@ -388,9 +454,10 @@ object InfluxQL {
           case a: Agg => a.copy(alias = None): Field
           case ar: Arith => ar.copy(alias = None): Field
           case m: MathFn => m.copy(alias = None): Field
+          case b: BinOp => b.copy(alias = None): Field
           case other => other
         }
-        s"${f(bare)} $op ${num(k)}"
+        s"${wrapL(op, bare, f(bare))} $op ${num(k)}"
       case MathFn(fn, i, _) =>
         val bare = i match {
           case r: Raw => r.copy(alias = None): Field
@@ -413,7 +480,8 @@ object InfluxQL {
           case b: BinOp => b.copy(alias = None)
           case other => other
         }
-        s"${f(bare(l))} $op ${f(bare(r))}"
+        val (lb, rb) = (bare(l), bare(r))
+        s"${wrapL(op, lb, f(lb))} $op ${wrapR(op, rb, f(rb))}"
     }) + fl.alias.map(" AS " + _).getOrElse("")
     def renderCond(c: Cond): String = {
       val rhs = c.nowOffset match {

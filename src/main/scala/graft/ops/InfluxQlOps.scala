@@ -149,6 +149,14 @@ object InfluxQlOps {
     "SELECT max(value) - min(value) AS vrange FROM events " +
       "GROUP BY time(1d), event_type"
 
+  // mixed-precedence field math: * and / bind tighter than + and -
+  // (`max - min/2` is `max - (min/2)`), and explicit parens override —
+  // both shapes in one query so the oracle pins the evaluation order
+  private val PrecedenceQ =
+    "SELECT max(value) - min(value) / 2 AS adj, " +
+      "(max(value) - min(value)) / 2 AS halfrange FROM events " +
+      "GROUP BY time(1d), event_type"
+
   // time(n, off) under tz(): the local billing window — daily buckets
   // starting at local 02:00 (09:00 UTC in Denver's winter)
   private val TzOffsetQ =
@@ -395,6 +403,7 @@ object InfluxQlOps {
     "influxql_tz_offset" -> run(TzOffsetQ) _,
     "influxql_field_binop" -> run(FieldBinopQ) _,
     "influxql_agg_binop" -> run(AggBinopQ) _,
+    "influxql_binop_precedence" -> run(PrecedenceQ) _,
     "influxql_show_measurements" -> meta("SHOW MEASUREMENTS") _,
     "influxql_show_tag_values" ->
       meta("SHOW TAG VALUES FROM events WITH KEY = event_type") _,
@@ -737,6 +746,13 @@ object InfluxQlOps {
          |  event_type, MAX(value) - MIN(value) AS vrange
          |FROM events GROUP BY 1, 2
          |${orderAll("time", "event_type", "vrange")}""".stripMargin,
+    "influxql_binop_precedence" ->
+      s"""SELECT ${sqlBucket("CAST(ts AS TIMESTAMP)", 86400)} AS time,
+         |  event_type,
+         |  MAX(value) - MIN(value) / 2 AS adj,
+         |  (MAX(value) - MIN(value)) / 2 AS halfrange
+         |FROM events GROUP BY 1, 2
+         |${orderAll("time", "event_type", "adj", "halfrange")}""".stripMargin,
     "influxql_tz_offset" ->
       s"""WITH loc AS (
          |  SELECT event_type, value,

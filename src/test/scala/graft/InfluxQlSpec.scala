@@ -80,19 +80,29 @@ class InfluxQlSpec extends SparkTestBase {
           .map(a => a: InfluxQL.Field))
       a <- Gen.option(ident)
     } yield InfluxQL.MathFn(fn, inner, a)
-    val binop = for {
-      // both sides the SAME kind (the parser rejects mixing)
-      pair <- Gen.oneOf(
-        Gen.zip(ident.map(InfluxQL.Raw(_, None): InfluxQL.Field),
-          ident.map(InfluxQL.Raw(_, None): InfluxQL.Field)),
-        Gen.zip(
-          agg.suchThat(a => a.fn != "distinct" && a.fn != "mode")
-            .map(a => a: InfluxQL.Field),
-          agg.suchThat(a => a.fn != "distinct" && a.fn != "mode")
-            .map(a => a: InfluxQL.Field)))
-      op <- Gen.oneOf("*", "/", "+", "-")
-      a <- Gen.option(ident)
-    } yield InfluxQL.BinOp(pair._1, op, pair._2, a)
+    val binop = {
+      // both sides the SAME kind (the parser rejects mixing); nested trees
+      // exercise the precedence-aware print/parse round-trip
+      val rawAtom: Gen[InfluxQL.Field] = ident.map(InfluxQL.Raw(_, None))
+      val aggAtom: Gen[InfluxQL.Field] =
+        agg.suchThat(a => a.fn != "distinct" && a.fn != "mode")
+          .map(a => a: InfluxQL.Field)
+      def node(depth: Int, atom: Gen[InfluxQL.Field]): Gen[InfluxQL.Field] =
+        for {
+          l <- if (depth > 0) Gen.frequency(3 -> atom, 2 -> node(depth - 1, atom))
+          else atom
+          op <- Gen.oneOf("*", "/", "+", "-")
+          r <- if (depth > 0) Gen.frequency(3 -> atom, 2 -> node(depth - 1, atom))
+          else atom
+        } yield InfluxQL.BinOp(l, op, r, None): InfluxQL.Field
+      for {
+        isRaw <- Gen.oneOf(true, false)
+        b <- node(2, if (isRaw) rawAtom else aggAtom)
+        a <- Gen.option(ident)
+      } yield (b: @unchecked) match {
+        case bb: InfluxQL.BinOp => bb.copy(alias = a)
+      }
+    }
     val field = Gen.oneOf(
       Gen.zip(ident, Gen.option(ident)).map { case (n, a) => InfluxQL.Raw(n, a) },
       Gen.zip(agg, Gen.option(ident)).map { case (g, a) => g.copy(alias = a) },
@@ -721,6 +731,33 @@ class InfluxQlSpec extends SparkTestBase {
       "SELECT mean(a) + b FROM m GROUP BY time(1d)"))
     intercept[IllegalArgumentException](InfluxQL.run(spark, m,
       "SELECT distinct(a) + distinct(b) FROM m"))
+  }
+
+  test("field arithmetic: * and / bind tighter than + and -") {
+    import spark.implicits._
+    val m = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 10.0, 4.0, 2.0))
+      .toDF("time", "a", "b", "c")
+    def one(q: String): Double =
+      InfluxQL.run(spark, m, q).select("x").head.getDouble(0)
+    // a + b * c = 10 + 8 = 18, not (10 + 4) * 2 = 28
+    assert(one("SELECT a + b * c AS x FROM m") == 18.0)
+    // a - b / c = 10 - 2 = 8, not (10 - 4) / 2 = 3
+    assert(one("SELECT a - b / c AS x FROM m") == 8.0)
+    // literal right under mixed precedence: a - b * 2 = 10 - 8 = 2
+    assert(one("SELECT a - b * 2 AS x FROM m") == 2.0)
+    // and a * 2 - b = 20 - 4 = 16 (literal inside the tighter tier)
+    assert(one("SELECT a * 2 - b AS x FROM m") == 16.0)
+    // explicit parens override: (a - b) / c = 3
+    assert(one("SELECT (a - b) / c AS x FROM m") == 3.0)
+    // same tier stays left-associative: a / b / c = 1.25
+    assert(one("SELECT a / b / c AS x FROM m") == 1.25)
+    // aggregate shape from the ADVICE report: mean + mean / 2
+    val agg = InfluxQL.run(spark, m,
+      "SELECT max(a) + max(b) / 2 AS x FROM m GROUP BY time(1d)")
+    assert(agg.select("x").head.getDouble(0) == 12.0)
+    // a bare numeric operand is rejected loudly, not read as a field
+    intercept[IllegalArgumentException](InfluxQL.run(spark, m,
+      "SELECT a + 2 * b AS x FROM m"))
   }
 
   test("Graft facade: the reference dialogue end to end") {
