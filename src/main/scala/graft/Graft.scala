@@ -38,9 +38,13 @@ class Graft(val spark: SparkSession) {
   def store(root: String): _root_.graft.store.MeasurementStore =
     Graft.store(spark, root)
 
-  /** Managed continuous queries with per-CQ checkpoints under `root`. */
-  def cqRegistry(root: String): streaming.CqRegistry =
-    new streaming.CqRegistry(spark, root)
+  /** Managed continuous queries with per-CQ checkpoints under `root`;
+    * `watermarkLag` is the lateness/freshness policy bounding streaming
+    * state to windows inside the lag (input older than it is dropped —
+    * InfluxDB's own CQ contract; older backfill is a batch INTO run). */
+  def cqRegistry(root: String,
+    watermarkLag: String = "1 hour"): streaming.CqRegistry =
+    new streaming.CqRegistry(spark, root, watermarkLag)
 
   /** Register a measurement frame (time column named `time`) under `db`,
     * creating the database on first use. */

@@ -1253,14 +1253,21 @@ object InfluxQL {
 
   /** The CQ body's aggregation applied to an unbounded measurement frame
     * (time column named `time`): tumbling window + tags, same selAgg
-    * translation as the batch path — one definition, two execution modes. */
+    * translation as the batch path — one definition, two execution modes.
+    * With `watermark` set (a duration string, e.g. "1 hour"), the stream
+    * carries an event-time watermark so update-mode execution evicts
+    * windows older than the lag — state stays bounded by OPEN windows ×
+    * series instead of total history (input later than the lag is dropped,
+    * which is InfluxDB's own CQ contract: a CQ recomputes only recent
+    * intervals; older backfill needs a manual batch INTO run). */
   private[graft] def streamingAggregate(stream: DataFrame, p: Query,
-    q: String): DataFrame = {
+    q: String, watermark: Option[String] = None): DataFrame = {
     if (p.timeBucket.isEmpty)
       fail(q, "a continuous query requires GROUP BY time()")
+    val src = watermark.fold(stream)(lag => stream.withWatermark("time", lag))
     val keys = winCol(p).as("w") +: p.groupTags.map(col)
     val aggs = selAggs(p.fields, q)
-    stream.groupBy(keys: _*)
+    src.groupBy(keys: _*)
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("time", col("w.start")).drop("w")
   }

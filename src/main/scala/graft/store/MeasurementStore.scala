@@ -43,12 +43,23 @@ class MeasurementStore(spark: SparkSession, root: String) {
       .partitionBy("day").parquet(path(measurement))
 
   /** Upsert points on key columns, last-write-wins by `versionCol`. Only
-    * the day partitions present in `updates` are rewritten. */
+    * the day partitions present in `updates` are rewritten. With
+    * `dropVersion` the version column is bookkeeping synthesized by the
+    * caller (e.g. a CQ micro-batch id) and is dropped before the write, so
+    * the stored measurement's schema matches a batch-produced one; stored
+    * rows then carry no version and lose ties to any update row
+    * (`desc_nulls_last`), which is exactly last-write-wins. */
   def upsert(measurement: String, updates: DataFrame,
-    keys: Seq[String], versionCol: String): Unit = {
+    keys: Seq[String], versionCol: String,
+    dropVersion: Boolean = false): Unit = {
     val up = withDay(updates)
     val days = up.select("day").distinct().collect()
       .map(_.getString(0)).toIndexedSeq
+    // an empty update is a no-op — without this, an Overwrite write of the
+    // empty frame under STATIC partition-overwrite semantics would wipe
+    // every existing partition (streaming drains emit a trailing empty
+    // watermark-commit batch, which must not touch the measurement)
+    if (days.isEmpty) return
     val existing =
       try readRaw(measurement).filter(col("day").isin(days: _*))
       catch { case _: Throwable => spark.emptyDataFrame }
@@ -57,17 +68,22 @@ class MeasurementStore(spark: SparkSession, root: String) {
       else {
         val all = existing.unionByName(up, allowMissingColumns = true)
         val w = Window.partitionBy(keys.map(col): _*)
-          .orderBy(col(versionCol).desc)
+          .orderBy(col(versionCol).desc_nulls_last)
         all.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
       }
-    // overwrite only the touched day partitions
+    val toWrite = if (dropVersion) merged.drop(versionCol) else merged
+    // overwrite only the touched day partitions; the conf must be set on
+    // the frame's OWN session — inside foreachBatch that is the streaming
+    // query's cloned session, and setting it on the outer session would
+    // leave the write in static mode (wiping untouched partitions)
+    val sess = toWrite.sparkSession
     val conf = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(conf)
-    spark.conf.set(conf, "dynamic")
-    try merged.write.mode(SaveMode.Overwrite)
+    val prev = sess.conf.getOption(conf)
+    sess.conf.set(conf, "dynamic")
+    try toWrite.write.mode(SaveMode.Overwrite)
       .partitionBy("day").parquet(path(measurement))
-    finally prev.foreach(spark.conf.set(conf, _))
+    finally prev.foreach(sess.conf.set(conf, _))
   }
 
   /** Read with pushdown-friendly predicates; day-partition pruning applies

@@ -1,12 +1,15 @@
 package graft.streaming
 
 import scala.collection.mutable
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 
 /** Managed continuous-query lifecycle — the half of the reference's
   * cron-job replacement that outlives a single run: CREATE registers a CQ,
-  * `SHOW CONTINUOUS QUERIES` / `DROP CONTINUOUS QUERY` manage the registry,
+  * `SHOW CONTINUOUS QUERIES` / `DROP CONTINUOUS QUERY` manage the registry
+  * (keyed by (db, name), matching InfluxDB's per-database CQ namespace),
   * and [[run]] executes a registered CQ with a STABLE per-CQ checkpoint so a
   * re-run RESUMES — Structured Streaming's file-source log skips every file
   * already processed, and the aggregation state restores from the state
@@ -16,108 +19,218 @@ import org.apache.spark.sql.streaming.Trigger
   *
   * Execution shape: the CQ body translates through the same
   * [[graft.influxql.InfluxQL.streamingAggregate]] as the one-shot
-  * continuous-query op — tumbling window + tags in Complete mode (InfluxDB
-  * CQs recompute affected buckets; Complete re-emits the maintained result,
-  * no watermark race on the final window) — and `foreachBatch` overwrites
-  * the INTO target's parquet dir with the updated result. State is bounded
-  * by the number of open windows × series, not input rows.
+  * continuous-query op, but INCREMENTALLY — `withWatermark(time,
+  * watermarkLag)` + update output mode, so each micro-batch emits only the
+  * buckets the batch CHANGED and the state store evicts windows older than
+  * the lag. State and per-batch write cost are bounded by OPEN windows ×
+  * series (windows within the lag), not by the CQ's total lifetime — the
+  * property that keeps a long-running deployment flat at 100 TB. The
+  * trade, which is also InfluxDB's own CQ contract: input arriving later
+  * than the lag is dropped by the aggregation; backfill older than the lag
+  * goes through a manual batch `SELECT ... INTO` run instead.
+  *
+  * `watermarkLag` is the per-registry lateness/freshness policy. The
+  * default ("1 hour") suits a live deployment; a historical backfill drain
+  * (like the correctness fixture, which replays days of history in one
+  * run) passes a lag covering the replayed span so no replayed bucket is
+  * treated as late.
   */
-class CqRegistry(spark: SparkSession, root: String) {
+class CqRegistry(spark: SparkSession, root: String,
+  watermarkLag: String = "1 hour") {
   import CqRegistry._
   import spark.implicits._
 
-  /** name → (db, full CREATE statement text). */
-  private val cqs = mutable.LinkedHashMap[String, (String, String)]()
+  /** (db, name) → full CREATE statement text. */
+  private val cqs = mutable.LinkedHashMap[(String, String), String]()
 
   /** Rows read by the most recent [[run]] — exposed so callers (and the
     * resume spec) can observe that a restart consumed only NEW input. */
   @volatile var lastRunInputRows: Long = -1L
 
+  /** Aggregation-state rows held after the most recent [[run]] — exposed so
+    * the bounded-state spec can assert eviction: with a watermark this is
+    * the open-window count × series, NOT total windows ever seen. */
+  @volatile var lastRunStateRows: Long = -1L
+
   def create(stmt: String): Unit = synchronized {
     val (name, db, _) = graft.influxql.InfluxQL.parseCq(stmt)
-    if (cqs.contains(name))
-      throw new IllegalArgumentException(s"continuous query '$name' exists")
-    cqs(name) = (db, stmt.trim)
+    if (cqs.contains((db, name)))
+      throw new IllegalArgumentException(
+        s"continuous query '$name' exists on database '$db'")
+    cqs((db, name)) = stmt.trim
   }
 
-  def drop(name: String): Unit = synchronized {
-    if (cqs.remove(name).isEmpty)
-      throw new IllegalArgumentException(s"unknown continuous query '$name'")
+  /** Drop by name; `onDb` scopes to one database (the ON clause). A bare
+    * name that exists on several databases is ambiguous and fails loudly. */
+  def drop(name: String, onDb: Option[String] = None): Unit = synchronized {
+    val hits = cqs.keys.filter(k =>
+      k._2 == name && onDb.forall(_ == k._1)).toSeq
+    if (hits.isEmpty)
+      throw new IllegalArgumentException(s"unknown continuous query '$name'" +
+        onDb.map(db => s" on database '$db'").getOrElse(""))
+    if (hits.size > 1)
+      throw new IllegalArgumentException(
+        s"continuous query '$name' exists on databases " +
+          s"${hits.map(_._1).sorted.mkString(", ")}; use ON <db>")
+    cqs.remove(hits.head)
   }
 
   def show: DataFrame =
-    synchronized(cqs.toSeq.map { case (n, (db, stmt)) => (db, n, stmt) })
+    synchronized(cqs.toSeq.map { case ((db, n), stmt) => (db, n, stmt) })
       .sortBy(t => (t._1, t._2)).toDF("db", "name", "query")
 
   /** The management statements as one front door. */
   def statement(q: String): DataFrame = q match {
     case ShowCqRe() => show
-    case DropCqRe(name, _) => drop(name); show.limit(0)
+    case DropCqRe(name, db) => drop(name, Option(db)); show.limit(0)
     case _ if q.trim.toUpperCase.startsWith("CREATE CONTINUOUS") =>
       create(q); show.limit(0)
     case _ => throw new IllegalArgumentException(
       s"not a continuous-query statement: $q")
   }
 
+  private def resolve(name: String): (String, String) = synchronized {
+    val hits = cqs.keys.filter(_._2 == name).toSeq
+    if (hits.isEmpty)
+      throw new IllegalArgumentException(s"unknown continuous query '$name'")
+    if (hits.size > 1)
+      throw new IllegalArgumentException(
+        s"continuous query '$name' exists on databases " +
+          s"${hits.map(_._1).sorted.mkString(", ")}")
+    (hits.head._1, cqs(hits.head))
+  }
+
+  private def fs(p: String): FileSystem =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def finishRun(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    q.awaitTermination()
+    lastRunInputRows = q.recentProgress.map(_.numInputRows).sum
+    lastRunStateRows = Option(q.lastProgress)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+  }
+
   /** Execute a registered CQ over `stream` (an unbounded frame whose event
     * time column is `time`), draining available input (AvailableNow) and
     * resuming from the CQ's checkpoint. The INTO target parquet dir holds
-    * the maintained result and is returned re-read; a run that finds no new
-    * input leaves it untouched (and processes zero rows). */
+    * the maintained result: each micro-batch MERGES only its changed
+    * buckets (keyed on time + group tags) via a staged rewrite-and-swap —
+    * update mode never re-emits the unchanged remainder, so the per-batch
+    * Spark work is sized to the delta. (The rewrite itself is output-sized,
+    * inherent to a flat parquet dir; the scale tier is [[runIntoStore]],
+    * whose day-pruned MERGE rewrites only touched partitions.) A run that
+    * finds no new input processes zero rows and leaves the target
+    * untouched; if the target has never been written, an EMPTY frame with
+    * the aggregate schema comes back instead of an error. */
   def run(name: String, stream: DataFrame): DataFrame = {
-    val (db, stmt) = synchronized(cqs.getOrElse(name,
-      throw new IllegalArgumentException(s"unknown continuous query '$name'")))
+    val (db, stmt) = resolve(name)
     val (_, _, body) = graft.influxql.InfluxQL.parseCq(stmt)
     val target = body.into.getOrElse(throw new IllegalArgumentException(
       s"continuous query '$name' has no INTO target"))
     val out = s"$root/$db/$target"
     val ckpt = s"$root/$db/.cq_ckpt_$name"
-    val agged = graft.influxql.InfluxQL.streamingAggregate(stream, body, stmt)
+    val keys = "time" +: body.groupTags
+    healSwap(out)
+    val agged = graft.influxql.InfluxQL
+      .streamingAggregate(stream, body, stmt, Some(watermarkLag))
     val q = agged.writeStream
-      .outputMode("complete")
+      .outputMode("update")
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("overwrite").parquet(out)
+        mergeIntoDir(batch, out, keys)
         ()
       }
       .start()
-    q.awaitTermination()
-    lastRunInputRows = q.recentProgress.map(_.numInputRows).sum
-    spark.read.parquet(out)
+    finishRun(q)
+    if (fs(out).exists(new Path(out))) spark.read.parquet(out)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], agged.schema)
+  }
+
+  /** Merge `batch` (the changed buckets) into the parquet dir `out` on
+    * `keys`: unchanged rows survive via anti-join, changed keys take the
+    * batch row. Staged as write-tmp → swap so a reader never sees a
+    * half-written dir and a crash leaves a recoverable state
+    * ([[healSwap]]). */
+  private def mergeIntoDir(batch: DataFrame, out: String,
+    keys: Seq[String]): Unit = {
+    // AvailableNow drains end with an empty watermark-commit batch; an
+    // empty delta must not rewrite (or first-create) the target
+    if (batch.isEmpty) return
+    val hfs = fs(out)
+    val outP = new Path(out)
+    if (!hfs.exists(outP)) {
+      batch.write.mode("errorifexists").parquet(out)
+    } else {
+      val tmp = new Path(out + ".cq_tmp")
+      val old = new Path(out + ".cq_old")
+      if (hfs.exists(tmp)) hfs.delete(tmp, true)
+      val b = batch.persist()
+      try {
+        val existing = spark.read.parquet(out)
+        existing.join(b.select(keys.map(col): _*), keys, "left_anti")
+          .unionByName(b)
+          .write.parquet(tmp.toString)
+      } finally b.unpersist()
+      if (hfs.exists(old)) hfs.delete(old, true)
+      require(hfs.rename(outP, old), s"swap failed: $outP -> $old")
+      require(hfs.rename(tmp, outP), s"swap failed: $tmp -> $outP")
+      hfs.delete(old, true)
+    }
+  }
+
+  /** Complete a [[mergeIntoDir]] swap interrupted mid-flight: a staged
+    * `.cq_tmp` with a `_SUCCESS` marker but no live dir promotes; a
+    * leftover `.cq_old` alongside a live dir (crash before cleanup)
+    * deletes; anything else stale is discarded. */
+  private def healSwap(out: String): Unit = {
+    val hfs = fs(out)
+    val outP = new Path(out)
+    val tmp = new Path(out + ".cq_tmp")
+    val old = new Path(out + ".cq_old")
+    if (!hfs.exists(outP)) {
+      if (hfs.exists(tmp) && hfs.exists(new Path(tmp, "_SUCCESS")))
+        require(hfs.rename(tmp, outP), s"heal failed: $tmp -> $outP")
+      else if (hfs.exists(old))
+        require(hfs.rename(old, outP), s"heal failed: $old -> $outP")
+    }
+    if (hfs.exists(tmp)) hfs.delete(tmp, true)
+    if (hfs.exists(old)) hfs.delete(old, true)
   }
 
   /** As [[run]], but the INTO target lands in a [[graft.store.MeasurementStore]]
     * measurement instead of a bare parquet dir — the continuous path writes
     * the SAME day-partitioned, upsert-merged layout the batch InfluxQL front
     * door reads, so a dashboard queries one measurement regardless of which
-    * engine mode produced it. Each micro-batch upserts the maintained
-    * result on (time, tags) with the batch id as the version — re-emission
-    * of a bucket last-write-wins, and a resumed run (same checkpoint) stays
-    * idempotent. */
+    * engine mode produced it. Each micro-batch upserts ONLY its changed
+    * buckets on (time, tags), with the batch id as a synthesized version
+    * that is dropped before the partitioned write (the stored schema
+    * matches a batch-produced measurement) — re-emission of a bucket
+    * last-write-wins, a resumed run (same checkpoint) stays idempotent, and
+    * the store MERGE rewrites only the day partitions the delta touches. */
   def runIntoStore(name: String, stream: DataFrame,
     store: graft.store.MeasurementStore): DataFrame = {
-    val (db, stmt) = synchronized(cqs.getOrElse(name,
-      throw new IllegalArgumentException(s"unknown continuous query '$name'")))
+    val (db, stmt) = resolve(name)
     val (_, _, body) = graft.influxql.InfluxQL.parseCq(stmt)
     val target = body.into.getOrElse(throw new IllegalArgumentException(
       s"continuous query '$name' has no INTO target"))
     val ckpt = s"$root/$db/.cq_ckpt_$name"
     val keys = "time" +: body.groupTags
-    val agged = graft.influxql.InfluxQL.streamingAggregate(stream, body, stmt)
+    val agged = graft.influxql.InfluxQL
+      .streamingAggregate(stream, body, stmt, Some(watermarkLag))
     val q = agged.writeStream
-      .outputMode("complete")
+      .outputMode("update")
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         store.upsert(target,
           batch.withColumn("__cq_version", org.apache.spark.sql.functions.lit(batchId)),
-          keys, "__cq_version")
+          keys, "__cq_version", dropVersion = true)
         ()
       }
       .start()
-    q.awaitTermination()
-    lastRunInputRows = q.recentProgress.map(_.numInputRows).sum
+    finishRun(q)
     store.read(target)
   }
 }

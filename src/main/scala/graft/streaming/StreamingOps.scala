@@ -250,7 +250,11 @@ object StreamingOps {
     * equals the batch aggregation of the same body, which is the oracle. */
   def continuousQueryIntoStore(spark: SparkSession, dir: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("cq_store").toString
-    val reg = new CqRegistry(spark, root)
+    // the fixture drain is a historical backfill (days of history replayed
+    // in one run): the watermark lag must cover the replayed span so no
+    // replayed bucket counts as late — a live deployment uses its
+    // freshness SLA here and state stays bounded by windows inside it
+    val reg = new CqRegistry(spark, root, watermarkLag = "30 days")
     reg.create("CREATE CONTINUOUS QUERY cq_store ON graft BEGIN " +
       "SELECT mean(value) AS mv, count(value) AS n INTO hourly_means " +
       "FROM events GROUP BY time(1h), event_type END")

@@ -142,13 +142,23 @@ class IngestStoreStreamSpec extends SparkTestBase {
   test("CQ registry: restart resumes from checkpoint, reprocesses nothing") {
     val root = Files.createTempDirectory("cq_resume").toString
     val landing = Files.createTempDirectory("cq_landing").toString
-    val reg = new graft.streaming.CqRegistry(spark, root)
+    // lag covers the whole fixture span: this test exercises resume, not
+    // eviction (the bounded-state test below uses a short lag)
+    val reg = new graft.streaming.CqRegistry(spark, root, "30 days")
     reg.create("CREATE CONTINUOUS QUERY cq_test ON graft BEGIN " +
       "SELECT count(value) AS n INTO daily FROM events GROUP BY time(1d) END")
     val events = Tables.load(spark, sf, "events")
       .select(col("ts").as("time"), col("event_type"), col("value"))
-    val batchA = events.filter(pmod(col("value").cast("long"), lit(2)) === 0)
-    val batchB = events.filter(pmod(col("value").cast("long"), lit(2)) === 1)
+    // a TIME split, as a live tail produces: run 2's input is newer than
+    // run 1's (update-mode CQs drop input older than the watermark lag —
+    // InfluxDB's own CQ contract; old backfill is a manual batch INTO)
+    val cut = events.agg(
+      to_timestamp(date_format(
+        timestamp_micros(((unix_micros(min(col("time"))) +
+          unix_micros(max(col("time")))) / 2).cast("long")), "yyyy-MM-dd")))
+      .head.getTimestamp(0)
+    val batchA = events.filter(col("time") < lit(cut))
+    val batchB = events.filter(col("time") >= lit(cut))
     def stream = spark.readStream.schema(events.schema).parquet(landing)
     // run 1: only batch A is on the landing dir
     batchA.write.mode("append").parquet(landing)
@@ -161,7 +171,8 @@ class IngestStoreStreamSpec extends SparkTestBase {
     reg.run("cq_test", stream)
     assert(reg.lastRunInputRows == batchB.count(),
       s"reprocessed: read ${reg.lastRunInputRows}, new rows ${batchB.count()}")
-    // and the maintained result now covers both batches
+    // and the maintained result now covers both batches: run 2 merged only
+    // its changed buckets, run 1's untouched buckets survived in the dir
     val out2 = spark.read.parquet(s"$root/graft/daily")
     assert(out2.agg(sum("n")).head.getLong(0) == events.count())
     // management surface: duplicate create and unknown drop fail loudly
@@ -172,6 +183,58 @@ class IngestStoreStreamSpec extends SparkTestBase {
     assert(reg.statement("SHOW CONTINUOUS QUERIES").count() == 1)
     reg.statement("DROP CONTINUOUS QUERY cq_test")
     assert(reg.statement("SHOW CONTINUOUS QUERIES").count() == 0)
+  }
+
+  test("CQ registry: watermark bounds state to open windows, not history") {
+    val root = Files.createTempDirectory("cq_state").toString
+    val landing = Files.createTempDirectory("cq_state_landing").toString
+    // short lag: after draining days of history, only windows within the
+    // lag of max event time may hold state — everything older is evicted
+    val reg = new graft.streaming.CqRegistry(spark, root, "1 hour")
+    reg.create("CREATE CONTINUOUS QUERY cq_bounded ON graft BEGIN " +
+      "SELECT count(value) AS n INTO hourly FROM events GROUP BY time(1h) END")
+    val events = Tables.load(spark, sf, "events")
+      .select(col("ts").as("time"), col("value"))
+    events.write.mode("append").parquet(landing)
+    val out = reg.run("cq_bounded",
+      spark.readStream.schema(
+        spark.read.parquet(landing).schema).parquet(landing))
+    val windows = out.select("time").distinct().count()
+    assert(windows > 24, s"fixture too small: $windows hourly windows")
+    // every window was emitted (single-batch drain: nothing was late)...
+    assert(out.count() == windows)
+    // ...but state retains only the open tail, not all of history
+    assert(reg.lastRunStateRows >= 0)
+    assert(reg.lastRunStateRows <= 3,
+      s"state not evicted: ${reg.lastRunStateRows} rows for $windows windows")
+  }
+
+  test("CQ registry: per-database namespace and empty-first-run result") {
+    val root = Files.createTempDirectory("cq_ns").toString
+    val reg = new graft.streaming.CqRegistry(spark, root, "30 days")
+    def mk(db: String) =
+      s"CREATE CONTINUOUS QUERY cq_dup ON $db BEGIN " +
+        "SELECT count(value) AS n INTO daily FROM events GROUP BY time(1d) END"
+    // same name on two databases is two CQs, as in InfluxDB
+    reg.create(mk("dbA"))
+    reg.create(mk("dbB"))
+    assert(reg.show.count() == 2)
+    // a bare drop of an ambiguous name fails loudly; ON scopes it
+    intercept[IllegalArgumentException](reg.drop("cq_dup"))
+    reg.statement("DROP CONTINUOUS QUERY cq_dup ON dbA")
+    assert(reg.show.select("db").head.getString(0) == "dbB")
+    // first run over an EMPTY source: no output dir is written, and the
+    // result is an empty frame with the aggregate schema, not an error
+    val landing = Files.createTempDirectory("cq_empty_landing").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("time",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    val out = reg.run("cq_dup",
+      spark.readStream.schema(schema).parquet(landing))
+    assert(out.isEmpty)
+    assert(out.columns.toSeq == Seq("n", "time"))
   }
 
   test("byte-budget retention: plan matches on-disk sizes, drops oldest") {
