@@ -51,12 +51,19 @@ class Graft(val spark: SparkSession) {
   def register(db: String, measurement: String, df: DataFrame): Unit =
     catalog.register(db, measurement, df)
 
-  /** Run one InfluxQL statement — the whole dialect: SELECT (aggregates,
+  /** Run InfluxQL statement text — the whole dialect: SELECT (aggregates,
     * fills, tz, transforms, subqueries, INTO, FROM lists/regex), SHOW
     * discovery and cardinality, database/retention DDL, and CONTINUOUS
-    * QUERY management. `now` pins now()-relative bounds for tests. */
-  def statement(q: String, now: Option[String] = None): DataFrame =
-    catalog.statement(q, now)
+    * QUERY management. A `;`-separated BATCH (what the InfluxDB CLI and
+    * client libraries send) runs each statement in order through the
+    * catalog and returns the LAST result frame, CLI-style; `now` pins
+    * now()-relative bounds for tests. */
+  def statement(q: String, now: Option[String] = None): DataFrame = {
+    val stmts = Graft.splitStatements(q)
+    if (stmts.isEmpty)
+      throw new IllegalArgumentException(s"empty statement: $q")
+    stmts.map(catalog.statement(_, now)).last
+  }
 }
 
 /** Session-level helpers: one call builds a session with every config the
@@ -71,6 +78,48 @@ class Graft(val spark: SparkSession) {
 object Graft {
 
   def apply(spark: SparkSession): Graft = new Graft(spark)
+
+  /** Split a statement batch on `;` at paren depth 0, outside single- and
+    * double-quoted runs (`'a;b'` string literals and `"a;b"` identifiers
+    * stay whole). Trailing/empty statements drop, so `SELECT 1;` is one
+    * statement, not two. */
+  private[graft] def splitStatements(q: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var depth = 0
+    var inSingle = false
+    var inDouble = false
+    q.foreach {
+      case '\'' if !inDouble => inSingle = !inSingle; sb += '\''
+      case '"' if !inSingle => inDouble = !inDouble; sb += '"'
+      case '(' if !inSingle && !inDouble => depth += 1; sb += '('
+      case ')' if !inSingle && !inDouble => depth -= 1; sb += ')'
+      case ';' if depth == 0 && !inSingle && !inDouble =>
+        out += sb.toString; sb.clear()
+      case ch => sb += ch
+    }
+    val parts = (out += sb.toString).result().map(_.trim).filter(_.nonEmpty)
+    // re-join CQ bodies: `CREATE CONTINUOUS QUERY ... BEGIN <select>; END`
+    // legitimately carries a `;` inside BEGIN...END
+    val beginRe = """(?i)\bBEGIN\b""".r
+    val endRe = """(?i)\bEND\s*$""".r
+    val merged = Seq.newBuilder[String]
+    var acc: Option[String] = None
+    parts.foreach { p =>
+      acc match {
+        case Some(a) =>
+          val joined = s"$a; $p"
+          if (endRe.findFirstIn(p).isDefined) { merged += joined; acc = None }
+          else acc = Some(joined)
+        case None =>
+          if (beginRe.findFirstIn(p).isDefined && endRe.findFirstIn(p).isEmpty)
+            acc = Some(p)
+          else merged += p
+      }
+    }
+    acc.foreach(merged += _)
+    merged.result()
+  }
 
   /** Build (or reuse) a configured session. `shufflePartitions` defaults
     * to the core count — the local-mode analog of sizing partitions to

@@ -45,10 +45,13 @@ object InfluxQL {
   final case class Raw(name: String, alias: Option[String]) extends Field
   final case class Agg(fn: String, field: String, alias: Option[String],
     arg: Option[Double] = None) extends Field
-  /** A series transform over a bucketed aggregate (derivative, difference,
-    * moving_average, cumulative_sum); `arg` is the unit duration (`1h`) or
-    * window size, kept as written for print round-trip. */
-  final case class Transform(fn: String, inner: Agg, arg: Option[String],
+  /** A series transform (derivative, difference, moving_average,
+    * cumulative_sum) over either a bucketed aggregate (`derivative(mean(v),
+    * 1h)` with GROUP BY time()) or the RAW per-series points
+    * (`derivative(v)` — the Grafana rate-panel shape, no GROUP BY time());
+    * `inner` is an [[Agg]] or a [[Raw]] accordingly. `arg` is the unit
+    * duration (`1h`) or window size, kept as written for print round-trip. */
+  final case class Transform(fn: String, inner: Field, arg: Option[String],
     alias: Option[String]) extends Field
   /** top(f, n) / bottom(f, n) — n extreme points with their event times. */
   final case class Selector(fn: String, field: String, n: Int,
@@ -296,7 +299,12 @@ object InfluxQL {
           fail(q, s"$fn cannot wrap ${a.fn}()")
         case a: Agg if a.alias.isEmpty => a
         case _: Agg => fail(q, s"no AS alias inside $fn(...)")
-        case _ => fail(q, s"$fn requires an aggregate argument")
+        // a bare field: the raw-series form (per-series lag over raw
+        // points); whether it pairs legally with the GROUP BY is checked
+        // at translation, where the bucket spec is known
+        case r: Raw if r.alias.isEmpty && r.name != "*" => r
+        case _: Raw => fail(q, s"no AS alias inside $fn(...)")
+        case _ => fail(q, s"$fn requires an aggregate or field argument")
       }
       val fnl = fn.toLowerCase
       if (fnl == "moving_average" && !arg.exists(_.forall(_.isDigit)))
@@ -336,7 +344,10 @@ object InfluxQL {
   /** Pull a `FROM (SELECT ...)` subquery out of `q`: returns the outer text
     * with the parenthesized block replaced by a placeholder measurement,
     * plus the inner text. The scan finds the first depth-0 `FROM (` token,
-    * so select-item parens (percentile, transforms) don't confuse it. */
+    * so select-item parens (percentile, transforms) don't confuse it.
+    * Arbitrary nesting depth works because the inner text goes back through
+    * [[parse]], which extracts ITS subquery in turn (oracle-gated at depth
+    * 2 by `influxql_subquery_nested`). */
   private def extractSub(q: String): (String, Option[String]) = {
     val m = """(?i)\bFROM\s*\(""".r.findFirstMatchIn(q)
     m match {
@@ -470,7 +481,12 @@ object InfluxQL {
       case Elapsed(n, arg, _) => s"elapsed($n${arg.map(", " + _).getOrElse("")})"
       case Integral(n, arg, _) => s"integral($n${arg.map(", " + _).getOrElse("")})"
       case Transform(fn, inner, arg, _) =>
-        s"$fn(${f(inner.copy(alias = None))}${arg.map(", " + _).getOrElse("")})"
+        val bareIn: Field = inner match {
+          case r: Raw => r.copy(alias = None)
+          case a: Agg => a.copy(alias = None)
+          case other => other
+        }
+        s"$fn(${f(bareIn)}${arg.map(", " + _).getOrElse("")})"
       case BinOp(l, op, r, _) =>
         def bare(x: Field): Field = x match {
           case rr: Raw => rr.copy(alias = None)
@@ -739,24 +755,51 @@ object InfluxQL {
     }
   }
 
-  /** Series transforms: aggregate into buckets, then one window pass per
-    * tag partition (the shuffle is shared with the aggregation's). Leading
-    * rows with no defined value (no previous point / incomplete moving
-    * window) are dropped, as InfluxDB drops them; non_negative_derivative
-    * additionally drops negative rates. */
+  /** Series transforms, in two shapes sharing one window pass:
+    *
+    *  - aggregate inner + GROUP BY time(): aggregate into buckets, then
+    *    lag/frame windows per tag partition (the shuffle is shared with
+    *    the aggregation's);
+    *  - RAW inner, no GROUP BY time(): the same windows directly over the
+    *    raw points per series — `SELECT derivative(value) FROM flow`, the
+    *    Grafana rate-panel shape (and the reference's own hot-intake rate
+    *    math is exactly a raw-series lag). Ties on time order by the input
+    *    values so the lag is engine-deterministic.
+    *
+    * Leading rows with no defined value (no previous point / incomplete
+    * moving window) are dropped, as InfluxDB drops them;
+    * non_negative_derivative additionally drops negative rates. */
   private def runTransforms(base: DataFrame, p: Query,
     transforms: Seq[Transform], q: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
-    if (p.timeBucket.isEmpty)
-      fail(q, "transform functions require GROUP BY time()")
-    val keys = winCol(p).as("w") +: p.groupTags.map(col)
-    val inner = transforms.zipWithIndex.map { case (t, i) =>
-      aggCol(t.inner).as(s"__in$i")
+    val rawInner = transforms.forall(_.inner.isInstanceOf[Raw])
+    if (!rawInner && !transforms.forall(_.inner.isInstanceOf[Agg]))
+      fail(q, "cannot mix raw-field and aggregate transform arguments")
+    if (!rawInner && p.timeBucket.isEmpty)
+      fail(q, "aggregate transform arguments require GROUP BY time()")
+    if (rawInner && p.timeBucket.nonEmpty)
+      fail(q, "GROUP BY time() requires an aggregate transform argument")
+    val agged = if (rawInner) {
+      // one row per raw point, inner fields projected for the windows
+      val ins = transforms.zipWithIndex.map { case (t, i) =>
+        col(t.inner.asInstanceOf[Raw].name).as(s"__in$i")
+      }
+      base.select((col("time") +: p.groupTags.map(col)) ++ ins: _*)
+    } else {
+      val keys = winCol(p).as("w") +: p.groupTags.map(col)
+      val inner = transforms.zipWithIndex.map { case (t, i) =>
+        aggCol(t.inner.asInstanceOf[Agg]).as(s"__in$i")
+      }
+      base.groupBy(keys: _*).agg(inner.head, inner.tail: _*)
+        .withColumn("time", col("w.start")).drop("w")
     }
-    val agged = base.groupBy(keys: _*).agg(inner.head, inner.tail: _*)
-      .withColumn("time", col("w.start")).drop("w")
-    val w = Window.partitionBy(p.groupTags.map(col): _*).orderBy(col("time"))
+    // bucketed rows are unique on (tags, time); raw points may tie on time,
+    // so the raw path breaks ties by the input values
+    val ordCols =
+      if (rawInner) col("time") +: transforms.indices.map(i => col(s"__in$i"))
+      else Seq(col("time"))
+    val w = Window.partitionBy(p.groupTags.map(col): _*).orderBy(ordCols: _*)
     val outNames = transforms.map(t => t.alias.getOrElse(t.fn))
     if (outNames.distinct.size != outNames.size)
       fail(q, "duplicate transform output names — add AS aliases")
@@ -793,9 +836,13 @@ object InfluxQL {
       .filter(outNames.map(c => col(c).isNotNull).reduce(_ && _))
   }
 
-  /** top/bottom: the N extreme points with their event times. Global form
-    * plans as TakeOrderedAndProject (no full sort); with GROUP BY tags it
-    * is a per-partition rank — one shuffle on the tag key. */
+  /** top/bottom: the N extreme points with their event times, InfluxDB's
+    * (value desc/asc, time asc) tiebreak. Global form plans as
+    * TakeOrderedAndProject (no full sort); with GROUP BY tags — and/or
+    * GROUP BY time(), the per-bucket leaderboard shape — it is a
+    * per-partition rank over (bucket, tags): one shuffle on the partition
+    * key, ranks pruned before any further work. The emitted rows keep the
+    * points' OWN timestamps, as InfluxDB emits them. */
   private def runSelector(base: DataFrame, p: Query, sel: Selector): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val v = col(sel.field)
@@ -803,7 +850,14 @@ object InfluxQL {
       if (sel.fn == "top") Seq(v.desc, col("time").asc)
       else Seq(v.asc, col("time").asc)
     val out = sel.alias.getOrElse(sel.fn)
-    if (p.groupTags.isEmpty)
+    if (p.timeBucket.nonEmpty) {
+      val wB = Window
+        .partitionBy(col("__b") +: p.groupTags.map(col): _*).orderBy(ord: _*)
+      base.withColumn("__b", winCol(p).getField("start"))
+        .withColumn("__rn", row_number().over(wB))
+        .filter(col("__rn") <= sel.n)
+        .select((col("time") +: p.groupTags.map(col)) :+ v.as(out): _*)
+    } else if (p.groupTags.isEmpty)
       base.orderBy(ord: _*).limit(sel.n).select(col("time"), v.as(out))
     else {
       val w = Window.partitionBy(p.groupTags.map(col): _*).orderBy(ord: _*)
@@ -1001,8 +1055,6 @@ object InfluxQL {
     }
     if (sels.nonEmpty) {
       if (p.fields.size != 1) fail(q, "top/bottom must be the only select item")
-      if (p.timeBucket.nonEmpty)
-        fail(q, "top/bottom with GROUP BY time() is unsupported")
       return applyLimit(runSelector(base, p, sels.head), p)
     }
     if (transforms.nonEmpty) {
@@ -1165,6 +1217,13 @@ object InfluxQL {
           spineEnd,
           step)).as("time"))
     }
+    // spine × distinct tag sets is output-sized — inherent to densify
+    // (every emitted row exists in the result). At EXTREME series
+    // cardinality (millions of tag sets × long spines) the materialized
+    // cross product should instead be produced per series — range-join the
+    // spine against each series' [first, last] bucket span — so no executor
+    // ever holds the full grid; the fixture-scale shapes here never
+    // approach that regime.
     val keyed =
       if (p.groupTags.isEmpty) spine
       else spine.crossJoin(base.select(p.groupTags.map(col): _*).distinct())
@@ -1310,8 +1369,11 @@ object InfluxQL {
             df.schema(key).dataType ==
               org.apache.spark.sql.types.StringType => df
         }
-        if (having.isEmpty) fail(q, s"no measurement has tag '$key'")
-        having.map(df => df.select(lit(key).as("key"),
+        // unknown tag key → EMPTY result, as InfluxDB answers (a Grafana
+        // variable query with a mistyped key gets an empty dropdown, not
+        // an error — and the WITH KEY IN form already skips silently)
+        if (having.isEmpty) Seq.empty[(String, String)].toDF("key", "value")
+        else having.map(df => df.select(lit(key).as("key"),
             col(key).cast("string").as("value")).distinct())
           .reduce(_ unionByName _).distinct()
           .orderBy(col("value"))

@@ -102,6 +102,14 @@ object InfluxQlOps {
       "(SELECT mean(value) AS mv FROM events GROUP BY time(1d), user_id) " +
       "GROUP BY time(1d)"
 
+  // depth-2 nesting: hourly means -> per-user daily peaks -> daily max
+  private val SubqueryNestedQ =
+    "SELECT max(pk) AS mpk FROM " +
+      "(SELECT max(mv) AS pk FROM " +
+      "(SELECT mean(value) AS mv FROM events GROUP BY time(6h), user_id) " +
+      "GROUP BY time(1d), user_id) " +
+      "GROUP BY time(1d)"
+
   // point pagination: second page of the newest hourly counts
   private val OffsetQ =
     "SELECT count(value) AS n FROM events GROUP BY time(1h) " +
@@ -197,6 +205,19 @@ object InfluxQlOps {
   private val CumSumQ =
     "SELECT cumulative_sum(sum(value)) AS cs FROM events GROUP BY time(1d)"
 
+  // raw-series transforms (no GROUP BY time()): the Grafana rate-panel
+  // shape — per-series lag over RAW points (the reference's hot-intake
+  // interval math, get_hot_intake_interval.py:56-65, is exactly this)
+  private val DerivRawQ =
+    "SELECT derivative(value, 1h) AS rate FROM events " +
+      "WHERE time >= '2024-01-02 00:00:00' AND time < '2024-01-03 00:00:00' " +
+      "GROUP BY event_type"
+
+  private val MovAvgRawQ =
+    "SELECT moving_average(value, 4) AS ma FROM events " +
+      "WHERE time >= '2024-01-02 00:00:00' AND time < '2024-01-03 00:00:00' " +
+      "GROUP BY event_type"
+
   private val FirstLastQ =
     "SELECT first(value) AS fv, last(value) AS lv FROM events " +
       "GROUP BY time(1d), event_type"
@@ -215,6 +236,12 @@ object InfluxQlOps {
 
   private val BottomQ =
     "SELECT bottom(value, 2) AS v FROM events GROUP BY event_type"
+
+  // per-bucket top-N (the dashboard "hottest per hour" panel): top() under
+  // GROUP BY time(), InfluxDB's (value desc, time asc) tiebreak, points
+  // keeping their own timestamps
+  private val TopBucketQ =
+    "SELECT top(value, 3) AS v FROM events GROUP BY time(1d), event_type"
 
   // raw points under GROUP BY tag: the newest 3 points PER SERIES, tags
   // riding along in the flattened output (the series-grouped listing shape)
@@ -372,9 +399,12 @@ object InfluxQlOps {
     "influxql_elapsed" -> run(ElapsedQ) _,
     "influxql_integral" -> run(IntegralQ) _,
     "influxql_subquery" -> run(SubqueryQ) _,
+    "influxql_subquery_nested" -> run(SubqueryNestedQ) _,
     "influxql_offset" -> run(OffsetQ) _,
     "influxql_slimit" -> run(SlimitQ) _,
     "influxql_derivative" -> run(DerivQ) _,
+    "influxql_derivative_raw" -> run(DerivRawQ) _,
+    "influxql_moving_average_raw" -> run(MovAvgRawQ) _,
     "influxql_difference" -> run(DiffQ) _,
     "influxql_moving_average" -> run(MovAvgQ) _,
     "influxql_cumulative_sum" -> run(CumSumQ) _,
@@ -383,6 +413,7 @@ object InfluxQlOps {
     "influxql_percentile" -> run(PercQ) _,
     "influxql_top" -> run(TopQ) _,
     "influxql_bottom_tag" -> run(BottomQ) _,
+    "influxql_top_bucket" -> run(TopBucketQ) _,
     "influxql_group_star" -> run(GroupStarQ) _,
     "influxql_raw_series" -> run(RawSeriesQ) _,
     "influxql_distinct" -> run(DistinctQ) _,
@@ -809,6 +840,18 @@ object InfluxQlOps {
          |SELECT ${sqlBucket("time", 86400)} AS time, MAX(mv) AS peak
          |FROM sub GROUP BY 1
          |${orderAll("time", "peak")}""".stripMargin,
+    "influxql_subquery_nested" ->
+      s"""WITH sub1 AS (
+         |  SELECT ${sqlBucket("CAST(ts AS TIMESTAMP)", 21600)} AS time,
+         |    user_id, ${sqlDavg("value")} AS mv
+         |  FROM events GROUP BY 1, 2),
+         |sub2 AS (
+         |  SELECT ${sqlBucket("time", 86400)} AS time, user_id,
+         |    MAX(mv) AS pk
+         |  FROM sub1 GROUP BY 1, 2)
+         |SELECT ${sqlBucket("time", 86400)} AS time, MAX(pk) AS mpk
+         |FROM sub2 GROUP BY 1
+         |${orderAll("time", "mpk")}""".stripMargin,
     "influxql_offset" ->
       s"""SELECT * FROM (
          |  SELECT ${sqlBucket("CAST(ts AS TIMESTAMP)", 3600)} AS time,
@@ -873,6 +916,35 @@ object InfluxQlOps {
          |  FROM agg WINDOW w AS (ORDER BY time))
          |SELECT time, rate FROM d WHERE rate IS NOT NULL
          |${orderAll("time", "rate")}""".stripMargin,
+    "influxql_derivative_raw" ->
+      s"""WITH f AS (
+         |  SELECT event_type, CAST(ts AS TIMESTAMP) AS time, value
+         |  FROM events
+         |  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-02 00:00:00'
+         |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-03 00:00:00'),
+         |d AS (
+         |  SELECT time, event_type,
+         |    ((value - lag(value) OVER w) * 3600.0) /
+         |      (CAST(epoch_us(time) - lag(epoch_us(time)) OVER w AS DOUBLE) / 1e6)
+         |      AS rate
+         |  FROM f WINDOW w AS (PARTITION BY event_type ORDER BY time, value))
+         |SELECT time, event_type, rate FROM d WHERE rate IS NOT NULL
+         |${orderAll("time", "event_type", "rate")}""".stripMargin,
+    "influxql_moving_average_raw" ->
+      s"""WITH f AS (
+         |  SELECT event_type, CAST(ts AS TIMESTAMP) AS time, value
+         |  FROM events
+         |  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-02 00:00:00'
+         |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-03 00:00:00'),
+         |m AS (
+         |  SELECT time, event_type,
+         |    CASE WHEN COUNT(value) OVER w = 4 THEN
+         |      CAST(SUM(CAST(round(value, 6) AS DECIMAL(38,6))) OVER w AS DOUBLE) / 4
+         |    END AS ma
+         |  FROM f WINDOW w AS (PARTITION BY event_type ORDER BY time, value
+         |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
+         |SELECT time, event_type, ma FROM m WHERE ma IS NOT NULL
+         |${orderAll("time", "event_type", "ma")}""".stripMargin,
     "influxql_difference" ->
       s"""WITH agg AS (
          |  SELECT ${sqlBucket("CAST(ts AS TIMESTAMP)", 86400)} AS time,
@@ -948,6 +1020,16 @@ object InfluxQlOps {
          |    ceil(0.5 * COUNT(value))) AS INT)] AS med
          |FROM events GROUP BY 1
          |${orderAll("time", "p90", "med")}""".stripMargin,
+    "influxql_top_bucket" ->
+      s"""WITH r AS (
+         |  SELECT CAST(ts AS TIMESTAMP) AS time, event_type, value,
+         |    ROW_NUMBER() OVER (
+         |      PARTITION BY ${sqlBucket("CAST(ts AS TIMESTAMP)", 86400)},
+         |        event_type
+         |      ORDER BY value DESC, CAST(ts AS TIMESTAMP) ASC) AS rn
+         |  FROM events)
+         |SELECT time, event_type, value AS v FROM r WHERE rn <= 3
+         |${orderAll("time", "event_type", "v")}""".stripMargin,
     "influxql_top" ->
       s"""SELECT * FROM (
          |  SELECT CAST(ts AS TIMESTAMP) AS time, value AS v FROM events

@@ -355,9 +355,18 @@ class MeasurementStore(spark: SparkSession, root: String) {
       def p(n: String) = new org.apache.hadoop.fs.Path(rootPath, n)
       val tmpDay = new org.apache.hadoop.fs.Path(tmpRoot, s"day=$d")
       if (fs.exists(tmpDay)) {
-        fs.rename(tmpDay, p(s".compact_$d"))
-        fs.rename(p(s"day=$d"), p(s".old_$d"))
-        fs.rename(p(s".compact_$d"), p(s"day=$d"))
+        // clear stale swap artifacts first — Hadoop rename onto an
+        // existing directory either fails or nests the source inside it —
+        // and assert each rename so a failed swap surfaces instead of
+        // silently corrupting the day layout
+        if (fs.exists(p(s".compact_$d"))) fs.delete(p(s".compact_$d"), true)
+        if (fs.exists(p(s".old_$d"))) fs.delete(p(s".old_$d"), true)
+        require(fs.rename(tmpDay, p(s".compact_$d")),
+          s"rename failed: $tmpDay -> .compact_$d")
+        require(fs.rename(p(s"day=$d"), p(s".old_$d")),
+          s"rename failed: day=$d -> .old_$d")
+        require(fs.rename(p(s".compact_$d"), p(s"day=$d")),
+          s"rename failed: .compact_$d -> day=$d")
         fs.delete(p(s".old_$d"), true)
       } else {
         // every row of the day failed `keep`
@@ -432,10 +441,21 @@ class MeasurementStore(spark: SparkSession, root: String) {
             .foreach { s =>
               val day = s.getPath.getName.stripPrefix("day=")
               val live = p(s"day=$day")
-              fs.rename(s.getPath, p(s".compact_$day"))
-              if (fs.exists(live)) fs.rename(live, p(s".old_$day"))
-              fs.rename(p(s".compact_$day"), live)
-              fs.delete(p(s".old_$day"), true)
+              val stage = p(s".compact_$day")
+              val old = p(s".old_$day")
+              // a crash can leave stale .compact_/.old_ twins of the same
+              // day (the outer listing's case order is unspecified) —
+              // clear them before renaming, and assert every rename:
+              // Hadoop rename onto an existing dir fails or nests
+              if (fs.exists(stage)) fs.delete(stage, true)
+              require(fs.rename(s.getPath, stage),
+                s"rename failed: ${s.getPath} -> $stage")
+              if (fs.exists(live)) {
+                if (fs.exists(old)) fs.delete(old, true)
+                require(fs.rename(live, old), s"rename failed: $live -> $old")
+              }
+              require(fs.rename(stage, live), s"rename failed: $stage -> $live")
+              fs.delete(old, true)
             }
         }
         // crash before the job finished (no _SUCCESS): live days are

@@ -55,7 +55,11 @@ class InfluxQlSpec extends SparkTestBase {
         Gen.zip(Gen.oneOf("difference", "non_negative_difference",
           "cumulative_sum"), Gen.const(Option.empty[String])))
       a <- Gen.option(ident)
-    } yield InfluxQL.Transform(fnArg._1, inner, fnArg._2, a)
+      // raw-series form: a bare field inner round-trips too
+      raw <- Gen.oneOf(true, false)
+      in2 <- if (raw) ident.map(InfluxQL.Raw(_, None): InfluxQL.Field)
+      else Gen.const(inner: InfluxQL.Field)
+    } yield InfluxQL.Transform(fnArg._1, in2, fnArg._2, a)
     val rawArg = Gen.option(Gen.zip(Gen.chooseNum(1, 60),
       Gen.oneOf("s", "m", "h")).map { case (n, u) => s"$n$u" })
     val elapsed = Gen.zip(ident, rawArg, Gen.option(ident))
@@ -788,6 +792,33 @@ class InfluxQlSpec extends SparkTestBase {
     OpCaches.releaseAll()
   }
 
+  test("Graft facade: multi-statement batch (CLI parity)") {
+    val g = Graft(spark)
+    val m = Tables.load(spark, sf, "events").withColumnRenamed("ts", "time")
+    g.statement("CREATE DATABASE batchdb")
+    g.register("batchdb", "m", m)
+    // a CLI-style batch: each statement runs in order, the LAST result
+    // comes back (USE switches the current db before the SELECT resolves)
+    val out = g.statement(
+      "USE batchdb; SELECT count(value) AS n FROM m GROUP BY time(1d)")
+    assert(out.count() > 0)
+    // a ';' inside a string literal does not split
+    assert(g.statement(
+      "SELECT count(value) AS n FROM m WHERE event_type != 'a;b' " +
+        "GROUP BY time(1d)").count() > 0)
+    // a ';' before END stays inside the CQ body, and the batch continues
+    // past it: CREATE CQ then SHOW in one round trip
+    val cqs = g.statement(
+      "CREATE CONTINUOUS QUERY cq_batch ON batchdb BEGIN " +
+        "SELECT count(value) AS n INTO t FROM m GROUP BY time(1d); END; " +
+        "SHOW CONTINUOUS QUERIES")
+    assert(cqs.select("name").collect().map(_.getString(0)).toSeq
+      == Seq("cq_batch"))
+    // empty batches fail loudly
+    intercept[IllegalArgumentException](g.statement(" ; ; "))
+    OpCaches.releaseAll()
+  }
+
   test("measurement catalog: create/use/drop database lifecycle") {
     val m = Tables.load(spark, sf, "events").withColumnRenamed("ts", "time")
     val cat = new graft.influxql.MeasurementCatalog(spark)
@@ -889,5 +920,11 @@ class InfluxQlSpec extends SparkTestBase {
     // a pattern matching no tag key fails loudly rather than returning junk
     intercept[IllegalArgumentException](InfluxQL.runMeta(spark, cat,
       "SHOW TAG VALUES FROM events WITH KEY =~ /zzz/"))
+    // the FROM-less (catalog-wide) form with an unknown key answers EMPTY,
+    // as InfluxDB does — a mistyped Grafana variable gets an empty
+    // dropdown, not an error
+    val none = InfluxQL.runMeta(spark, cat,
+      "SHOW TAG VALUES WITH KEY = nosuchkey")
+    assert(none.isEmpty && none.columns.toSeq == Seq("key", "value"))
   }
 }
