@@ -71,4 +71,15 @@ object Tables {
   /** DuckDB twin of [[davg]]. */
   def sqlDavg(expr: String): String =
     s"CAST(SUM(CAST(($expr) AS DECIMAL(38,6))) AS DOUBLE) / COUNT($expr)"
+
+  /** Lineage cut for iterative plans (the CC dedup loop, Lloyd rounds):
+    * reliable `checkpoint()` when the context has a checkpoint dir set —
+    * blocks land on the shared FS and survive executor loss, the cluster
+    * deployment mode — else `localCheckpoint()`, whose executor-local
+    * blocks are fine single-node but are lost (and fail the job) when an
+    * executor dies mid-iteration. Both are eager, so the downstream plan
+    * sees a short LogicalRDD either way. */
+  def lineageCut(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
 }

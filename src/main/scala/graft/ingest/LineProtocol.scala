@@ -1,0 +1,101 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** InfluxDB line-protocol parser (SURVEY.md §2.1): the reference's write
+  * path is `write_points(..., protocol='line')` (loader.py:171-181,
+  * transfer_manager.py:140-142) — text lines shaped
+  *
+  * {{{ measurement,tag1=v1,tag2=v2 field1=1.5,field2=42i,ok=true 1704067200000000000 }}}
+  *
+  * re-expressed as ONE declarative plan (no UDFs, no per-partition code):
+  * sentinel-rewrite the `\ ` / `\,` / `\=` escapes, regex-split the three
+  * sections, `str_to_map` the tag set, explode the field set, and type
+  * each field value by its line-protocol lexical form. Output is LONG
+  * format — one row per (point, field) with exactly one of
+  * `f_double`/`f_long`/`f_str`/`f_bool` set — which is the shape a store
+  * append pivots or filters from. Unparseable lines surface as
+  * `is_bad = true` (the quarantine-channel convention the CSV ingest
+  * uses, loader.py:48-66) instead of failing the scan.
+  *
+  * Scale: a line is parsed entirely within its own row — the plan is a
+  * stateless projection + one explode, fully codegen'd, splittable across
+  * whatever file parallelism the source provides. Quoted string fields
+  * may not contain spaces (the section split is a regex, not a scanner);
+  * such lines land in the quarantine channel loudly rather than parsing
+  * wrong.
+  */
+object LineProtocol {
+
+  // single-char sentinels for the escapable characters; restored after the
+  // structural splits so tag/field names and values keep the raw chars
+  private val EscSpace = "\u0001"
+  private val EscComma = "\u0002"
+  private val EscEq = "\u0003"
+
+  private val LineRe = "^([^ ]+) ([^ ]+)( [0-9]+)?[ ]*$"
+
+  private def restore(c: Column): Column =
+    translate(c, EscSpace + EscComma + EscEq, " ,=")
+
+  /** Parse a frame with a `line` string column (extra columns ride along).
+    * Returns one row per (point, field): measurement, tags (map), time
+    * (null when the line has no timestamp — the caller supplies receive
+    * time, as InfluxDB's server does), field_key, the four typed value
+    * columns, and `is_bad`. */
+  def parseLines(lines: DataFrame): DataFrame = {
+    val sent = lines
+      .filter(length(trim(col("line"))) > 0 && !col("line").startsWith("#"))
+      .withColumn("__l",
+        regexp_replace(regexp_replace(regexp_replace(col("line"),
+          "\\\\ ", EscSpace), "\\\\,", EscComma), "\\\\=", EscEq))
+      .withColumn("__mt", regexp_extract(col("__l"), LineRe, 1))
+      .withColumn("__fs", regexp_extract(col("__l"), LineRe, 2))
+      .withColumn("__ts", trim(regexp_extract(col("__l"), LineRe, 3)))
+    val shaped = sent
+      .withColumn("measurement", restore(substring_index(col("__mt"), ",", 1)))
+      .withColumn("tags", expr(
+        "CASE WHEN instr(__mt, ',') > 0 THEN " +
+          "str_to_map(substring(__mt, instr(__mt, ',') + 1), ',', '=') " +
+          "ELSE map() END"))
+      // the structural split is done — put the escaped chars back into
+      // tag keys and values
+      .withColumn("tags", transform_values(
+        transform_keys(col("tags"), (k, _) => restore(k)),
+        (_, v) => restore(v)))
+      .withColumn("time", expr(
+        "CASE WHEN __ts != '' THEN " +
+          "timestamp_micros(try_cast(__ts AS BIGINT) DIV 1000) END"))
+      .withColumn("__badLine", col("__mt") === "" || col("__fs") === "")
+    val fields = shaped
+      .withColumn("__f", explode(split(col("__fs"), ",")))
+      .withColumn("field_key",
+        restore(substring_index(col("__f"), "=", 1)))
+      .withColumn("__v", expr(
+        "substring(__f, length(substring_index(__f, '=', 1)) + 2)"))
+    val typed = fields
+      .withColumn("f_str", when(col("__v").rlike("^\".*\"$"),
+        restore(regexp_replace(
+          expr("substring(__v, 2, length(__v) - 2)"), "\\\\\"", "\""))))
+      .withColumn("f_long", when(col("__v").rlike("^-?[0-9]+i$"),
+        expr("try_cast(substring(__v, 1, length(__v) - 1) AS BIGINT)")))
+      .withColumn("f_bool", when(col("__v").rlike("^(?i)(t|true|f|false)$"),
+        lower(col("__v")).startsWith("t")))
+      .withColumn("f_double",
+        when(col("f_str").isNull && col("f_long").isNull &&
+          col("f_bool").isNull, expr("try_cast(__v AS DOUBLE)")))
+    typed
+      .withColumn("is_bad", col("__badLine") ||
+        (col("f_str").isNull && col("f_long").isNull &&
+          col("f_bool").isNull && col("f_double").isNull) ||
+        (col("__ts") =!= "" && col("time").isNull))
+      .drop("__l", "__mt", "__fs", "__ts", "__f", "__v", "__badLine")
+  }
+
+  /** Restore the tag map into flat columns for a known tag set — the
+    * store-append shape (tags are columns in the measurement layout). */
+  def tagCols(df: DataFrame, tagKeys: Seq[String]): DataFrame =
+    tagKeys.foldLeft(df)((d, k) =>
+      d.withColumn(k, element_at(col("tags"), k)))
+}

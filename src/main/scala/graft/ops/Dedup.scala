@@ -246,20 +246,22 @@ object Dedup {
     // cache the pair list BEFORE the symmetric union: both union branches
     // (and every propagation round) read it, and without the cache each
     // reference replays the whole shingle/posting/verify pipeline
-    // localCheckpoint, NOT cache: every round's plan references the
+    // a lineage CUT (Tables.lineageCut: reliable checkpoint when a
+    // checkpoint dir is set, localCheckpoint otherwise), NOT cache: every
+    // round's plan references the
     // previous round's frame several times, so without lineage TRUNCATION
     // the final plan re-expands each reference and the un-hit cache lets
     // the Jaccard pipeline replay ~2^rounds times (measured: 205s → 11s at
     // sf0.1). Checkpointed frames are LogicalRDDs — no history to replay.
     val pairs = jaccardPairs(spark, dir).select(col("id_a"), col("id_b"))
-      .localCheckpoint()
+      .transform(lineageCut)
     totalOrder(clusterSurvivorship(spark, pairs, "doc_id"))
   }
 
   /** Min-id connected components + survivorship columns over an
     * (id_a, id_b) pair frame — the shared second half of every dedup
     * family (pair emission alone doesn't say which rows to keep). Pairs
-    * MUST be lineage-cut (localCheckpoint) by the caller. Returns
+    * MUST be lineage-cut ([[graft.Tables.lineageCut]]) by the caller. Returns
     * (<idName>, canonical_id, cluster_size, is_survivor), unsorted. */
   private def clusterSurvivorship(spark: SparkSession, pairs: DataFrame,
     idName: String): DataFrame = {
@@ -272,9 +274,9 @@ object Dedup {
     try {
     val sym = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .unionAll(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
-      .localCheckpoint()
+      .transform(lineageCut)
     var labels = sym.select(col("a").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint()
+      .withColumn("lbl", col("id")).transform(lineageCut)
     var changed = 1L
     while (changed > 0) {
       val nbrMin = sym.join(labels, sym("b") === labels("id"))
@@ -294,7 +296,7 @@ object Dedup {
           prop.select(col("id").as("jid"), col("lbl").as("jlbl")),
           col("lbl") === col("jid"))
         .select(col("id"), col("prev"), least(col("lbl"), col("jlbl")).as("lbl"))
-        .localCheckpoint()
+        .transform(lineageCut)
       changed = next.filter(col("lbl") =!= col("prev")).count()
       labels = next.select(col("id"), col("lbl"))
     }
@@ -317,7 +319,7 @@ object Dedup {
   def dedupEmbcosClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = dedupEmbcos(spark, dir)
       .select(col("canonical_id").as("id_a"), col("dup_id").as("id_b"))
-      .localCheckpoint()
+      .transform(lineageCut)
     totalOrder(clusterSurvivorship(spark, pairs, "vec_id"))
   }
 

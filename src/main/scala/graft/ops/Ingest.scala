@@ -196,6 +196,49 @@ object Ingest {
       .toDF("fname", "n_rows", "archived"))
   }
 
+  /** Write the line-protocol landing file the reference's write path emits
+    * (`write_points(..., protocol='line')`, loader.py:171-181): one point
+    * per pulse-slice row with a float and an integer field, plus fixed
+    * lines covering measurement/tag escapes, string and boolean fields, a
+    * timestamp-less point, a comment, and a malformed line for the
+    * quarantine channel. */
+  private[graft] def writeLineProtoFile(spark: SparkSession, dir: String,
+    target: Path): Unit = {
+    val rows = pulseSlice(spark, dir)
+      .select(col("user_id"), col("ts"), col("value")).collect()
+      .sortBy(r => (r.getLong(0), r.getTimestamp(1).getTime))
+    val pts = rows.map { r =>
+      val u = r.getLong(0)
+      val inst = r.getTimestamp(1).toInstant
+      val ns = inst.getEpochSecond * 1000000000L + inst.getNano
+      s"pulses,siteID=${100 + u},meterID=${300 + u} " +
+        s"value=${r.getDouble(2)},count=${math.floor(r.getDouble(2)).toLong}i $ns"
+    }
+    val extras = Seq(
+      "pul\\ ses,siteID=esc\\ aped,meterID=m\\=1 " +
+        "note=\"qc\\\"d\",ok=true 1704067200000000000",
+      "pulses,siteID=101,meterID=301 value=1.5",
+      "# a comment",
+      "pulses nofieldshere 123")
+    writeFile(target, "points.lp", (pts ++ extras).mkString("\n") + "\n")
+  }
+
+  /** lineproto_ingest: drain the landing file through the declarative
+    * [[graft.ingest.LineProtocol]] parse — good (point, field) rows come
+    * back flat; the malformed line rides the is_bad quarantine channel
+    * (spec-gated), mirroring the CSV dead-letter convention. */
+  def lineprotoIngest(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("lineproto")
+    writeLineProtoFile(spark, dir, tmp)
+    val lines = spark.read.text(tmp.toString).withColumnRenamed("value", "line")
+    val parsed = graft.ingest.LineProtocol.tagCols(
+      graft.ingest.LineProtocol.parseLines(lines), Seq("siteID", "meterID"))
+    totalOrder(parsed.filter(!col("is_bad"))
+      .select(col("measurement"), col("siteID"), col("meterID"), col("time"),
+        col("field_key"), col("f_double"), col("f_long"), col("f_str"),
+        col("f_bool")))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -204,7 +247,8 @@ object Ingest {
     "sink_quarantine" -> sinkQuarantine,
     "source_http_upload" -> sourceHttpUpload,
     "source_sftp_pull" -> sourceSftpPull,
-    "sink_archive_move" -> sinkArchiveMove)
+    "sink_archive_move" -> sinkArchiveMove,
+    "lineproto_ingest" -> lineprotoIngest)
 
   private val slice =
     """SELECT user_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS t,
@@ -213,6 +257,36 @@ object Ingest {
       |  FROM events WHERE user_id BETWEEN 1 AND 3""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "lineproto_ingest" ->
+      s"""WITH s AS (
+         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS time, value,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      AS rn
+         |  FROM events WHERE user_id BETWEEN 1 AND 3),
+         |p AS (SELECT * FROM s WHERE rn <= 50)
+         |SELECT 'pulses' AS measurement,
+         |  CAST(100 + user_id AS VARCHAR) AS siteID,
+         |  CAST(300 + user_id AS VARCHAR) AS meterID, time,
+         |  'value' AS field_key, value AS f_double,
+         |  CAST(NULL AS BIGINT) AS f_long, CAST(NULL AS VARCHAR) AS f_str,
+         |  CAST(NULL AS BOOLEAN) AS f_bool
+         |FROM p
+         |UNION ALL
+         |SELECT 'pulses', CAST(100 + user_id AS VARCHAR),
+         |  CAST(300 + user_id AS VARCHAR), time, 'count', NULL,
+         |  CAST(floor(value) AS BIGINT), NULL, NULL
+         |FROM p
+         |UNION ALL
+         |SELECT 'pul ses', 'esc aped', 'm=1',
+         |  TIMESTAMP '2024-01-01 00:00:00', 'note', NULL, NULL, 'qc"d', NULL
+         |UNION ALL
+         |SELECT 'pul ses', 'esc aped', 'm=1',
+         |  TIMESTAMP '2024-01-01 00:00:00', 'ok', NULL, NULL, NULL, true
+         |UNION ALL
+         |SELECT 'pulses', '101', '301', CAST(NULL AS TIMESTAMP), 'value',
+         |  1.5, NULL, NULL, NULL
+         |${orderAll("measurement", "siteID", "meterID", "time", "field_key",
+           "f_double", "f_long", "f_str", "f_bool")}""".stripMargin,
     "scan_csv_pulses" ->
       s"""WITH s AS ($slice)
          |SELECT CASE WHEN user_id % 2 = 0 THEN 'QCData' ELSE 'RawData' END

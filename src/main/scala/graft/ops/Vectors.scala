@@ -148,10 +148,34 @@ object Vectors {
     * spec. */
   def simKnnIvf(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.GraftFunctions.vecDot
-    val nprobe = 2
     val base = load(spark, dir, "embeddings")
       .withColumn("nrm", sqrt(vecDot(spark, col("embedding"), col("embedding"))))
       .transform(graft.OpCaches.cached)
+    val (c2, lists) = ivfIndex(spark, base)
+    val queries = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val probes = ivfProbes(spark, queries, c2, nprobe = 2)
+    // stage 3: exact search within the probed lists only
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    totalOrder(probes.join(lists, "cid").join(base, "vec_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine",
+        vecDot(spark, col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("rk"), col("cosine")))
+  }
+
+  /** Train the IVF coarse quantizer over `base` (embeddings + nrm, cached
+    * by the caller): k = ⌊√n⌋ id-stride seeds refined by two Lloyd rounds,
+    * exact decimal means. Returns (centroids (cid, cvec, cnrm),
+    * inverted-list membership (vec_id, cid)). Shared by [[simKnnIvf]] and
+    * [[simKnnIvfPq]]. */
+  private def ivfIndex(spark: SparkSession, base: DataFrame): (DataFrame, DataFrame) = {
+    import graft.functions.GraftFunctions.vecDot
     // k = ⌊√n⌋ via seed stride ⌈n/k⌉ over the (dense) id space — counts only,
     // no global sort; at cluster scale this is the sample-seeding analog
     val stride = base.agg(ceil(count(lit(1)) / floor(sqrt(count(lit(1)))))
@@ -186,34 +210,26 @@ object Vectors {
     // referenced by multiple downstream stages (next iteration, probes,
     // final lists) — without lineage truncation the training subtree would
     // re-execute once per reference
-    val c0 = withCnrm(seeds).localCheckpoint()
-    val c1 = withCnrm(update(assign(c0))).localCheckpoint()
-    val c2 = withCnrm(update(assign(c1))).localCheckpoint()
-    val lists = assign(c2) // final inverted-list membership (vec_id, cid)
-    val queries = base.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm"))
-    // stage 2: probe assignment — |Q| × k tiny nested loop, centroids broadcast
+    val c0 = withCnrm(seeds).transform(lineageCut)
+    val c1 = withCnrm(update(assign(c0))).transform(lineageCut)
+    val c2 = withCnrm(update(assign(c1))).transform(lineageCut)
+    (c2, assign(c2)) // final inverted-list membership (vec_id, cid)
+  }
+
+  /** Probe assignment: each query's `nprobe` nearest centroids — a |Q| × k
+    * broadcast nested loop, never the corpus. */
+  private def ivfProbes(spark: SparkSession, queries: DataFrame,
+    c2: DataFrame, nprobe: Int): DataFrame = {
+    import graft.functions.GraftFunctions.vecDot
     val wProbe = Window.partitionBy(col("q_id"))
       .orderBy(col("qc_cos").desc, col("cid"))
-    val probes = queries.crossJoin(broadcast(c2))
+    queries.crossJoin(broadcast(c2))
       .withColumn("qc_cos",
         vecDot(spark, col("q_emb"), col("cvec"))
           / (col("q_nrm") * col("cnrm")))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nprobe)
       .select(col("q_id"), col("q_emb"), col("q_nrm"), col("cid"))
-    // stage 3: exact search within the probed lists only
-    val wRank = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    totalOrder(probes.join(lists, "cid").join(base, "vec_id")
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cosine",
-        vecDot(spark, col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
-      .withColumn("rk", row_number().over(wRank))
-      .filter(col("rk") <= 5)
-      .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        col("rk"), col("cosine")))
   }
 
   private val PqM = 4       // subspaces
@@ -241,13 +257,47 @@ object Vectors {
     * brute-force baseline is asserted in the spec. */
   def simKnnPq(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.GraftFunctions.vecDot
-    def l2(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b,
-        (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
-        lit(0.0), (acc, x) => acc + x)
     val base = load(spark, dir, "embeddings")
       .withColumn("nrm", sqrt(vecDot(spark, col("embedding"), col("embedding"))))
       .transform(graft.OpCaches.cached)
+    val (cb1, codes) = pqIndex(spark, base)
+    val queries = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val dtab = pqDtab(queries, cb1)
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist").asc, col("vec_id"))
+    val cand = codes.join(broadcast(dtab), Seq("m", "cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      // decimal-accumulated: the M per-subspace terms add associatively,
+      // so Spark's partial-agg order and the oracle's agree bit-for-bit
+      .agg(dsum(col("qd2")).as("adist"))
+      .withColumn("ar", row_number().over(wAdc))
+      .filter(col("ar") <= PqRerank)
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    totalOrder(cand.join(base, "vec_id").join(broadcast(queries), "q_id")
+      .withColumn("cosine",
+        vecDot(spark, col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("rk"), col("cosine")))
+  }
+
+  /** Per-subspace squared L2 as an array fold. */
+  private def pqL2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b,
+      (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Train the product quantizer over `base` (embeddings + nrm, cached by
+    * the caller): per-subspace K=[[PqK]] codewords from id-stride seeds +
+    * one Lloyd round, exact decimal means. Returns (codebooks (m, cid,
+    * cvec), codes (vec_id, m, cid) — the M-byte PQ code). Shared by
+    * [[simKnnPq]] and [[simKnnIvfPq]]. */
+  private def pqIndex(spark: SparkSession, base: DataFrame): (DataFrame, DataFrame) = {
     // per-(vector, subspace) slices — the only shape training/encode touch
     val subs = (0 until PqM).map(m =>
         base.select(col("vec_id"), lit(m).as("m"),
@@ -263,36 +313,61 @@ object Vectors {
     // max_by partial-aggregates, so map tasks reduce n·K scored rows locally
     def assign(cb: DataFrame): DataFrame =
       subs.join(broadcast(cb), "m")
-        .withColumn("d2", l2(col("sub"), col("cvec")))
+        .withColumn("d2", pqL2(col("sub"), col("cvec")))
         .groupBy(col("vec_id"), col("m"))
         .agg(max_by(col("cid"), struct(-col("d2"), -col("cid"))).as("cid"))
     val subAgg = org.apache.spark.sql.functions.udaf(
       new graft.functions.GraftFunctions.VecCentroid(PqSub),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
     // one Lloyd update: exact decimal mean of each codeword's members
-    val cb1 = subs.join(assign(cb0.localCheckpoint()), Seq("vec_id", "m"))
+    val cb1 = subs.join(assign(cb0.transform(lineageCut)), Seq("vec_id", "m"))
       .groupBy(col("m"), col("cid"))
       .agg(subAgg(col("sub")).as("cvec"))
-      .localCheckpoint()
-    val codes = assign(cb1) // (vec_id, m, cid): the M-byte PQ code
-    val queries = base.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm"))
-    // ADC tables: |Q|·M·K rows, broadcast to meet the codes map-side
-    val dtab = (0 until PqM).map(m =>
+      .transform(lineageCut)
+    (cb1, assign(cb1))
+  }
+
+  /** ADC tables: |Q|·M·K per-subspace query-to-codeword distances — tiny,
+    * built to be broadcast so the code scan stays map-side. */
+  private def pqDtab(queries: DataFrame, cb1: DataFrame): DataFrame =
+    (0 until PqM).map(m =>
         queries.select(col("q_id"), lit(m).as("m"),
           slice(col("q_emb"), m * PqSub + 1, PqSub).as("qsub")))
       .reduce(_ unionByName _)
       .join(cb1, "m")
       .select(col("q_id"), col("m"), col("cid"),
-        l2(col("qsub"), col("cvec")).as("qd2"))
+        pqL2(col("qsub"), col("cvec")).as("qd2"))
+
+  /** IVF-PQ composition (SURVEY §2.10 — the actual 100 TB serving tier):
+    * [[simKnnPq]]'s ADC scan pruned by [[simKnnIvf]]'s inverted lists. A
+    * query touches only the PQ codes of its nprobe probed lists — scan
+    * cost ≈ (nprobe/√n) corpus fraction × M bytes per vector — with full
+    * floats read only for the exact top-[[PqRerank]] re-rank. Both index
+    * halves are the deterministic trained structures of the standalone
+    * ops, so the DuckDB oracle composes the two CTE chains verbatim;
+    * recall ≥ the IVF tier's is asserted in the spec. */
+  def simKnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.vecDot
+    val base = load(spark, dir, "embeddings")
+      .withColumn("nrm", sqrt(vecDot(spark, col("embedding"), col("embedding"))))
+      .transform(graft.OpCaches.cached)
+    val (c2, lists) = ivfIndex(spark, base)
+    val (cb1, codes) = pqIndex(spark, base)
+    val queries = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val probes = ivfProbes(spark, queries, c2, nprobe = 2)
+      .select(col("q_id"), col("cid"))
+    val dtab = pqDtab(queries, cb1)
+    // ADC scan over the probed lists ONLY: candidate pairs from the
+    // inverted lists, then the M-entry decimal table sum per candidate
     val wAdc = Window.partitionBy(col("q_id"))
       .orderBy(col("adist").asc, col("vec_id"))
-    val cand = codes.join(broadcast(dtab), Seq("m", "cid"))
+    val cand = probes.join(lists, "cid").select(col("q_id"), col("vec_id"))
       .filter(col("vec_id") =!= col("q_id"))
+      .join(codes, "vec_id")
+      .join(broadcast(dtab), Seq("q_id", "m", "cid"))
       .groupBy(col("q_id"), col("vec_id"))
-      // decimal-accumulated: the M per-subspace terms add associatively,
-      // so Spark's partial-agg order and the oracle's agree bit-for-bit
       .agg(dsum(col("qd2")).as("adist"))
       .withColumn("ar", row_number().over(wAdc))
       .filter(col("ar") <= PqRerank)
@@ -345,6 +420,7 @@ object Vectors {
     "sim_knn_bruteforce" -> simKnnBruteforce,
     "sim_knn_native" -> simKnnNative,
     "sim_knn_ivf" -> simKnnIvf,
+    "sim_knn_ivfpq" -> simKnnIvfPq,
     "sim_cosine_lsh" -> simCosineLsh,
     "vec_centroid" -> vecCentroid,
     "vec_centroid_native" -> vecCentroidNative)
@@ -447,6 +523,92 @@ object Vectors {
          |  FROM codes k JOIN dtab d ON d.m = k.m AND d.cid = k.cid
          |  WHERE k.vec_id <> d.q_id
          |  GROUP BY d.q_id, k.vec_id),
+         |cand AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id
+         |        ORDER BY adist ASC, vec_id) AS ar
+         |    FROM approx) WHERE ar <= 20),
+         |scored AS (
+         |  SELECT c.q_id, b.vec_id,
+         |    ${sqlDot.format("b.embedding", "q.q_emb")} / (b.nrm * q.q_nrm) AS cosine
+         |  FROM cand c
+         |  JOIN base b ON b.vec_id = c.vec_id
+         |  JOIN q ON q.q_id = c.q_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id AS neighbor_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY cosine DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT q_id, neighbor_id, rk, cosine FROM ranked WHERE rk <= 5
+         |${orderAll("q_id", "neighbor_id", "rk", "cosine")}""".stripMargin
+    }) +
+    ("sim_knn_ivfpq" -> {
+      val l2 = "list_aggregate(list_transform(list_zip(%s, %s), " +
+        "x -> (CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2])), 'sum')"
+      def assignCte(a: String, c: String): String =
+        s"""$a AS (
+           |  SELECT vec_id, m, cid FROM (
+           |    SELECT s.vec_id, s.m, c.cid,
+           |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+           |        ${l2.format("s.sub", "c.cvec")} ASC, c.cid ASC) AS rn
+           |    FROM subs s JOIN $c c ON c.m = s.m) WHERE rn = 1)""".stripMargin
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding, ${sqlNorm.format("embedding")} AS nrm
+         |  FROM embeddings),
+         |p AS (SELECT CAST(ceil(COUNT(*) / floor(sqrt(COUNT(*)))) AS BIGINT)
+         |      AS stride FROM base),
+         |c0 AS (
+         |  SELECT vec_id AS cid,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec,
+         |    ${sqlNorm.format("embedding")} AS cnrm
+         |  FROM base WHERE vec_id % (SELECT stride FROM p) = 0),
+         |${sqlAssign("a0", "c0")},
+         |${sqlUpdate("c1", "a0")},
+         |${sqlAssign("a1", "c1")},
+         |${sqlUpdate("c2", "a1")},
+         |${sqlAssign("a2", "c2")},
+         |pqp AS (SELECT CAST(ceil(COUNT(*) / 16.0) AS BIGINT) AS stride FROM base),
+         |subs AS (
+         |  SELECT vec_id, t.m, embedding[(t.m*16+1):(t.m*16+16)] AS sub
+         |  FROM base, (SELECT unnest(range(0, 4)) AS m) AS t),
+         |cb0 AS (
+         |  SELECT m, vec_id AS cid,
+         |    list_transform(sub, x -> CAST(x AS DOUBLE)) AS cvec
+         |  FROM subs WHERE vec_id % (SELECT stride FROM pqp) = 0),
+         |${assignCte("pa0", "cb0")},
+         |cb1 AS (
+         |  SELECT m, cid, list(c ORDER BY i) AS cvec FROM (
+         |    SELECT a.m, a.cid, t.i,
+         |      ${graft.Tables.sqlDavg("CAST(s.sub[t.i] AS DOUBLE)")} AS c
+         |    FROM pa0 a JOIN subs s ON s.vec_id = a.vec_id AND s.m = a.m,
+         |      generate_series(1, 16) AS t(i)
+         |    GROUP BY a.m, a.cid, t.i) GROUP BY m, cid),
+         |${assignCte("codes", "cb1")},
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+         |      FROM base WHERE vec_id % 100 = 0),
+         |probes AS (
+         |  SELECT q_id, cid FROM (
+         |    SELECT q.q_id, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+         |        list_aggregate(list_transform(list_zip(q.q_emb, c.cvec),
+         |          x -> CAST(x[1] AS DOUBLE) * x[2]), 'sum')
+         |          / (q.q_nrm * c.cnrm) DESC, c.cid) AS pr
+         |    FROM q CROSS JOIN c2 c) WHERE pr <= 2),
+         |qsubs AS (
+         |  SELECT q_id, t.m, q_emb[(t.m*16+1):(t.m*16+16)] AS qsub
+         |  FROM q, (SELECT unnest(range(0, 4)) AS m) AS t),
+         |dtab AS (
+         |  SELECT s.q_id, s.m, c.cid, ${l2.format("s.qsub", "c.cvec")} AS qd2
+         |  FROM qsubs s JOIN cb1 c ON c.m = s.m),
+         |approx AS (
+         |  SELECT pr.q_id, k.vec_id, ${graft.Tables.sqlDsum("qd2")} AS adist
+         |  FROM probes pr
+         |  JOIN a2 ON a2.cid = pr.cid
+         |  JOIN codes k ON k.vec_id = a2.vec_id
+         |  JOIN dtab d ON d.q_id = pr.q_id AND d.m = k.m AND d.cid = k.cid
+         |  WHERE k.vec_id <> pr.q_id
+         |  GROUP BY pr.q_id, k.vec_id),
          |cand AS (
          |  SELECT q_id, vec_id FROM (
          |    SELECT q_id, vec_id,

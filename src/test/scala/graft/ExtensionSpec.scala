@@ -106,6 +106,31 @@ class ExtensionSpec extends SparkTestBase {
     assert(recall >= 0.1, s"recall@5 = $recall")
   }
 
+  test("ivf-pq knn: candidates respect the probed lists, recall >= ivf's") {
+    val ivfpq = ops.Vectors.simKnnIvfPq(spark, sf)
+    assert(ivfpq.filter(col("q_id") === col("neighbor_id")).count() == 0)
+    val counts = ivfpq.groupBy("q_id").count().select("count")
+      .as[Long].collect()
+    assert(counts.nonEmpty && counts.forall(_ == 5L))
+    val bf = ops.Vectors.simKnnBruteforce(spark, sf)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("q_id", "neighbor_id").as[(Long, Long)]
+        .collect().toSet
+      got.intersect(bf).size.toDouble / bf.size
+    }
+    val rIvf = recallOf(ops.Vectors.simKnnIvf(spark, sf))
+    val rIvfPq = recallOf(ivfpq)
+    // the composed tier prunes with the SAME lists, then ADC-ranks within
+    // them with exact re-rank of 20 — on this fixture the IVF tier's exact
+    // within-list scan is the ceiling, and the PQ approximation must not
+    // fall off a cliff below it
+    assert(rIvfPq >= 0.1, s"recall@5 = $rIvfPq")
+    assert(rIvfPq >= rIvf - 0.25,
+      s"ivfpq recall $rIvfPq collapsed vs ivf $rIvf")
+    OpCaches.releaseAll()
+  }
+
   test("lsh pairs are a subset of all >=0.4 cosine pairs and nonempty") {
     val n = ops.Vectors.simCosineLsh(spark, sf).count()
     assert(n > 0, "expected some near pairs at threshold 0.4")

@@ -126,6 +126,24 @@ class FunctionsSpec extends SparkTestBase {
     assert(single._2 == 4L)
   }
 
+  test("reliable checkpoints: CC dedup identical with a checkpoint dir set") {
+    // cluster mode: with spark.sparkContext.setCheckpointDir the iterative
+    // lineage cuts (Tables.lineageCut) write reliable checkpoints that
+    // survive executor loss; output must be byte-identical to the
+    // localCheckpoint (single-node) mode
+    val without = ops.Dedup.dedupClusters(spark, sf).collect().toSeq
+    OpCaches.releaseAll()
+    val ckpt = java.nio.file.Files.createTempDirectory("cc_ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt.toString)
+    try {
+      val withDir = ops.Dedup.dedupClusters(spark, sf).collect().toSeq
+      assert(withDir == without)
+      // the reliable path actually wrote checkpoint data
+      val wrote = java.nio.file.Files.walk(ckpt).count()
+      assert(wrote > 1, "no reliable checkpoint files written")
+    } finally OpCaches.releaseAll()
+  }
+
   test("op-internal caches release: cache manager empty after each family") {
     // every op family that caches an intermediate (dedup, text, vectors,
     // decontaminate) must leave NOTHING cached once the caller releases —

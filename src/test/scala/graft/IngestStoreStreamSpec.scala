@@ -139,6 +139,53 @@ class IngestStoreStreamSpec extends SparkTestBase {
     assert(store.read("m").count() == expected)
   }
 
+  test("line protocol: streaming landing-dir drain into the store") {
+    import graft.ingest.LineProtocol
+    val landing = Files.createTempDirectory("lp_landing")
+    graft.ops.Ingest.writeLineProtoFile(spark, sf, landing)
+    val store = new graft.store.MeasurementStore(spark,
+      Files.createTempDirectory("lp_store").toString)
+    val quarantine = Files.createTempDirectory("lp_quarantine").toString
+    val q = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .text(landing.toString)
+      .withColumnRenamed("value", "line")
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("lp_ckpt").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val parsed = LineProtocol.tagCols(
+          LineProtocol.parseLines(batch), Seq("siteID", "meterID"))
+        val good = parsed
+          .filter(!col("is_bad") && col("measurement") === "pulses" &&
+            col("field_key") === "value" && col("time").isNotNull)
+          .select(col("siteID"), col("meterID"), col("time"),
+            col("f_double").as("value"))
+        if (!good.isEmpty) store.append("pulses", good)
+        val bad = parsed.filter(col("is_bad")).select(col("line"))
+        if (!bad.isEmpty)
+          bad.write.mode("append").parquet(quarantine)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    // 150 pulse points landed in the day-partitioned measurement; the
+    // malformed line went to the dead letter, not the store
+    assert(store.read("pulses").count() == 150)
+    assert(spark.read.parquet(quarantine).count() == 1)
+    // the parsed values round-trip the synthesized fixture exactly
+    val expect = Tables.load(spark, sf, "events")
+      .filter(col("user_id").between(1, 3))
+    val total = store.read("pulses").agg(sum("value")).head.getDouble(0)
+    val want = expect
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))))
+      .filter(col("rn") <= 50).agg(sum("value")).head.getDouble(0)
+    assert(math.abs(total - want) < 1e-9)
+  }
+
   test("CQ registry: restart resumes from checkpoint, reprocesses nothing") {
     val root = Files.createTempDirectory("cq_resume").toString
     val landing = Files.createTempDirectory("cq_landing").toString
