@@ -37,7 +37,13 @@ object Bench {
       spark.catalog.clearCache()
       dt
     }
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional subset (comma-separated names) — the sf1 data-bound bench
+    // point times only the slowest-20 of the sf0.1 ledger
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_(n)) }
+    val firstPass = selected.map { case (name, fn) =>
       name -> timeOne(name, fn)
     }
     // single timings swing up to 3× between runs (JIT, GC, page cache), so
@@ -79,7 +85,8 @@ object Bench {
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},""" +
         s""""min_of_3":${jsonMap(mins)},"sf":"$sfDir"}"""
-    Files.writeString(Paths.get("BENCH_LOCAL.json"), full + "\n")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    Files.writeString(Paths.get(outPath), full + "\n")
     println(line)
     spark.stop()
   }

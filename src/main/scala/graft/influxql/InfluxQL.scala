@@ -1280,6 +1280,13 @@ object InfluxQL {
   private val ShowFieldAllRe = """(?i)^\s*SHOW\s+FIELD\s+KEYS\s*;?\s*$""".r
   private val ShowTagValsRe =
     """(?i)^\s*SHOW\s+TAG\s+VALUES\s+FROM\s+"?(\w+)"?\s+WITH\s+KEY\s*=\s*"?(\w+)"?\s*;?\s*$""".r
+  // chained Grafana variables: the values of one tag FILTERED by the
+  // current selection of another (`... WITH KEY = station WHERE region = '$r'`)
+  private val ShowTagValsWhereRe =
+    """(?i)^\s*SHOW\s+TAG\s+VALUES\s+FROM\s+"?(\w+)"?\s+WITH\s+KEY\s*=\s*"?(\w+)"?\s+WHERE\s+(.+?)\s*;?\s*$""".r
+  // the filtered measurement list (`SHOW MEASUREMENTS WITH MEASUREMENT =~ /re/`)
+  private val ShowMeasRegexRe =
+    """(?i)^\s*SHOW\s+MEASUREMENTS\s+WITH\s+MEASUREMENT\s*=~\s*/([^/]+)/\s*;?\s*$""".r
   // Grafana template variables also emit the multi-key, regex, and
   // FROM-less (catalog-wide) forms
   private val ShowTagValsAllRe =
@@ -1356,9 +1363,41 @@ object InfluxQL {
     q match {
       case ShowMeasRe() =>
         catalog.map(_._1).sorted.toDF("name")
+      case ShowMeasRegexRe(re) =>
+        val p = re.r
+        catalog.map(_._1).filter(n => p.findFirstIn(n).isDefined)
+          .sorted.toDF("name")
+      case ShowTagValsWhereRe(m, key, whereS) =>
+        // chained variables: AND-joined tag equality / regex conjuncts
+        // narrow the rows before the distinct
+        val base = frame(m)
+        if (!base.columns.contains(key))
+          Seq.empty[(String, String)].toDF("key", "value")
+        else {
+          val filtered = whereS.split("(?i)\\s+AND\\s+")
+            .foldLeft(base) { (df, t) =>
+              t.trim match {
+                case CondRegexRe(c, "=~", re) => df.filter(col(c).rlike(re))
+                case CondRegexRe(c, "!~", re) => df.filter(!col(c).rlike(re))
+                case CondRe(c, "=", v, n) =>
+                  df.filter(col(c) === (if (v != null) lit(v) else lit(n.toDouble)))
+                case CondRe(c, "!=", v, n) =>
+                  df.filter(col(c) =!= (if (v != null) lit(v) else lit(n.toDouble)))
+                case other =>
+                  fail(q, s"unsupported SHOW ... WHERE condition '$other'")
+              }
+            }
+          filtered.select(lit(key).as("key"),
+              col(key).cast("string").as("value"))
+            .distinct().orderBy(col("value"))
+        }
       case ShowTagValsRe(m, key) =>
-        // the Grafana variable-dropdown query: distinct values of one tag
-        frame(m).select(lit(key).as("key"),
+        // the Grafana variable-dropdown query: distinct values of one tag;
+        // a key the measurement doesn't carry answers EMPTY (InfluxDB's
+        // behavior — mistyped variable = empty dropdown, not an error)
+        if (!frame(m).columns.contains(key))
+          Seq.empty[(String, String)].toDF("key", "value")
+        else frame(m).select(lit(key).as("key"),
             col(key).cast("string").as("value"))
           .distinct().orderBy(col("value"))
       case ShowTagValsAllRe(key) =>

@@ -444,6 +444,11 @@ object InfluxQlOps {
       meta("SHOW TAG VALUES FROM events WITH KEY =~ /type/") _,
     "influxql_show_tag_values_all" ->
       metaCat("SHOW TAG VALUES WITH KEY = event_type") _,
+    "influxql_show_tag_values_where" ->
+      meta("SHOW TAG VALUES FROM events WITH KEY = props " +
+        "WHERE event_type = 'click'") _,
+    "influxql_show_measurements_regex" ->
+      metaCat("SHOW MEASUREMENTS WITH MEASUREMENT =~ /clicks/") _,
     "influxql_show_databases" -> (showDatabases _),
     "influxql_show_continuous_queries" -> (showContinuousQueries _),
     "influxql_show_retention_policies" -> (showRetentionPolicies _),
@@ -689,6 +694,13 @@ object InfluxQlOps {
       s"""SELECT DISTINCT 'event_type' AS key, event_type AS value
          |FROM events
          |${orderAll("key", "value")}""".stripMargin,
+    "influxql_show_tag_values_where" ->
+      s"""SELECT DISTINCT 'props' AS key, props AS value
+         |FROM events WHERE event_type = 'click'
+         |${orderAll("key", "value")}""".stripMargin,
+    "influxql_show_measurements_regex" ->
+      s"""SELECT 'events_clicks' AS name
+         |${orderAll("name")}""".stripMargin,
     "influxql_show_databases" ->
       s"""SELECT name FROM (VALUES ('ciwsdb'), ('telegraf')) AS t(name)
          |${orderAll("name")}""".stripMargin,

@@ -926,5 +926,9 @@ class InfluxQlSpec extends SparkTestBase {
     val none = InfluxQL.runMeta(spark, cat,
       "SHOW TAG VALUES WITH KEY = nosuchkey")
     assert(none.isEmpty && none.columns.toSeq == Seq("key", "value"))
+    // ...and so does the FROM-scoped exact-key form
+    val none2 = InfluxQL.runMeta(spark, cat,
+      "SHOW TAG VALUES FROM events WITH KEY = nosuchkey")
+    assert(none2.isEmpty && none2.columns.toSeq == Seq("key", "value"))
   }
 }

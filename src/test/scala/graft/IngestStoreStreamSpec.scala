@@ -232,6 +232,32 @@ class IngestStoreStreamSpec extends SparkTestBase {
     assert(reg.statement("SHOW CONTINUOUS QUERIES").count() == 0)
   }
 
+  test("CQ registry: interrupted merge swap heals on the next run") {
+    val root = Files.createTempDirectory("cq_heal").toString
+    val landing = Files.createTempDirectory("cq_heal_landing").toString
+    val reg = new graft.streaming.CqRegistry(spark, root, "30 days")
+    reg.create("CREATE CONTINUOUS QUERY cq_heal ON graft BEGIN " +
+      "SELECT count(value) AS n INTO daily FROM events GROUP BY time(1d) END")
+    val events = Tables.load(spark, sf, "events")
+      .select(col("ts").as("time"), col("value"))
+    events.write.mode("append").parquet(landing)
+    def stream = spark.readStream.schema(
+      spark.read.parquet(landing).schema).parquet(landing)
+    val rows = reg.run("cq_heal", stream).count()
+    assert(rows > 0)
+    val out = new org.apache.hadoop.fs.Path(s"$root/graft/daily")
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash between the two swap renames: live dir gone, the fresher merge
+    // staged under .cq_tmp (parquet left its _SUCCESS marker) — the next
+    // run must promote the staged dir, losing nothing
+    assert(fs.rename(out, new org.apache.hadoop.fs.Path(out + ".cq_tmp")))
+    assert(reg.run("cq_heal", stream).count() == rows)
+    // crash before the old-dir cleanup: live gone, previous state under
+    // .cq_old — the next run restores it
+    assert(fs.rename(out, new org.apache.hadoop.fs.Path(out + ".cq_old")))
+    assert(reg.run("cq_heal", stream).count() == rows)
+  }
+
   test("CQ registry: watermark bounds state to open windows, not history") {
     val root = Files.createTempDirectory("cq_state").toString
     val landing = Files.createTempDirectory("cq_state_landing").toString

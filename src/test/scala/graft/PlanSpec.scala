@@ -173,6 +173,23 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("sim_knn_ivfpq: ADC tables broadcast into the list-pruned code scan") {
+    val plan = planOf(ops.Vectors.simKnnIvfPq(spark, sf))
+    // same invariant as the PQ tier — the per-query distance tables
+    // replicate to the scan tasks; the composed path must not regress to
+    // shuffling code rows to meet them
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("lineproto parse: stateless projection + explode, no exchange") {
+    import spark.implicits._
+    val lines = Seq("m,t=a f=1.5 1704067200000000000").toDF("line")
+    val plan = planOf(graft.ingest.LineProtocol.parseLines(lines))
+    // a line parses entirely within its own row: any Exchange would mean
+    // the parse itself shuffles, which must never happen at any scale
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
   test("agg_hash_groupby: map-side partial aggregation before the shuffle") {
     val plan = planOf(ops.Aggregates.aggHashGroupby(spark, sf))
     // partial agg must appear below the exchange: find the line order
