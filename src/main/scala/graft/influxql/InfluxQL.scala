@@ -75,7 +75,7 @@ object InfluxQL {
     * honest); transcendentals (ln/exp/...) whose last-ulp varies by libm
     * are deliberately out. */
   final case class MathFn(fn: String, inner: Field,
-    alias: Option[String]) extends Field
+    alias: Option[String], arg: Option[Double] = None) extends Field
   /** elapsed(f[, unit]) — time since the previous point per series, as an
     * integer count of `unit` (default 1s), on the RAW series. */
   final case class Elapsed(field: String, arg: Option[String],
@@ -142,7 +142,11 @@ object InfluxQL {
       """\((.+)\)(?:\s+AS\s+(\w+))?$""").r
   private val TransArgRe = """^\d+[smhd]?$""".r
   private val MathRe =
-    """(?i)^(abs|sqrt|floor|ceil|round)\((.+)\)(?:\s+AS\s+(\w+))?$""".r
+    ("""(?i)^(abs|sqrt|floor|ceil|round|ln|log2|log10|exp|""" +
+      """sin|cos|tan|asin|acos|atan)\((.+)\)(?:\s+AS\s+(\w+))?$""").r
+  // two-arg forms: pow(x, k) and log(x, base) (InfluxDB's argument order)
+  private val Math2Re =
+    """(?i)^(pow|log)\((.+)\s*,\s*(-?[0-9]+(?:\.[0-9]+)?)\)(?:\s+AS\s+(\w+))?$""".r
   private val RawRe = """(?i)^"?(\w+)"?(?:\s+AS\s+(\w+))?$""".r
   private val StarRe = """^\*$""".r
   // arithmetic suffix on a field or aggregate: `value * 0.264172`,
@@ -314,6 +318,15 @@ object InfluxQL {
         fail(q, s"$fnl takes no argument")
       Transform(fnl, inner, arg, Option(al))
     case StarRe() => Raw("*", None)
+    case Math2Re(fn, content, k, al) =>
+      val inner = parseField(q, content.trim)
+      inner match {
+        case a: Agg if a.fn == "distinct" || a.fn == "mode" =>
+          fail(q, s"$fn cannot wrap ${a.fn}()")
+        case _: Raw | _: Agg | _: Arith | _: MathFn | _: BinOp => ()
+        case _ => fail(q, s"$fn applies to fields and aggregates only")
+      }
+      MathFn(fn.toLowerCase, inner, Option(al), Some(k.toDouble))
     case MathRe(fn, content, al) =>
       val inner = parseField(q, content.trim)
       inner match {
@@ -469,7 +482,7 @@ object InfluxQL {
           case other => other
         }
         s"${wrapL(op, bare, f(bare))} $op ${num(k)}"
-      case MathFn(fn, i, _) =>
+      case MathFn(fn, i, _, k) =>
         val bare = i match {
           case r: Raw => r.copy(alias = None): Field
           case a: Agg => a.copy(alias = None): Field
@@ -477,7 +490,7 @@ object InfluxQL {
           case m: MathFn => m.copy(alias = None): Field
           case other => other
         }
-        s"$fn(${f(bare)})"
+        s"$fn(${f(bare)}${k.map(x => ", " + num(x)).getOrElse("")})"
       case Elapsed(n, arg, _) => s"elapsed($n${arg.map(", " + _).getOrElse("")})"
       case Integral(n, arg, _) => s"integral($n${arg.map(", " + _).getOrElse("")})"
       case Transform(fn, inner, arg, _) =>
@@ -595,7 +608,7 @@ object InfluxQL {
   private def isAggLike(f: Field): Boolean = f match {
     case _: Agg => true
     case Arith(i, _, _, _) => isAggLike(i)
-    case MathFn(_, i, _) => isAggLike(i)
+    case MathFn(_, i, _, _) => isAggLike(i)
     case BinOp(l, _, r, _) => isAggLike(l) && isAggLike(r)
     case _ => false
   }
@@ -604,7 +617,7 @@ object InfluxQL {
     case a: Agg => s"${a.fn}_${a.field}"
     case Raw(n, _) => n
     case Arith(i, _, _, _) => defaultName(i)
-    case MathFn(fn, _, _) => fn // InfluxDB names the column after the fn
+    case MathFn(fn, _, _, _) => fn // InfluxDB names the column after the fn
     case BinOp(l, _, r, _) => s"${defaultName(l)}_${defaultName(r)}"
     case other => other.alias.getOrElse("value")
   }
@@ -625,15 +638,33 @@ object InfluxQL {
     }
   }
 
-  /** The IEEE-exact math functions (see [[MathFn]]). Spark's floor/ceil
-    * return BIGINT; InfluxDB's (and DuckDB's) stay float — cast back so
-    * the wire type matches the engine being replaced. */
-  private def applyMath(fn: String, c: Column): Column = fn match {
+  /** InfluxQL math functions (see [[MathFn]]). Spark's floor/ceil return
+    * BIGINT; InfluxDB's (and DuckDB's) stay float — cast back so the wire
+    * type matches the engine being replaced. The IEEE-exact subset
+    * (abs/sqrt/floor/ceil/round) is oracle-gated; the libm transcendentals
+    * (ln/log/log2/log10/exp/pow/trig) are supported for InfluxQL parity
+    * but spec-gated against scala.math instead — their last ulp varies by
+    * libm, so a cross-engine hash compare would flap. */
+  private def applyMath(fn: String, c: Column,
+    arg: Option[Double] = None): Column = fn match {
     case "abs" => abs(c)
     case "sqrt" => sqrt(c)
     case "floor" => floor(c).cast(org.apache.spark.sql.types.DoubleType)
     case "ceil" => ceil(c).cast(org.apache.spark.sql.types.DoubleType)
     case "round" => round(c, 0)
+    case "ln" => log(c)
+    case "log2" => log2(c)
+    case "log10" => log10(c)
+    case "exp" => exp(c)
+    case "sin" => sin(c)
+    case "cos" => cos(c)
+    case "tan" => tan(c)
+    case "asin" => asin(c)
+    case "acos" => acos(c)
+    case "atan" => atan(c)
+    // two-arg forms, InfluxDB argument order: pow(x, k), log(x, base)
+    case "pow" => pow(c, arg.getOrElse(fail(c.toString, "pow requires an exponent")))
+    case "log" => log(arg.getOrElse(fail(c.toString, "log requires a base")), c)
   }
 
   /** Aliased aggregate column for an Agg, possibly under Arith/MathFn
@@ -644,7 +675,7 @@ object InfluxQL {
   private def selAggExpr(f: Field, q: String): Column = f match {
     case a: Agg => aggExpr(a)
     case Arith(i, op, k, _) => applyOp(selAggExpr(i, q), op, k)
-    case MathFn(fn, i, _) => applyMath(fn, selAggExpr(i, q))
+    case MathFn(fn, i, _, k) => applyMath(fn, selAggExpr(i, q), k)
     case BinOp(l, op, r, _) =>
       applyOpCol(selAggExpr(l, q), op, selAggExpr(r, q))
     case _ => fail(q, "expected an aggregate select item")
@@ -663,7 +694,7 @@ object InfluxQL {
   private def selRawExpr(f: Field, q: String): Column = f match {
     case Raw(n, _) => col(n)
     case Arith(i, op, k, _) => applyOp(selRawExpr(i, q), op, k)
-    case MathFn(fn, i, _) => applyMath(fn, selRawExpr(i, q))
+    case MathFn(fn, i, _, k) => applyMath(fn, selRawExpr(i, q), k)
     case BinOp(l, op, r, _) =>
       applyOpCol(selRawExpr(l, q), op, selRawExpr(r, q))
     case _ => fail(q, "expected a field select item")
@@ -1279,11 +1310,11 @@ object InfluxQL {
   private val ShowTagAllRe = """(?i)^\s*SHOW\s+TAG\s+KEYS\s*;?\s*$""".r
   private val ShowFieldAllRe = """(?i)^\s*SHOW\s+FIELD\s+KEYS\s*;?\s*$""".r
   private val ShowTagValsRe =
-    """(?i)^\s*SHOW\s+TAG\s+VALUES\s+FROM\s+"?(\w+)"?\s+WITH\s+KEY\s*=\s*"?(\w+)"?\s*;?\s*$""".r
+    """(?i)^\s*SHOW\s+TAG\s+VALUES\s+FROM\s+"?(\w+)"?\s+WITH\s+KEY\s*=\s*"?(\w+)"?(?:\s+LIMIT\s+(\d+))?\s*;?\s*$""".r
   // chained Grafana variables: the values of one tag FILTERED by the
   // current selection of another (`... WITH KEY = station WHERE region = '$r'`)
   private val ShowTagValsWhereRe =
-    """(?i)^\s*SHOW\s+TAG\s+VALUES\s+FROM\s+"?(\w+)"?\s+WITH\s+KEY\s*=\s*"?(\w+)"?\s+WHERE\s+(.+?)\s*;?\s*$""".r
+    """(?i)^\s*SHOW\s+TAG\s+VALUES\s+FROM\s+"?(\w+)"?\s+WITH\s+KEY\s*=\s*"?(\w+)"?\s+WHERE\s+(.+?)(?:\s+LIMIT\s+(\d+))?\s*;?\s*$""".r
   // the filtered measurement list (`SHOW MEASUREMENTS WITH MEASUREMENT =~ /re/`)
   private val ShowMeasRegexRe =
     """(?i)^\s*SHOW\s+MEASUREMENTS\s+WITH\s+MEASUREMENT\s*=~\s*/([^/]+)/\s*;?\s*$""".r
@@ -1367,7 +1398,7 @@ object InfluxQL {
         val p = re.r
         catalog.map(_._1).filter(n => p.findFirstIn(n).isDefined)
           .sorted.toDF("name")
-      case ShowTagValsWhereRe(m, key, whereS) =>
+      case ShowTagValsWhereRe(m, key, whereS, limitS) =>
         // chained variables: AND-joined tag equality / regex conjuncts
         // narrow the rows before the distinct
         val base = frame(m)
@@ -1387,19 +1418,23 @@ object InfluxQL {
                   fail(q, s"unsupported SHOW ... WHERE condition '$other'")
               }
             }
-          filtered.select(lit(key).as("key"),
+          val vals = filtered.select(lit(key).as("key"),
               col(key).cast("string").as("value"))
             .distinct().orderBy(col("value"))
+          Option(limitS).map(n => vals.limit(n.toInt)).getOrElse(vals)
         }
-      case ShowTagValsRe(m, key) =>
+      case ShowTagValsRe(m, key, limitS) =>
         // the Grafana variable-dropdown query: distinct values of one tag;
         // a key the measurement doesn't carry answers EMPTY (InfluxDB's
         // behavior — mistyped variable = empty dropdown, not an error)
         if (!frame(m).columns.contains(key))
           Seq.empty[(String, String)].toDF("key", "value")
-        else frame(m).select(lit(key).as("key"),
-            col(key).cast("string").as("value"))
-          .distinct().orderBy(col("value"))
+        else {
+          val vals = frame(m).select(lit(key).as("key"),
+              col(key).cast("string").as("value"))
+            .distinct().orderBy(col("value"))
+          Option(limitS).map(n => vals.limit(n.toInt)).getOrElse(vals)
+        }
       case ShowTagValsAllRe(key) =>
         // FROM-less: distinct values of the tag across every measurement
         // that carries it (the unpinned-datasource variable query)

@@ -596,9 +596,10 @@ class InfluxQlSpec extends SparkTestBase {
     assert(named.columns.toSeq == Seq("time", "abs"))
     intercept[IllegalArgumentException](InfluxQL.run(spark, m,
       "SELECT abs(distinct(value)) FROM events"))
-    // transcendentals whose last ulp varies by libm are rejected, not wrong
-    intercept[IllegalArgumentException](InfluxQL.run(spark, m,
-      "SELECT ln(value) FROM events"))
+    // transcendentals run too (InfluxQL parity), but stay OUT of the
+    // differential oracle — their last ulp varies by libm, so they are
+    // spec-gated against scala.math in the dedicated test instead
+    assert(InfluxQL.run(spark, m, "SELECT ln(value) FROM events").count() > 0)
   }
 
   test("epoch-duration time bounds equal their quoted-timestamp form") {
@@ -735,6 +736,28 @@ class InfluxQlSpec extends SparkTestBase {
       "SELECT mean(a) + b FROM m GROUP BY time(1d)"))
     intercept[IllegalArgumentException](InfluxQL.run(spark, m,
       "SELECT distinct(a) + distinct(b) FROM m"))
+  }
+
+  test("transcendental math fns run and match scala.math (spec, not oracle)") {
+    import spark.implicits._
+    val m = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 2.0, 9.0))
+      .toDF("time", "a", "b")
+    def one(q: String): Double =
+      InfluxQL.run(spark, m, q).select("x").head.getDouble(0)
+    // same JVM ⇒ Spark's codegen and scala.math hit the same libm
+    assert(one("SELECT ln(a) AS x FROM m") == math.log(2.0))
+    assert(one("SELECT log2(a) AS x FROM m") == 1.0)
+    assert(one("SELECT log10(b) AS x FROM m") == math.log10(9.0))
+    assert(one("SELECT exp(a) AS x FROM m") == math.exp(2.0))
+    assert(one("SELECT pow(a, 10) AS x FROM m") == 1024.0)
+    // Spark's Logarithm folds log(x)/log(base) differently by one ulp
+    assert(math.abs(one("SELECT log(b, 3) AS x FROM m") - 2.0) < 1e-12)
+    assert(one("SELECT sin(a) AS x FROM m") == math.sin(2.0))
+    assert(one("SELECT atan(a) AS x FROM m") == math.atan(2.0))
+    // post-aggregation form and composition with arithmetic
+    assert(one("SELECT ln(max(a)) AS x FROM m GROUP BY time(1d)")
+      == math.log(2.0))
+    assert(one("SELECT pow(a, 2) + b AS x FROM m") == 13.0)
   }
 
   test("field arithmetic: * and / bind tighter than + and -") {
@@ -930,5 +953,17 @@ class InfluxQlSpec extends SparkTestBase {
     val none2 = InfluxQL.runMeta(spark, cat,
       "SHOW TAG VALUES FROM events WITH KEY = nosuchkey")
     assert(none2.isEmpty && none2.columns.toSeq == Seq("key", "value"))
+    // Grafana caps variable queries: LIMIT applies after the value sort
+    val lim = InfluxQL.runMeta(spark, cat,
+      "SHOW TAG VALUES FROM events WITH KEY = event_type LIMIT 2")
+    val all = InfluxQL.runMeta(spark, cat,
+      "SHOW TAG VALUES FROM events WITH KEY = event_type")
+      .collect().map(_.getString(1)).toSeq
+    assert(lim.collect().map(_.getString(1)).toSeq == all.take(2))
+    // chained variables: WHERE narrows, LIMIT still caps
+    val chained = InfluxQL.runMeta(spark, cat,
+      "SHOW TAG VALUES FROM events WITH KEY = props " +
+        "WHERE event_type =~ /click|view/ AND event_type != 'view' LIMIT 3")
+    assert(chained.count() <= 3)
   }
 }

@@ -155,6 +155,44 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("line protocol: random points render -> parse round-trips exactly") {
+    import spark.implicits._
+    // values exercising every lexical field form plus the escapable chars
+    val tagVal = Gen.oneOf("plain", "with space", "c,omma", "e=q", "x")
+    val point = for {
+      meas <- Gen.oneOf("m1", "pul ses", "a,b")
+      t1 <- tagVal
+      t2 <- tagVal
+      fDouble <- Gen.chooseNum(-1e6, 1e6)
+      fLong <- Gen.chooseNum(-1000000L, 1000000L)
+      fBool <- Gen.oneOf(true, false)
+      ns <- Gen.chooseNum(0L, 4102444800L).map(_ * 1000000000L)
+    } yield (meas, t1, t2, fDouble, fLong, fBool, ns)
+    def esc(s: String): String =
+      s.replace(" ", "\\ ").replace(",", "\\,").replace("=", "\\=")
+    val pts = (0 until 200)
+      .flatMap(i => point.apply(Gen.Parameters.default, Seed(7L + i)))
+    val lines = pts.map { case (m, t1, t2, d, l, b, ns) =>
+      s"${esc(m)},ta=${esc(t1)},tb=${esc(t2)} d=$d,l=${l}i,ok=$b $ns"
+    }.toDF("line")
+    val parsed = graft.ingest.LineProtocol.tagCols(
+        graft.ingest.LineProtocol.parseLines(lines), Seq("ta", "tb"))
+      .filter(!col("is_bad"))
+    assert(parsed.count() == pts.size * 3L) // three fields per point
+    val got = parsed.select(col("measurement"), col("ta"), col("tb"),
+        col("field_key"), col("f_double"), col("f_long"), col("f_bool"),
+        unix_micros(col("time")) * 1000)
+      .as[(String, String, String, String, Option[Double], Option[Long],
+        Option[Boolean], Long)]
+      .collect().toSet
+    val want = pts.flatMap { case (m, t1, t2, d, l, b, ns) => Seq(
+      (m, t1, t2, "d", Some(d), None, None, ns),
+      (m, t1, t2, "l", None, Some(l), None, ns),
+      (m, t1, t2, "ok", None, None, Some(b), ns))
+    }.toSet
+    assert(got == want)
+  }
+
   test("store model law: random mutation sequences match a reference map") {
     import spark.implicits._
     import java.sql.Timestamp
