@@ -199,7 +199,7 @@ object InfluxQL {
   private val CondEpochRe =
     """(?i)^\s*"?(time)"?\s*(<=|>=|!=|=|<|>)\s*(\d+)([smhd])\s*$""".r
   private val TimeRe =
-    """(?i)^time\((\d+)([smhd])(?:\s*,\s*(-?\d+[smhd])\s*)?\)$""".r
+    """(?i)^time\((\d+)([smhdw])(?:\s*,\s*(-?\d+[smhdw])\s*)?\)$""".r
 
   /** Split on commas at paren depth 0 (select items may contain
     * `percentile(v, 90)` / `moving_average(mean(v), 4)`). */
@@ -548,7 +548,7 @@ object InfluxQL {
   }
 
   private val Units = Map("s" -> "seconds", "m" -> "minutes",
-    "h" -> "hours", "d" -> "days")
+    "h" -> "hours", "d" -> "days", "w" -> "weeks")
 
   private def condCol(c: Cond, now: Option[String]): Column = {
     val l = col(c.col)
@@ -753,7 +753,8 @@ object InfluxQL {
   private def floorAlignUs(x: String, stepUs: Long): String =
     s"($x - ((($x % $stepUs) + $stepUs) % $stepUs))"
 
-  private val UnitSec = Map('s' -> 1L, 'm' -> 60L, 'h' -> 3600L, 'd' -> 86400L)
+  private val UnitSec = Map('s' -> 1L, 'm' -> 60L, 'h' -> 3600L,
+    'd' -> 86400L, 'w' -> 604800L)
 
   private def durSec(arg: String): Long =
     if (arg.forall(_.isDigit)) arg.toLong
@@ -1361,6 +1362,16 @@ object InfluxQL {
     q: String, watermark: Option[String] = None): DataFrame = {
     if (p.timeBucket.isEmpty)
       fail(q, "a continuous query requires GROUP BY time()")
+    // clauses the streaming execution does not maintain are rejected
+    // loudly, never silently dropped: fill() would need a densify over
+    // closed windows, pagination/tz belong to the batch read side
+    if (p.fill.nonEmpty)
+      fail(q, "fill() in a continuous query is not supported")
+    if (p.limit.nonEmpty || p.offset.nonEmpty ||
+        p.slimit.nonEmpty || p.soffset.nonEmpty)
+      fail(q, "LIMIT/OFFSET/SLIMIT/SOFFSET in a continuous query is not supported")
+    if (p.tz.nonEmpty)
+      fail(q, "tz() in a continuous query is not supported")
     val src = watermark.fold(stream)(lag => stream.withWatermark("time", lag))
     val keys = winCol(p).as("w") +: p.groupTags.map(col)
     val aggs = selAggs(p.fields, q)

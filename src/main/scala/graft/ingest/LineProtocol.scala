@@ -98,4 +98,27 @@ object LineProtocol {
   def tagCols(df: DataFrame, tagKeys: Seq[String]): DataFrame =
     tagKeys.foldLeft(df)((d, k) =>
       d.withColumn(k, element_at(col("tags"), k)))
+
+  /** Pivot one measurement's good (point, field) rows to the WIDE layout a
+    * [[graft.store.MeasurementStore]] measurement holds: one row per
+    * (tags, time) with a column per field key (numeric fields as double —
+    * InfluxDB's float type; integer fields keep their value exactly up to
+    * 2^53, the same contract the float wire type gives InfluxDB). The
+    * field-key list is collected first — bounded metadata, like the pivot
+    * op's value list, never data-sized. */
+  def toMeasurement(parsed: DataFrame, measurement: String,
+    tagKeys: Seq[String]): DataFrame = {
+    val good = tagCols(parsed, tagKeys)
+      .filter(!col("is_bad") && col("measurement") === measurement &&
+        col("time").isNotNull)
+    val keys = good.select("field_key").distinct().collect()
+      .map(_.getString(0)).sorted.toIndexedSeq
+    val num = coalesce(col("f_double"), col("f_long").cast("double"))
+    good.groupBy((col("time") +: tagKeys.map(col)): _*)
+      .agg(
+        // last-write-wins inside a batch is the store upsert's job; within
+        // one line a field key appears once, so max is exact
+        keys.map(k => max(when(col("field_key") === k, num)).as(k)).head,
+        keys.map(k => max(when(col("field_key") === k, num)).as(k)).tail: _*)
+  }
 }

@@ -738,6 +738,15 @@ class InfluxQlSpec extends SparkTestBase {
       "SELECT distinct(a) + distinct(b) FROM m"))
   }
 
+  test("GROUP BY time(1w) equals time(7d): epoch-aligned week buckets") {
+    val m = Tables.load(spark, sf, "events").withColumnRenamed("ts", "time")
+    val w = InfluxQL.run(spark, m,
+      "SELECT count(value) AS n FROM events GROUP BY time(1w)").collect().toSet
+    val d7 = InfluxQL.run(spark, m,
+      "SELECT count(value) AS n FROM events GROUP BY time(7d)").collect().toSet
+    assert(w == d7 && w.nonEmpty)
+  }
+
   test("transcendental math fns run and match scala.math (spec, not oracle)") {
     import spark.implicits._
     val m = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 2.0, 9.0))

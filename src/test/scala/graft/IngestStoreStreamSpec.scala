@@ -173,6 +173,15 @@ class IngestStoreStreamSpec extends SparkTestBase {
     // 150 pulse points landed in the day-partitioned measurement; the
     // malformed line went to the dead letter, not the store
     assert(store.read("pulses").count() == 150)
+    // the WIDE landing shape: both fields of a point as columns
+    val wide = graft.ingest.LineProtocol.toMeasurement(
+      graft.ingest.LineProtocol.parseLines(
+        spark.read.text(landing.toString).withColumnRenamed("value", "line")),
+      "pulses", Seq("siteID", "meterID"))
+    assert(wide.columns.toSet ==
+      Set("time", "siteID", "meterID", "value", "count"))
+    assert(wide.count() == 150)
+    assert(wide.filter(col("count") =!= floor(col("value"))).count() == 0)
     assert(spark.read.parquet(quarantine).count() == 1)
     // the parsed values round-trip the synthesized fixture exactly
     val expect = Tables.load(spark, sf, "events")
@@ -280,6 +289,33 @@ class IngestStoreStreamSpec extends SparkTestBase {
     assert(reg.lastRunStateRows >= 0)
     assert(reg.lastRunStateRows <= 3,
       s"state not evicted: ${reg.lastRunStateRows} rows for $windows windows")
+  }
+
+  test("CQ bodies reject clauses the streaming execution cannot maintain") {
+    val root = Files.createTempDirectory("cq_reject").toString
+    val reg = new graft.streaming.CqRegistry(spark, root)
+    def run(body: String): Unit = {
+      reg.create(s"CREATE CONTINUOUS QUERY cq_r ON graft BEGIN $body END")
+      try {
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("time",
+            org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.DoubleType)))
+        val landing = Files.createTempDirectory("cq_reject_landing").toString
+        reg.run("cq_r", spark.readStream.schema(schema).parquet(landing))
+        ()
+      } finally reg.drop("cq_r")
+    }
+    intercept[IllegalArgumentException](run(
+      "SELECT count(value) AS n INTO t FROM m GROUP BY time(1h) fill(previous)"))
+    intercept[IllegalArgumentException](run(
+      "SELECT count(value) AS n INTO t FROM m GROUP BY time(1h) LIMIT 5"))
+    intercept[IllegalArgumentException](run(
+      "SELECT count(value) AS n INTO t FROM m GROUP BY time(1h) " +
+        "tz('America/Denver')"))
+    intercept[IllegalArgumentException](run(
+      "SELECT count(value) AS n INTO t FROM m"))
   }
 
   test("CQ registry: per-database namespace and empty-first-run result") {
