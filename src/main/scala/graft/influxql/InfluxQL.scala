@@ -193,11 +193,14 @@ object InfluxQL {
   // tag regex matching (Grafana template variables emit these constantly)
   private val CondRegexRe =
     """(?i)^\s*"?(\w+)"?\s*(=~|!~)\s*/([^/]*)/\s*$""".r
-  // epoch-duration time literal (`time >= 1704153600s`) — InfluxQL's native
-  // numeric-epoch form at whole-second precision; normalized to the ISO
-  // string at parse so pruning and translation share one representation
+  // epoch time literal — InfluxQL's numeric-epoch forms: a unit suffix
+  // scales the integer (Grafana's default filter emits epoch-MILLIS,
+  // `time > 1704067200000ms`), a BARE integer is epoch-nanoseconds
+  // (InfluxDB's native precision). Normalized to an ISO string (µs
+  // precision) at parse so pruning and translation share one
+  // representation.
   private val CondEpochRe =
-    """(?i)^\s*"?(time)"?\s*(<=|>=|!=|=|<|>)\s*(\d+)([smhd])\s*$""".r
+    """(?i)^\s*"?(time)"?\s*(<=|>=|!=|=|<|>)\s*(\d+)(ns|u|µ|ms|s|m|h|d|w)?\s*$""".r
   private val TimeRe =
     """(?i)^time\((\d+)([smhdw])(?:\s*,\s*(-?\d+[smhdw])\s*)?\)$""".r
 
@@ -398,7 +401,13 @@ object InfluxQL {
               Some(if (sign == null) "" else s"$sign$dur"))
           case CondRegexRe(c, op, re) => Cond(c, op, Left(re))
           case CondEpochRe(c, op, n, u) =>
-            Cond(c.toLowerCase, op, Left(epochIso(n.toLong * UnitSec(u.head))))
+            val us = Option(u).map(_.toLowerCase) match {
+              case None | Some("ns") => n.toLong / 1000L // bare = nanos
+              case Some("u") | Some("µ") => n.toLong
+              case Some("ms") => n.toLong * 1000L
+              case Some(suf) => n.toLong * UnitSec(suf.head) * 1000000L
+            }
+            Cond(c.toLowerCase, op, Left(epochIsoUs(us)))
           case CondRe(c, op, v, n) =>
             Cond(c, op, if (v != null) Left(v) else Right(n.toDouble))
           case other => fail(q, s"unsupported condition '$other'")
@@ -443,6 +452,17 @@ object InfluxQL {
     java.time.LocalDateTime.ofEpochSecond(sec, 0, java.time.ZoneOffset.UTC)
       .format(java.time.format.DateTimeFormatter
         .ofPattern("yyyy-MM-dd HH:mm:ss"))
+
+  /** Epoch-µs variant: whole seconds render without a fraction (so the
+    * second-precision forms stay byte-identical to [[epochIso]]),
+    * sub-second instants carry the 6-digit fraction `to_timestamp`
+    * parses. */
+  private def epochIsoUs(us: Long): String =
+    if (us % 1000000L == 0) epochIso(us / 1000000L)
+    else java.time.LocalDateTime.ofEpochSecond(us / 1000000L,
+        (us % 1000000L).toInt * 1000, java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
 
   private def fail(q: String, why: String): Nothing =
     throw new IllegalArgumentException(s"InfluxQL: $why in: $q")

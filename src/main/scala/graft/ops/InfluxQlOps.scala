@@ -291,6 +291,12 @@ object InfluxQlOps {
     "SELECT count(value) AS n FROM events " +
       "WHERE time >= 1704153600s AND time < 1704326400s GROUP BY time(6h)"
 
+  // Grafana's default dashboard filter: epoch-millisecond literals
+  private val EpochMsQ =
+    "SELECT count(value) AS n FROM events " +
+      "WHERE time >= 1704153600000ms AND time < 1704326400000ms " +
+      "GROUP BY time(6h)"
+
   /** [[FromRegexQ]] resolves measurements from a catalog: `events` plus a
     * derived `events_clicks` series (the multi-site shape — same schema,
     * one measurement per source). */
@@ -422,6 +428,7 @@ object InfluxQlOps {
     "influxql_time_offset" -> run(TimeOffsetQ) _,
     "influxql_from_regex" -> runCat(FromRegexQ) _,
     "influxql_epoch_bound" -> run(EpochBoundQ) _,
+    "influxql_epoch_ms_bound" -> run(EpochMsQ) _,
     "influxql_math" -> run(MathQ) _,
     "influxql_math_agg" -> run(MathAggQ) _,
     "influxql_into" -> (influxqlInto _),
@@ -1125,6 +1132,14 @@ object InfluxQlOps {
          |  SELECT 'events_clicks' AS measurement, time, n FROM b)
          |${orderAll("measurement", "time", "n")}""".stripMargin,
     "influxql_epoch_bound" ->
+      s"""SELECT ${sqlBucket("CAST(ts AS TIMESTAMP)", 21600)} AS time,
+         |  COUNT(value) AS n
+         |FROM events
+         |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-02 00:00:00'
+         |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-04 00:00:00'
+         |GROUP BY 1
+         |${orderAll("time", "n")}""".stripMargin,
+    "influxql_epoch_ms_bound" ->
       s"""SELECT ${sqlBucket("CAST(ts AS TIMESTAMP)", 21600)} AS time,
          |  COUNT(value) AS n
          |FROM events

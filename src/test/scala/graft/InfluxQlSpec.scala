@@ -612,10 +612,29 @@ class InfluxQlSpec extends SparkTestBase {
         "WHERE time >= '2024-01-02 00:00:00' AND time < '2024-01-04 00:00:00' " +
         "GROUP BY time(6h)")
     assert(epoch.collect().toSet == quoted.collect().toSet)
-    // a bare numeric time bound is rejected loudly (ns epochs exceed
-    // double precision — silent nonsense otherwise)
-    intercept[IllegalArgumentException](InfluxQL.run(spark, m,
-      "SELECT value FROM events WHERE time >= 1704153600"))
+    // Grafana's default filter form: epoch-MILLIS with the ms suffix
+    val ms = InfluxQL.run(spark, m,
+      "SELECT count(value) AS n FROM events " +
+        "WHERE time >= 1704153600000ms AND time < 1704326400000ms " +
+        "GROUP BY time(6h)")
+    assert(ms.collect().toSet == quoted.collect().toSet)
+    // InfluxDB's native precision: a BARE integer is epoch-nanoseconds
+    val ns = InfluxQL.run(spark, m,
+      "SELECT count(value) AS n FROM events " +
+        "WHERE time >= 1704153600000000000 AND time < 1704326400000000000 " +
+        "GROUP BY time(6h)")
+    assert(ns.collect().toSet == quoted.collect().toSet)
+    // sub-second instants survive the normalization (µs fraction kept)
+    val subSec = InfluxQL.parse(
+      "SELECT count(value) AS n FROM events WHERE time >= 1704153600500ms")
+    assert(subSec.conds.head.value ==
+      Left("2024-01-02 00:00:00.500000"))
+    // RFC3339 quoted timestamps (InfluxQL's documented literal form)
+    val rfc = InfluxQL.run(spark, m,
+      "SELECT count(value) AS n FROM events " +
+        "WHERE time >= '2024-01-02T00:00:00Z' AND time < '2024-01-04T00:00:00Z' " +
+        "GROUP BY time(6h)")
+    assert(rfc.collect().toSet == quoted.collect().toSet)
   }
 
   test("fill(previous) densifies every bucket and carries values forward") {
