@@ -133,14 +133,16 @@ object InfluxQL {
   private val SelRe =
     """(?i)^(top|bottom)\(\s*"?(\w+)"?\s*,\s*(\d+)\s*\)(?:\s+AS\s+(\w+))?$""".r
   private val ElapsedRe =
-    """(?i)^elapsed\(\s*"?(\w+)"?(?:\s*,\s*(\d+[smhd]?))?\s*\)(?:\s+AS\s+(\w+))?$""".r
+    ("""(?i)^elapsed\(\s*"?(\w+)"?(?:\s*,\s*""" +
+      """(\d+(?:ns|u|µ|ms|s|m|h|d|w)?))?\s*\)(?:\s+AS\s+(\w+))?$""").r
   private val IntegralRe =
-    """(?i)^integral\(\s*"?(\w+)"?(?:\s*,\s*(\d+[smhd]?))?\s*\)(?:\s+AS\s+(\w+))?$""".r
+    ("""(?i)^integral\(\s*"?(\w+)"?(?:\s*,\s*""" +
+      """(\d+(?:ns|u|µ|ms|s|m|h|d|w)?))?\s*\)(?:\s+AS\s+(\w+))?$""").r
   private val TransRe =
     ("""(?i)^(derivative|non_negative_derivative|difference|""" +
       """non_negative_difference|moving_average|cumulative_sum)""" +
       """\((.+)\)(?:\s+AS\s+(\w+))?$""").r
-  private val TransArgRe = """^\d+[smhd]?$""".r
+  private val TransArgRe = """^\d+(?:ns|u|µ|ms|s|m|h|d|w)?$""".r
   private val MathRe =
     ("""(?i)^(abs|sqrt|floor|ceil|round|ln|log2|log10|exp|""" +
       """sin|cos|tan|asin|acos|atan)\((.+)\)(?:\s+AS\s+(\w+))?$""").r
@@ -189,7 +191,8 @@ object InfluxQL {
   }
   private val CondRe = """(?i)^\s*"?(\w+)"?\s*(<=|>=|!=|=|<|>)\s*(?:'([^']*)'|(-?[0-9.]+))\s*$""".r
   private val CondNowRe =
-    """(?i)^\s*"?(\w+)"?\s*(<=|>=|!=|=|<|>)\s*now\(\)(?:\s*([+-])\s*(\d+[smhd]))?\s*$""".r
+    ("""(?i)^\s*"?(\w+)"?\s*(<=|>=|!=|=|<|>)\s*now\(\)""" +
+      """(?:\s*([+-])\s*(\d+(?:ns|u|µ|ms|s|m|h|d|w)))?\s*$""").r
   // tag regex matching (Grafana template variables emit these constantly)
   private val CondRegexRe =
     """(?i)^\s*"?(\w+)"?\s*(=~|!~)\s*/([^/]*)/\s*$""".r
@@ -202,7 +205,8 @@ object InfluxQL {
   private val CondEpochRe =
     """(?i)^\s*"?(time)"?\s*(<=|>=|!=|=|<|>)\s*(\d+)(ns|u|µ|ms|s|m|h|d|w)?\s*$""".r
   private val TimeRe =
-    """(?i)^time\((\d+)([smhdw])(?:\s*,\s*(-?\d+[smhdw])\s*)?\)$""".r
+    ("""(?i)^time\((\d+)(ns|u|µ|ms|s|m|h|d|w)""" +
+      """(?:\s*,\s*(-?\d+(?:ns|u|µ|ms|s|m|h|d|w))\s*)?\)$""").r
 
   /** Split on commas at paren depth 0 (select items may contain
     * `percentile(v, 90)` / `moving_average(mean(v), 4)`). */
@@ -429,6 +433,11 @@ object InfluxQL {
         var bucketOff: Option[String] = None
         val tags = splitTop(Option(groupS).getOrElse("")).filter(_.nonEmpty).flatMap {
           case TimeRe(n, u, off) =>
+            // µs is the engine's timestamp precision; an ns bucket could
+            // only silently alias — reject at parse, like durUs does
+            if (u.equalsIgnoreCase("ns") ||
+                Option(off).exists(_.toLowerCase.endsWith("ns")))
+              fail(q, "sub-microsecond buckets are below timestamp precision")
             bucket = Some((n.toInt, u)); bucketOff = Option(off); None
           case t => Some(t.stripPrefix("\"").stripSuffix("\""))
         }
@@ -568,7 +577,8 @@ object InfluxQL {
   }
 
   private val Units = Map("s" -> "seconds", "m" -> "minutes",
-    "h" -> "hours", "d" -> "days", "w" -> "weeks")
+    "h" -> "hours", "d" -> "days", "w" -> "weeks",
+    "ms" -> "milliseconds", "u" -> "microseconds", "µ" -> "microseconds")
 
   private def condCol(c: Cond, now: Option[String]): Column = {
     val l = col(c.col)
@@ -578,9 +588,9 @@ object InfluxQL {
           "query uses now() but no clock was supplied to run()"))))
         if (off.isEmpty) clock
         else {
-          val sec = durSec(off.tail)
-          if (off.head == '-') clock - expr(s"INTERVAL $sec SECONDS")
-          else clock + expr(s"INTERVAL $sec SECONDS")
+          val us = durUs(off.tail)
+          if (off.head == '-') clock - expr(s"INTERVAL $us MICROSECOND")
+          else clock + expr(s"INTERVAL $us MICROSECOND")
         }
       case None => c.value match {
         case Left(s) if c.col == "time" => to_timestamp(lit(s))
@@ -776,12 +786,22 @@ object InfluxQL {
   private val UnitSec = Map('s' -> 1L, 'm' -> 60L, 'h' -> 3600L,
     'd' -> 86400L, 'w' -> 604800L)
 
-  private def durSec(arg: String): Long =
-    if (arg.forall(_.isDigit)) arg.toLong
-    else arg.init.toLong * UnitSec(arg.last)
+  /** Duration string to MICROSECONDS — InfluxDB's unit set: u/µ (micro),
+    * ms, s (the default for bare digits), m, h, d, w. `ns` durations are
+    * rejected loudly: the engine's timestamps are µs-precision, so a
+    * sub-µs bucket could only silently alias. */
+  private def durUs(arg: String): Long = {
+    val a = arg.toLowerCase
+    if (a.forall(_.isDigit)) a.toLong * 1000000L
+    else if (a.endsWith("ns"))
+      fail(arg, "sub-microsecond durations are below timestamp precision")
+    else if (a.endsWith("ms")) a.dropRight(2).toLong * 1000L
+    else if (a.endsWith("u") || a.endsWith("µ")) a.dropRight(1).toLong
+    else a.init.toLong * UnitSec(a.last) * 1000000L
+  }
 
-  private def durSecSigned(arg: String): Long =
-    if (arg.startsWith("-")) -durSec(arg.tail) else durSec(arg)
+  private def durUsSigned(arg: String): Long =
+    if (arg.startsWith("-")) -durUs(arg.tail) else durUs(arg)
 
   /** `GROUP BY time(n, off)` boundary shift, normalized into [0, step) µs —
     * InfluxDB accepts negative offsets; modular arithmetic makes
@@ -790,8 +810,8 @@ object InfluxQL {
     case None => 0L
     case Some(off) =>
       val (n, u) = p.timeBucket.get
-      val stepUs = durSec(s"$n$u") * 1000000L
-      val x = durSecSigned(off) * 1000000L
+      val stepUs = durUs(s"$n$u")
+      val x = durUsSigned(off)
       ((x % stepUs) + stepUs) % stepUs
   }
 
@@ -860,7 +880,7 @@ object InfluxQL {
       val out = t.fn match {
         case "derivative" | "non_negative_derivative" =>
           // InfluxDB rate: Δx / (Δt / unit), default unit 1s
-          val unit = durSec(t.arg.getOrElse("1s")).toDouble
+          val unit = durUs(t.arg.getOrElse("1s")).toDouble / 1e6
           val dtSec =
             (unix_micros(col("time")) - lag(unix_micros(col("time")), 1).over(w))
               .cast(DoubleType) / lit(1e6)
@@ -925,7 +945,7 @@ object InfluxQL {
     * of each series has no predecessor and is dropped, as InfluxDB drops it.
     * Ties on time are ordered by value for cross-engine determinism. */
   private def runElapsed(base: DataFrame, p: Query, e: Elapsed): DataFrame = {
-    val unitUs = durSec(e.arg.getOrElse("1s")) * 1000000L
+    val unitUs = durUs(e.arg.getOrElse("1s"))
     val out = e.alias.getOrElse("elapsed")
     base
       .withColumn(out,
@@ -944,7 +964,7 @@ object InfluxQL {
     * plan is partial-aggregable and the DuckDB oracle hash-matches). */
   private def runIntegral(base: DataFrame, p: Query, itg: Integral): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val unitSec = durSec(itg.arg.getOrElse("1s")).toDouble
+    val unitSec = durUs(itg.arg.getOrElse("1s")).toDouble / 1e6
     val w = Window.partitionBy(p.groupTags.map(col): _*)
       .orderBy(col("time"), col(itg.field))
     val v = col(itg.field)
@@ -1000,7 +1020,7 @@ object InfluxQL {
         // via the sign-safe `x - ((x % s + s) % s)` form — Spark's DIV
         // truncates toward zero, which would bucket pre-1970 timestamps
         // one step late relative to every other aggregate path
-        val stepUs = durSec(s"$n$u") * 1000000L
+        val stepUs = durUs(s"$n$u")
         val offUs = bucketOffsetUs(p)
         val x = s"(unix_micros(time) - $offUs)"
         base.withColumn("__t", expr(
@@ -1146,7 +1166,7 @@ object InfluxQL {
             // shifted frame, convert the boundary back to a UTC instant.
             // time(n, off) shifts those local boundaries by `off` (a
             // "daily from local 02:00" billing window).
-            val stepUs = durSec(s"$n$u") * 1000000L
+            val stepUs = durUs(s"$n$u")
             val offUs = bucketOffsetUs(p)
             val local =
               s"(unix_micros(from_utc_timestamp(time, '$z')) - $offUs)"
@@ -1241,7 +1261,7 @@ object InfluxQL {
     // back to the UTC instant the aggregation path produced. WHERE time
     // literals remain UTC instants (the store's convention; tz() affects
     // bucket alignment and output boundaries, not filter interpretation).
-    val stepUs = durSec(s"$n$u") * 1000000L
+    val stepUs = durUs(s"$n$u")
     val offUs = bucketOffsetUs(p)
     def bucketFloor(tsLit: String): Column = expr(
       s"timestamp_micros(${floorAlignUs(

@@ -291,6 +291,12 @@ object InfluxQlOps {
     "SELECT count(value) AS n FROM events " +
       "WHERE time >= 1704153600s AND time < 1704326400s GROUP BY time(6h)"
 
+  // sub-second buckets (high-frequency metering): time(500ms)
+  private val MsBucketQ =
+    "SELECT count(value) AS n FROM events " +
+      "WHERE time >= '2024-01-02 00:00:00' AND time < '2024-01-02 01:00:00' " +
+      "GROUP BY time(500ms)"
+
   // Grafana's default dashboard filter: epoch-millisecond literals
   private val EpochMsQ =
     "SELECT count(value) AS n FROM events " +
@@ -429,6 +435,7 @@ object InfluxQlOps {
     "influxql_from_regex" -> runCat(FromRegexQ) _,
     "influxql_epoch_bound" -> run(EpochBoundQ) _,
     "influxql_epoch_ms_bound" -> run(EpochMsQ) _,
+    "influxql_ms_bucket" -> run(MsBucketQ) _,
     "influxql_math" -> run(MathQ) _,
     "influxql_math_agg" -> run(MathAggQ) _,
     "influxql_into" -> (influxqlInto _),
@@ -481,6 +488,12 @@ object InfluxQlOps {
   private[ops] def sqlBucket(ts: String, stepSec: Long): String =
     s"TIMESTAMP '1970-01-01 00:00:00' + " +
       s"((CAST(floor(epoch($ts)) AS BIGINT) // $stepSec) * $stepSec) * INTERVAL 1 SECOND"
+
+  /** Sub-second twin of [[sqlBucket]]: µs-exact epoch floor
+    * (`make_timestamp` takes epoch-µs directly — a BIGINT × INTERVAL
+    * product would overflow DuckDB's INT32 interval component). */
+  private[ops] def sqlBucketUs(ts: String, stepUs: Long): String =
+    s"make_timestamp((epoch_us($ts) // $stepUs) * $stepUs)"
 
   /** [[sqlBucket]] with the `time(n, off)` boundary shift. */
   private[ops] def sqlBucketOff(ts: String, stepSec: Long, offSec: Long): String =
@@ -1137,6 +1150,14 @@ object InfluxQlOps {
          |FROM events
          |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-02 00:00:00'
          |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-04 00:00:00'
+         |GROUP BY 1
+         |${orderAll("time", "n")}""".stripMargin,
+    "influxql_ms_bucket" ->
+      s"""SELECT ${sqlBucketUs("CAST(ts AS TIMESTAMP)", 500000)} AS time,
+         |  COUNT(value) AS n
+         |FROM events
+         |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-02 00:00:00'
+         |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-02 01:00:00'
          |GROUP BY 1
          |${orderAll("time", "n")}""".stripMargin,
     "influxql_epoch_ms_bound" ->

@@ -757,6 +757,28 @@ class InfluxQlSpec extends SparkTestBase {
       "SELECT distinct(a) + distinct(b) FROM m"))
   }
 
+  test("sub-second buckets: time(500ms) splits within a second, ns rejected") {
+    import spark.implicits._
+    val m = Seq("2024-01-01 00:00:00.1", "2024-01-01 00:00:00.4",
+        "2024-01-01 00:00:00.6", "2024-01-01 00:00:01.2")
+      .map(t => (java.sql.Timestamp.valueOf(t), 1.0)).toDF("time", "value")
+    val out = InfluxQL.run(spark, m,
+      "SELECT count(value) AS n FROM m GROUP BY time(500ms)")
+      .collect().map(r => r.getAs[java.sql.Timestamp]("time").toString ->
+        r.getAs[Long]("n")).toMap
+    assert(out == Map(
+      "2024-01-01 00:00:00.0" -> 2L,
+      "2024-01-01 00:00:00.5" -> 1L,
+      "2024-01-01 00:00:01.0" -> 1L))
+    // explicit microsecond buckets work; nanosecond ones are below the
+    // engine's timestamp precision and fail loudly
+    assert(InfluxQL.run(spark, m,
+      "SELECT count(value) AS n FROM m GROUP BY time(500000u)")
+      .count() == 3)
+    intercept[IllegalArgumentException](InfluxQL.run(spark, m,
+      "SELECT count(value) AS n FROM m GROUP BY time(100ns)"))
+  }
+
   test("GROUP BY time(1w) equals time(7d): epoch-aligned week buckets") {
     val m = Tables.load(spark, sf, "events").withColumnRenamed("ts", "time")
     val w = InfluxQL.run(spark, m,
