@@ -266,7 +266,19 @@ object InfluxQL {
     case x: Integral => x.copy(alias = Some(a))
   }
 
-  private def parseField(q: String, item: String): Field = item match {
+  /** Grafana's query editor emits `::field` / `::tag` type disambiguators
+    * (`"value"::field`, `"host"::tag`); they select the same column here
+    * (tags are ordinary string columns), so strip them before matching.
+    * The `::float`/`::integer` CAST forms are rejected loudly below via
+    * the normal unsupported-item path. */
+  private val TypeSuffixRe = "(?i)::(field|tag)\\b".r
+
+  private def parseField(q: String, item0: String): Field = {
+    val item = TypeSuffixRe.replaceAllIn(item0, "")
+    parseField0(q, item)
+  }
+
+  private def parseField0(q: String, item: String): Field = item match {
     // a depth-0 operator splits FIRST, so `abs(a) - abs(b)` is a BinOp of
     // two math fns, not a math fn over garbage (no later pattern carries
     // a space-surrounded top-level operator; literal rights fall through
@@ -399,7 +411,7 @@ object InfluxQL {
       case SelectRe(fieldsS, intoS, meas, measRe, whereS, groupS, fillS, descS,
           limitS, offS, slimS, soffS, tzS) =>
         val fields = splitTop(fieldsS).map(parseField(q, _))
-        def parseCond(s: String): Cond = s match {
+        def parseCond(s0: String): Cond = TypeSuffixRe.replaceAllIn(s0, "") match {
           case CondNowRe(c, op, sign, dur) =>
             Cond(c, op, Right(0),
               Some(if (sign == null) "" else s"$sign$dur"))
@@ -439,7 +451,8 @@ object InfluxQL {
                 Option(off).exists(_.toLowerCase.endsWith("ns")))
               fail(q, "sub-microsecond buckets are below timestamp precision")
             bucket = Some((n.toInt, u)); bucketOff = Option(off); None
-          case t => Some(t.stripPrefix("\"").stripSuffix("\""))
+          case t => Some(TypeSuffixRe.replaceAllIn(t, "")
+            .trim.stripPrefix("\"").stripSuffix("\""))
         }
         // FROM may be one measurement or InfluxQL's comma list
         // (`FROM "a", "b"` — one series set per measurement, unioned)

@@ -326,6 +326,49 @@ object StreamingOps {
   def streamCsvIngest(spark: SparkSession, dir: String): DataFrame =
     totalOrder(streamCsvIngestRun(spark, dir)._1)
 
+  /** The line-protocol landing-dir drain as a streaming query (the write
+    * path `write_points(..., protocol='line')` replaces, loader.py:171-181,
+    * run continuously): text stream → declarative
+    * [[graft.ingest.LineProtocol]] parse → good `value` points appended to
+    * a day-partitioned [[graft.store.MeasurementStore]] measurement, bad
+    * lines to a parquet dead letter — the CSV loop's pattern on the second
+    * wire format. The oracle reconstructs the landed points from the
+    * fixture slice directly. */
+  def streamLineprotoIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ingest.LineProtocol
+    val landing = java.nio.file.Files.createTempDirectory("lp_stream_landing")
+    graft.ops.Ingest.writeLineProtoFile(spark, dir, landing)
+    val store = new graft.store.MeasurementStore(spark,
+      java.nio.file.Files.createTempDirectory("lp_stream_store").toString)
+    val quarantine =
+      java.nio.file.Files.createTempDirectory("lp_stream_quarantine").toString
+    val q = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .text(landing.toString)
+      .withColumnRenamed("value", "line")
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("lp_stream_ckpt").toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val parsed = LineProtocol.tagCols(
+          LineProtocol.parseLines(batch), Seq("siteID", "meterID"))
+        val good = parsed
+          .filter(!col("is_bad") && col("measurement") === "pulses" &&
+            col("field_key") === "value" && col("time").isNotNull)
+          .select(col("siteID"), col("meterID"), col("time"),
+            col("f_double").as("value"))
+        if (!good.isEmpty) store.append("pulses", good)
+        val bad = parsed.filter(col("is_bad")).select(col("line"))
+        if (!bad.isEmpty) bad.write.mode("append").parquet(quarantine)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    totalOrder(store.read("pulses")
+      .select(col("siteID"), col("meterID"), col("time"), col("value")))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -333,6 +376,7 @@ object StreamingOps {
     "stream_dedup" -> streamDedup,
     "stream_pulse_rate" -> streamPulseRate,
     "stream_csv_ingest" -> streamCsvIngest,
+    "stream_lineproto_ingest" -> streamLineprotoIngest,
     "stream_session_window" -> streamSessionWindow,
     "stream_stream_join" -> streamStreamJoin,
     "stream_continuous_query" -> continuousQuery,
@@ -391,5 +435,15 @@ object StreamingOps {
          |${orderAll("time", "event_type", "mv", "n")}""".stripMargin,
     "stream_pulse_rate" -> graft.ops.TimeSeries.oracle("win_lag_interval"),
     "stream_csv_ingest" -> graft.ops.Ingest.oracle("scan_csv_pulses"),
+    "stream_lineproto_ingest" ->
+      s"""WITH s AS (
+         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS time, value,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      AS rn
+         |  FROM events WHERE user_id BETWEEN 1 AND 3)
+         |SELECT CAST(100 + user_id AS VARCHAR) AS siteID,
+         |  CAST(300 + user_id AS VARCHAR) AS meterID, time, value
+         |FROM s WHERE rn <= 50
+         |${graft.ops.Relational.orderAll("siteID", "meterID", "time", "value")}""".stripMargin,
     "stream_session_window" -> graft.ops.TimeSeries.oracle("ts_session_window"))
 }

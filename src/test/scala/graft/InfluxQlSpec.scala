@@ -757,6 +757,21 @@ class InfluxQlSpec extends SparkTestBase {
       "SELECT distinct(a) + distinct(b) FROM m"))
   }
 
+  test("::field / ::tag disambiguators parse as their bare columns") {
+    val m = Tables.load(spark, sf, "events").withColumnRenamed("ts", "time")
+    val typed = InfluxQL.run(spark, m,
+      """SELECT mean("value"::field) AS mv FROM events """ +
+        """WHERE "event_type"::tag = 'click' """ +
+        """GROUP BY time(1d), "event_type"::tag""")
+    val bare = InfluxQL.run(spark, m,
+      "SELECT mean(value) AS mv FROM events " +
+        "WHERE event_type = 'click' GROUP BY time(1d), event_type")
+    assert(typed.collect().toSeq == bare.collect().toSeq)
+    // the ::float cast form stays unsupported, loudly
+    intercept[IllegalArgumentException](InfluxQL.run(spark, m,
+      "SELECT value::float FROM events"))
+  }
+
   test("sub-second buckets: time(500ms) splits within a second, ns rejected") {
     import spark.implicits._
     val m = Seq("2024-01-01 00:00:00.1", "2024-01-01 00:00:00.4",
