@@ -865,6 +865,8 @@ object InfluxQL {
       fail(q, "aggregate transform arguments require GROUP BY time()")
     if (rawInner && p.timeBucket.nonEmpty)
       fail(q, "GROUP BY time() requires an aggregate transform argument")
+    if (rawInner) p.fill.filter(_ != "none").foreach(f =>
+      fail(q, s"fill($f) applies to GROUP BY time() buckets, not raw series"))
     val agged = if (rawInner) {
       // one row per raw point, inner fields projected for the windows
       val ins = transforms.zipWithIndex.map { case (t, i) =>
@@ -876,8 +878,19 @@ object InfluxQL {
       val inner = transforms.zipWithIndex.map { case (t, i) =>
         aggCol(t.inner.asInstanceOf[Agg]).as(s"__in$i")
       }
-      base.groupBy(keys: _*).agg(inner.head, inner.tail: _*)
+      val a0 = base.groupBy(keys: _*).agg(inner.head, inner.tail: _*)
         .withColumn("time", col("w.start")).drop("w")
+      // fill() densifies the bucketed series BEFORE the window transform
+      // (the Grafana rate-panel + fill combination): LOCF'd or constant-
+      // filled buckets feed the lag/frame windows, so e.g. derivative
+      // emits 0 across a fill(previous) plateau instead of a gap. Rows
+      // whose transform stays undefined (leading nulls, incomplete
+      // moving windows) drop, exactly as in the unfilled path.
+      (p.fill.filter(_ != "none"), p.timeBucket) match {
+        case (Some(_), Some((n, u))) =>
+          fillBuckets(base.sparkSession, base, a0, p, n, u)
+        case _ => a0
+      }
     }
     // bucketed rows are unique on (tags, time); raw points may tie on time,
     // so the raw path breaks ties by the input values
@@ -930,6 +943,8 @@ object InfluxQL {
     * points' OWN timestamps, as InfluxDB emits them. */
   private def runSelector(base: DataFrame, p: Query, sel: Selector): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    p.fill.filter(_ != "none").foreach(f =>
+      fail(sel.fn, s"fill($f) is not supported with ${sel.fn}()"))
     val v = col(sel.field)
     val ord: Seq[Column] =
       if (sel.fn == "top") Seq(v.desc, col("time").asc)
@@ -958,6 +973,8 @@ object InfluxQL {
     * of each series has no predecessor and is dropped, as InfluxDB drops it.
     * Ties on time are ordered by value for cross-engine determinism. */
   private def runElapsed(base: DataFrame, p: Query, e: Elapsed): DataFrame = {
+    p.fill.filter(_ != "none").foreach(f =>
+      fail("elapsed", s"fill($f) is not supported with elapsed()"))
     val unitUs = durUs(e.arg.getOrElse("1s"))
     val out = e.alias.getOrElse("elapsed")
     base
@@ -977,6 +994,8 @@ object InfluxQL {
     * plan is partial-aggregable and the DuckDB oracle hash-matches). */
   private def runIntegral(base: DataFrame, p: Query, itg: Integral): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    p.fill.filter(_ != "none").foreach(f =>
+      fail("integral", s"fill($f) is not supported with integral()"))
     val unitSec = durUs(itg.arg.getOrElse("1s")).toDouble / 1e6
     val w = Window.partitionBy(p.groupTags.map(col): _*)
       .orderBy(col("time"), col(itg.field))

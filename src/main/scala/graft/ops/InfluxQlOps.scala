@@ -193,6 +193,13 @@ object InfluxQlOps {
       "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-05 00:00:00' " +
       "GROUP BY time(6h)"
 
+  // fill + transform (the Grafana rate panel with fill(previous)): densify
+  // the per-user buckets, LOCF, THEN derivative — a plateau derives to 0
+  private val DerivFillQ =
+    "SELECT derivative(mean(value), 1h) AS rate FROM events " +
+      "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-03 00:00:00' " +
+      "GROUP BY time(6h), user_id fill(previous)"
+
   private val DiffQ =
     "SELECT difference(max(value)) AS diff FROM events " +
       "GROUP BY time(1d), event_type"
@@ -416,6 +423,7 @@ object InfluxQlOps {
     "influxql_slimit" -> run(SlimitQ) _,
     "influxql_derivative" -> run(DerivQ) _,
     "influxql_derivative_raw" -> run(DerivRawQ) _,
+    "influxql_derivative_fill" -> run(DerivFillQ) _,
     "influxql_moving_average_raw" -> run(MovAvgRawQ) _,
     "influxql_difference" -> run(DiffQ) _,
     "influxql_moving_average" -> run(MovAvgQ) _,
@@ -948,6 +956,35 @@ object InfluxQlOps {
          |  FROM agg WINDOW w AS (ORDER BY time))
          |SELECT time, rate FROM d WHERE rate IS NOT NULL
          |${orderAll("time", "rate")}""".stripMargin,
+    "influxql_derivative_fill" ->
+      s"""WITH f AS (
+         |  SELECT CAST(ts AS TIMESTAMP) AS t, user_id, value FROM events
+         |  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01 00:00:00'
+         |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-03 00:00:00'),
+         |agg AS (
+         |  SELECT ${sqlBucket("t", 21600)} AS time, user_id,
+         |    ${sqlDavg("value")} AS x
+         |  FROM f GROUP BY 1, 2),
+         |spine AS (
+         |  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+         |    TIMESTAMP '2024-01-02 18:00:00', INTERVAL 6 HOUR)) AS time),
+         |users AS (SELECT DISTINCT user_id FROM f),
+         |grid AS (SELECT s.time, u.user_id FROM spine s CROSS JOIN users u),
+         |filled AS (
+         |  SELECT g.time, g.user_id,
+         |    LAST_VALUE(a.x IGNORE NULLS) OVER (
+         |      PARTITION BY g.user_id ORDER BY g.time
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS x
+         |  FROM grid g LEFT JOIN agg a
+         |    ON a.time = g.time AND a.user_id = g.user_id),
+         |d AS (
+         |  SELECT time, user_id,
+         |    ((x - lag(x) OVER w) * 3600.0) /
+         |      (CAST(epoch_us(time) - lag(epoch_us(time)) OVER w AS DOUBLE) / 1e6)
+         |      AS rate
+         |  FROM filled WINDOW w AS (PARTITION BY user_id ORDER BY time))
+         |SELECT time, user_id, rate FROM d WHERE rate IS NOT NULL
+         |${orderAll("time", "user_id", "rate")}""".stripMargin,
     "influxql_derivative_raw" ->
       s"""WITH f AS (
          |  SELECT event_type, CAST(ts AS TIMESTAMP) AS time, value

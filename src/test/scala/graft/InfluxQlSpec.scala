@@ -675,6 +675,31 @@ class InfluxQlSpec extends SparkTestBase {
     assert(InfluxQL.run(spark, m,
       "SELECT distinct(event_type) FROM events GROUP BY time(1d) fill(none)")
       .count() > 0)
+    // fill() under selectors / elapsed / integral has no densify-then-
+    // transform meaning — loud, never silently dropped
+    intercept[IllegalArgumentException](InfluxQL.run(spark, m,
+      "SELECT top(value, 3) FROM events GROUP BY time(1d) fill(0)"))
+    intercept[IllegalArgumentException](InfluxQL.run(spark, m,
+      "SELECT integral(value, 1h) FROM events GROUP BY time(1d) fill(0)"))
+  }
+
+  test("fill() + transform: derivative over a LOCF plateau is zero") {
+    import spark.implicits._
+    // one series with a 3-bucket gap: 00:00 → 10, (gap, gap), 18:00 → 40
+    val m = Seq(("2024-01-01 00:30:00", 10.0), ("2024-01-01 18:30:00", 40.0))
+      .map { case (t, v) => (java.sql.Timestamp.valueOf(t), "a", v) }
+      .toDF("time", "tag", "value")
+    val out = InfluxQL.run(spark, m,
+      "SELECT derivative(mean(value), 6h) AS rate FROM m " +
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-02 00:00:00' " +
+        "GROUP BY time(6h), tag fill(previous)")
+      .collect().map(r => r.getAs[java.sql.Timestamp]("time").toString ->
+        r.getAs[Double]("rate")).toMap
+    // filled plateau derives to 0; the real jump derives to 40-10 = 30
+    assert(out == Map(
+      "2024-01-01 06:00:00.0" -> 0.0,
+      "2024-01-01 12:00:00.0" -> 0.0,
+      "2024-01-01 18:00:00.0" -> 30.0))
   }
 
   test("duplicate math-fn default names disambiguate as fn, fn_1") {
