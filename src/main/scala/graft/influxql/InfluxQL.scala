@@ -813,6 +813,10 @@ object InfluxQL {
     else a.init.toLong * UnitSec(a.last) * 1000000L
   }
 
+  /** [[durUs]] for callers outside the front end (the CQ registry turns
+    * a RESAMPLE FOR duration into a watermark lag). */
+  private[graft] def durationUs(arg: String): Long = durUs(arg)
+
   private def durUsSigned(arg: String): Long =
     if (arg.startsWith("-")) -durUs(arg.tail) else durUs(arg)
 
@@ -1409,15 +1413,30 @@ object InfluxQL {
     """(?i)^\s*SHOW\s+MEASUREMENT\s+(?:EXACT\s+)?CARDINALITY\s*;?\s*$""".r
   private val CqRe =
     ("""(?is)^\s*CREATE\s+CONTINUOUS\s+QUERY\s+"?(\w+)"?\s+ON\s+"?(\w+)"?""" +
+      """(?:\s+RESAMPLE(?:\s+EVERY\s+(\d+(?:ns|u|µ|ms|s|m|h|d|w)))?""" +
+      """(?:\s+FOR\s+(\d+(?:ns|u|µ|ms|s|m|h|d|w)))?)?""" +
       """\s+BEGIN\s+(.+?)\s*;?\s+END\s*$""").r
 
-  /** Parse `CREATE CONTINUOUS QUERY <name> ON <db> BEGIN <select> END` —
-    * the reference's cron-run downsampling jobs as first-class statements;
-    * the body runs as a Structured Streaming query
+  /** Parse `CREATE CONTINUOUS QUERY <name> ON <db> [RESAMPLE [EVERY <d>]
+    * [FOR <d>]] BEGIN <select> END` — the reference's cron-run
+    * downsampling jobs as first-class statements; the body runs as a
+    * Structured Streaming query
     * ([[graft.streaming.StreamingOps.continuousQuery]], with the managed
     * lifecycle in [[graft.streaming.CqRegistry]]). Returns (name, db, body). */
-  def parseCq(stmt: String): (String, String, Query) = stmt match {
-    case CqRe(name, db, body) => (name, db, parse(body))
+  def parseCq(stmt: String): (String, String, Query) = {
+    val (n, d, b, _, _) = parseCqResample(stmt)
+    (n, d, b)
+  }
+
+  /** [[parseCq]] plus the RESAMPLE clause: (name, db, body, every, for).
+    * `FOR <d>` is InfluxDB's recompute/late-tolerance window — exactly the
+    * watermark lag of the incremental execution, so a CQ carries its own
+    * lateness policy; `EVERY <d>` is the trigger cadence (informational
+    * here — runs are caller-scheduled, as the reference's cron is). */
+  def parseCqResample(stmt: String):
+      (String, String, Query, Option[String], Option[String]) = stmt match {
+    case CqRe(name, db, every, forDur, body) =>
+      (name, db, parse(body), Option(every), Option(forDur))
     case _ => fail(stmt, "not a supported CREATE CONTINUOUS QUERY")
   }
 

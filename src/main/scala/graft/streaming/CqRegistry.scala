@@ -100,6 +100,14 @@ class CqRegistry(spark: SparkSession, root: String,
     (hits.head._1, cqs(hits.head))
   }
 
+  /** The CQ's own RESAMPLE FOR duration wins over the registry default:
+    * a CQ statement carries its lateness/recompute policy, as in
+    * InfluxDB. */
+  private def lagOf(forDur: Option[String]): String =
+    forDur.map(d =>
+      s"${graft.influxql.InfluxQL.durationUs(d)} microseconds")
+      .getOrElse(watermarkLag)
+
   private def fs(p: String): FileSystem =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -124,7 +132,8 @@ class CqRegistry(spark: SparkSession, root: String,
     * the aggregate schema comes back instead of an error. */
   def run(name: String, stream: DataFrame): DataFrame = {
     val (db, stmt) = resolve(name)
-    val (_, _, body) = graft.influxql.InfluxQL.parseCq(stmt)
+    val (_, _, body, _, forDur) =
+      graft.influxql.InfluxQL.parseCqResample(stmt)
     val target = body.into.getOrElse(throw new IllegalArgumentException(
       s"continuous query '$name' has no INTO target"))
     val out = s"$root/$db/$target"
@@ -132,7 +141,7 @@ class CqRegistry(spark: SparkSession, root: String,
     val keys = "time" +: body.groupTags
     healSwap(out)
     val agged = graft.influxql.InfluxQL
-      .streamingAggregate(stream, body, stmt, Some(watermarkLag))
+      .streamingAggregate(stream, body, stmt, Some(lagOf(forDur)))
     val q = agged.writeStream
       .outputMode("update")
       .trigger(Trigger.AvailableNow())
@@ -212,13 +221,14 @@ class CqRegistry(spark: SparkSession, root: String,
   def runIntoStore(name: String, stream: DataFrame,
     store: graft.store.MeasurementStore): DataFrame = {
     val (db, stmt) = resolve(name)
-    val (_, _, body) = graft.influxql.InfluxQL.parseCq(stmt)
+    val (_, _, body, _, forDur) =
+      graft.influxql.InfluxQL.parseCqResample(stmt)
     val target = body.into.getOrElse(throw new IllegalArgumentException(
       s"continuous query '$name' has no INTO target"))
     val ckpt = s"$root/$db/.cq_ckpt_$name"
     val keys = "time" +: body.groupTags
     val agged = graft.influxql.InfluxQL
-      .streamingAggregate(stream, body, stmt, Some(watermarkLag))
+      .streamingAggregate(stream, body, stmt, Some(lagOf(forDur)))
     val q = agged.writeStream
       .outputMode("update")
       .trigger(Trigger.AvailableNow())

@@ -291,6 +291,33 @@ class IngestStoreStreamSpec extends SparkTestBase {
       s"state not evicted: ${reg.lastRunStateRows} rows for $windows windows")
   }
 
+  test("RESAMPLE FOR overrides the registry lag: per-CQ bounded state") {
+    val root = Files.createTempDirectory("cq_resample").toString
+    val landing = Files.createTempDirectory("cq_resample_landing").toString
+    // registry default would keep EVERYTHING open (30 days >> fixture
+    // span); the CQ's own RESAMPLE FOR 1h must win and evict history
+    val reg = new graft.streaming.CqRegistry(spark, root, "30 days")
+    reg.create("CREATE CONTINUOUS QUERY cq_rs ON graft RESAMPLE FOR 1h " +
+      "BEGIN SELECT count(value) AS n INTO hourly FROM events " +
+      "GROUP BY time(1h) END")
+    val events = Tables.load(spark, sf, "events")
+      .select(col("ts").as("time"), col("value"))
+    events.write.mode("append").parquet(landing)
+    val out = reg.run("cq_rs",
+      spark.readStream.schema(
+        spark.read.parquet(landing).schema).parquet(landing))
+    val windows = out.select("time").distinct().count()
+    assert(windows > 24 && out.count() == windows)
+    assert(reg.lastRunStateRows <= 3,
+      s"RESAMPLE FOR ignored: ${reg.lastRunStateRows} state rows " +
+        s"for $windows windows")
+    // EVERY parses too (cadence is caller-scheduled; informational here)
+    reg.create("CREATE CONTINUOUS QUERY cq_rs2 ON graft " +
+      "RESAMPLE EVERY 30m FOR 2h BEGIN SELECT count(value) AS n " +
+      "INTO hourly2 FROM events GROUP BY time(1h) END")
+    assert(reg.show.count() == 2)
+  }
+
   test("CQ bodies reject clauses the streaming execution cannot maintain") {
     val root = Files.createTempDirectory("cq_reject").toString
     val reg = new graft.streaming.CqRegistry(spark, root)
