@@ -53,9 +53,12 @@ object InfluxQL {
     * duration (`1h`) or window size, kept as written for print round-trip. */
   final case class Transform(fn: String, inner: Field, arg: Option[String],
     alias: Option[String]) extends Field
-  /** top(f, n) / bottom(f, n) — n extreme points with their event times. */
+  /** top(f, n) / bottom(f, n) — n extreme points with their event times.
+    * The 3-arg form top(f, tag, n) ranks DISTINCT tag values by their own
+    * extreme point and returns the n best tags' points (InfluxDB's
+    * "top N hosts" shape); `byTag` carries the tag key. */
   final case class Selector(fn: String, field: String, n: Int,
-    alias: Option[String]) extends Field
+    alias: Option[String], byTag: Option[String] = None) extends Field
   /** `<field-or-agg> <op> <literal>` with op in star/slash/plus/minus — the
     * unit-conversion arithmetic the reference applies everywhere (pulses ×
     * gallons-per-pulse, get_hot_intake_interval's volume math). Wraps a Raw
@@ -132,6 +135,11 @@ object InfluxQL {
     """(?i)^percentile\(\s*"?(\w+)"?\s*,\s*([0-9.]+)\s*\)(?:\s+AS\s+(\w+))?$""".r
   private val SelRe =
     """(?i)^(top|bottom)\(\s*"?(\w+)"?\s*,\s*(\d+)\s*\)(?:\s+AS\s+(\w+))?$""".r
+  // 3-arg form: top(field, tag, n) — the tag segment must start with a
+  // letter/underscore so the 2-arg numeric form never matches here
+  private val Sel3Re =
+    ("""(?i)^(top|bottom)\(\s*"?(\w+)"?\s*,\s*"?([A-Za-z_]\w*)"?""" +
+      """\s*,\s*(\d+)\s*\)(?:\s+AS\s+(\w+))?$""").r
   private val ElapsedRe =
     ("""(?i)^elapsed\(\s*"?(\w+)"?(?:\s*,\s*""" +
       """(\d+(?:ns|u|µ|ms|s|m|h|d|w)?))?\s*\)(?:\s+AS\s+(\w+))?$""").r
@@ -305,6 +313,8 @@ object InfluxQL {
     case AggRe(fn, f, al) => Agg(fn.toLowerCase, f, Option(al))
     case PercRe(f, p, al) => Agg("percentile", f, Option(al), Some(p.toDouble))
     case SelRe(fn, f, n, al) => Selector(fn.toLowerCase, f, n.toInt, Option(al))
+    case Sel3Re(fn, f, tag, n, al) =>
+      Selector(fn.toLowerCase, f, n.toInt, Option(al), Some(tag))
     case ElapsedRe(f, arg, al) => Elapsed(f, Option(arg), Option(al))
     case IntegralRe(f, arg, al) => Integral(f, Option(arg), Option(al))
     case TransRe(fn, content, al) =>
@@ -513,7 +523,8 @@ object InfluxQL {
       case Agg("percentile", n, _, Some(p)) => s"percentile($n, ${num(p)})"
       case Agg("count_distinct", n, _, _) => s"count(distinct($n))"
       case Agg(fn, n, _, _) => s"$fn($n)"
-      case Selector(fn, n, k, _) => s"$fn($n, $k)"
+      case Selector(fn, n, k, _, by) =>
+        s"$fn($n${by.map(", " + _).getOrElse("")}, $k)"
       case Arith(i, op, k, _) =>
         val bare = i match {
           case r: Raw => r.copy(alias = None): Field
@@ -954,6 +965,28 @@ object InfluxQL {
       if (sel.fn == "top") Seq(v.desc, col("time").asc)
       else Seq(v.asc, col("time").asc)
     val out = sel.alias.getOrElse(sel.fn)
+    sel.byTag.foreach { tag =>
+      // 3-arg form: each DISTINCT tag value is represented by its own
+      // extreme point, then the n best tags win (per bucket when GROUP BY
+      // time() is present) — two rank windows over the same shuffle key
+      val bucketCols: Seq[Column] =
+        if (p.timeBucket.isEmpty) Nil else Seq(col("__b"))
+      val withB =
+        if (p.timeBucket.isEmpty) base
+        else base.withColumn("__b", winCol(p).getField("start"))
+      val wTag = Window
+        .partitionBy((bucketCols ++ p.groupTags.map(col)) :+ col(tag): _*)
+        .orderBy(ord: _*)
+      val wOut = Window
+        .partitionBy(bucketCols ++ p.groupTags.map(col): _*).orderBy(ord: _*)
+      return withB
+        .withColumn("__rt", row_number().over(wTag))
+        .filter(col("__rt") === 1)
+        .withColumn("__rn", row_number().over(wOut))
+        .filter(col("__rn") <= sel.n)
+        .select((col("time") +: p.groupTags.map(col)) ++
+          Seq(col(tag), v.as(out)): _*)
+    }
     if (p.timeBucket.nonEmpty) {
       val wB = Window
         .partitionBy(col("__b") +: p.groupTags.map(col): _*).orderBy(ord: _*)

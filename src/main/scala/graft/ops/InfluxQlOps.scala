@@ -250,6 +250,11 @@ object InfluxQlOps {
   private val TopBucketQ =
     "SELECT top(value, 3) AS v FROM events GROUP BY time(1d), event_type"
 
+  // the 3-arg form ("top N hosts"): each distinct tag is represented by
+  // its own extreme point, the 2 best tags win per day bucket
+  private val TopTagQ =
+    "SELECT top(value, event_type, 2) AS v FROM events GROUP BY time(1d)"
+
   // raw points under GROUP BY tag: the newest 3 points PER SERIES, tags
   // riding along in the flattened output (the series-grouped listing shape)
   private val RawSeriesQ =
@@ -434,6 +439,7 @@ object InfluxQlOps {
     "influxql_top" -> run(TopQ) _,
     "influxql_bottom_tag" -> run(BottomQ) _,
     "influxql_top_bucket" -> run(TopBucketQ) _,
+    "influxql_top_tag_n" -> run(TopTagQ) _,
     "influxql_group_star" -> run(GroupStarQ) _,
     "influxql_raw_series" -> run(RawSeriesQ) _,
     "influxql_distinct" -> run(DistinctQ) _,
@@ -1089,6 +1095,23 @@ object InfluxQlOps {
          |    ceil(0.5 * COUNT(value))) AS INT)] AS med
          |FROM events GROUP BY 1
          |${orderAll("time", "p90", "med")}""".stripMargin,
+    "influxql_top_tag_n" ->
+      s"""WITH r1 AS (
+         |  SELECT CAST(ts AS TIMESTAMP) AS time, event_type, value,
+         |    ROW_NUMBER() OVER (
+         |      PARTITION BY ${sqlBucket("CAST(ts AS TIMESTAMP)", 86400)},
+         |        event_type
+         |      ORDER BY value DESC, CAST(ts AS TIMESTAMP) ASC) AS rt
+         |  FROM events),
+         |m AS (SELECT * FROM r1 WHERE rt = 1),
+         |r2 AS (
+         |  SELECT time, event_type, value,
+         |    ROW_NUMBER() OVER (
+         |      PARTITION BY ${sqlBucket("time", 86400)}
+         |      ORDER BY value DESC, time ASC) AS rn
+         |  FROM m)
+         |SELECT time, event_type, value AS v FROM r2 WHERE rn <= 2
+         |${orderAll("time", "event_type", "v")}""".stripMargin,
     "influxql_top_bucket" ->
       s"""WITH r AS (
          |  SELECT CAST(ts AS TIMESTAMP) AS time, event_type, value,

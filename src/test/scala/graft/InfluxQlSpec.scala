@@ -166,6 +166,10 @@ class InfluxQlSpec extends SparkTestBase {
       Seq(InfluxQL.Selector("top", "value", 5, Some("v"))),
       "events", Nil, None, Seq("host"), None, orderDesc = false, None, None)
     assert(InfluxQL.parse(InfluxQL.print(sel)) == sel)
+    val sel3 = InfluxQL.Query(
+      Seq(InfluxQL.Selector("bottom", "value", 3, None, Some("host"))),
+      "events", Nil, Some((1, "d")), Nil, None, orderDesc = false, None, None)
+    assert(InfluxQL.parse(InfluxQL.print(sel3)) == sel3)
     // FROM /regex/ and fill(<number>) round-trip too
     val rx = InfluxQL.Query(
       Seq(InfluxQL.Agg("count", "value", Some("n"))), "__regex",
