@@ -128,7 +128,7 @@ object InfluxQL {
       """(?:\s+tz\('([\w/+-]+)'\))?\s*;?\s*$""").r
 
   private val AggRe =
-    """(?i)^(mean|sum|count|min|max|first|last|spread|stddev|median|distinct|mode)\(\s*"?(\w+)"?\s*\)(?:\s+AS\s+(\w+))?$""".r
+    """(?i)^(mean|sum|count|min|max|first|last|spread|stddev|median|distinct|mode)\(\s*"?(\w+|\*)"?\s*\)(?:\s+AS\s+(\w+))?$""".r
   private val CountDistinctRe =
     """(?i)^count\(\s*distinct\(\s*"?(\w+)"?\s*\)\s*\)(?:\s+AS\s+(\w+))?$""".r
   private val PercRe =
@@ -760,6 +760,10 @@ object InfluxQL {
 
   private def aggExpr(a: Agg): Column = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    // a surviving `*` means the wildcard was nested inside a wrapper the
+    // expansion doesn't reach (transform/arith) — reject, InfluxDB does too
+    if (a.field == "*")
+      fail(a.fn, s"${a.fn}(*) is only supported as a bare select item")
     val c = col(a.field)
     // PERCENTILE_DISC nearest-rank: the sample value at max(1, ceil(p/100·n)).
     // collect_list is bounded by the bucket size (a time bucket's points),
@@ -1166,13 +1170,30 @@ object InfluxQL {
     // FROM (SELECT ...): the inner query's result is the outer's measurement
     val in = p0.sub.map(s => runParsed(spark, source, s, q, now)).getOrElse(source)
     // GROUP BY * = every tag (Influx convention: the string-typed columns)
-    val p =
+    val p1 =
       if (p0.groupTags == Seq("*"))
         p0.copy(groupTags = in.schema.fields
           .filter(f => f.name != "time" &&
             f.dataType == org.apache.spark.sql.types.StringType)
           .map(_.name).toSeq.sorted)
       else p0
+    // wildcard aggregates: `mean(*)` expands to every FIELD (Influx
+    // convention: the numeric columns; tags are strings, time is neither),
+    // named fn_<field> as InfluxDB names them
+    val numericFields = in.schema.fields.toSeq.filter { f =>
+      import org.apache.spark.sql.types._
+      f.name != "time" && (f.dataType == DoubleType || f.dataType == FloatType
+        || f.dataType == LongType || f.dataType == IntegerType)
+    }.map(_.name).sorted
+    val p = p1.copy(fields = p1.fields.flatMap {
+      case a @ Agg(fn, "*", None, _)
+          if fn != "distinct" && fn != "mode" =>
+        if (numericFields.isEmpty) fail(q, "no fields to expand for *")
+        numericFields.map(f => a.copy(field = f, alias = Some(s"${fn}_$f")))
+      case Agg(fn, "*", _, _) =>
+        fail(q, s"$fn(*) cannot take an alias or be distinct/mode")
+      case other => Seq(other)
+    })
     val base0 = p.conds.foldLeft(in)((df, c) => df.filter(condCol(c, now)))
     val base = p.orConds.foldLeft(base0)((df, g) =>
       df.filter(g.map(condCol(_, now)).reduce(_ || _)))

@@ -255,6 +255,11 @@ object InfluxQlOps {
   private val TopTagQ =
     "SELECT top(value, event_type, 2) AS v FROM events GROUP BY time(1d)"
 
+  // wildcard aggregate: mean(*) expands to every numeric field, named
+  // mean_<field> (InfluxDB's fn_* convention)
+  private val AggStarQ =
+    "SELECT mean(*) FROM events GROUP BY time(1d)"
+
   // raw points under GROUP BY tag: the newest 3 points PER SERIES, tags
   // riding along in the flattened output (the series-grouped listing shape)
   private val RawSeriesQ =
@@ -440,6 +445,7 @@ object InfluxQlOps {
     "influxql_bottom_tag" -> run(BottomQ) _,
     "influxql_top_bucket" -> run(TopBucketQ) _,
     "influxql_top_tag_n" -> run(TopTagQ) _,
+    "influxql_agg_star" -> run(AggStarQ) _,
     "influxql_group_star" -> run(GroupStarQ) _,
     "influxql_raw_series" -> run(RawSeriesQ) _,
     "influxql_distinct" -> run(DistinctQ) _,
@@ -1095,6 +1101,13 @@ object InfluxQlOps {
          |    ceil(0.5 * COUNT(value))) AS INT)] AS med
          |FROM events GROUP BY 1
          |${orderAll("time", "p90", "med")}""".stripMargin,
+    "influxql_agg_star" ->
+      s"""SELECT ${sqlBucket("CAST(ts AS TIMESTAMP)", 86400)} AS time,
+         |  ${sqlDavg("event_id")} AS mean_event_id,
+         |  ${sqlDavg("user_id")} AS mean_user_id,
+         |  ${sqlDavg("value")} AS mean_value
+         |FROM events GROUP BY 1
+         |${orderAll("time", "mean_event_id", "mean_user_id", "mean_value")}""".stripMargin,
     "influxql_top_tag_n" ->
       s"""WITH r1 AS (
          |  SELECT CAST(ts AS TIMESTAMP) AS time, event_type, value,

@@ -801,6 +801,18 @@ class InfluxQlSpec extends SparkTestBase {
       "SELECT value::float FROM events"))
   }
 
+  test("wildcard aggregates expand to fn_<field> per numeric field") {
+    val m = Tables.load(spark, sf, "events").withColumnRenamed("ts", "time")
+    val df = InfluxQL.run(spark, m, "SELECT count(*) FROM events GROUP BY time(1d)")
+    assert(df.columns.sorted.toSeq ==
+      Seq("count_event_id", "count_user_id", "count_value", "time"))
+    // nested wildcards and aliased wildcards are rejected loudly
+    intercept[IllegalArgumentException](InfluxQL.run(spark, m,
+      "SELECT mean(*) AS x FROM events GROUP BY time(1d)"))
+    intercept[IllegalArgumentException](InfluxQL.run(spark, m,
+      "SELECT derivative(mean(*), 1h) FROM events GROUP BY time(1d)"))
+  }
+
   test("sub-second buckets: time(500ms) splits within a second, ns rejected") {
     import spark.implicits._
     val m = Seq("2024-01-01 00:00:00.1", "2024-01-01 00:00:00.4",
