@@ -29,7 +29,8 @@ import org.apache.spark.sql.streaming.Trigger
   * than the lag is dropped by the aggregation; backfill older than the lag
   * goes through a manual batch `SELECT ... INTO` run instead.
   *
-  * `watermarkLag` is the per-registry lateness/freshness policy. The
+  * `watermarkLag` is the registry-default lateness/freshness policy; a CQ
+  * created with `RESAMPLE FOR <d>` carries its own and overrides it. The
   * default ("1 hour") suits a live deployment; a historical backfill drain
   * (like the correctness fixture, which replays days of history in one
   * run) passes a lag covering the replayed span so no replayed bucket is
