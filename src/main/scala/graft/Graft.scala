@@ -81,22 +81,45 @@ object Graft {
 
   /** Split a statement batch on `;` at paren depth 0, outside single- and
     * double-quoted runs (`'a;b'` string literals and `"a;b"` identifiers
-    * stay whole). Trailing/empty statements drop, so `SELECT 1;` is one
-    * statement, not two. */
+    * stay whole) and outside `/regex/` measurement literals (`FROM /a;b/`
+    * and `=~ /a;b/` stay whole — a `/` opens a regex run only where a
+    * regex can appear: after FROM, a FROM-list comma, or `=~`/`!~`, so
+    * arithmetic division never starts one). Trailing/empty statements
+    * drop, so `SELECT 1;` is one statement, not two. */
   private[graft] def splitStatements(q: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val sb = new StringBuilder
     var depth = 0
     var inSingle = false
     var inDouble = false
-    q.foreach {
-      case '\'' if !inDouble => inSingle = !inSingle; sb += '\''
-      case '"' if !inSingle => inDouble = !inDouble; sb += '"'
-      case '(' if !inSingle && !inDouble => depth += 1; sb += '('
-      case ')' if !inSingle && !inDouble => depth -= 1; sb += ')'
-      case ';' if depth == 0 && !inSingle && !inDouble =>
-        out += sb.toString; sb.clear()
-      case ch => sb += ch
+    var inRegex = false
+    def regexCanStart: Boolean = {
+      val t = sb.toString.trim
+      t.endsWith("=~") || t.endsWith("!~") || t.endsWith(",") || {
+        val up = t.toUpperCase
+        up.endsWith("FROM") && (t.length == 4 ||
+          !Character.isLetterOrDigit(t.charAt(t.length - 5)))
+      }
+    }
+    var i = 0
+    while (i < q.length) {
+      val ch = q.charAt(i)
+      if (inRegex) {
+        sb += ch
+        if (ch == '\\' && i + 1 < q.length) { sb += q.charAt(i + 1); i += 1 }
+        else if (ch == '/') inRegex = false
+      } else ch match {
+        case '\'' if !inDouble => inSingle = !inSingle; sb += '\''
+        case '"' if !inSingle => inDouble = !inDouble; sb += '"'
+        case '(' if !inSingle && !inDouble => depth += 1; sb += '('
+        case ')' if !inSingle && !inDouble => depth -= 1; sb += ')'
+        case '/' if !inSingle && !inDouble && regexCanStart =>
+          inRegex = true; sb += '/'
+        case ';' if depth == 0 && !inSingle && !inDouble =>
+          out += sb.toString; sb.clear()
+        case c => sb += c
+      }
+      i += 1
     }
     val parts = (out += sb.toString).result().map(_.trim).filter(_.nonEmpty)
     // re-join CQ bodies: `CREATE CONTINUOUS QUERY ... BEGIN <select>; END`

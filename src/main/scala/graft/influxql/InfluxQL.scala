@@ -277,12 +277,38 @@ object InfluxQL {
   /** Grafana's query editor emits `::field` / `::tag` type disambiguators
     * (`"value"::field`, `"host"::tag`); they select the same column here
     * (tags are ordinary string columns), so strip them before matching.
-    * The `::float`/`::integer` CAST forms are rejected loudly below via
-    * the normal unsupported-item path. */
-  private val TypeSuffixRe = "(?i)::(field|tag)\\b".r
+    * The strip is quote-aware: a `::tag` INSIDE a single-quoted string
+    * literal (`WHERE props = 'a::tag'`) is data, not a disambiguator, and
+    * is left untouched; outside quotes the suffix must follow an
+    * identifier char or closing double-quote. The `::float`/`::integer`
+    * CAST forms are rejected loudly below via the normal
+    * unsupported-item path. */
+  private val TypeSuffixPrefixRe = "(?i)^(field|tag)\\b".r
+
+  private def stripTypeSuffix(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    var inSq = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') { inSq = !inSq; sb.append(c); i += 1 }
+      else if (!inSq && c == ':' && i + 1 < s.length && s.charAt(i + 1) == ':' &&
+          i > 0 && {
+            val p = s.charAt(i - 1)
+            Character.isLetterOrDigit(p) || p == '_' || p == '"'
+          }) {
+        TypeSuffixPrefixRe.findPrefixMatchOf(s.substring(i + 2)) match {
+          case Some(m) => i += 2 + m.end
+          case None => sb.append(c); i += 1
+        }
+      }
+      else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   private def parseField(q: String, item0: String): Field = {
-    val item = TypeSuffixRe.replaceAllIn(item0, "")
+    val item = stripTypeSuffix(item0)
     parseField0(q, item)
   }
 
@@ -421,7 +447,7 @@ object InfluxQL {
       case SelectRe(fieldsS, intoS, meas, measRe, whereS, groupS, fillS, descS,
           limitS, offS, slimS, soffS, tzS) =>
         val fields = splitTop(fieldsS).map(parseField(q, _))
-        def parseCond(s0: String): Cond = TypeSuffixRe.replaceAllIn(s0, "") match {
+        def parseCond(s0: String): Cond = stripTypeSuffix(s0) match {
           case CondNowRe(c, op, sign, dur) =>
             Cond(c, op, Right(0),
               Some(if (sign == null) "" else s"$sign$dur"))
@@ -461,7 +487,7 @@ object InfluxQL {
                 Option(off).exists(_.toLowerCase.endsWith("ns")))
               fail(q, "sub-microsecond buckets are below timestamp precision")
             bucket = Some((n.toInt, u)); bucketOff = Option(off); None
-          case t => Some(TypeSuffixRe.replaceAllIn(t, "")
+          case t => Some(stripTypeSuffix(t)
             .trim.stripPrefix("\"").stripSuffix("\""))
         }
         // FROM may be one measurement or InfluxQL's comma list

@@ -22,9 +22,11 @@ import org.apache.spark.sql.functions._
   * Scale: a line is parsed entirely within its own row — the plan is a
   * stateless projection + one explode, fully codegen'd, splittable across
   * whatever file parallelism the source provides. Quoted string fields
-  * may not contain spaces (the section split is a regex, not a scanner);
-  * such lines land in the quarantine channel loudly rather than parsing
-  * wrong.
+  * may not contain raw spaces or raw commas (the section/field splits are
+  * regexes, not a scanner; line protocol allows both unescaped inside
+  * quotes); such lines land in the quarantine channel loudly — and
+  * ATOMICALLY: badness is decided per LINE before the field explode, so a
+  * line with one unparseable field never half-ingests its other fields.
   */
 object LineProtocol {
 
@@ -67,7 +69,19 @@ object LineProtocol {
       .withColumn("time", expr(
         "CASE WHEN __ts != '' THEN " +
           "timestamp_micros(try_cast(__ts AS BIGINT) DIV 1000) END"))
-      .withColumn("__badLine", col("__mt") === "" || col("__fs") === "")
+      // line-level badness so quarantine is atomic per line: any
+      // comma-split fragment that isn't key=value with a typeable value
+      // (the same four lexical forms the explode path types below) marks
+      // EVERY row of the line bad. A raw ',' inside a quoted string —
+      // valid line protocol, mis-split by the regex — fails this check on
+      // the dangling fragments, so the whole line is quarantined instead
+      // of partially ingested. Per-row exists(), no shuffle.
+      .withColumn("__badLine", col("__mt") === "" || col("__fs") === "" ||
+        expr("""exists(split(__fs, ','), f -> instr(f, '=') = 0 OR NOT (
+             substring(f, instr(f, '=') + 1) RLIKE '^".*"$'
+          OR substring(f, instr(f, '=') + 1) RLIKE '^-?[0-9]+i$'
+          OR substring(f, instr(f, '=') + 1) RLIKE '^(?i)(t|true|f|false)$'
+          OR try_cast(substring(f, instr(f, '=') + 1) AS DOUBLE) IS NOT NULL))"""))
     val fields = shaped
       .withColumn("__f", explode(split(col("__fs"), ",")))
       .withColumn("field_key",

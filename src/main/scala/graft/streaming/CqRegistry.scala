@@ -171,7 +171,15 @@ class CqRegistry(spark: SparkSession, root: String,
     val hfs = fs(out)
     val outP = new Path(out)
     if (!hfs.exists(outP)) {
-      batch.write.mode("errorifexists").parquet(out)
+      // first-ever write is staged too: a crash mid-write leaves only a
+      // .cq_tmp without _SUCCESS (discarded by healSwap), a crash after
+      // the write but before the rename leaves .cq_tmp WITH _SUCCESS and
+      // no live dir (promoted by healSwap) — every target mutation goes
+      // through the same _SUCCESS-gated swap/heal protocol
+      val tmp = new Path(out + ".cq_tmp")
+      if (hfs.exists(tmp)) hfs.delete(tmp, true)
+      batch.write.parquet(tmp.toString)
+      require(hfs.rename(tmp, outP), s"swap failed: $tmp -> $outP")
     } else {
       val tmp = new Path(out + ".cq_tmp")
       val old = new Path(out + ".cq_old")

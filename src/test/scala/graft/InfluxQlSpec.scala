@@ -796,6 +796,16 @@ class InfluxQlSpec extends SparkTestBase {
       "SELECT mean(value) AS mv FROM events " +
         "WHERE event_type = 'click' GROUP BY time(1d), event_type")
     assert(typed.collect().toSeq == bare.collect().toSeq)
+    // a ::tag INSIDE a single-quoted literal is data, not a disambiguator:
+    // comparing against 'click::tag' must NOT silently strip to 'click'
+    assert(InfluxQL.run(spark, m,
+      "SELECT count(value) AS n FROM events WHERE event_type = 'click::tag'")
+      .select("n").head.getLong(0) == 0L)
+    // ...while the strip outside quotes still applies in the same clause
+    assert(InfluxQL.run(spark, m,
+      """SELECT count(value) AS n FROM events """ +
+        """WHERE "event_type"::tag = 'click'""")
+      .select("n").head.getLong(0) > 0L)
     // the ::float cast form stays unsupported, loudly
     intercept[IllegalArgumentException](InfluxQL.run(spark, m,
       "SELECT value::float FROM events"))
@@ -945,6 +955,18 @@ class InfluxQlSpec extends SparkTestBase {
       == Seq("cq_batch"))
     // empty batches fail loudly
     intercept[IllegalArgumentException](g.statement(" ; ; "))
+    // a ';' inside a /regex/ measurement literal does not split — after
+    // FROM, after a FROM-list comma, and after =~ in WHERE
+    assert(Graft.splitStatements("SELECT mean(v) FROM /a;b/ GROUP BY time(1d)")
+      == Seq("SELECT mean(v) FROM /a;b/ GROUP BY time(1d)"))
+    assert(Graft.splitStatements(
+      """SELECT n FROM "m", /x;y/; SELECT 1""").size == 2)
+    assert(Graft.splitStatements(
+      "SELECT v FROM m WHERE host =~ /web;[0-9]\\/2/; SHOW DATABASES")
+      == Seq("SELECT v FROM m WHERE host =~ /web;[0-9]\\/2/",
+        "SHOW DATABASES"))
+    // division never opens a regex run: ';' after a '/' operand still splits
+    assert(Graft.splitStatements("SELECT a / b FROM m; SELECT 1").size == 2)
     OpCaches.releaseAll()
   }
 

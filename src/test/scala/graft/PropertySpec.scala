@@ -193,6 +193,32 @@ class PropertySpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("line protocol: a mis-splittable line is quarantined ATOMICALLY") {
+    import spark.implicits._
+    // a raw ',' inside a quoted string value is valid line protocol but
+    // mis-splits the regex field split; the x=1 field must NOT survive as
+    // a good row while the string fragments go to quarantine
+    val lines = Seq(
+      """m,ta=t msg="a,b",x=1 1704067200000000000""",  // comma in quotes
+      """m,ta=t x=1,y=notanumber 1704067200000000000""", // untypeable value
+      """m,ta=t x=2,y= 1704067200000000000""",           // empty value
+      """m,ta=t ok=3 1704067200000000000""").toDF("line") // control: good
+    val parsed = graft.ingest.LineProtocol.parseLines(lines)
+    val good = parsed.filter(!col("is_bad"))
+    assert(good.count() == 1)
+    assert(good.select("field_key").head.getString(0) == "ok")
+    // every row of each bad line carries is_bad — no partial ingest
+    assert(parsed.filter(!col("is_bad") && col("field_key") === "x")
+      .count() == 0)
+    // escaped comma/equals inside a string value still parse (sentinel
+    // path): the whole line is good
+    val esc = graft.ingest.LineProtocol.parseLines(
+      Seq("""m,ta=t msg="a\,b\=c",x=1 1704067200000000000""").toDF("line"))
+    assert(esc.filter(col("is_bad")).count() == 0)
+    assert(esc.filter(col("field_key") === "msg").select("f_str")
+      .head.getString(0) == "a,b=c")
+  }
+
   test("store model law: random mutation sequences match a reference map") {
     import spark.implicits._
     import java.sql.Timestamp
