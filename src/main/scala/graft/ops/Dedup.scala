@@ -323,6 +323,103 @@ object Dedup {
     totalOrder(clusterSurvivorship(spark, pairs, "vec_id"))
   }
 
+  /** Tokens per span window for sub-paragraph dedup: a "paragraph" that
+    * blank-line splitting leaves long (or a single-line document, where it
+    * yields the whole text) is chunked into consecutive W-token windows so
+    * repeated SPANS dedup even when the enclosing paragraphs differ. */
+  private[ops] val SpanTokens = 8
+
+  /** Max distinct-document frequency for a span to survive: a span seen in
+    * more documents than this is boilerplate and is stripped. */
+  private[ops] val MaxSpanDf = 1
+
+  /** One row per (doc, paragraph, window) span: blank-line paragraphs,
+    * each chunked into [[SpanTokens]]-token windows (`p_pos`/`w_pos` keep
+    * the rebuild order; `span` is the window's whitespace-normalized
+    * text). The two posexplodes stay row-local — no shuffle. */
+  private def spanRows(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\n{2,}")).as(Seq("p_pos", "par")))
+      .filter(trim(col("par")) =!= "")
+      .withColumn("toks",
+        filter(split(col("par"), "\\s+"), t => t =!= ""))
+      .select(col("doc_id"), col("p_pos"), posexplode(
+        transform(
+          sequence(lit(0), expr(s"CAST((size(toks) - 1) DIV $SpanTokens AS INT)")),
+          w => array_join(
+            slice(col("toks"), w * SpanTokens + 1, lit(SpanTokens)), " ")))
+        .as(Seq("w_pos", "span")))
+
+  /** Paragraph/span-level exact dedup (the "deduplicating training data"
+    * operator family, SURVEY §2.10): document-level near-dup keeps one
+    * copy of a duplicated DOCUMENT, but training pipelines also strip
+    * REPEATED SPANS — license headers, boilerplate footers, quoted
+    * passages — that recur across otherwise-distinct documents. Each
+    * document splits into blank-line paragraphs, each paragraph into
+    * [[SpanTokens]]-token windows; a span whose md5 occurs in more than
+    * [[MaxSpanDf]] DISTINCT documents is stripped everywhere, and the
+    * cleaned text is rebuilt in order (spans joined by ' ', paragraphs by
+    * a blank line). Output per document: span totals, drop count, and the
+    * cleaned text's length + md5 (the byte-exact oracle handle, the
+    * text_pii_scrub idiom).
+    *
+    * Scale: the df count shuffles 16-byte md5s + doc ids, never span
+    * text; the drop SET (only spans with df>cap — boilerplate, orders of
+    * magnitude below the span count) broadcasts into a LEFT ANTI join, so
+    * the corpus-sized span frame is never shuffled for the filter. At
+    * 100 TB the drop set outgrows a broadcast and the anti-join becomes a
+    * shuffle on the 16-byte hash — still never the text. The rebuild
+    * itself is the one inherent corpus shuffle (group back to documents).
+    * The reference curates hot-intake documents but has no span dedup;
+    * the operator follows the public "Deduplicating Training Data Makes
+    * Language Models Better" recipe re-expressed relationally. */
+  def dedupParagraph(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spanRows(spark, dir)
+      .withColumn("h", md5(col("span")))
+      .transform(graft.OpCaches.cached)
+    val drop = sp.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") > MaxSpanDf).select(col("h"))
+    val kept = sp.join(broadcast(drop), Seq("h"), "left_anti")
+    val rpars = kept.groupBy(col("doc_id"), col("p_pos"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("w_pos"), col("span")))),
+          x => x("span")), " ").as("cpar"),
+        count(lit(1)).as("n_kept_w"))
+    val rebuilt = rpars.groupBy(col("doc_id"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("p_pos"), col("cpar")))),
+          x => x("cpar")), "\n\n").as("clean_text"),
+        sum(col("n_kept_w")).as("n_kept"))
+    val totals = sp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+    totalOrder(load(spark, dir, "documents").select(col("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (coalesce(col("n_spans"), lit(0L)) -
+          coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        length(coalesce(col("clean_text"), lit(""))).as("clean_len"),
+        md5(coalesce(col("clean_text"), lit(""))).as("clean_md5")))
+  }
+
+  /** Corpus-level span duplication histogram (the audit face of
+    * [[dedupParagraph]]): for each distinct-document frequency, how many
+    * distinct spans occur in exactly that many documents and how many
+    * total instances they account for — the "how much boilerplate does
+    * this corpus carry" question, and the tuning curve for
+    * [[MaxSpanDf]]. One hash-agg over md5s; span text never shuffles. */
+  def dedupSpanStats(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(spanRows(spark, dir)
+      .select(col("doc_id"), md5(col("span")).as("h"))
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .groupBy(col("n_docs"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("n_occ")).as("n_occurrences")))
+
   /** Cross-source duplication matrix (corpus forensics): for every pair of
     * sources, how many NEAR-duplicate document pairs they share — the "who
     * copies from whom" question every corpus audit asks. Rides the bounded
@@ -351,7 +448,36 @@ object Dedup {
     "dedup_simhash_pairs" -> dedupSimhashPairs,
     "dedup_embcos" -> dedupEmbcos,
     "dedup_embcos_clusters" -> dedupEmbcosClusters,
-    "dedup_clusters" -> dedupClusters)
+    "dedup_clusters" -> dedupClusters,
+    "dedup_paragraph" -> dedupParagraph,
+    "dedup_span_stats" -> dedupSpanStats)
+
+  /** Shared CTE chain reconstructing the hashed span rows of
+    * [[spanRows]] (blank-line paragraphs → 8-token windows); ends in
+    * `hspans` (doc_id, p_pos, w_pos, span, h). DuckDB's lambda index and
+    * `range()` are 1-/0-based exactly as written — positions only order
+    * the rebuild, so the Spark/DuckDB base difference is immaterial. */
+  private val spanCtes: String =
+    """pars AS (
+      |  SELECT doc_id, p['i'] AS p_pos, p['x'] AS par FROM (
+      |    SELECT doc_id, unnest(list_transform(
+      |      regexp_split_to_array(text, '\n{2,}'),
+      |      (x, i) -> {'x': x, 'i': i})) AS p
+      |    FROM documents)
+      |  WHERE trim(p['x']) <> ''),
+      |sptoks AS (
+      |  SELECT doc_id, p_pos,
+      |    list_filter(regexp_split_to_array(par, '\s+'), t -> t <> '') AS t
+      |  FROM pars),
+      |spans AS (
+      |  SELECT doc_id, p_pos, w['i'] AS w_pos, w['x'] AS span FROM (
+      |    SELECT doc_id, p_pos, unnest(list_transform(
+      |      range(0, (len(t) - 1) // 8 + 1),
+      |      w -> {'i': w,
+      |            'x': array_to_string(list_slice(t, w*8+1, w*8+8), ' ')})) AS w
+      |    FROM sptoks)),
+      |hspans AS (
+      |  SELECT doc_id, p_pos, w_pos, span, md5(span) AS h FROM spans)""".stripMargin
 
   /** Shared CTE chain reconstructing the capped-shingle Jaccard pairs
     * (DuckDB twin of [[dedupNgramJaccard]]); ends in `jpairs`
@@ -456,6 +582,45 @@ object Dedup {
          |  l.id = l.canonical_id AS is_survivor
          |FROM labels l JOIN csizes s USING (canonical_id)
          |${orderAll("vec_id", "canonical_id", "cluster_size", "is_survivor")}""".stripMargin,
+    "dedup_paragraph" ->
+      s"""WITH $spanCtes,
+         |dropped AS (
+         |  SELECT h FROM (
+         |    SELECT h, COUNT(DISTINCT doc_id) AS n_docs
+         |    FROM hspans GROUP BY h)
+         |  WHERE n_docs > $MaxSpanDf),
+         |kept AS (
+         |  SELECT * FROM hspans WHERE h NOT IN (SELECT h FROM dropped)),
+         |sptotals AS (
+         |  SELECT doc_id, COUNT(*) AS n_spans FROM hspans GROUP BY doc_id),
+         |rpars AS (
+         |  SELECT doc_id, p_pos, string_agg(span, ' ' ORDER BY w_pos) AS cpar,
+         |    COUNT(*) AS n_kept_w
+         |  FROM kept GROUP BY doc_id, p_pos),
+         |rebuilt AS (
+         |  SELECT doc_id,
+         |    string_agg(cpar, chr(10)||chr(10) ORDER BY p_pos) AS clean_text,
+         |    CAST(SUM(n_kept_w) AS BIGINT) AS n_kept
+         |  FROM rpars GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(t.n_spans, 0) AS n_spans,
+         |  COALESCE(r.n_kept, 0) AS n_kept,
+         |  COALESCE(t.n_spans, 0) - COALESCE(r.n_kept, 0) AS n_dropped,
+         |  length(COALESCE(r.clean_text, '')) AS clean_len,
+         |  md5(COALESCE(r.clean_text, '')) AS clean_md5
+         |FROM documents d
+         |LEFT JOIN sptotals t USING (doc_id)
+         |LEFT JOIN rebuilt r USING (doc_id)
+         |${orderAll("doc_id", "n_spans", "n_kept", "n_dropped", "clean_len",
+            "clean_md5")}""".stripMargin,
+    "dedup_span_stats" ->
+      s"""WITH $spanCtes
+         |SELECT n_docs, COUNT(*) AS n_spans,
+         |  CAST(SUM(n_occ) AS BIGINT) AS n_occurrences
+         |FROM (
+         |  SELECT h, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+         |  FROM hspans GROUP BY h)
+         |GROUP BY n_docs
+         |${orderAll("n_docs", "n_spans", "n_occurrences")}""".stripMargin,
     "dedup_embcos" ->
       s"""WITH ${SignLsh.sqlCandCtes()},
          |scored AS (

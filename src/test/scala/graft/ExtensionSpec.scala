@@ -67,6 +67,33 @@ class ExtensionSpec extends SparkTestBase {
     assert(dups.filter(col("n_dups") < 2).count() == 0)
   }
 
+  test("paragraph dedup: repeated spans strip atomically across docs") {
+    val out = ops.Dedup.dedupParagraph(spark, sf)
+    // the fixture's duplicated documents share spans, so something drops
+    assert(out.filter(col("n_dropped") > 0).count() > 0)
+    // bookkeeping invariant per doc
+    assert(out.filter(col("n_kept") + col("n_dropped") =!= col("n_spans"))
+      .count() == 0)
+    // a doc with nothing dropped rebuilds its exact normalized text:
+    // clean_md5 == md5 of the whitespace-normalized original
+    val norm = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), md5(concat_ws("\n\n",
+        filter(transform(split(col("text"), "\n{2,}"),
+            p => array_join(filter(split(p, "\\s+"), t => t =!= ""), " ")),
+          p => p =!= ""))).as("norm_md5"))
+    val joined = out.filter(col("n_dropped") === 0).join(norm, "doc_id")
+    assert(joined.count() > 0)
+    assert(joined.filter(col("clean_md5") =!= col("norm_md5")).count() == 0)
+    // the stats histogram accounts for every span instance, and the
+    // cross-doc (df>1) instances are EXACTLY the dropped ones
+    val stats = ops.Dedup.dedupSpanStats(spark, sf)
+    assert(stats.agg(sum("n_occurrences")).head.getLong(0)
+      == out.agg(sum("n_spans")).head.getLong(0))
+    assert(stats.filter(col("n_docs") > 1)
+      .agg(coalesce(sum("n_occurrences"), lit(0L))).head.getLong(0)
+      == out.agg(sum("n_dropped")).head.getLong(0))
+  }
+
   test("knn: rank 1 neighbor has the max cosine; no self matches") {
     val knn = ops.Vectors.simKnnBruteforce(spark, sf)
     assert(knn.filter(col("q_id") === col("neighbor_id")).count() == 0)
