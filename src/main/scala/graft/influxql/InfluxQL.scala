@@ -21,7 +21,9 @@ import org.apache.spark.sql.functions._
   * aggs: mean, sum, count, min, max, first, last, spread, stddev, median,
   * percentile(f, N). Transforms (InfluxDB's series functions, applied to the
   * bucketed series): derivative(agg[, unit]), non_negative_derivative,
-  * difference, moving_average(agg, N), cumulative_sum. Selectors:
+  * difference, moving_average(agg, N), cumulative_sum,
+  * holt_winters[_with_fit](agg, h, m) (additive forecast with FIXED
+  * documented smoothing constants — see [[HoltWinters]]). Selectors:
   * top(f, N) / bottom(f, N). Conditions are AND-combined (the only
   * combinator the reference uses). The translator emits a declarative
   * DataFrame plan — time/tag predicates land in the scan (partition
@@ -87,6 +89,17 @@ object InfluxQL {
     * GROUP BY time() bucket (or whole range), in `unit` (default 1s). */
   final case class Integral(field: String, arg: Option[String],
     alias: Option[String]) extends Field
+  /** holt_winters[_with_fit](agg(f), h, m) — additive Holt-Winters
+    * forecast of `h` bucket-spaced points beyond the aggregated series
+    * (seasonal period `m` buckets; `m = 0` is Holt's linear level+trend).
+    * Unlike InfluxDB — which fits α/β/γ per query with Nelder-Mead, an
+    * optimizer whose result depends on its seed walk — the smoothing
+    * constants here are FIXED and documented ([[HwAlpha]]/[[HwBeta]]/
+    * [[HwGamma]]), making the transform a pure deterministic fold that
+    * the differential oracle can hash-check. `withFit` additionally
+    * emits the one-step-ahead fitted curve over the input buckets. */
+  final case class HoltWinters(inner: Field, h: Int, m: Int,
+    withFit: Boolean, alias: Option[String]) extends Field
 
   /** One `col op literal` conjunct; value is a quoted string or a number.
     * `nowOffset` marks a relative time bound (`now()` or `now() ± <dur>`,
@@ -150,6 +163,8 @@ object InfluxQL {
     ("""(?i)^(derivative|non_negative_derivative|difference|""" +
       """non_negative_difference|moving_average|cumulative_sum)""" +
       """\((.+)\)(?:\s+AS\s+(\w+))?$""").r
+  private val HwRe =
+    """(?i)^(holt_winters(?:_with_fit)?)\((.+)\)(?:\s+AS\s+(\w+))?$""".r
   private val TransArgRe = """^\d+(?:ns|u|µ|ms|s|m|h|d|w)?$""".r
   private val MathRe =
     ("""(?i)^(abs|sqrt|floor|ceil|round|ln|log2|log10|exp|""" +
@@ -343,6 +358,21 @@ object InfluxQL {
       Selector(fn.toLowerCase, f, n.toInt, Option(al), Some(tag))
     case ElapsedRe(f, arg, al) => Elapsed(f, Option(arg), Option(al))
     case IntegralRe(f, arg, al) => Integral(f, Option(arg), Option(al))
+    case HwRe(fn, content, al) =>
+      val parts = splitTop(content)
+      if (parts.size != 3 || !parts(1).matches("\\d+") ||
+          !parts(2).matches("\\d+"))
+        fail(q, s"$fn takes (aggregate, h, seasonal_period)")
+      val inner = parseField(q, parts.head) match {
+        case a: Agg if a.fn == "distinct" || a.fn == "mode" =>
+          fail(q, s"$fn cannot wrap ${a.fn}()")
+        case a: Agg if a.alias.isEmpty => a
+        case _ => fail(q, s"$fn requires an un-aliased aggregate argument")
+      }
+      val h = parts(1).toInt
+      if (h < 1) fail(q, s"$fn needs at least one forecast point")
+      HoltWinters(inner, h, parts(2).toInt,
+        fn.toLowerCase.endsWith("_with_fit"), Option(al))
     case TransRe(fn, content, al) =>
       // the last depth-0 comma separates an optional unit/size argument
       val parts = splitTop(content)
@@ -979,6 +1009,115 @@ object InfluxQL {
       .filter(outNames.map(c => col(c).isNotNull).reduce(_ && _))
   }
 
+  /** Fixed additive Holt-Winters smoothing constants (see [[HoltWinters]]):
+    * InfluxDB fits them per query with an optimizer; fixing them keeps the
+    * transform a deterministic fold the DuckDB oracle reproduces exactly
+    * (the recurrence is +-*‌/ only — IEEE-correctly-rounded in any engine —
+    * and the output takes the documented 6-dp round, the stddev /
+    * moving_average convention). */
+  private val HwAlpha = 0.5
+  private val HwBeta = 0.1
+  private val HwGamma = 0.1
+
+  /** holt_winters(_with_fit): bucket-aggregate the series (sharing the
+    * fill() densify path with the other transforms), then run the additive
+    * Holt-Winters recurrence as ONE per-series ordered fold — a SQL
+    * `aggregate()` over the collected bucket array, so the whole recurrence
+    * stays inside codegen with zero extra shuffles beyond the aggregation's
+    * own. The per-series array is bounded by the query's time range /
+    * bucket (the fill-spine bound — output-sized, never data-sized).
+    *
+    * Init: non-seasonal (m=0) seeds level=y₀, trend=y₁−y₀ and folds from
+    * y₁; seasonal (m>0, needs ≥2m buckets) seeds level=mean(first season),
+    * trend=(mean(second)−mean(first))/m, s_i=y_i−level, folds from y_m.
+    * Fitted values are the one-step-ahead predictions (first season =
+    * actuals); forecasts are level + k·trend (+ the wrapped seasonal). */
+  private def runHoltWinters(base: DataFrame, p: Query, hw: HoltWinters,
+    q: String): DataFrame = {
+    if (p.timeBucket.isEmpty) fail(q, "holt_winters requires GROUP BY time()")
+    val (n, u) = p.timeBucket.get
+    val inner = hw.inner.asInstanceOf[Agg]
+    val keys = winCol(p).as("w") +: p.groupTags.map(col)
+    val a0 = base.groupBy(keys: _*).agg(aggCol(inner).as("__y"))
+      .withColumn("time", col("w.start")).drop("w")
+    val filled = p.fill.filter(_ != "none") match {
+      case Some(_) => fillBuckets(base.sparkSession, base, a0, p, n, u)
+      case None => a0
+    }
+    val bucketUs = durUs(s"$n$u")
+    val mm = hw.m
+    val a = HwAlpha; val b = HwBeta; val g = HwGamma
+    val grouped = filled.filter(col("__y").isNotNull)
+      .groupBy(p.groupTags.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("time"), col("__y")))).as("pts"))
+      .withColumn("ys", expr("transform(pts, x -> CAST(x.__y AS DOUBLE))"))
+      .withColumn("ts", expr("transform(pts, x -> x.time)"))
+      .filter(size(col("ys")) >= (if (mm == 0) 2 else 2 * mm))
+    val foldSql =
+      if (mm == 0)
+        s"""aggregate(
+           |  slice(ys, 2, size(ys) - 1),
+           |  named_struct(
+           |    'l', element_at(ys, 1),
+           |    'b', element_at(ys, 2) - element_at(ys, 1),
+           |    's', array(CAST(0 AS DOUBLE)),
+           |    'fit', array(element_at(ys, 1))),
+           |  (acc, y) -> named_struct(
+           |    'l', $a * y + ${1 - a} * (acc.l + acc.b),
+           |    'b', $b * (($a * y + ${1 - a} * (acc.l + acc.b)) - acc.l)
+           |         + ${1 - b} * acc.b,
+           |    's', acc.s,
+           |    'fit', concat(acc.fit, array(acc.l + acc.b))))""".stripMargin
+      else {
+        val l0 = s"(aggregate(slice(ys, 1, $mm), CAST(0 AS DOUBLE), " +
+          s"(sa, sx) -> sa + sx) / CAST($mm AS DOUBLE))"
+        val l1 = s"(aggregate(slice(ys, ${mm + 1}, $mm), CAST(0 AS DOUBLE), " +
+          s"(sa, sx) -> sa + sx) / CAST($mm AS DOUBLE))"
+        // the new level appears inside trend and seasonal updates; SQL
+        // named_struct fields can't reference each other, so the level
+        // expression is textually repeated — same value, same fold
+        val lNew = s"($a * (y - element_at(acc.s, (acc.t % $mm) + 1)) " +
+          s"+ ${1 - a} * (acc.l + acc.b))"
+        s"""aggregate(
+           |  slice(ys, ${mm + 1}, size(ys) - $mm),
+           |  named_struct(
+           |    'l', $l0,
+           |    'b', ($l1 - $l0) / CAST($mm AS DOUBLE),
+           |    's', transform(slice(ys, 1, $mm), sx -> sx - $l0),
+           |    'fit', slice(ys, 1, $mm),
+           |    't', $mm),
+           |  (acc, y) -> named_struct(
+           |    'l', $lNew,
+           |    'b', $b * ($lNew - acc.l) + ${1 - b} * acc.b,
+           |    's', transform(acc.s, (sx, j) -> IF(j = acc.t % $mm,
+           |           $g * (y - $lNew) + ${1 - g} * sx, sx)),
+           |    'fit', concat(acc.fit,
+           |      array(acc.l + acc.b + element_at(acc.s, (acc.t % $mm) + 1))),
+           |    't', acc.t + 1))""".stripMargin
+      }
+    val fcTime = s"timestampadd(MICROSECOND, CAST(k AS BIGINT) * $bucketUs, " +
+      "element_at(ts, size(ts)))"
+    val fcSql =
+      if (mm == 0)
+        s"transform(sequence(1, ${hw.h}), k -> named_struct('time', $fcTime," +
+          " 'v', st.l + CAST(k AS DOUBLE) * st.b))"
+      else
+        s"transform(sequence(1, ${hw.h}), k -> named_struct('time', $fcTime," +
+          " 'v', st.l + CAST(k AS DOUBLE) * st.b" +
+          s" + element_at(st.s, ((size(ys) - 1 + k) % $mm) + 1)))"
+    val rowsSql =
+      if (hw.withFit)
+        s"concat(transform(sequence(1, size(ts)), i -> named_struct(" +
+          s"'time', element_at(ts, i), 'v', element_at(st.fit, i))), $fcSql)"
+      else fcSql
+    val out = hw.alias.getOrElse(
+      if (hw.withFit) "holt_winters_with_fit" else "holt_winters")
+    grouped.withColumn("st", expr(foldSql))
+      .withColumn("r", explode(expr(rowsSql)))
+      .select((col("r.time").as("time") +: p.groupTags.map(col)) :+
+        round(col("r.v"), 6).as(out): _*)
+  }
+
   /** top/bottom: the N extreme points with their event times, InfluxDB's
     * (value desc/asc, time asc) tiebreak. Global form plans as
     * TakeOrderedAndProject (no full sort); with GROUP BY tags — and/or
@@ -1234,6 +1373,11 @@ object InfluxQL {
     p.fields.collectFirst { case i: Integral => i }.foreach { i =>
       if (p.fields.size != 1) fail(q, "integral must be the only select item")
       return applyLimit(runIntegral(base, p, i), p)
+    }
+    p.fields.collectFirst { case hw: HoltWinters => hw }.foreach { hw =>
+      if (p.fields.size != 1)
+        fail(q, "holt_winters must be the only select item")
+      return applyLimit(runHoltWinters(base, p, hw, q), p)
     }
     p.fields.collectFirst {
       case a: Agg if a.fn == "distinct" || a.fn == "mode" => a

@@ -212,6 +212,20 @@ object InfluxQlOps {
   private val CumSumQ =
     "SELECT cumulative_sum(sum(value)) AS cs FROM events GROUP BY time(1d)"
 
+  // holt_winters: additive seasonal forecast (m=4 six-hour buckets = a
+  // daily season), h=8 points ahead; the _with_fit twin runs the
+  // non-seasonal (m=0) level+trend fold PER SERIES and also emits the
+  // one-step-ahead fitted curve
+  private val HwQ =
+    "SELECT holt_winters(mean(value), 8, 4) AS hw FROM events " +
+      "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-06 00:00:00' " +
+      "GROUP BY time(6h)"
+
+  private val HwFitQ =
+    "SELECT holt_winters_with_fit(mean(value), 4, 0) AS hwf FROM events " +
+      "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-06 00:00:00' " +
+      "GROUP BY time(12h), event_type"
+
   // raw-series transforms (no GROUP BY time()): the Grafana rate-panel
   // shape — per-series lag over RAW points (the reference's hot-intake
   // interval math, get_hot_intake_interval.py:56-65, is exactly this)
@@ -438,6 +452,8 @@ object InfluxQlOps {
     "influxql_difference" -> run(DiffQ) _,
     "influxql_moving_average" -> run(MovAvgQ) _,
     "influxql_cumulative_sum" -> run(CumSumQ) _,
+    "influxql_holt_winters" -> run(HwQ) _,
+    "influxql_holt_winters_fit" -> run(HwFitQ) _,
     "influxql_first_last" -> run(FirstLastQ) _,
     "influxql_spread_stddev" -> run(SpreadStdQ) _,
     "influxql_percentile" -> run(PercQ) _,
@@ -1054,6 +1070,85 @@ object InfluxQlOps {
          |  WINDOW w AS (ORDER BY time ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
          |SELECT time, ma FROM m WHERE ma IS NOT NULL
          |${orderAll("time", "ma")}""".stripMargin,
+    // Holt-Winters twins: the SAME deterministic fold as a RECURSIVE CTE —
+    // one recursion row per processed bucket, state (l, b[, s]) carried as
+    // columns, fitted values emitted per step. (DuckDB 1.0.0's list_reduce
+    // silently mangles LIST fields inside a DOUBLE-typed accumulator
+    // struct, so the array-fold form is unusable as an oracle.) DuckDB's
+    // indexed lambda is 1-based (Spark's 0-based), hence `((t-1) % m) + 1`.
+    "influxql_holt_winters" ->
+      s"""WITH RECURSIVE f AS (
+         |  SELECT CAST(ts AS TIMESTAMP) AS t, value FROM events
+         |  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01 00:00:00'
+         |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-06 00:00:00'),
+         |agg AS (
+         |  SELECT ${sqlBucket("t", 21600)} AS time, ${sqlDavg("value")} AS y
+         |  FROM f GROUP BY 1),
+         |ser AS (
+         |  SELECT list(y ORDER BY time) AS ys, list(time ORDER BY time) AS ts
+         |  FROM agg),
+         |init AS (
+         |  SELECT ys, ts,
+         |    list_aggregate(ys[1:4], 'sum') / CAST(4 AS DOUBLE) AS l0,
+         |    list_aggregate(ys[5:8], 'sum') / CAST(4 AS DOUBLE) AS l1
+         |  FROM ser WHERE len(ys) >= 8),
+         |hw AS (
+         |  SELECT 5 AS t, ys, ts, l0 AS l, (l1 - l0) / CAST(4 AS DOUBLE) AS b,
+         |    list_transform(ys[1:4], sx -> sx - l0) AS s
+         |  FROM init
+         |  UNION ALL
+         |  SELECT t + 1, ys, ts,
+         |    0.5 * (ys[t] - s[((t-1) % 4) + 1]) + 0.5 * (l + b),
+         |    0.1 * ((0.5 * (ys[t] - s[((t-1) % 4) + 1]) + 0.5 * (l + b)) - l)
+         |      + 0.9 * b,
+         |    list_transform(s, (sx, j) -> CASE WHEN j = ((t-1) % 4) + 1
+         |      THEN 0.1 * (ys[t] - (0.5 * (ys[t] - s[((t-1) % 4) + 1])
+         |        + 0.5 * (l + b))) + 0.9 * sx
+         |      ELSE sx END)
+         |  FROM hw WHERE t <= len(ys))
+         |SELECT ts[len(ts)] + to_microseconds(k * 21600000000) AS time,
+         |  round(l + CAST(k AS DOUBLE) * b
+         |    + s[((len(ys) - 1 + k) % 4) + 1], 6) AS hw
+         |FROM hw, (SELECT unnest(range(1, 9)) AS k)
+         |WHERE t = len(ys) + 1
+         |${orderAll("time", "hw")}""".stripMargin,
+    "influxql_holt_winters_fit" ->
+      s"""WITH RECURSIVE f AS (
+         |  SELECT CAST(ts AS TIMESTAMP) AS t, event_type, value FROM events
+         |  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01 00:00:00'
+         |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-06 00:00:00'),
+         |agg AS (
+         |  SELECT event_type, ${sqlBucket("t", 43200)} AS time,
+         |    ${sqlDavg("value")} AS y
+         |  FROM f GROUP BY 1, 2),
+         |ser AS (
+         |  SELECT event_type, list(y ORDER BY time) AS ys,
+         |    list(time ORDER BY time) AS ts
+         |  FROM agg GROUP BY event_type),
+         |hw AS (
+         |  SELECT event_type, 2 AS t, ys, ts,
+         |    CAST(ys[1] AS DOUBLE) AS l, CAST(ys[2] - ys[1] AS DOUBLE) AS b
+         |  FROM ser WHERE len(ys) >= 2
+         |  UNION ALL
+         |  SELECT event_type, t + 1, ys, ts,
+         |    0.5 * ys[t] + 0.5 * (l + b),
+         |    0.1 * ((0.5 * ys[t] + 0.5 * (l + b)) - l) + 0.9 * b
+         |  FROM hw WHERE t <= len(ys)),
+         |fitted AS (
+         |  SELECT event_type, ts[1] AS time, CAST(ys[1] AS DOUBLE) AS v
+         |  FROM ser WHERE len(ys) >= 2
+         |  UNION ALL
+         |  SELECT event_type, ts[t] AS time, l + b AS v
+         |  FROM hw WHERE t <= len(ys)),
+         |fcast AS (
+         |  SELECT event_type,
+         |    ts[len(ts)] + to_microseconds(k * 43200000000) AS time,
+         |    l + CAST(k AS DOUBLE) * b AS v
+         |  FROM hw, (SELECT unnest(range(1, 5)) AS k)
+         |  WHERE t = len(ys) + 1)
+         |SELECT event_type, time, round(v, 6) AS hwf
+         |FROM (SELECT * FROM fitted UNION ALL SELECT * FROM fcast)
+         |${orderAll("time", "event_type", "hwf")}""".stripMargin,
     "influxql_cumulative_sum" ->
       s"""WITH agg AS (
          |  SELECT ${sqlBucket("CAST(ts AS TIMESTAMP)", 86400)} AS time,

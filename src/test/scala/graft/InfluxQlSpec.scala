@@ -811,6 +811,51 @@ class InfluxQlSpec extends SparkTestBase {
       "SELECT value::float FROM events"))
   }
 
+  test("holt_winters: deterministic additive forecast, bucket-spaced") {
+    val m = Tables.load(spark, sf, "events").withColumnRenamed("ts", "time")
+    val fc = InfluxQL.run(spark, m,
+      "SELECT holt_winters(mean(value), 6, 4) AS hw FROM events " +
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-06 00:00:00' " +
+        "GROUP BY time(6h)")
+    // exactly h forecast points, 6h apart, starting one bucket after the
+    // last input bucket (2024-01-05 18:00 -> first forecast 2024-01-06)
+    val times = fc.select("time").collect()
+      .map(_.getTimestamp(0).getTime).sorted
+    assert(times.length == 6)
+    assert(times.head == java.sql.Timestamp.valueOf("2024-01-06 00:00:00").getTime)
+    assert(times.sliding(2).forall(p => p(1) - p(0) == 6L * 3600 * 1000))
+    // deterministic: a second run is bit-identical
+    val fc2 = InfluxQL.run(spark, m,
+      "SELECT holt_winters(mean(value), 6, 4) AS hw FROM events " +
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-06 00:00:00' " +
+        "GROUP BY time(6h)")
+    assert(fc.collect().toSeq == fc2.collect().toSeq)
+    // with_fit: one fitted point per input bucket plus h forecasts, per
+    // series; the non-seasonal (m=0) fold seeds fit[0] with the first value
+    val wf = InfluxQL.run(spark, m,
+      "SELECT holt_winters_with_fit(mean(value), 3, 0) AS hwf FROM events " +
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-06 00:00:00' " +
+        "GROUP BY time(12h), event_type")
+    // one fitted row per populated input bucket + 3 forecasts, per series
+    val buckets = m
+      .filter(col("time") >= "2024-01-01" && col("time") < "2024-01-06")
+      .groupBy(col("event_type"),
+        window(col("time"), "12 hours").getField("start"))
+      .count()
+      .groupBy("event_type").count().withColumnRenamed("count", "nb")
+    val perSeries = wf.groupBy("event_type").count()
+      .join(buckets, "event_type").collect()
+    assert(perSeries.nonEmpty)
+    assert(perSeries.forall(r => r.getLong(1) == r.getLong(2) + 3))
+    // malformed forms fail loudly
+    intercept[IllegalArgumentException](InfluxQL.run(spark, m,
+      "SELECT holt_winters(mean(value), 6, 4) AS hw FROM events")) // no bucket
+    intercept[IllegalArgumentException](InfluxQL.run(spark, m,
+      "SELECT holt_winters(value, 6, 4) FROM events GROUP BY time(6h)"))
+    intercept[IllegalArgumentException](InfluxQL.run(spark, m,
+      "SELECT holt_winters(mean(value), 0, 4) FROM events GROUP BY time(6h)"))
+  }
+
   test("wildcard aggregates expand to fn_<field> per numeric field") {
     val m = Tables.load(spark, sf, "events").withColumnRenamed("ts", "time")
     val df = InfluxQL.run(spark, m, "SELECT count(*) FROM events GROUP BY time(1d)")
