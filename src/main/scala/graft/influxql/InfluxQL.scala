@@ -147,7 +147,7 @@ object InfluxQL {
   private val PercRe =
     """(?i)^percentile\(\s*"?(\w+)"?\s*,\s*([0-9.]+)\s*\)(?:\s+AS\s+(\w+))?$""".r
   private val SelRe =
-    """(?i)^(top|bottom)\(\s*"?(\w+)"?\s*,\s*(\d+)\s*\)(?:\s+AS\s+(\w+))?$""".r
+    """(?i)^(top|bottom|sample)\(\s*"?(\w+)"?\s*,\s*(\d+)\s*\)(?:\s+AS\s+(\w+))?$""".r
   // 3-arg form: top(field, tag, n) — the tag segment must start with a
   // letter/underscore so the 2-arg numeric form never matches here
   private val Sel3Re =
@@ -1019,6 +1019,10 @@ object InfluxQL {
   private val HwBeta = 0.1
   private val HwGamma = 0.1
 
+  /** Fixed seed for the deterministic sample() selector (see
+    * [[runSelector]]); any value works, it just must never change. */
+  private val SampleSeed = 42L
+
   /** holt_winters(_with_fit): bucket-aggregate the series (sharing the
     * fill() densify path with the other transforms), then run the additive
     * Holt-Winters recurrence as ONE per-series ordered fold — a SQL
@@ -1130,8 +1134,16 @@ object InfluxQL {
     p.fill.filter(_ != "none").foreach(f =>
       fail(sel.fn, s"fill($f) is not supported with ${sel.fn}()"))
     val v = col(sel.field)
+    // sample(f, n): InfluxDB's reservoir sample is nondeterministic run to
+    // run; the deterministic re-expression ranks each point by a SEEDED
+    // xxhash64 of (seed, time, value) and keeps the n smallest — uniform
+    // over the bucket for hash purposes, identical on every run, and
+    // engine-specific only in the hash (rows-only check + spec, the
+    // dedup_minhash precedent)
     val ord: Seq[Column] =
-      if (sel.fn == "top") Seq(v.desc, col("time").asc)
+      if (sel.fn == "sample")
+        Seq(xxhash64(lit(SampleSeed), col("time"), v).asc, col("time").asc)
+      else if (sel.fn == "top") Seq(v.desc, col("time").asc)
       else Seq(v.asc, col("time").asc)
     val out = sel.alias.getOrElse(sel.fn)
     sel.byTag.foreach { tag =>

@@ -216,6 +216,13 @@ object InfluxQlOps {
   // daily season), h=8 points ahead; the _with_fit twin runs the
   // non-seasonal (m=0) level+trend fold PER SERIES and also emits the
   // one-step-ahead fitted curve
+  // seeded deterministic sample(): rows-only (xxhash64 ranking is
+  // engine-specific, the dedup_minhash precedent) + distribution spec
+  private val SampleQ =
+    "SELECT sample(value, 3) AS s FROM events " +
+      "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-06 00:00:00' " +
+      "GROUP BY time(1d), event_type"
+
   private val HwQ =
     "SELECT holt_winters(mean(value), 8, 4) AS hw FROM events " +
       "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-06 00:00:00' " +
@@ -454,6 +461,7 @@ object InfluxQlOps {
     "influxql_cumulative_sum" -> run(CumSumQ) _,
     "influxql_holt_winters" -> run(HwQ) _,
     "influxql_holt_winters_fit" -> run(HwFitQ) _,
+    "influxql_sample" -> run(SampleQ) _,
     "influxql_first_last" -> run(FirstLastQ) _,
     "influxql_spread_stddev" -> run(SpreadStdQ) _,
     "influxql_percentile" -> run(PercQ) _,

@@ -856,6 +856,44 @@ class InfluxQlSpec extends SparkTestBase {
       "SELECT holt_winters(mean(value), 0, 4) FROM events GROUP BY time(6h)"))
   }
 
+  test("sample(): seeded deterministic per-bucket selection") {
+    val m = Tables.load(spark, sf, "events").withColumnRenamed("ts", "time")
+    val q = "SELECT sample(value, 3) AS s FROM events " +
+      "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-06 00:00:00' " +
+      "GROUP BY time(1d), event_type"
+    val s1 = InfluxQL.run(spark, m, q)
+    // per (bucket, series): exactly min(3, points-in-bucket) rows
+    val bucketed = m
+      .filter(col("time") >= "2024-01-01" && col("time") < "2024-01-06")
+      .groupBy(window(col("time"), "1 day").getField("start").as("b"),
+        col("event_type"))
+      .count().withColumnRenamed("count", "npts")
+    val got = s1
+      .groupBy(window(col("time"), "1 day").getField("start").as("b"),
+        col("event_type"))
+      .count()
+      .join(bucketed, Seq("b", "event_type"))
+    assert(got.filter(col("count") =!= least(lit(3L), col("npts"))).count() == 0)
+    // sampled rows are actual input points
+    assert(s1.join(m.select(col("time"), col("event_type"),
+        col("value").as("s")),
+      Seq("time", "event_type", "s"), "left_anti").count() == 0)
+    // identical on every run (the seed is fixed)
+    assert(s1.collect().toSeq == InfluxQL.run(spark, m, q).collect().toSeq)
+    // and NOT the first-n-by-time degenerate pick: at least one bucket's
+    // sample differs from its 3 earliest points
+    val firstN = m
+      .filter(col("time") >= "2024-01-01" && col("time") < "2024-01-06")
+      .withColumn("b", window(col("time"), "1 day").getField("start"))
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy(col("b"), col("event_type"))
+        .orderBy(col("time"), col("value"))))
+      .filter(col("rn") <= 3)
+      .select(col("time"), col("event_type"), col("value").as("s"))
+    assert(s1.join(firstN, Seq("time", "event_type", "s"), "left_anti")
+      .count() > 0)
+  }
+
   test("wildcard aggregates expand to fn_<field> per numeric field") {
     val m = Tables.load(spark, sf, "events").withColumnRenamed("ts", "time")
     val df = InfluxQL.run(spark, m, "SELECT count(*) FROM events GROUP BY time(1d)")
