@@ -131,7 +131,7 @@ object InfluxQL {
 
   private val SelectRe =
     ("""(?is)^\s*SELECT\s+(.+?)""" +
-      """(?:\s+INTO\s+"?([\w.]+)"?)?\s+FROM\s+(?:("?[\w.]+"?(?:\s*,\s*"?[\w.]+"?)*)|/([^/\s]+)/)""" +
+      """(?:\s+INTO\s+([\w.:"]+))?\s+FROM\s+(?:("?[\w.]+"?(?:\s*,\s*"?[\w.]+"?)*)|/([^/\s]+)/)""" +
       """(?:\s+WHERE\s+(.+?))?""" +
       """(?:\s+GROUP\s+BY\s+(.+?))?""" +
       """(?:\s+fill\((-?[0-9.]+|\w+)\))?""" +
@@ -527,7 +527,10 @@ object InfluxQL {
           .map(_.trim.stripPrefix("\"").stripSuffix("\""))
         Query(fields, measList.headOption.getOrElse("__regex"), conds, bucket, tags,
           Option(fillS).map(_.toLowerCase),
-          descS != null, Option(limitS).map(_.toInt), Option(intoS),
+          // INTO may be quote-segmented ("rp".:MEASUREMENT, "t") — the
+          // catalog/store key is the bare dotted name
+          descS != null, Option(limitS).map(_.toInt),
+          Option(intoS).map(_.replace("\"", "")),
           Option(offS).map(_.toInt), Option(slimS).map(_.toInt),
           Option(soffS).map(_.toInt), subText.map(parse), orConds,
           Option(tzS), bucketOff, Option(measRe),

@@ -168,12 +168,35 @@ class MeasurementCatalog(spark: SparkSession) {
       cqs.statement(q)
     case _ if q.trim.toUpperCase.startsWith("SELECT") =>
       val db = currentDb
+      val p = InfluxQL.parse(q)
       val result = InfluxQL.runCatalog(spark, measurements(db), q, now)
       // SELECT ... INTO at the catalog level registers the result as a new
       // measurement of the current database (the store-backed variant
-      // persists instead — MeasurementStore.influxql); the INTO target is
-      // immediately queryable, as InfluxDB's is
-      InfluxQL.parse(q).into.foreach(target => register(db, target, result))
+      // persists instead — MeasurementStore.influxql/influxqlAll); the INTO
+      // target is immediately queryable, as InfluxDB's is. The
+      // `<rp>.:MEASUREMENT` backreference fans out one registration per
+      // source measurement (runCatalog's union carries the source name in
+      // its leading `measurement` column); a bare `:MEASUREMENT` would
+      // overwrite each source with its own aggregate and is rejected.
+      p.into.foreach { target =>
+        if (target.endsWith(":MEASUREMENT")) {
+          val prefix = target.stripSuffix(":MEASUREMENT").stripSuffix(".")
+          if (prefix.isEmpty) throw new IllegalArgumentException(
+            "INTO :MEASUREMENT needs a retention-policy prefix " +
+              "(rp.:MEASUREMENT) — a bare backreference would overwrite " +
+              "each source measurement")
+          if (!result.columns.contains("measurement"))
+            register(db, s"$prefix.${p.measurement}", result)
+          else measurements(db).map(_._1)
+            .filter(nm => p.fromRegex.forall(re => re.r.findFirstIn(nm).isDefined))
+            .filter(nm => p.fromList.isEmpty || p.fromList.contains(nm))
+            .foreach { nm =>
+              register(db, s"$prefix.$nm", result
+                .filter(org.apache.spark.sql.functions.col("measurement") === nm)
+                .drop("measurement"))
+            }
+        } else register(db, target, result)
+      }
       result
     case _ =>
       InfluxQL.runMeta(spark, measurements(currentDb), q)

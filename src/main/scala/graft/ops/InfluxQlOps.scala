@@ -414,6 +414,27 @@ object InfluxQlOps {
       .select(col("time"), col("event_type"), col("mv")))
   }
 
+  /** `INTO <rp>.:MEASUREMENT FROM /regex/` — the downsample-everything
+    * idiom: ONE statement reads every matching measurement and writes one
+    * per-source target through the store ([[graft.store.MeasurementStore
+    * .influxqlAll]]). Two source measurements go in; both `weekly.<src>`
+    * fan-out targets are read BACK from disk for the oracle, so the check
+    * covers the write fan-out, not just the union SELECT. */
+  private def influxqlIntoBackref(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("influxql_backref").toString
+    val store = new graft.store.MeasurementStore(spark, root)
+    val ev = load(spark, dir, "events")
+    for (et <- Seq("click", "view"))
+      store.append(s"ciws_$et", ev.filter(col("event_type") === et)
+        .select(col("ts").as("time"), col("user_id"), col("value")))
+    store.influxqlAll("SELECT mean(value) AS mv INTO \"weekly\".:MEASUREMENT " +
+      "FROM /^ciws_/ GROUP BY time(1d)")
+    totalOrder(Seq("click", "view").map { et =>
+      store.read(s"weekly.ciws_$et")
+        .select(lit(s"ciws_$et").as("measurement"), col("time"), col("mv"))
+    }.reduce(_ unionByName _))
+  }
+
   /** All fixture tables as the measurement catalog (metadata queries). */
   private def catalog(spark: SparkSession, dir: String): Seq[(String, DataFrame)] =
     graft.Tables.names.map { n =>
@@ -483,6 +504,7 @@ object InfluxQlOps {
     "influxql_math" -> run(MathQ) _,
     "influxql_math_agg" -> run(MathAggQ) _,
     "influxql_into" -> (influxqlInto _),
+    "influxql_into_backref" -> (influxqlIntoBackref _),
     "influxql_arith" -> run(ArithQ) _,
     "influxql_now_relative" -> runAt(NowQ) _,
     "influxql_regex_tag" -> run(RegexTagQ) _,
@@ -1157,6 +1179,14 @@ object InfluxQlOps {
          |SELECT event_type, time, round(v, 6) AS hwf
          |FROM (SELECT * FROM fitted UNION ALL SELECT * FROM fcast)
          |${orderAll("time", "event_type", "hwf")}""".stripMargin,
+    "influxql_into_backref" ->
+      s"""WITH f AS (
+         |  SELECT CAST(ts AS TIMESTAMP) AS t, event_type, value FROM events
+         |  WHERE event_type IN ('click', 'view'))
+         |SELECT 'ciws_' || event_type AS measurement,
+         |  ${sqlBucket("t", 86400)} AS time, ${sqlDavg("value")} AS mv
+         |FROM f GROUP BY event_type, 2
+         |${orderAll("measurement", "time", "mv")}""".stripMargin,
     "influxql_cumulative_sum" ->
       s"""WITH agg AS (
          |  SELECT ${sqlBucket("CAST(ts AS TIMESTAMP)", 86400)} AS time,

@@ -102,10 +102,22 @@ class MeasurementStore(spark: SparkSession, root: String) {
     * the derived rates back through write_points) as one statement. */
   def influxql(measurement: String, query: String): DataFrame = {
     val q = graft.influxql.InfluxQL.parse(query)
-    // day pruning only applies to string time literals — a numeric epoch
-    // bound (Right) would otherwise become to_timestamp('') and prune every
-    // partition; the translated plan still filters those rows correctly
-    val pruned = q.conds
+    val result = graft.influxql.InfluxQL.run(spark,
+      prunedFrame(measurement, q), query)
+    q.into.foreach { target =>
+      append(target, result)
+    }
+    result
+  }
+
+  /** Day-pruned frame for one measurement under a parsed query's time
+    * bounds. Pruning only applies to string time literals — a numeric
+    * epoch bound (Right) would otherwise become to_timestamp('') and prune
+    * every partition; the translated plan still filters those rows
+    * correctly. */
+  private def prunedFrame(measurement: String,
+    q: graft.influxql.InfluxQL.Query): DataFrame =
+    q.conds
       .filter(c => c.col == "time" && c.value.isLeft)
       .foldLeft(readRaw(measurement)) { (df, c) =>
         val day = date_format(
@@ -115,10 +127,58 @@ class MeasurementStore(spark: SparkSession, root: String) {
           case "<" | "<=" => df.filter(col("day") <= day)
           case _ => df
         }
-      }
-    val result = graft.influxql.InfluxQL.run(spark, pruned.drop("day"), query)
+      }.drop("day")
+
+  /** The store's measurement directory: one entry per measurement dir
+    * under the root (dot-prefixed staging/checkpoint dirs excluded) —
+    * bounded metadata, like the day lists. */
+  def measurementNames: Seq[String] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) Seq.empty
+    else fs.listStatus(rootPath).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filterNot(_.startsWith("."))
+      .sorted
+  }
+
+  /** Store-wide form of [[influxql]]: `FROM /regex/` (or a FROM list)
+    * resolves against [[measurementNames]], each source day-pruned before
+    * its per-measurement run, and an `INTO <rp>.:MEASUREMENT`
+    * backreference fans out ONE WRITE PER SOURCE — InfluxDB's
+    * downsample-everything idiom (`SELECT mean(*) INTO "weekly".:MEASUREMENT
+    * FROM /^ciws/ GROUP BY time(1h), *`): each source measurement's result
+    * lands in its own `<rp>.<source>` target through the normal
+    * day-partitioned append. A bare `INTO :MEASUREMENT` is rejected loudly
+    * (it would append every source's result onto itself). Returns the
+    * union frame with the leading `measurement` column, as
+    * [[graft.influxql.InfluxQL.runCatalog]] shapes it. */
+  def influxqlAll(query: String): DataFrame = {
+    val q = graft.influxql.InfluxQL.parse(query)
+    val cat = measurementNames.map(n => n -> prunedFrame(n, q))
+    val result = graft.influxql.InfluxQL.runCatalog(spark, cat, query)
     q.into.foreach { target =>
-      append(target, result)
+      if (target.endsWith(":MEASUREMENT")) {
+        val prefix = target.stripSuffix(":MEASUREMENT").stripSuffix(".")
+        if (prefix.isEmpty) throw new IllegalArgumentException(
+          "INTO :MEASUREMENT needs a retention-policy prefix " +
+            "(rp.:MEASUREMENT) — a bare backreference would append each " +
+            "source onto itself")
+        if (!result.columns.contains("measurement"))
+          append(s"$prefix.${q.measurement}", result)
+        else {
+          // matched source names: bounded by the store's measurement count
+          val names = result.select("measurement").distinct()
+            .collect().map(_.getString(0)).sorted
+          names.foreach { nm =>
+            append(s"$prefix.$nm",
+              result.filter(col("measurement") === nm).drop("measurement"))
+          }
+        }
+      } else append(target,
+        if (result.columns.contains("measurement")) result.drop("measurement")
+        else result)
     }
     result
   }

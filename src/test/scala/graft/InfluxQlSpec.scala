@@ -1053,6 +1053,35 @@ class InfluxQlSpec extends SparkTestBase {
     OpCaches.releaseAll()
   }
 
+  test("INTO rp.:MEASUREMENT fans out one target per source measurement") {
+    val g = Graft(spark)
+    val m = Tables.load(spark, sf, "events").withColumnRenamed("ts", "time")
+    g.statement("CREATE DATABASE backrefdb; USE backrefdb")
+    g.register("backrefdb", "ciws_a",
+      m.filter(col("event_type") === "click"))
+    g.register("backrefdb", "ciws_b",
+      m.filter(col("event_type") === "view"))
+    g.register("backrefdb", "other", m.filter(col("event_type") === "error"))
+    g.statement("SELECT mean(value) AS mv INTO \"weekly\".:MEASUREMENT " +
+      "FROM /^ciws_/ GROUP BY time(1d)")
+    // both regex matches got their own target; the non-match did not
+    val names = g.statement("SHOW MEASUREMENTS")
+      .collect().map(_.getString(0)).toSet
+    assert(names.contains("weekly.ciws_a") && names.contains("weekly.ciws_b"))
+    assert(!names.contains("weekly.other"))
+    // each target holds ITS source's aggregate (no cross-contamination)
+    val a = g.statement("SELECT mv FROM \"weekly.ciws_a\"")
+    val direct = InfluxQL.run(spark, m.filter(col("event_type") === "click"),
+      "SELECT mean(value) AS mv FROM x GROUP BY time(1d)")
+    assert(a.select("mv").collect().map(_.getDouble(0)).sorted.toSeq
+      == direct.select("mv").collect().map(_.getDouble(0)).sorted.toSeq)
+    // a bare backreference is rejected loudly
+    intercept[IllegalArgumentException](g.statement(
+      "SELECT mean(value) AS mv INTO :MEASUREMENT FROM /^ciws_/ " +
+        "GROUP BY time(1d)"))
+    OpCaches.releaseAll()
+  }
+
   test("measurement catalog: create/use/drop database lifecycle") {
     val m = Tables.load(spark, sf, "events").withColumnRenamed("ts", "time")
     val cat = new graft.influxql.MeasurementCatalog(spark)
