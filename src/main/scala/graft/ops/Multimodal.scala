@@ -78,6 +78,51 @@ object Multimodal {
         md5(col("frame")).as("frame_digest")))
   }
 
+  /** Image perceptual-hash near-dup (SURVEY §2.10): the multimodal twin of
+    * [[Dedup.dedupSimhashPairs]]. Stage 1 synthesizes a REAL 16×16 PNG per
+    * document from its zero-padded 256-byte prefix (position-aligned, so
+    * documents sharing a prefix render near-identical images), decodes it
+    * with the javax.imageio codec, 2×2-averages the luma into an 8×8 grid
+    * and takes the 64-bit dHash (bit = cell brighter than its right
+    * neighbor — gradient-based, discriminative even on the fixture's
+    * near-uniform text-derived luma where aHash collapses) — all inside
+    * the one per-partition codec pass, no shuffle. Stage 2 is pure
+    * DataFrame: 4×16-bit Hamming-LSH bands (two hashes within distance 3
+    * agree on ≥1 band by pigeonhole), 64-doc bucket cap, exact
+    * popcount-of-XOR verify at ≤ 3. Codec + engine hash ⇒ rows-only +
+    * recall/precision spec vs the exact pixel compare. */
+  def mmPhashPairs(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(phashPairs(spark,
+      load(spark, dir, "documents").select(col("doc_id"), col("text"))))
+
+  /** The banding/verify pipeline over any (doc_id, text) frame — split out
+    * so the spec can feed constructed duplicates through the same path. */
+  private[graft] def phashPairs(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val sigs = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, MultimodalLib.dHash64(text))
+      }).toDF("doc_id", "phash")
+    val bands = sigs.select(col("doc_id"), col("phash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("key",
+        expr("shiftright(phash, CAST(band * 16 AS INT)) & 65535"))
+    val wB = Window.partitionBy(col("band"), col("key"))
+    val kept = bands.withColumn("cnt", count(lit(1)).over(wB))
+      .filter(col("cnt") <= 64)
+    val cand = kept.as("a").join(kept.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.phash").as("ph_a"), col("b.phash").as("ph_b"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("ph_a").bitwiseXOR(col("ph_b"))))
+      .filter(col("hamming") <= 3)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -85,7 +130,8 @@ object Multimodal {
     "mm_binary" -> mmBinary,
     "mm_resize" -> mmResize,
     "mm_frame_sample" -> mmFrameSample,
-    "mm_decode_features" -> MultimodalLib.mmDecodeFeatures _)
+    "mm_decode_features" -> MultimodalLib.mmDecodeFeatures _,
+    "mm_phash_pairs" -> mmPhashPairs)
 
   val oracle: Map[String, String] = Map(
     "multimodal_cols" ->
@@ -172,6 +218,65 @@ object MultimodalLib {
       i += 1
     }
     (w, h, px)
+  }
+
+  /** Position-aligned payload synth for the perceptual hash: pixel (x, y)
+    * is byte `y·16+x` of the UTF-8 text, zero-padded past the end (NOT
+    * cyclic — prefix-sharing documents must render prefix-identical
+    * images). */
+  def encodePngPrefix(text: String): Array[Byte] = {
+    val bytes = text.getBytes("UTF-8")
+    val img = new java.awt.image.BufferedImage(
+      Side, Side, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < Side * Side) {
+      raster.setSample(i % Side, i / Side, 0,
+        if (i < bytes.length) bytes(i) & 0xff else 0)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** 8×8 luma grid of a decoded 16×16 image: 2×2 block means in [0,1]. */
+  def lumaGrid8(px: Array[Double], w: Int): Array[Double] = {
+    val g = new Array[Double](64)
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        g(gy * 8 + gx) = (px((2 * gy) * w + 2 * gx) +
+          px((2 * gy) * w + 2 * gx + 1) +
+          px((2 * gy + 1) * w + 2 * gx) +
+          px((2 * gy + 1) * w + 2 * gx + 1)) / 4.0
+        gx += 1
+      }
+      gy += 1
+    }
+    g
+  }
+
+  /** 64-bit dHash of a document's synthesized image: encode the prefix
+    * PNG, DECODE it back through the real codec (the lossless round-trip
+    * is the point — the hash is computed from decoded pixels, exactly as
+    * it would be on genuine media), 8×8 the luma, bit = cell brighter
+    * than its right neighbor (row-cyclic). */
+  def dHash64(text: String): Long = {
+    val (w, _, px) = decodePng(encodePngPrefix(text))
+    val g = lumaGrid8(px, w)
+    var h = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (g(y * 8 + x) > g(y * 8 + (x + 1) % 8)) h |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    h
   }
 
   /** Per-partition decode + featurize over the binary column: payloads are

@@ -187,6 +187,44 @@ class ExtensionSpec extends SparkTestBase {
     assert(a.values.forall(v => v >= 0.0 && v <= 1.0 && !v.isNaN))
   }
 
+  test("phash pairs: recall on true image dups, precision vs pixel compare") {
+    import ops.MultimodalLib.{dHash64, decodePng, encodePngPrefix, lumaGrid8}
+    // constructed ground truth: the fixture plus exact copies of 5 docs
+    // (offset ids) — each copy renders a pixel-identical image, so the
+    // banding MUST surface every (original, copy) pair at hamming 0
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val copies = docs.filter(col("doc_id") < 5)
+      .withColumn("doc_id", col("doc_id") + 100000)
+    val pairs = ops.Multimodal.phashPairs(spark, docs.unionByName(copies))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    for (i <- 0L until 5L)
+      assert(pairs.exists(p => p._1 == i && p._2 == i + 100000 && p._3 == 0),
+        s"missed exact image dup ($i, ${i + 100000})")
+    // precision vs the EXACT pixel compare: emitted pairs' decoded 8x8
+    // grids are far closer than a random-pair baseline
+    val txt = docs.unionByName(copies)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grid(id: Long): Array[Double] = {
+      val (w, _, px) = decodePng(encodePngPrefix(txt(id)))
+      lumaGrid8(px, w)
+    }
+    def dist(a: Long, b: Long): Double =
+      grid(a).zip(grid(b)).map { case (x, y) => math.abs(x - y) }.sum / 64
+    val emitted = pairs.map(p => dist(p._1, p._2))
+    val rnd = new scala.util.Random(7)
+    val ids = txt.keys.toArray
+    val baseline = Seq.fill(200) {
+      val a = ids(rnd.nextInt(ids.length)); val b = ids(rnd.nextInt(ids.length))
+      dist(a, b)
+    }.sum / 200
+    assert(emitted.nonEmpty)
+    assert(emitted.sum / emitted.size < baseline / 2,
+      s"emitted avg ${emitted.sum / emitted.size} not << baseline $baseline")
+    // the hash itself is what the op computed (decode path deterministic)
+    assert(dHash64(txt(0L)) == dHash64(txt(100000L)))
+  }
+
   test("int8 quantization: error bounded by half a step, codes in range") {
     val rows = ops.Vectors.vecQuantizeInt8(spark, sf)
       .select("scale", "max_abs_err", "mse")
