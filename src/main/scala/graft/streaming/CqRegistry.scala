@@ -112,6 +112,24 @@ class CqRegistry(spark: SparkSession, root: String,
   private def fs(p: String): FileSystem =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** CQs whose [[run]]/[[runIntoStore]] is currently executing. Two
+    * concurrent runs of one CQ would share a checkpoint dir and a target —
+    * undefined behavior in Structured Streaming — so the second fails
+    * loudly instead. In-registry scope: cross-PROCESS exclusion is the
+    * deployment scheduler's job (one registry per driver, like the
+    * reference's single cron host). */
+  private val running = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[(String, String)]()
+
+  private[graft] def guarded[A](db: String, name: String)(body: => A): A = {
+    if (!running.add((db, name)))
+      throw new IllegalStateException(
+        s"continuous query '$name' on database '$db' is already running — " +
+          "concurrent runs would share its checkpoint; wait for the " +
+          "current run to finish")
+    try body finally running.remove((db, name))
+  }
+
   private def finishRun(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     q.awaitTermination()
     lastRunInputRows = q.recentProgress.map(_.numInputRows).sum
@@ -133,6 +151,7 @@ class CqRegistry(spark: SparkSession, root: String,
     * the aggregate schema comes back instead of an error. */
   def run(name: String, stream: DataFrame): DataFrame = {
     val (db, stmt) = resolve(name)
+    guarded(db, name) {
     val (_, _, body, _, forDur) =
       graft.influxql.InfluxQL.parseCqResample(stmt)
     val target = body.into.getOrElse(throw new IllegalArgumentException(
@@ -156,6 +175,7 @@ class CqRegistry(spark: SparkSession, root: String,
     if (fs(out).exists(new Path(out))) spark.read.parquet(out)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], agged.schema)
+    }
   }
 
   /** Merge `batch` (the changed buckets) into the parquet dir `out` on
@@ -230,6 +250,7 @@ class CqRegistry(spark: SparkSession, root: String,
   def runIntoStore(name: String, stream: DataFrame,
     store: graft.store.MeasurementStore): DataFrame = {
     val (db, stmt) = resolve(name)
+    guarded(db, name) {
     val (_, _, body, _, forDur) =
       graft.influxql.InfluxQL.parseCqResample(stmt)
     val target = body.into.getOrElse(throw new IllegalArgumentException(
@@ -251,6 +272,7 @@ class CqRegistry(spark: SparkSession, root: String,
       .start()
     finishRun(q)
     store.read(target)
+    }
   }
 }
 

@@ -241,6 +241,39 @@ class IngestStoreStreamSpec extends SparkTestBase {
     assert(reg.statement("SHOW CONTINUOUS QUERIES").count() == 0)
   }
 
+  test("CQ registry: a concurrent run of the same CQ fails loudly") {
+    val root = Files.createTempDirectory("cq_guard").toString
+    val landing = Files.createTempDirectory("cq_guard_landing").toString
+    val reg = new graft.streaming.CqRegistry(spark, root, "30 days")
+    reg.create("CREATE CONTINUOUS QUERY cq_guard ON graft BEGIN " +
+      "SELECT count(value) AS n INTO daily FROM events GROUP BY time(1d) END")
+    val events = Tables.load(spark, sf, "events")
+      .select(col("ts").as("time"), col("value"))
+    events.limit(50).write.mode("append").parquet(landing)
+    def stream = spark.readStream.schema(events.schema).parquet(landing)
+    // while one run of cq_guard is in flight (the busy flag held, exactly
+    // as run() holds it), a second run/runIntoStore of the SAME CQ is
+    // rejected — two runs would share one checkpoint dir
+    reg.guarded("graft", "cq_guard") {
+      val e = intercept[IllegalStateException](reg.run("cq_guard", stream))
+      assert(e.getMessage.contains("already running"))
+      intercept[IllegalStateException](reg.runIntoStore("cq_guard", stream,
+        new graft.store.MeasurementStore(spark,
+          Files.createTempDirectory("cq_guard_store").toString)))
+      // a DIFFERENT CQ is unaffected by cq_guard's busy flag
+      reg.create("CREATE CONTINUOUS QUERY cq_other ON graft BEGIN " +
+        "SELECT count(value) AS n INTO other_daily FROM events " +
+        "GROUP BY time(1d) END")
+      assert(reg.run("cq_other", stream).count() > 0)
+    }
+    // the flag releases with the run: a fresh run now proceeds
+    assert(reg.run("cq_guard", stream).count() > 0)
+    // and releases on FAILURE too (guard must not wedge after an error)
+    intercept[IllegalArgumentException](
+      reg.guarded("graft", "cq_guard")(throw new IllegalArgumentException("x")))
+    assert(reg.run("cq_guard", stream).count() > 0)
+  }
+
   test("CQ registry: interrupted merge swap heals on the next run") {
     val root = Files.createTempDirectory("cq_heal").toString
     val landing = Files.createTempDirectory("cq_heal_landing").toString
