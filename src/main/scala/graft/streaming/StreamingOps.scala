@@ -219,7 +219,13 @@ object StreamingOps {
     val (_, _, body) = graft.influxql.InfluxQL.parseCq(stmt)
     val stream = eventsStream(spark, dir).withColumnRenamed("ts", "time")
     val agged = graft.influxql.InfluxQL.streamingAggregate(stream, body, stmt)
-    totalOrder(runToTable(agged, OutputMode.Complete()))
+    // buckets × series state: size the stateful shuffle to it (see
+    // continuousQueryIntoStore — the width bakes into the fresh
+    // checkpoint at start, restore cannot affect the running query)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try totalOrder(runToTable(agged, OutputMode.Complete()))
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** Streaming top-k: the "current leaderboard" every live dashboard shows —
@@ -260,8 +266,19 @@ object StreamingOps {
       "FROM events GROUP BY time(1h), event_type END")
     val store = new graft.store.MeasurementStore(spark, s"$root/store")
     val stream = eventsStream(spark, dir).withColumnRenamed("ts", "time")
-    totalOrder(reg.runIntoStore("cq_store", stream, store)
+    // the CQ's state is buckets × series (hundreds of rows) — size the
+    // stateful shuffle to THAT, not the session default: each state
+    // partition is its own store instance with per-batch commit/snapshot
+    // overhead, so 32 partitions cost ~32 store commits per trigger for
+    // rows that fit in 4. The width is baked into the query's (fresh,
+    // per-run) checkpoint at start, so the restore in `finally` cannot
+    // affect the running query. The streamStreamJoin precedent: correct
+    // under the driver's sequential execution.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try totalOrder(reg.runIntoStore("cq_store", stream, store)
       .select(col("time"), col("event_type"), col("mv"), col("n")))
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   // ------------------- streaming CSV ingest (the production loop, §2.8) ---
