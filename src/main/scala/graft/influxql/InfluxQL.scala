@@ -100,6 +100,15 @@ object InfluxQL {
     * emits the one-step-ahead fitted curve over the input buckets. */
   final case class HoltWinters(inner: Field, h: Int, m: Int,
     withFit: Boolean, alias: Option[String]) extends Field
+  /** InfluxQL's technical-analysis transforms over a bucketed aggregate:
+    * exponential_moving_average(agg, N), relative_strength_index(agg, N),
+    * chande_momentum_oscillator(agg, N) — deterministic per-series
+    * recurrences (EMA seed = first value, RSI seeded with the simple mean
+    * of the first N changes then Wilder-smoothed, CMO a windowed up/down
+    * ratio), all +-*‌/ only so the DuckDB oracle reproduces them
+    * exactly. */
+  final case class TechAnalysis(fn: String, inner: Field, n: Int,
+    alias: Option[String]) extends Field
 
   /** One `col op literal` conjunct; value is a quoted string or a number.
     * `nowOffset` marks a relative time bound (`now()` or `now() ± <dur>`,
@@ -165,6 +174,9 @@ object InfluxQL {
       """\((.+)\)(?:\s+AS\s+(\w+))?$""").r
   private val HwRe =
     """(?i)^(holt_winters(?:_with_fit)?)\((.+)\)(?:\s+AS\s+(\w+))?$""".r
+  private val TaRe =
+    ("""(?i)^(exponential_moving_average|relative_strength_index|""" +
+      """chande_momentum_oscillator)\((.+)\)(?:\s+AS\s+(\w+))?$""").r
   private val TransArgRe = """^\d+(?:ns|u|µ|ms|s|m|h|d|w)?$""".r
   private val MathRe =
     ("""(?i)^(abs|sqrt|floor|ceil|round|ln|log2|log10|exp|""" +
@@ -373,6 +385,19 @@ object InfluxQL {
       if (h < 1) fail(q, s"$fn needs at least one forecast point")
       HoltWinters(inner, h, parts(2).toInt,
         fn.toLowerCase.endsWith("_with_fit"), Option(al))
+    case TaRe(fn, content, al) =>
+      val parts = splitTop(content)
+      if (parts.size != 2 || !parts(1).matches("\\d+"))
+        fail(q, s"$fn takes (aggregate, N)")
+      val inner = parseField(q, parts.head) match {
+        case a: Agg if a.fn == "distinct" || a.fn == "mode" =>
+          fail(q, s"$fn cannot wrap ${a.fn}()")
+        case a: Agg if a.alias.isEmpty => a
+        case _ => fail(q, s"$fn requires an un-aliased aggregate argument")
+      }
+      val nArg = parts(1).toInt
+      if (nArg < 2) fail(q, s"$fn needs a period of at least 2")
+      TechAnalysis(fn.toLowerCase, inner, nArg, Option(al))
     case TransRe(fn, content, al) =>
       // the last depth-0 comma separates an optional unit/size argument
       val parts = splitTop(content)
@@ -1039,11 +1064,17 @@ object InfluxQL {
     * trend=(mean(second)−mean(first))/m, s_i=y_i−level, folds from y_m.
     * Fitted values are the one-step-ahead predictions (first season =
     * actuals); forecasts are level + k·trend (+ the wrapped seasonal). */
-  private def runHoltWinters(base: DataFrame, p: Query, hw: HoltWinters,
-    q: String): DataFrame = {
-    if (p.timeBucket.isEmpty) fail(q, "holt_winters requires GROUP BY time()")
+  /** Each series' bucketed values/times as ordered arrays — the shared
+    * front half of every fold-based transform (holt_winters, EMA, RSI):
+    * bucket-aggregate (sharing the fill() densify path), collect per
+    * series, sort by time. Output columns: the group tags + `ys`
+    * (double array) + `ts` (timestamp array); series shorter than
+    * `minLen` drop. The per-series array is bounded by the query's time
+    * range / bucket (the fill-spine bound — output-sized, never
+    * data-sized). */
+  private def seriesArrays(base: DataFrame, p: Query, inner: Agg,
+    minLen: Int): DataFrame = {
     val (n, u) = p.timeBucket.get
-    val inner = hw.inner.asInstanceOf[Agg]
     val keys = winCol(p).as("w") +: p.groupTags.map(col)
     val a0 = base.groupBy(keys: _*).agg(aggCol(inner).as("__y"))
       .withColumn("time", col("w.start")).drop("w")
@@ -1051,15 +1082,23 @@ object InfluxQL {
       case Some(_) => fillBuckets(base.sparkSession, base, a0, p, n, u)
       case None => a0
     }
-    val bucketUs = durUs(s"$n$u")
-    val mm = hw.m
-    val a = HwAlpha; val b = HwBeta; val g = HwGamma
-    val grouped = filled.filter(col("__y").isNotNull)
+    filled.filter(col("__y").isNotNull)
       .groupBy(p.groupTags.map(col): _*)
       .agg(sort_array(collect_list(struct(col("time"), col("__y")))).as("pts"))
       .withColumn("ys", expr("transform(pts, x -> CAST(x.__y AS DOUBLE))"))
       .withColumn("ts", expr("transform(pts, x -> x.time)"))
-      .filter(size(col("ys")) >= (if (mm == 0) 2 else 2 * mm))
+      .filter(size(col("ys")) >= minLen)
+  }
+
+  private def runHoltWinters(base: DataFrame, p: Query, hw: HoltWinters,
+    q: String): DataFrame = {
+    if (p.timeBucket.isEmpty) fail(q, "holt_winters requires GROUP BY time()")
+    val (n, u) = p.timeBucket.get
+    val inner = hw.inner.asInstanceOf[Agg]
+    val bucketUs = durUs(s"$n$u")
+    val mm = hw.m
+    val a = HwAlpha; val b = HwBeta; val g = HwGamma
+    val grouped = seriesArrays(base, p, inner, if (mm == 0) 2 else 2 * mm)
     val foldSql =
       if (mm == 0)
         s"""aggregate(
@@ -1123,6 +1162,88 @@ object InfluxQL {
       .withColumn("r", explode(expr(rowsSql)))
       .select((col("r.time").as("time") +: p.groupTags.map(col)) :+
         round(col("r.v"), 6).as(out): _*)
+  }
+
+  /** Technical-analysis transforms (see [[TechAnalysis]]): per-series
+    * ordered folds over [[seriesArrays]], like [[runHoltWinters]] — the
+    * EMA/RSI recurrences run as one SQL `aggregate()` per series (EMA
+    * seeds with the first value; RSI seeds avg gain/loss with the simple
+    * mean of the first N changes, then Wilder-smooths, 100 on zero avg
+    * loss); CMO is a windowed up/down-move ratio computed per output
+    * index over the same arrays. All +-*‌/ only, 6-dp rounded — the
+    * differential-oracle convention. */
+  private def runTechAnalysis(base: DataFrame, p: Query, ta: TechAnalysis,
+    q: String): DataFrame = {
+    if (p.timeBucket.isEmpty) fail(q, s"${ta.fn} requires GROUP BY time()")
+    val inner = ta.inner.asInstanceOf[Agg]
+    val nn = ta.n
+    val out = ta.alias.getOrElse(ta.fn)
+    val zeroD = "CAST(0 AS DOUBLE)"
+    ta.fn match {
+      case "exponential_moving_average" =>
+        val alpha = 2.0 / (nn + 1)
+        val beta = 1.0 - alpha
+        val foldSql =
+          s"""aggregate(slice(ys, 2, size(ys) - 1),
+             |  array(element_at(ys, 1)),
+             |  (acc, y) -> concat(acc,
+             |    array($alpha * y + $beta * element_at(acc, size(acc)))))""".stripMargin
+        val rowsSql = "transform(sequence(1, size(ts)), i -> named_struct(" +
+          "'time', element_at(ts, i), 'v', element_at(outv, i)))"
+        seriesArrays(base, p, inner, 2)
+          .withColumn("outv", expr(foldSql))
+          .withColumn("r", explode(expr(rowsSql)))
+          .select((col("r.time").as("time") +: p.groupTags.map(col)) :+
+            round(col("r.v"), 6).as(out): _*)
+      case "relative_strength_index" =>
+        def rsiOf(g: String, l: String): String =
+          s"IF(($l) = $zeroD, CAST(100 AS DOUBLE), " +
+            s"100 - 100 / (1 + ($g) / ($l)))"
+        def seed(up: Boolean): String = {
+          val d = if (up) "element_at(ys, i) - element_at(ys, i - 1)"
+            else "element_at(ys, i - 1) - element_at(ys, i)"
+          s"(aggregate(transform(sequence(2, ${nn + 1}), " +
+            s"i -> greatest($d, $zeroD)), $zeroD, (sa, sx) -> sa + sx) / $nn)"
+        }
+        val gNew = s"(acc.g * ${nn - 1} + greatest(y - acc.prev, $zeroD)) / $nn"
+        val lNew = s"(acc.l * ${nn - 1} + greatest(acc.prev - y, $zeroD)) / $nn"
+        val foldSql =
+          s"""aggregate(slice(ys, ${nn + 2}, size(ys) - ${nn + 1}),
+             |  named_struct(
+             |    'prev', element_at(ys, ${nn + 1}),
+             |    'g', ${seed(up = true)},
+             |    'l', ${seed(up = false)},
+             |    'out', array(${rsiOf(seed(up = true), seed(up = false))})),
+             |  (acc, y) -> named_struct(
+             |    'prev', y,
+             |    'g', $gNew,
+             |    'l', $lNew,
+             |    'out', concat(acc.out, array(${rsiOf(gNew, lNew)}))),
+             |  acc -> acc.out)""".stripMargin
+        val rowsSql = s"transform(sequence(1, size(ts) - $nn), " +
+          s"i -> named_struct('time', element_at(ts, i + $nn), " +
+          "'v', element_at(outv, i)))"
+        seriesArrays(base, p, inner, nn + 1)
+          .withColumn("outv", expr(foldSql))
+          .withColumn("r", explode(expr(rowsSql)))
+          .select((col("r.time").as("time") +: p.groupTags.map(col)) :+
+            round(col("r.v"), 6).as(out): _*)
+      case "chande_momentum_oscillator" =>
+        def moves(up: Boolean): String = {
+          val d = if (up) "element_at(ys, j) - element_at(ys, j - 1)"
+            else "element_at(ys, j - 1) - element_at(ys, j)"
+          s"aggregate(transform(sequence(i - ${nn - 1}, i), " +
+            s"j -> greatest($d, $zeroD)), $zeroD, (sa, sx) -> sa + sx)"
+        }
+        val rowsSql = s"transform(sequence(${nn + 1}, size(ys)), " +
+          s"i -> named_struct('time', element_at(ts, i), " +
+          s"'su', ${moves(up = true)}, 'sd', ${moves(up = false)}))"
+        seriesArrays(base, p, inner, nn + 1)
+          .withColumn("r", explode(expr(rowsSql)))
+          .select((col("r.time").as("time") +: p.groupTags.map(col)) :+
+            round(expr("IF(r.su + r.sd = CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)," +
+              " 100 * (r.su - r.sd) / (r.su + r.sd))"), 6).as(out): _*)
+    }
   }
 
   /** top/bottom: the N extreme points with their event times, InfluxDB's
@@ -1393,6 +1514,11 @@ object InfluxQL {
       if (p.fields.size != 1)
         fail(q, "holt_winters must be the only select item")
       return applyLimit(runHoltWinters(base, p, hw, q), p)
+    }
+    p.fields.collectFirst { case ta: TechAnalysis => ta }.foreach { ta =>
+      if (p.fields.size != 1)
+        fail(q, s"${ta.fn} must be the only select item")
+      return applyLimit(runTechAnalysis(base, p, ta, q), p)
     }
     p.fields.collectFirst {
       case a: Agg if a.fn == "distinct" || a.fn == "mode" => a

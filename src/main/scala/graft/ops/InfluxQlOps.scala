@@ -216,6 +216,23 @@ object InfluxQlOps {
   // daily season), h=8 points ahead; the _with_fit twin runs the
   // non-seasonal (m=0) level+trend fold PER SERIES and also emits the
   // one-step-ahead fitted curve
+  // technical-analysis transforms: deterministic per-series recurrences
+  // (EMA / Wilder RSI / CMO), oracled via recursive CTEs / list folds
+  private val EmaQ =
+    "SELECT exponential_moving_average(mean(value), 4) AS ema FROM events " +
+      "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-06 00:00:00' " +
+      "GROUP BY time(6h)"
+
+  private val RsiQ =
+    "SELECT relative_strength_index(mean(value), 6) AS rsi FROM events " +
+      "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-06 00:00:00' " +
+      "GROUP BY time(6h), event_type"
+
+  private val CmoQ =
+    "SELECT chande_momentum_oscillator(mean(value), 4) AS cmo FROM events " +
+      "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-06 00:00:00' " +
+      "GROUP BY time(6h)"
+
   // seeded deterministic sample(): rows-only (xxhash64 ranking is
   // engine-specific, the dedup_minhash precedent) + distribution spec
   private val SampleQ =
@@ -483,6 +500,9 @@ object InfluxQlOps {
     "influxql_holt_winters" -> run(HwQ) _,
     "influxql_holt_winters_fit" -> run(HwFitQ) _,
     "influxql_sample" -> run(SampleQ) _,
+    "influxql_ema" -> run(EmaQ) _,
+    "influxql_rsi" -> run(RsiQ) _,
+    "influxql_cmo" -> run(CmoQ) _,
     "influxql_first_last" -> run(FirstLastQ) _,
     "influxql_spread_stddev" -> run(SpreadStdQ) _,
     "influxql_percentile" -> run(PercQ) _,
@@ -1179,6 +1199,81 @@ object InfluxQlOps {
          |SELECT event_type, time, round(v, 6) AS hwf
          |FROM (SELECT * FROM fitted UNION ALL SELECT * FROM fcast)
          |${orderAll("time", "event_type", "hwf")}""".stripMargin,
+    "influxql_ema" ->
+      s"""WITH RECURSIVE f AS (
+         |  SELECT CAST(ts AS TIMESTAMP) AS t, value FROM events
+         |  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01 00:00:00'
+         |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-06 00:00:00'),
+         |agg AS (
+         |  SELECT ${sqlBucket("t", 21600)} AS time, ${sqlDavg("value")} AS y
+         |  FROM f GROUP BY 1),
+         |ser AS (
+         |  SELECT list(y ORDER BY time) AS ys, list(time ORDER BY time) AS ts
+         |  FROM agg),
+         |e AS (
+         |  SELECT 1 AS t, ys, ts, CAST(ys[1] AS DOUBLE) AS ema
+         |  FROM ser WHERE len(ys) >= 2
+         |  UNION ALL
+         |  SELECT t + 1, ys, ts, 0.4 * ys[t + 1] + 0.6 * ema
+         |  FROM e WHERE t < len(ys))
+         |SELECT ts[t] AS time, round(ema, 6) AS ema FROM e
+         |${orderAll("time", "ema")}""".stripMargin,
+    "influxql_rsi" ->
+      s"""WITH RECURSIVE f AS (
+         |  SELECT CAST(ts AS TIMESTAMP) AS t, event_type, value FROM events
+         |  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01 00:00:00'
+         |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-06 00:00:00'),
+         |agg AS (
+         |  SELECT event_type, ${sqlBucket("t", 21600)} AS time,
+         |    ${sqlDavg("value")} AS y
+         |  FROM f GROUP BY 1, 2),
+         |ser AS (
+         |  SELECT event_type, list(y ORDER BY time) AS ys,
+         |    list(time ORDER BY time) AS ts
+         |  FROM agg GROUP BY event_type),
+         |r AS (
+         |  SELECT event_type, 7 AS t, ys, ts, CAST(ys[7] AS DOUBLE) AS prev,
+         |    list_aggregate(list_transform(range(2, 8),
+         |      i -> greatest(ys[i] - ys[i-1], 0e0)), 'sum') / 6 AS g,
+         |    list_aggregate(list_transform(range(2, 8),
+         |      i -> greatest(ys[i-1] - ys[i], 0e0)), 'sum') / 6 AS l
+         |  FROM ser WHERE len(ys) >= 7
+         |  UNION ALL
+         |  SELECT event_type, t + 1, ys, ts, CAST(ys[t + 1] AS DOUBLE),
+         |    (g * 5 + greatest(ys[t + 1] - prev, 0e0)) / 6,
+         |    (l * 5 + greatest(prev - ys[t + 1], 0e0)) / 6
+         |  FROM r WHERE t < len(ys))
+         |SELECT event_type, ts[t] AS time,
+         |  round(CASE WHEN l = 0e0 THEN CAST(100 AS DOUBLE)
+         |    ELSE 100 - 100 / (1 + g / l) END, 6) AS rsi
+         |FROM r
+         |${orderAll("time", "event_type", "rsi")}""".stripMargin,
+    "influxql_cmo" ->
+      s"""WITH f AS (
+         |  SELECT CAST(ts AS TIMESTAMP) AS t, value FROM events
+         |  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01 00:00:00'
+         |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-06 00:00:00'),
+         |agg AS (
+         |  SELECT ${sqlBucket("t", 21600)} AS time, ${sqlDavg("value")} AS y
+         |  FROM f GROUP BY 1),
+         |ser AS (
+         |  SELECT list(y ORDER BY time) AS ys, list(time ORDER BY time) AS ts
+         |  FROM agg),
+         |idx AS (
+         |  SELECT ys, ts, unnest(range(5, len(ys) + 1)) AS i FROM ser
+         |  WHERE len(ys) >= 5),
+         |sums AS (
+         |  SELECT ts, i,
+         |    list_aggregate(list_transform(range(i - 3, i + 1),
+         |      j -> greatest(ys[j] - ys[j-1], 0e0)), 'sum') AS su,
+         |    list_aggregate(list_transform(range(i - 3, i + 1),
+         |      j -> greatest(ys[j-1] - ys[j], 0e0)), 'sum') AS sd
+         |  FROM idx)
+         |SELECT ts[i] AS time,
+         |  round(CASE WHEN su + sd = 0e0 THEN 0e0
+         |    ELSE 100 * (su - sd) / (su + sd) END, 6) AS cmo
+         |FROM sums
+         |${orderAll("time", "cmo")}""".stripMargin,
     "influxql_into_backref" ->
       s"""WITH f AS (
          |  SELECT CAST(ts AS TIMESTAMP) AS t, event_type, value FROM events

@@ -856,6 +856,47 @@ class InfluxQlSpec extends SparkTestBase {
       "SELECT holt_winters(mean(value), 0, 4) FROM events GROUP BY time(6h)"))
   }
 
+  test("technical-analysis transforms: EMA/RSI/CMO laws") {
+    val m = Tables.load(spark, sf, "events").withColumnRenamed("ts", "time")
+    val range = "WHERE time >= '2024-01-01 00:00:00' " +
+      "AND time < '2024-01-06 00:00:00' "
+    // EMA emits one point per input bucket and stays within the series'
+    // min/max envelope (a convex combination of inputs)
+    val mean = InfluxQL.run(spark, m,
+      s"SELECT mean(value) AS mv FROM events $range GROUP BY time(6h)")
+    val ema = InfluxQL.run(spark, m,
+      "SELECT exponential_moving_average(mean(value), 4) AS ema " +
+        s"FROM events $range GROUP BY time(6h)")
+    assert(ema.count() == mean.count())
+    val (lo, hi) = mean.agg(min("mv"), max("mv")).as[(Double, Double)].head()
+    assert(ema.filter(col("ema") < lo - 1e-9 || col("ema") > hi + 1e-9)
+      .count() == 0)
+    // first EMA = first bucket value (the documented seed)
+    val firstIn = mean.orderBy("time").select("mv").head.getDouble(0)
+    val firstOut = ema.orderBy("time").select("ema").head.getDouble(0)
+    assert(math.abs(firstOut - firstIn) < 1e-6)
+    // RSI is bounded in [0, 100] and emits n - N points per series
+    val rsi = InfluxQL.run(spark, m,
+      "SELECT relative_strength_index(mean(value), 6) AS rsi " +
+        s"FROM events $range GROUP BY time(6h)")
+    assert(rsi.count() == mean.count() - 6)
+    assert(rsi.filter(col("rsi") < 0 || col("rsi") > 100).count() == 0)
+    // CMO is bounded in [-100, 100]
+    val cmo = InfluxQL.run(spark, m,
+      "SELECT chande_momentum_oscillator(mean(value), 4) AS cmo " +
+        s"FROM events $range GROUP BY time(6h)")
+    assert(cmo.count() == mean.count() - 4)
+    assert(cmo.filter(col("cmo") < -100 || col("cmo") > 100).count() == 0)
+    // malformed forms fail loudly
+    intercept[IllegalArgumentException](InfluxQL.run(spark, m,
+      "SELECT exponential_moving_average(mean(value), 4) FROM events"))
+    intercept[IllegalArgumentException](InfluxQL.run(spark, m,
+      "SELECT relative_strength_index(value, 6) FROM events GROUP BY time(6h)"))
+    intercept[IllegalArgumentException](InfluxQL.run(spark, m,
+      "SELECT chande_momentum_oscillator(mean(value), 1) FROM events " +
+        "GROUP BY time(6h)"))
+  }
+
   test("sample(): seeded deterministic per-bucket selection") {
     val m = Tables.load(spark, sf, "events").withColumnRenamed("ts", "time")
     val q = "SELECT sample(value, 3) AS s FROM events " +
