@@ -18,7 +18,9 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     for (name <- names) {
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, dir).count()
+      val df = SparkEntry.queries(name)(spark, dir)
+      if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) df.explain("formatted")
+      val n = df.count()
       println(f"$name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  $n%8d rows")
     }
     spark.stop()

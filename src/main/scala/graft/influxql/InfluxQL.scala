@@ -23,7 +23,11 @@ import org.apache.spark.sql.functions._
   * bucketed series): derivative(agg[, unit]), non_negative_derivative,
   * difference, moving_average(agg, N), cumulative_sum,
   * holt_winters[_with_fit](agg, h, m) (additive forecast with FIXED
-  * documented smoothing constants — see [[HoltWinters]]). Selectors:
+  * documented smoothing constants — see [[HoltWinters]]), and the full
+  * technical-analysis family (see [[TechAnalysis]]): EMA, DEMA, TEMA,
+  * TRIX, RSI, CMO, Kaufman ER/KAMA — with atan2 ([[Atan2]]) this closes
+  * the ENTIRE InfluxQL 1.x function table (histogram() excepted, which
+  * InfluxDB itself never implemented). Selectors:
   * top(f, N) / bottom(f, N). Conditions are AND-combined (the only
   * combinator the reference uses). The translator emits a declarative
   * DataFrame plan — time/tag predicates land in the scan (partition
@@ -109,6 +113,12 @@ object InfluxQL {
     * exactly. */
   final case class TechAnalysis(fn: String, inner: Field, n: Int,
     alias: Option[String]) extends Field
+  /** atan2(y, x) — InfluxDB's only two-FIELD math function (argument
+    * order y, x as in InfluxQL); both operands raw fields or both
+    * aggregates, like [[BinOp]]. libm ⇒ spec-gated, not oracled (the
+    * sin/cos precedent). */
+  final case class Atan2(y: Field, x: Field,
+    alias: Option[String]) extends Field
 
   /** One `col op literal` conjunct; value is a quoted string or a number.
     * `nowOffset` marks a relative time bound (`now()` or `now() ± <dur>`,
@@ -176,12 +186,17 @@ object InfluxQL {
     """(?i)^(holt_winters(?:_with_fit)?)\((.+)\)(?:\s+AS\s+(\w+))?$""".r
   private val TaRe =
     ("""(?i)^(exponential_moving_average|relative_strength_index|""" +
-      """chande_momentum_oscillator)\((.+)\)(?:\s+AS\s+(\w+))?$""").r
+      """chande_momentum_oscillator|double_exponential_moving_average|""" +
+      """triple_exponential_moving_average|triple_exponential_derivative|""" +
+      """kaufmans_efficiency_ratio|kaufmans_adaptive_moving_average)""" +
+      """\((.+)\)(?:\s+AS\s+(\w+))?$""").r
   private val TransArgRe = """^\d+(?:ns|u|µ|ms|s|m|h|d|w)?$""".r
   private val MathRe =
     ("""(?i)^(abs|sqrt|floor|ceil|round|ln|log2|log10|exp|""" +
       """sin|cos|tan|asin|acos|atan)\((.+)\)(?:\s+AS\s+(\w+))?$""").r
   // two-arg forms: pow(x, k) and log(x, base) (InfluxDB's argument order)
+  private val Atan2Re =
+    """(?i)^atan2\((.+)\)(?:\s+AS\s+(\w+))?$""".r
   private val Math2Re =
     """(?i)^(pow|log)\((.+)\s*,\s*(-?[0-9]+(?:\.[0-9]+)?)\)(?:\s+AS\s+(\w+))?$""".r
   private val RawRe = """(?i)^"?(\w+)"?(?:\s+AS\s+(\w+))?$""".r
@@ -299,6 +314,7 @@ object InfluxQL {
     case x: MathFn => x.copy(alias = Some(a))
     case x: Elapsed => x.copy(alias = Some(a))
     case x: Integral => x.copy(alias = Some(a))
+    case x: Atan2 => x.copy(alias = Some(a))
   }
 
   /** Grafana's query editor emits `::field` / `::tag` type disambiguators
@@ -428,6 +444,20 @@ object InfluxQL {
         fail(q, s"$fnl takes no argument")
       Transform(fnl, inner, arg, Option(al))
     case StarRe() => Raw("*", None)
+    case Atan2Re(content, al) =>
+      val parts = splitTop(content)
+      if (parts.size != 2) fail(q, "atan2 takes (y, x)")
+      val y = parseField(q, parts.head)
+      val x = parseField(q, parts(1))
+      Seq(y, x).foreach {
+        case a: Agg if a.fn == "distinct" || a.fn == "mode" =>
+          fail(q, "atan2 cannot wrap distinct()/mode()")
+        case _: Raw | _: Agg | _: Arith | _: MathFn | _: BinOp => ()
+        case _ => fail(q, "atan2 applies to fields and aggregates only")
+      }
+      if (isAggLike(y) != isAggLike(x))
+        fail(q, "cannot mix a raw field with an aggregate in atan2")
+      Atan2(y, x, Option(al))
     case Math2Re(fn, content, k, al) =>
       val inner = parseField(q, content.trim)
       inner match {
@@ -747,6 +777,7 @@ object InfluxQL {
     case _: Agg => true
     case Arith(i, _, _, _) => isAggLike(i)
     case MathFn(_, i, _, _) => isAggLike(i)
+    case Atan2(a, b, _) => isAggLike(a) && isAggLike(b)
     case BinOp(l, _, r, _) => isAggLike(l) && isAggLike(r)
     case _ => false
   }
@@ -756,6 +787,7 @@ object InfluxQL {
     case Raw(n, _) => n
     case Arith(i, _, _, _) => defaultName(i)
     case MathFn(fn, _, _, _) => fn // InfluxDB names the column after the fn
+    case Atan2(_, _, _) => "atan2"
     case BinOp(l, _, r, _) => s"${defaultName(l)}_${defaultName(r)}"
     case other => other.alias.getOrElse("value")
   }
@@ -816,6 +848,7 @@ object InfluxQL {
     case MathFn(fn, i, _, k) => applyMath(fn, selAggExpr(i, q), k)
     case BinOp(l, op, r, _) =>
       applyOpCol(selAggExpr(l, q), op, selAggExpr(r, q))
+    case Atan2(y, x, _) => atan2(selAggExpr(y, q), selAggExpr(x, q))
     case _ => fail(q, "expected an aggregate select item")
   }
 
@@ -835,6 +868,7 @@ object InfluxQL {
     case MathFn(fn, i, _, k) => applyMath(fn, selRawExpr(i, q), k)
     case BinOp(l, op, r, _) =>
       applyOpCol(selRawExpr(l, q), op, selRawExpr(r, q))
+    case Atan2(y, x, _) => atan2(selRawExpr(y, q), selRawExpr(x, q))
     case _ => fail(q, "expected a field select item")
   }
 
@@ -1179,22 +1213,90 @@ object InfluxQL {
     val nn = ta.n
     val out = ta.alias.getOrElse(ta.fn)
     val zeroD = "CAST(0 AS DOUBLE)"
+    val alpha = 2.0 / (nn + 1)
+    // EMA fold over any array expression — composable, so DEMA/TEMA/TRIX
+    // are EMA-of-EMA applications of the same string
+    def emaFold(arr: String): String =
+      s"aggregate(slice($arr, 2, size($arr) - 1), " +
+        s"array(CAST(element_at($arr, 1) AS DOUBLE)), " +
+        s"(acc, y) -> concat(acc, " +
+        s"array($alpha * y + ${1.0 - alpha} * element_at(acc, size(acc)))))"
+    // sum of |change| over the trailing n changes ending at index i — the
+    // Kaufman volatility denominator
+    def volSum: String =
+      s"aggregate(transform(sequence(i - ${nn - 1}, i), " +
+        s"j -> abs(element_at(ys, j) - element_at(ys, j - 1))), " +
+        s"$zeroD, (sa, sx) -> sa + sx)"
+    def selectRows(df: DataFrame, valueCol: Column): DataFrame =
+      df.select((col("r.time").as("time") +: p.groupTags.map(col)) :+
+        round(valueCol, 6).as(out): _*)
+    def perIndexRows(minLen: Int, rowsSql: String, v: Column,
+      folds: Seq[(String, String)] = Nil): DataFrame = {
+      val base0 = folds.foldLeft(seriesArrays(base, p, inner, minLen)) {
+        case (df, (c, sql)) => df.withColumn(c, expr(sql))
+      }
+      selectRows(base0.withColumn("r", explode(expr(rowsSql))), v)
+    }
+    val allRows = "transform(sequence(1, size(ts)), i -> named_struct(" +
+      "'time', element_at(ts, i), 'v', element_at(outv, i)))"
     ta.fn match {
       case "exponential_moving_average" =>
-        val alpha = 2.0 / (nn + 1)
-        val beta = 1.0 - alpha
+        perIndexRows(2, allRows, col("r.v"), Seq("outv" -> emaFold("ys")))
+      case "double_exponential_moving_average" =>
+        perIndexRows(2,
+          "transform(sequence(1, size(ts)), i -> named_struct(" +
+            "'time', element_at(ts, i), " +
+            "'v', 2 * element_at(e1, i) - element_at(e2, i)))",
+          col("r.v"),
+          Seq("e1" -> emaFold("ys"), "e2" -> emaFold("e1")))
+      case "triple_exponential_moving_average" =>
+        perIndexRows(2,
+          "transform(sequence(1, size(ts)), i -> named_struct(" +
+            "'time', element_at(ts, i), " +
+            "'v', 3 * element_at(e1, i) - 3 * element_at(e2, i) " +
+            "+ element_at(e3, i)))",
+          col("r.v"),
+          Seq("e1" -> emaFold("ys"), "e2" -> emaFold("e1"),
+            "e3" -> emaFold("e2")))
+      case "triple_exponential_derivative" =>
+        perIndexRows(2,
+          "transform(sequence(2, size(ts)), i -> named_struct(" +
+            "'time', element_at(ts, i), " +
+            "'v', 100 * (element_at(e3, i) - element_at(e3, i - 1)) " +
+            "/ element_at(e3, i - 1)))",
+          col("r.v"),
+          Seq("e1" -> emaFold("ys"), "e2" -> emaFold("e1"),
+            "e3" -> emaFold("e2")))
+      case "kaufmans_efficiency_ratio" =>
+        perIndexRows(nn + 1,
+          s"transform(sequence(${nn + 1}, size(ys)), i -> named_struct(" +
+            "'time', element_at(ts, i), " +
+            s"'nu', abs(element_at(ys, i) - element_at(ys, i - $nn)), " +
+            s"'de', $volSum))",
+          expr(s"IF(r.de = $zeroD, $zeroD, r.nu / r.de)"))
+      case "kaufmans_adaptive_moving_average" =>
+        // Kaufman smoothing constant from the efficiency ratio; the 2/3
+        // and 2/31 fast/slow ends are Kaufman's published constants
+        val er = s"(IF($volSum = $zeroD, $zeroD, " +
+          s"abs(element_at(ys, i) - element_at(ys, i - $nn)) / $volSum))"
+        val sc = s"(($er * (0.6666666666666666 - 0.06451612903225806) " +
+          s"+ 0.06451612903225806) * ($er * (0.6666666666666666 " +
+          s"- 0.06451612903225806) + 0.06451612903225806))"
+        val kNew = s"(acc.k + $sc * (element_at(ys, i) - acc.k))"
         val foldSql =
-          s"""aggregate(slice(ys, 2, size(ys) - 1),
-             |  array(element_at(ys, 1)),
-             |  (acc, y) -> concat(acc,
-             |    array($alpha * y + $beta * element_at(acc, size(acc)))))""".stripMargin
-        val rowsSql = "transform(sequence(1, size(ts)), i -> named_struct(" +
-          "'time', element_at(ts, i), 'v', element_at(outv, i)))"
-        seriesArrays(base, p, inner, 2)
-          .withColumn("outv", expr(foldSql))
-          .withColumn("r", explode(expr(rowsSql)))
-          .select((col("r.time").as("time") +: p.groupTags.map(col)) :+
-            round(col("r.v"), 6).as(out): _*)
+          s"""aggregate(sequence(${nn + 2}, size(ys)),
+             |  named_struct(
+             |    'k', CAST(element_at(ys, ${nn + 1}) AS DOUBLE),
+             |    'out', array(CAST(element_at(ys, ${nn + 1}) AS DOUBLE))),
+             |  (acc, i) -> named_struct(
+             |    'k', $kNew,
+             |    'out', concat(acc.out, array($kNew))),
+             |  acc -> acc.out)""".stripMargin
+        perIndexRows(nn + 2,
+          s"transform(sequence(1, size(ts) - $nn), i -> named_struct(" +
+            s"'time', element_at(ts, i + $nn), " +
+            "'v', element_at(outv, i)))",
+          col("r.v"), Seq("outv" -> foldSql))
       case "relative_strength_index" =>
         def rsiOf(g: String, l: String): String =
           s"IF(($l) = $zeroD, CAST(100 AS DOUBLE), " +

@@ -233,6 +233,35 @@ object InfluxQlOps {
       "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-06 00:00:00' " +
       "GROUP BY time(6h)"
 
+  private val DemaQ =
+    "SELECT double_exponential_moving_average(mean(value), 4) AS dema " +
+      "FROM events " +
+      "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-06 00:00:00' " +
+      "GROUP BY time(6h)"
+
+  private val TemaQ =
+    "SELECT triple_exponential_moving_average(mean(value), 4) AS tema " +
+      "FROM events " +
+      "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-06 00:00:00' " +
+      "GROUP BY time(12h), event_type"
+
+  private val TrixQ =
+    "SELECT triple_exponential_derivative(mean(value), 4) AS trix " +
+      "FROM events " +
+      "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-06 00:00:00' " +
+      "GROUP BY time(6h)"
+
+  private val KerQ =
+    "SELECT kaufmans_efficiency_ratio(mean(value), 6) AS ker FROM events " +
+      "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-06 00:00:00' " +
+      "GROUP BY time(6h)"
+
+  private val KamaQ =
+    "SELECT kaufmans_adaptive_moving_average(mean(value), 6) AS kama " +
+      "FROM events " +
+      "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-06 00:00:00' " +
+      "GROUP BY time(6h)"
+
   // seeded deterministic sample(): rows-only (xxhash64 ranking is
   // engine-specific, the dedup_minhash precedent) + distribution spec
   private val SampleQ =
@@ -503,6 +532,11 @@ object InfluxQlOps {
     "influxql_ema" -> run(EmaQ) _,
     "influxql_rsi" -> run(RsiQ) _,
     "influxql_cmo" -> run(CmoQ) _,
+    "influxql_dema" -> run(DemaQ) _,
+    "influxql_tema" -> run(TemaQ) _,
+    "influxql_trix" -> run(TrixQ) _,
+    "influxql_ker" -> run(KerQ) _,
+    "influxql_kama" -> run(KamaQ) _,
     "influxql_first_last" -> run(FirstLastQ) _,
     "influxql_spread_stddev" -> run(SpreadStdQ) _,
     "influxql_percentile" -> run(PercQ) _,
@@ -586,6 +620,27 @@ object InfluxQlOps {
     s"TIMESTAMP '1970-01-01 00:00:00' + " +
       s"((((CAST(floor(epoch($ts)) AS BIGINT) - $offSec) // $stepSec)" +
       s" * $stepSec) + $offSec) * INTERVAL 1 SECOND"
+
+  /** Shared WITH-prefix for the technical-analysis oracles: the bucketed
+    * series as ordered lists (`ser`: ys + ts), global or per-event_type,
+    * over the standard 2024-01-01..06 window. */
+  private def taSer(stepSec: Long, tag: Boolean): String = {
+    val tagSel = if (tag) "event_type, " else ""
+    val tagGrp = if (tag) " GROUP BY event_type" else ""
+    val grpCols = if (tag) "1, 2" else "1"
+    s"""f AS (
+       |  SELECT CAST(ts AS TIMESTAMP) AS t, ${tagSel}value FROM events
+       |  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01 00:00:00'
+       |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-06 00:00:00'),
+       |agg AS (
+       |  SELECT $tagSel${sqlBucket("t", stepSec)} AS time,
+       |    ${sqlDavg("value")} AS y
+       |  FROM f GROUP BY $grpCols),
+       |ser AS (
+       |  SELECT ${tagSel}list(y ORDER BY time) AS ys,
+       |    list(time ORDER BY time) AS ts
+       |  FROM agg$tagGrp)""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "influxql_raw" ->
@@ -1274,6 +1329,115 @@ object InfluxQlOps {
          |    ELSE 100 * (su - sd) / (su + sd) END, 6) AS cmo
          |FROM sums
          |${orderAll("time", "cmo")}""".stripMargin,
+    // EMA-composition oracles: one recursion stage per EMA application
+    // (e1 -> list z1 -> e2 -> ...), value assembled from the stage arrays
+    // by index — the chained-recursive-CTE shape of the Spark-side
+    // emaFold composition
+    "influxql_dema" ->
+      s"""WITH RECURSIVE ${taSer(21600, tag = false)},
+         |e1 AS (
+         |  SELECT 1 AS t, ys, ts, CAST(ys[1] AS DOUBLE) AS ema
+         |  FROM ser WHERE len(ys) >= 2
+         |  UNION ALL
+         |  SELECT t + 1, ys, ts, 0.4 * ys[t + 1] + 0.6 * ema
+         |  FROM e1 WHERE t < len(ys)),
+         |s1 AS (SELECT any_value(ts) AS ts, list(ema ORDER BY t) AS z1 FROM e1),
+         |e2 AS (
+         |  SELECT 1 AS t, ts, z1, CAST(z1[1] AS DOUBLE) AS ema FROM s1
+         |  UNION ALL
+         |  SELECT t + 1, ts, z1, 0.4 * z1[t + 1] + 0.6 * ema
+         |  FROM e2 WHERE t < len(z1))
+         |SELECT ts[t] AS time, round(2 * z1[t] - ema, 6) AS dema FROM e2
+         |${orderAll("time", "dema")}""".stripMargin,
+    "influxql_tema" ->
+      s"""WITH RECURSIVE ${taSer(43200, tag = true)},
+         |e1 AS (
+         |  SELECT event_type, 1 AS t, ys, ts, CAST(ys[1] AS DOUBLE) AS ema
+         |  FROM ser WHERE len(ys) >= 2
+         |  UNION ALL
+         |  SELECT event_type, t + 1, ys, ts, 0.4 * ys[t + 1] + 0.6 * ema
+         |  FROM e1 WHERE t < len(ys)),
+         |s1 AS (SELECT event_type, any_value(ts) AS ts,
+         |  list(ema ORDER BY t) AS z1 FROM e1 GROUP BY event_type),
+         |e2 AS (
+         |  SELECT event_type, 1 AS t, ts, z1, CAST(z1[1] AS DOUBLE) AS ema
+         |  FROM s1
+         |  UNION ALL
+         |  SELECT event_type, t + 1, ts, z1, 0.4 * z1[t + 1] + 0.6 * ema
+         |  FROM e2 WHERE t < len(z1)),
+         |s2 AS (SELECT event_type, any_value(ts) AS ts, any_value(z1) AS z1,
+         |  list(ema ORDER BY t) AS z2 FROM e2 GROUP BY event_type),
+         |e3 AS (
+         |  SELECT event_type, 1 AS t, ts, z1, z2, CAST(z2[1] AS DOUBLE) AS ema
+         |  FROM s2
+         |  UNION ALL
+         |  SELECT event_type, t + 1, ts, z1, z2, 0.4 * z2[t + 1] + 0.6 * ema
+         |  FROM e3 WHERE t < len(z2))
+         |SELECT event_type, ts[t] AS time,
+         |  round(3 * z1[t] - 3 * z2[t] + ema, 6) AS tema FROM e3
+         |${orderAll("time", "event_type", "tema")}""".stripMargin,
+    "influxql_trix" ->
+      s"""WITH RECURSIVE ${taSer(21600, tag = false)},
+         |e1 AS (
+         |  SELECT 1 AS t, ys, ts, CAST(ys[1] AS DOUBLE) AS ema
+         |  FROM ser WHERE len(ys) >= 2
+         |  UNION ALL
+         |  SELECT t + 1, ys, ts, 0.4 * ys[t + 1] + 0.6 * ema
+         |  FROM e1 WHERE t < len(ys)),
+         |s1 AS (SELECT any_value(ts) AS ts, list(ema ORDER BY t) AS z1 FROM e1),
+         |e2 AS (
+         |  SELECT 1 AS t, ts, z1, CAST(z1[1] AS DOUBLE) AS ema FROM s1
+         |  UNION ALL
+         |  SELECT t + 1, ts, z1, 0.4 * z1[t + 1] + 0.6 * ema
+         |  FROM e2 WHERE t < len(z1)),
+         |s2 AS (SELECT any_value(ts) AS ts, list(ema ORDER BY t) AS z2 FROM e2),
+         |e3 AS (
+         |  SELECT 1 AS t, ts, z2, CAST(z2[1] AS DOUBLE) AS ema,
+         |    CAST(NULL AS DOUBLE) AS prev
+         |  FROM s2
+         |  UNION ALL
+         |  SELECT t + 1, ts, z2, 0.4 * z2[t + 1] + 0.6 * ema, ema
+         |  FROM e3 WHERE t < len(z2))
+         |SELECT ts[t] AS time, round(100 * (ema - prev) / prev, 6) AS trix
+         |FROM e3 WHERE prev IS NOT NULL
+         |${orderAll("time", "trix")}""".stripMargin,
+    "influxql_ker" ->
+      s"""WITH ${taSer(21600, tag = false)},
+         |idx AS (
+         |  SELECT ys, ts, unnest(range(7, len(ys) + 1)) AS i FROM ser
+         |  WHERE len(ys) >= 7),
+         |sums AS (
+         |  SELECT ts, i, abs(ys[i] - ys[i - 6]) AS nu,
+         |    list_aggregate(list_transform(range(i - 5, i + 1),
+         |      j -> abs(ys[j] - ys[j - 1])), 'sum') AS de
+         |  FROM idx)
+         |SELECT ts[i] AS time,
+         |  round(CASE WHEN de = 0e0 THEN 0e0 ELSE nu / de END, 6) AS ker
+         |FROM sums
+         |${orderAll("time", "ker")}""".stripMargin,
+    "influxql_kama" ->
+      s"""WITH RECURSIVE ${taSer(21600, tag = false)},
+         |k AS (
+         |  SELECT 7 AS t, ys, ts, CAST(ys[7] AS DOUBLE) AS kama
+         |  FROM ser WHERE len(ys) >= 8
+         |  UNION ALL
+         |  SELECT t + 1, ys, ts,
+         |    kama + ((er * (0.6666666666666666 - 0.06451612903225806)
+         |        + 0.06451612903225806)
+         |      * (er * (0.6666666666666666 - 0.06451612903225806)
+         |        + 0.06451612903225806))
+         |      * (ys[t + 1] - kama)
+         |  FROM (
+         |    SELECT t, ys, ts, kama,
+         |      CASE WHEN de = 0e0 THEN 0e0
+         |        ELSE abs(ys[t + 1] - ys[t - 5]) / de END AS er
+         |    FROM (
+         |      SELECT t, ys, ts, kama,
+         |        list_aggregate(list_transform(range(t - 4, t + 2),
+         |          j -> abs(ys[j] - ys[j - 1])), 'sum') AS de
+         |      FROM k WHERE t < len(ys))))
+         |SELECT ts[t] AS time, round(kama, 6) AS kama FROM k
+         |${orderAll("time", "kama")}""".stripMargin,
     "influxql_into_backref" ->
       s"""WITH f AS (
          |  SELECT CAST(ts AS TIMESTAMP) AS t, event_type, value FROM events

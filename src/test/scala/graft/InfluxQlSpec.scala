@@ -998,6 +998,49 @@ class InfluxQlSpec extends SparkTestBase {
     assert(one("SELECT ln(max(a)) AS x FROM m GROUP BY time(1d)")
       == math.log(2.0))
     assert(one("SELECT pow(a, 2) + b AS x FROM m") == 13.0)
+    // atan2: the one two-FIELD math fn, raw and aggregate forms
+    assert(one("SELECT atan2(a, b) AS x FROM m") == math.atan2(2.0, 9.0))
+    assert(one("SELECT atan2(max(a), max(b)) AS x FROM m GROUP BY time(1d)")
+      == math.atan2(2.0, 9.0))
+    // kind mixing fails loudly, as with binary arithmetic
+    intercept[IllegalArgumentException](
+      InfluxQL.run(spark, m, "SELECT atan2(max(a), b) AS x FROM m"))
+  }
+
+  test("TA composition fns: DEMA/TEMA/TRIX/KER/KAMA laws") {
+    val m = Tables.load(spark, sf, "events").withColumnRenamed("ts", "time")
+    val range = "WHERE time >= '2024-01-01 00:00:00' " +
+      "AND time < '2024-01-06 00:00:00' "
+    val mean = InfluxQL.run(spark, m,
+      s"SELECT mean(value) AS mv FROM events $range GROUP BY time(6h)")
+    val nb = mean.count()
+    def ta(fn: String, n: Int): org.apache.spark.sql.DataFrame =
+      InfluxQL.run(spark, m,
+        s"SELECT $fn(mean(value), $n) AS x FROM events $range GROUP BY time(6h)")
+    // emission counts: DEMA/TEMA per bucket, TRIX from the 2nd,
+    // KER/KAMA from the (N+1)-th
+    assert(ta("double_exponential_moving_average", 4).count() == nb)
+    assert(ta("triple_exponential_moving_average", 4).count() == nb)
+    assert(ta("triple_exponential_derivative", 4).count() == nb - 1)
+    assert(ta("kaufmans_efficiency_ratio", 6).count() == nb - 6)
+    assert(ta("kaufmans_adaptive_moving_average", 6).count() == nb - 6)
+    // KER is a ratio in [0, 1]
+    assert(ta("kaufmans_efficiency_ratio", 6)
+      .filter(col("x") < 0 || col("x") > 1).count() == 0)
+    // a CONSTANT series: DEMA/TEMA/KAMA reproduce the constant, TRIX = 0
+    import spark.implicits._
+    val const = (1 to 12).map(i =>
+      (java.sql.Timestamp.valueOf(f"2024-01-01 $i%02d:00:00"), 5.0))
+      .toDF("time", "v")
+    def tc(fn: String, n: Int): Seq[Double] =
+      InfluxQL.run(spark, const,
+        s"SELECT $fn(mean(v), $n) AS x FROM c GROUP BY time(1h)")
+        .select("x").collect().map(_.getDouble(0)).toSeq
+    assert(tc("double_exponential_moving_average", 3).forall(_ == 5.0))
+    assert(tc("triple_exponential_moving_average", 3).forall(_ == 5.0))
+    assert(tc("triple_exponential_derivative", 3).forall(_ == 0.0))
+    assert(tc("kaufmans_adaptive_moving_average", 3).forall(_ == 5.0))
+    assert(tc("kaufmans_efficiency_ratio", 3).forall(_ == 0.0)) // 0/0 -> 0
   }
 
   test("field arithmetic: * and / bind tighter than + and -") {
