@@ -758,17 +758,20 @@ object InfluxQL {
 
   private def applyOp(c: Column, op: String, k: Double): Column = op match {
     case "*" => c * lit(k)
-    case "/" => c / lit(k)
+    case "/" => try_divide(c, lit(k))
     case "+" => c + lit(k)
     case "-" => c - lit(k)
   }
 
   /** Column-to-column arithmetic ([[BinOp]]); division runs in double so
-    * integer fields divide as InfluxQL (and the oracle) do. */
+    * integer fields divide as InfluxQL (and the oracle) do, and through
+    * try_divide so a zero divisor yields NULL — DuckDB's double-division
+    * behavior, and the InfluxDB analog (the point drops) — instead of
+    * ANSI mode's runtime error. */
   private def applyOpCol(a: Column, op: String, b: Column): Column = op match {
     case "*" => a * b
-    case "/" => a.cast(org.apache.spark.sql.types.DoubleType) /
-      b.cast(org.apache.spark.sql.types.DoubleType)
+    case "/" => try_divide(a.cast(org.apache.spark.sql.types.DoubleType),
+      b.cast(org.apache.spark.sql.types.DoubleType))
     case "+" => a + b
     case "-" => a - b
   }

@@ -1068,6 +1068,12 @@ class InfluxQlSpec extends SparkTestBase {
     // a bare numeric operand is rejected loudly, not read as a field
     intercept[IllegalArgumentException](InfluxQL.run(spark, m,
       "SELECT a + 2 * b AS x FROM m"))
+    // a zero divisor yields NULL (DuckDB's double division; the InfluxDB
+    // analog drops the point) — not ANSI mode's runtime error
+    val z = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7.0, 0.0))
+      .toDF("time", "a", "b")
+    assert(InfluxQL.run(spark, z, "SELECT a / b AS x FROM m")
+      .select("x").head.isNullAt(0))
   }
 
   test("Graft facade: the reference dialogue end to end") {

@@ -63,7 +63,25 @@ import os
 os.makedirs(dst, exist_ok=True)
 for table, sel in plans.items():
     out = f"{dst}/{table}.parquet"
-    if sel is None:
+    if table == "events":
+        # events.ts is parquet TIMESTAMP(NANOS); DuckDB reads it as a us
+        # TIMESTAMP and its writer emits us, silently changing the
+        # physical type the engine's nanosAsLong read path (and the
+        # streaming LongType schema) depends on. Replicate through
+        # pyarrow, which preserves timestamp[ns] end to end.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import pyarrow.compute as pc
+        t = pq.read_table(f"{src}/{table}.parquet")
+        parts = []
+        for k in range(n):
+            p = t.set_column(t.schema.get_field_index("event_id"),
+                             "event_id", pc.add(t["event_id"], k * E))
+            p = p.set_column(p.schema.get_field_index("user_id"),
+                             "user_id", pc.add(p["user_id"], k * U))
+            parts.append(p)
+        pq.write_table(pa.concat_tables(parts), out)
+    elif sel is None:
         con.sql(f"COPY (SELECT * FROM '{src}/{table}.parquet') TO '{out}' "
                 "(FORMAT PARQUET)")
     else:
