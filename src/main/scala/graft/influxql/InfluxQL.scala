@@ -1050,7 +1050,9 @@ object InfluxQL {
           val dtSec =
             (unix_micros(col("time")) - lag(unix_micros(col("time")), 1).over(w))
               .cast(DoubleType) / lit(1e6)
-          val d = (x - lag(x, 1).over(w)) * lit(unit) / dtSec
+          // coincident raw points (dt = 0) rate to NULL and drop — the
+          // DuckDB twin's NULL-division behavior, not an ANSI error
+          val d = try_divide((x - lag(x, 1).over(w)) * lit(unit), dtSec)
           if (t.fn == "derivative") d else when(d >= 0, d)
         case "difference" | "non_negative_difference" =>
           val d = x - lag(x, 1).over(w)
