@@ -420,6 +420,26 @@ object Dedup {
       .groupBy(col("n_docs"))
       .agg(count(lit(1)).as("n_spans"), sum(col("n_occ")).as("n_occurrences")))
 
+  /** Cross-MODAL dedup clusters: connected components over the UNION of
+    * the textual near-dup pair graph ([[jaccardPairs]]) and the semantic
+    * pair graph ([[dedupEmbcos]]'s embedding-cosine pairs) — what a
+    * production curation pipeline actually runs, since surface rewrites
+    * escape text similarity and boilerplate escapes embeddings; a
+    * document pair caught by EITHER signal collapses into one cluster
+    * and one survivor. Both edge generators are the existing bounded
+    * LSH/inverted-index candidate paths (never n²); the union is edge
+    * lists only, then the shared min-label CC survivorship runs once over
+    * the combined graph. doc_id and vec_id are the same key space (the
+    * embeddings table is one vector per document). */
+  def dedupMultimodalClusters(spark: SparkSession, dir: String): DataFrame = {
+    val textPairs = jaccardPairs(spark, dir).select(col("id_a"), col("id_b"))
+    val embPairs = dedupEmbcos(spark, dir)
+      .select(col("canonical_id").as("id_a"), col("dup_id").as("id_b"))
+    val pairs = textPairs.unionByName(embPairs).distinct()
+      .transform(lineageCut)
+    totalOrder(clusterSurvivorship(spark, pairs, "doc_id"))
+  }
+
   /** Cross-source duplication matrix (corpus forensics): for every pair of
     * sources, how many NEAR-duplicate document pairs they share — the "who
     * copies from whom" question every corpus audit asks. Rides the bounded
@@ -450,7 +470,8 @@ object Dedup {
     "dedup_embcos_clusters" -> dedupEmbcosClusters,
     "dedup_clusters" -> dedupClusters,
     "dedup_paragraph" -> dedupParagraph,
-    "dedup_span_stats" -> dedupSpanStats)
+    "dedup_span_stats" -> dedupSpanStats,
+    "dedup_multimodal_clusters" -> dedupMultimodalClusters)
 
   /** Shared CTE chain reconstructing the hashed span rows of
     * [[spanRows]] (blank-line paragraphs → 8-token windows); ends in
@@ -621,6 +642,36 @@ object Dedup {
          |  FROM hspans GROUP BY h)
          |GROUP BY n_docs
          |${orderAll("n_docs", "n_spans", "n_occurrences")}""".stripMargin,
+    "dedup_multimodal_clusters" ->
+      s"""WITH RECURSIVE $jaccardPairsCtes,
+         |${SignLsh.sqlCandCtes()},
+         |scored AS (
+         |  SELECT c.id_a, c.id_b,
+         |    list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+         |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+         |      / (a.nrm * b.nrm) AS cosine
+         |  FROM cand c
+         |  JOIN base a ON a.vec_id = c.id_a
+         |  JOIN base b ON b.vec_id = c.id_b),
+         |epairs AS (SELECT id_a, id_b FROM scored WHERE cosine >= 0.45),
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM jpairs
+         |  UNION SELECT id_b, id_a FROM jpairs
+         |  UNION SELECT id_a, id_b FROM epairs
+         |  UNION SELECT id_b, id_a FROM epairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |walk AS (
+         |  SELECT id, id AS lbl FROM nodes
+         |  UNION
+         |  SELECT e.a AS id, w.lbl FROM walk w JOIN edges e ON e.b = w.id),
+         |labels AS (SELECT id, MIN(lbl) AS canonical_id FROM walk GROUP BY id),
+         |csizes AS (
+         |  SELECT canonical_id, COUNT(*) AS cluster_size
+         |  FROM labels GROUP BY canonical_id)
+         |SELECT l.id AS doc_id, l.canonical_id, s.cluster_size,
+         |  l.id = l.canonical_id AS is_survivor
+         |FROM labels l JOIN csizes s USING (canonical_id)
+         |${orderAll("doc_id", "canonical_id", "cluster_size", "is_survivor")}""".stripMargin,
     "dedup_embcos" ->
       s"""WITH ${SignLsh.sqlCandCtes()},
          |scored AS (

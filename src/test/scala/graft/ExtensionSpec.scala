@@ -67,6 +67,32 @@ class ExtensionSpec extends SparkTestBase {
     assert(dups.filter(col("n_dups") < 2).count() == 0)
   }
 
+  test("multimodal clusters: union graph coarsens both pair sets") {
+    val mm = ops.Dedup.dedupMultimodalClusters(spark, sf)
+      .select("doc_id", "canonical_id").as[(Long, Long)].collect().toMap
+    // every TEXT near-dup pair lands in one cluster
+    val tp = ops.Dedup.dedupNgramJaccard(spark, sf)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    tp.foreach { case (a, b) =>
+      assert(mm(a) == mm(b), s"text pair ($a,$b) split across clusters")
+    }
+    // every SEMANTIC near-dup pair lands in one cluster
+    val ep = ops.Dedup.dedupEmbcos(spark, sf)
+      .select("canonical_id", "dup_id").as[(Long, Long)].collect()
+    ep.foreach { case (a, b) =>
+      assert(mm(a) == mm(b), s"embedding pair ($a,$b) split across clusters")
+    }
+    // participants are exactly the union of both graphs' nodes
+    val want = (tp.flatMap(p => Seq(p._1, p._2)) ++
+      ep.flatMap(p => Seq(p._1, p._2))).toSet
+    assert(mm.keySet == want)
+    // one survivor per cluster, and it is the smallest id
+    val bySurv = mm.groupBy(_._2)
+    bySurv.foreach { case (canon, members) =>
+      assert(members.keys.min == canon)
+    }
+  }
+
   test("paragraph dedup: repeated spans strip atomically across docs") {
     val out = ops.Dedup.dedupParagraph(spark, sf)
     // the fixture's duplicated documents share spans, so something drops
