@@ -77,7 +77,9 @@ object LineProtocol {
       // the dangling fragments, so the whole line is quarantined instead
       // of partially ingested. Per-row exists(), no shuffle.
       .withColumn("__badLine", col("__mt") === "" || col("__fs") === "" ||
-        expr("""exists(split(__fs, ','), f -> instr(f, '=') = 0 OR NOT (
+        // instr <= 1 also rejects an EMPTY field key (`=5`) — invalid
+        // line protocol that the typed-value checks alone would admit
+        expr("""exists(split(__fs, ','), f -> instr(f, '=') <= 1 OR NOT (
              substring(f, instr(f, '=') + 1) RLIKE '^".*"$'
           OR substring(f, instr(f, '=') + 1) RLIKE '^-?[0-9]+i$'
           OR substring(f, instr(f, '=') + 1) RLIKE '^(?i)(t|true|f|false)$'

@@ -202,6 +202,7 @@ class PropertySpec extends SparkTestBase {
       """m,ta=t msg="a,b",x=1 1704067200000000000""",  // comma in quotes
       """m,ta=t x=1,y=notanumber 1704067200000000000""", // untypeable value
       """m,ta=t x=2,y= 1704067200000000000""",           // empty value
+      """m,ta=t =5,x=9 1704067200000000000""",           // empty field KEY
       """m,ta=t ok=3 1704067200000000000""").toDF("line") // control: good
     val parsed = graft.ingest.LineProtocol.parseLines(lines)
     val good = parsed.filter(!col("is_bad"))
