@@ -718,6 +718,14 @@ object InfluxQL {
     "h" -> "hours", "d" -> "days", "w" -> "weeks",
     "ms" -> "milliseconds", "u" -> "microseconds", "µ" -> "microseconds")
 
+  /** The conjunction of a parsed query's WHERE as one Column — exposed
+    * for the catalog's DELETE / DROP SERIES filter-complement path. */
+  private[influxql] def whereFilter(p: Query, now: Option[String]): Column = {
+    val ands = p.conds.map(condCol(_, now))
+    val ors = p.orConds.map(g => g.map(condCol(_, now)).reduce(_ || _))
+    (ands ++ ors).reduceOption(_ && _).getOrElse(lit(true))
+  }
+
   private def condCol(c: Cond, now: Option[String]): Column = {
     val l = col(c.col)
     val r: Column = c.nowOffset match {

@@ -166,6 +166,26 @@ class MeasurementCatalog(spark: SparkSession) {
         .toDF("name", "duration", "replicaN", "default")
     case CqStmtRe() =>
       cqs.statement(q)
+    // data-mutation statements at the catalog tier: a registered
+    // measurement is a lazy frame, so DELETE / DROP SERIES re-register it
+    // as the filter COMPLEMENT (the WHERE re-parses through the normal
+    // query front end) and DROP MEASUREMENT removes the entry — the
+    // frame-level analog of the store's crash-safe deleteWhere /
+    // dropSeries / dropMeasurement tier, with InfluxDB's empty result
+    case DropMeasRe(name) =>
+      synchronized {
+        val db = currentDb
+        if (dbs(db).remove(name).isEmpty)
+          throw new IllegalArgumentException(s"unknown measurement '$name'")
+      }
+      emptyNames
+    case DeleteRe(name, whereS) =>
+      deleteFrom(name, Option(whereS), now); emptyNames
+    case DropSeriesRe(name, whereS) =>
+      // DROP SERIES removes whole series (tag-set matches); the catalog
+      // tier applies the same filter complement — a time-bounded DELETE
+      // keeps partial series, DROP SERIES conditions are tag equality
+      deleteFrom(name, Option(whereS), now); emptyNames
     case _ if q.trim.toUpperCase.startsWith("SELECT") =>
       val db = currentDb
       val p = InfluxQL.parse(q)
@@ -203,6 +223,23 @@ class MeasurementCatalog(spark: SparkSession) {
   }
 
   private def emptyNames: DataFrame = Seq.empty[String].toDF("name")
+
+  /** Re-register `name` as the complement of the (optional) WHERE — the
+    * shared body of DELETE and DROP SERIES. No WHERE empties the
+    * measurement but keeps its schema, as InfluxDB's DELETE does. */
+  private def deleteFrom(name: String, whereS: Option[String],
+    now: Option[String]): Unit = synchronized {
+    val db = currentDb
+    val df = dbs(db).getOrElse(name,
+      throw new IllegalArgumentException(s"unknown measurement '$name'"))
+    val kept = whereS match {
+      case None => df.limit(0)
+      case Some(w) =>
+        val p = InfluxQL.parse(s"SELECT * FROM x WHERE $w")
+        df.filter(!InfluxQL.whereFilter(p, now))
+    }
+    dbs(db)(name) = kept
+  }
 }
 
 object MeasurementCatalog {
@@ -218,6 +255,12 @@ object MeasurementCatalog {
     """(?i)^\s*DROP\s+RETENTION\s+POLICY\s+"?(\w+)"?\s+ON\s+"?([\w.]+)"?\s*;?\s*$""".r
   private val ShowRpRe =
     """(?i)^\s*SHOW\s+RETENTION\s+POLICIES(?:\s+ON\s+"?([\w.]+)"?)?\s*;?\s*$""".r
+  private val DropMeasRe =
+    """(?i)^\s*DROP\s+MEASUREMENT\s+"?([\w.]+)"?\s*;?\s*$""".r
+  private val DeleteRe =
+    """(?is)^\s*DELETE\s+FROM\s+"?([\w.]+)"?(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
+  private val DropSeriesRe =
+    """(?is)^\s*DROP\s+SERIES\s+FROM\s+"?([\w.]+)"?(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
 
   private val UnitSec =
     Map('s' -> 1L, 'm' -> 60L, 'h' -> 3600L, 'd' -> 86400L, 'w' -> 604800L)

@@ -481,6 +481,23 @@ object InfluxQlOps {
     }.reduce(_ unionByName _))
   }
 
+  /** DELETE / DROP SERIES / DROP MEASUREMENT through the catalog front
+    * door: a time+tag-bounded DELETE and a whole-series DROP mutate the
+    * registered measurement (filter complement), and the surviving points
+    * answer a normal bucketed query — CLI statement parity for the
+    * mutation verbs the store tier already proves crash-safely
+    * (store_delete_roundtrip / store_drop_series). */
+  private def influxqlDelete(spark: SparkSession, dir: String): DataFrame = {
+    val cat = new graft.influxql.MeasurementCatalog(spark)
+    cat.statement("CREATE DATABASE deldb")
+    cat.register("deldb", "ev", measurement(spark, dir))
+    cat.statement("DELETE FROM ev " +
+      "WHERE event_type = 'click' AND time < '2024-01-03 00:00:00'")
+    cat.statement("DROP SERIES FROM ev WHERE event_type = 'error'")
+    totalOrder(cat.statement(
+      "SELECT count(value) AS n FROM ev GROUP BY time(1d), event_type"))
+  }
+
   /** All fixture tables as the measurement catalog (metadata queries). */
   private def catalog(spark: SparkSession, dir: String): Seq[(String, DataFrame)] =
     graft.Tables.names.map { n =>
@@ -559,6 +576,7 @@ object InfluxQlOps {
     "influxql_math_agg" -> run(MathAggQ) _,
     "influxql_into" -> (influxqlInto _),
     "influxql_into_backref" -> (influxqlIntoBackref _),
+    "influxql_delete" -> (influxqlDelete _),
     "influxql_arith" -> run(ArithQ) _,
     "influxql_now_relative" -> runAt(NowQ) _,
     "influxql_regex_tag" -> run(RegexTagQ) _,
@@ -1329,6 +1347,16 @@ object InfluxQlOps {
          |    ELSE 100 * (su - sd) / (su + sd) END, 6) AS cmo
          |FROM sums
          |${orderAll("time", "cmo")}""".stripMargin,
+    "influxql_delete" ->
+      s"""WITH kept AS (
+         |  SELECT CAST(ts AS TIMESTAMP) AS t, event_type, value FROM events
+         |  WHERE NOT (event_type = 'click'
+         |      AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-03 00:00:00')
+         |    AND NOT (event_type = 'error'))
+         |SELECT ${sqlBucket("t", 86400)} AS time, event_type,
+         |  COUNT(value) AS n
+         |FROM kept GROUP BY 1, 2
+         |${orderAll("time", "event_type", "n")}""".stripMargin,
     // EMA-composition oracles: one recursion stage per EMA application
     // (e1 -> list z1 -> e2 -> ...), value assembled from the stage arrays
     // by index — the chained-recursive-CTE shape of the Spark-side

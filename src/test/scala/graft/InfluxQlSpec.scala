@@ -1172,6 +1172,39 @@ class InfluxQlSpec extends SparkTestBase {
     OpCaches.releaseAll()
   }
 
+  test("catalog DELETE / DROP SERIES / DROP MEASUREMENT statements") {
+    val m = Tables.load(spark, sf, "events").withColumnRenamed("ts", "time")
+    val cat = new graft.influxql.MeasurementCatalog(spark)
+    cat.statement("CREATE DATABASE muta")
+    cat.register("muta", "ev", m)
+    val total = m.count()
+    val clicksEarly = m.filter(col("event_type") === "click" &&
+      col("time") < "2024-01-03").count()
+    assert(clicksEarly > 0)
+    // DELETE with a time+tag bound removes exactly that slice
+    assert(cat.statement("DELETE FROM ev WHERE event_type = 'click' " +
+      "AND time < '2024-01-03 00:00:00'").count() == 0) // Influx empty result
+    assert(cat.statement("SELECT count(value) AS n FROM ev")
+      .select("n").head.getLong(0) == total - clicksEarly)
+    // DROP SERIES removes the whole series
+    val errors = m.filter(col("event_type") === "error").count()
+    cat.statement("DROP SERIES FROM ev WHERE event_type = 'error'")
+    assert(cat.statement("SELECT count(value) AS n FROM ev")
+      .select("n").head.getLong(0) == total - clicksEarly - errors)
+    // bare DELETE empties but keeps the measurement queryable
+    cat.statement("DELETE FROM ev")
+    assert(cat.statement("SELECT count(value) AS n FROM ev")
+      .select("n").head.getLong(0) == 0)
+    // DROP MEASUREMENT removes it; unknown names fail loudly
+    cat.statement("DROP MEASUREMENT ev")
+    intercept[IllegalArgumentException](
+      cat.statement("SELECT count(value) AS n FROM ev"))
+    intercept[IllegalArgumentException](
+      cat.statement("DROP MEASUREMENT nosuch"))
+    intercept[IllegalArgumentException](
+      cat.statement("DELETE FROM nosuch"))
+  }
+
   test("measurement catalog: create/use/drop database lifecycle") {
     val m = Tables.load(spark, sf, "events").withColumnRenamed("ts", "time")
     val cat = new graft.influxql.MeasurementCatalog(spark)
