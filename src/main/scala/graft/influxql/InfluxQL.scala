@@ -332,10 +332,13 @@ object InfluxQL {
     val sb = new StringBuilder(s.length)
     var i = 0
     var inSq = false
+    var inDq = false
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '\'') { inSq = !inSq; sb.append(c); i += 1 }
-      else if (!inSq && c == ':' && i + 1 < s.length && s.charAt(i + 1) == ':' &&
+      if (c == '\'' && !inDq) { inSq = !inSq; sb.append(c); i += 1 }
+      else if (c == '"' && !inSq) { inDq = !inDq; sb.append(c); i += 1 }
+      else if (!inSq && !inDq && c == ':' && i + 1 < s.length &&
+          s.charAt(i + 1) == ':' &&
           i > 0 && {
             val p = s.charAt(i - 1)
             Character.isLetterOrDigit(p) || p == '_' || p == '"'
@@ -717,6 +720,21 @@ object InfluxQL {
   private val Units = Map("s" -> "seconds", "m" -> "minutes",
     "h" -> "hours", "d" -> "days", "w" -> "weeks",
     "ms" -> "milliseconds", "u" -> "microseconds", "µ" -> "microseconds")
+
+  /** Parse an INTO target's `:MEASUREMENT` backreference: Some(rp prefix)
+    * when present, None for a plain target. A bare `:MEASUREMENT` fails
+    * loudly (it would write each source onto itself) — ONE validation
+    * shared by the catalog and store tiers so they cannot drift. */
+  private[graft] def backrefPrefix(target: String): Option[String] =
+    if (!target.endsWith(":MEASUREMENT")) None
+    else {
+      val p = target.stripSuffix(":MEASUREMENT").stripSuffix(".")
+      if (p.isEmpty) throw new IllegalArgumentException(
+        "INTO :MEASUREMENT needs a retention-policy prefix " +
+          "(rp.:MEASUREMENT) — a bare backreference would write each " +
+          "source onto itself")
+      Some(p)
+    }
 
   /** The conjunction of a parsed query's WHERE as one Column — exposed
     * for the catalog's DELETE / DROP SERIES filter-complement path. */
@@ -1272,11 +1290,14 @@ object InfluxQL {
           Seq("e1" -> emaFold("ys"), "e2" -> emaFold("e1"),
             "e3" -> emaFold("e2")))
       case "triple_exponential_derivative" =>
+        // try_divide: a zero smoothed EMA (all-zero window) rates to NULL,
+        // the DuckDB twin's division behavior — not an ANSI error
         perIndexRows(2,
           "transform(sequence(2, size(ts)), i -> named_struct(" +
             "'time', element_at(ts, i), " +
-            "'v', 100 * (element_at(e3, i) - element_at(e3, i - 1)) " +
-            "/ element_at(e3, i - 1)))",
+            "'v', try_divide(" +
+            "100 * (element_at(e3, i) - element_at(e3, i - 1)), " +
+            "element_at(e3, i - 1))))",
           col("r.v"),
           Seq("e1" -> emaFold("ys"), "e2" -> emaFold("e1"),
             "e3" -> emaFold("e2")))

@@ -199,23 +199,29 @@ class MeasurementCatalog(spark: SparkSession) {
       // its leading `measurement` column); a bare `:MEASUREMENT` would
       // overwrite each source with its own aggregate and is rejected.
       p.into.foreach { target =>
-        if (target.endsWith(":MEASUREMENT")) {
-          val prefix = target.stripSuffix(":MEASUREMENT").stripSuffix(".")
-          if (prefix.isEmpty) throw new IllegalArgumentException(
-            "INTO :MEASUREMENT needs a retention-policy prefix " +
-              "(rp.:MEASUREMENT) — a bare backreference would overwrite " +
-              "each source measurement")
-          if (!result.columns.contains("measurement"))
+        InfluxQL.backrefPrefix(target) match {
+          case Some(prefix) if result.columns.contains("measurement") =>
+            measurements(db).map(_._1)
+              .filter(nm =>
+                p.fromRegex.forall(re => re.r.findFirstIn(nm).isDefined))
+              .filter(nm => p.fromList.isEmpty || p.fromList.contains(nm))
+              .foreach { nm =>
+                register(db, s"$prefix.$nm", result
+                  .filter(org.apache.spark.sql.functions
+                    .col("measurement") === nm)
+                  .drop("measurement"))
+              }
+          case Some(prefix) =>
             register(db, s"$prefix.${p.measurement}", result)
-          else measurements(db).map(_._1)
-            .filter(nm => p.fromRegex.forall(re => re.r.findFirstIn(nm).isDefined))
-            .filter(nm => p.fromList.isEmpty || p.fromList.contains(nm))
-            .foreach { nm =>
-              register(db, s"$prefix.$nm", result
-                .filter(org.apache.spark.sql.functions.col("measurement") === nm)
-                .drop("measurement"))
-            }
-        } else register(db, target, result)
+          case None =>
+            // a multi-measurement read registers WITHOUT the union's
+            // leading source column, matching the store tier's schema
+            // for the same statement
+            register(db, target,
+              if (result.columns.contains("measurement"))
+                result.drop("measurement")
+              else result)
+        }
       }
       result
     case _ =>
@@ -236,7 +242,12 @@ class MeasurementCatalog(spark: SparkSession) {
       case None => df.limit(0)
       case Some(w) =>
         val p = InfluxQL.parse(s"SELECT * FROM x WHERE $w")
-        df.filter(!InfluxQL.whereFilter(p, now))
+        // NULL-safe complement: a row where the DELETE predicate evaluates
+        // to NULL (e.g. a NULL tag under `tag = 'v'`) was NOT matched by
+        // the DELETE and must survive — bare !cond would drop it
+        df.filter(org.apache.spark.sql.functions
+          .coalesce(!InfluxQL.whereFilter(p, now),
+            org.apache.spark.sql.functions.lit(true)))
     }
     dbs(db)(name) = kept
   }

@@ -105,7 +105,11 @@ class MeasurementStore(spark: SparkSession, root: String) {
     val result = graft.influxql.InfluxQL.run(spark,
       prunedFrame(measurement, q), query)
     q.into.foreach { target =>
-      append(target, result)
+      // the :MEASUREMENT backreference resolves to THIS measurement in
+      // the single-source form (the fan-out form is influxqlAll)
+      val resolved = graft.influxql.InfluxQL.backrefPrefix(target)
+        .map(p => s"$p.$measurement").getOrElse(target)
+      append(resolved, result)
     }
     result
   }
@@ -156,29 +160,38 @@ class MeasurementStore(spark: SparkSession, root: String) {
     * [[graft.influxql.InfluxQL.runCatalog]] shapes it. */
   def influxqlAll(query: String): DataFrame = {
     val q = graft.influxql.InfluxQL.parse(query)
-    val cat = measurementNames.map(n => n -> prunedFrame(n, q))
+    // resolve the FROM clause against the directory FIRST: only matching
+    // measurements get a frame (an eager parquet read per entry — an
+    // emptied or unrelated measurement must not cost a schema inference,
+    // or fail the statement, for a query that never touches it)
+    val names = measurementNames.filter { n =>
+      q.fromRegex.map(re => re.r.findFirstIn(n).isDefined)
+        .getOrElse(if (q.fromList.nonEmpty) q.fromList.contains(n)
+        else n == q.measurement)
+    }
+    val cat = names.map(n => n -> prunedFrame(n, q))
     val result = graft.influxql.InfluxQL.runCatalog(spark, cat, query)
     q.into.foreach { target =>
-      if (target.endsWith(":MEASUREMENT")) {
-        val prefix = target.stripSuffix(":MEASUREMENT").stripSuffix(".")
-        if (prefix.isEmpty) throw new IllegalArgumentException(
-          "INTO :MEASUREMENT needs a retention-policy prefix " +
-            "(rp.:MEASUREMENT) — a bare backreference would append each " +
-            "source onto itself")
-        if (!result.columns.contains("measurement"))
-          append(s"$prefix.${q.measurement}", result)
-        else {
-          // matched source names: bounded by the store's measurement count
-          val names = result.select("measurement").distinct()
-            .collect().map(_.getString(0)).sorted
-          names.foreach { nm =>
-            append(s"$prefix.$nm",
-              result.filter(col("measurement") === nm).drop("measurement"))
-          }
-        }
-      } else append(target,
-        if (result.columns.contains("measurement")) result.drop("measurement")
-        else result)
+      graft.influxql.InfluxQL.backrefPrefix(target) match {
+        case Some(prefix) if result.columns.contains("measurement") =>
+          // fan-out writes all read the SAME union result — persist it so
+          // N targets cost one source pass, not N+1
+          result.persist()
+          try {
+            // matched source names: bounded by the measurement count
+            val hit = result.select("measurement").distinct()
+              .collect().map(_.getString(0)).sorted
+            hit.foreach { nm =>
+              append(s"$prefix.$nm",
+                result.filter(col("measurement") === nm).drop("measurement"))
+            }
+          } finally result.unpersist()
+        case Some(prefix) => append(s"$prefix.${q.measurement}", result)
+        case None => append(target,
+          if (result.columns.contains("measurement"))
+            result.drop("measurement")
+          else result)
+      }
     }
     result
   }

@@ -809,6 +809,11 @@ class InfluxQlSpec extends SparkTestBase {
     // the ::float cast form stays unsupported, loudly
     intercept[IllegalArgumentException](InfluxQL.run(spark, m,
       "SELECT value::float FROM events"))
+    // a ::tag inside a DOUBLE-quoted identifier is part of the name —
+    // rejected loudly as an unknown item, never silently stripped to
+    // select the wrong column
+    intercept[IllegalArgumentException](InfluxQL.run(spark, m,
+      "SELECT \"value::tag\" FROM events"))
   }
 
   test("holt_winters: deterministic additive forecast, bucket-spaced") {
@@ -1172,6 +1177,27 @@ class InfluxQlSpec extends SparkTestBase {
     OpCaches.releaseAll()
   }
 
+  test("single-measurement INTO backref resolves to rp.<measurement>") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("backref_single").toString
+    val store = new graft.store.MeasurementStore(spark, root)
+    val m = Tables.load(spark, sf, "events")
+      .select(col("ts").as("time"), col("value")).limit(100)
+    store.append("m1", m)
+    store.influxql("m1", "SELECT mean(value) AS mv " +
+      "INTO \"weekly\".:MEASUREMENT FROM m1 GROUP BY time(1d)")
+    assert(store.measurementNames.contains("weekly.m1"))
+    // no literal ':MEASUREMENT' directory, and the bare form fails loudly
+    assert(!store.measurementNames.exists(_.contains(":MEASUREMENT")))
+    intercept[IllegalArgumentException](store.influxql("m1",
+      "SELECT mean(value) AS mv INTO :MEASUREMENT FROM m1 GROUP BY time(1d)"))
+    // a non-matching (file-less) measurement dir neither fails nor costs a
+    // read for a statement that never touches it
+    Files.createDirectory(Paths.get(root, "junk_empty"))
+    assert(store.influxqlAll(
+      "SELECT mean(value) AS mv FROM /^m1$/ GROUP BY time(1d)").count() > 0)
+  }
+
   test("catalog DELETE / DROP SERIES / DROP MEASUREMENT statements") {
     val m = Tables.load(spark, sf, "events").withColumnRenamed("ts", "time")
     val cat = new graft.influxql.MeasurementCatalog(spark)
@@ -1203,6 +1229,17 @@ class InfluxQlSpec extends SparkTestBase {
       cat.statement("DROP MEASUREMENT nosuch"))
     intercept[IllegalArgumentException](
       cat.statement("DELETE FROM nosuch"))
+    // NULL-safe complement: a row the predicate cannot match (NULL tag)
+    // survives a tag-equality DELETE
+    import spark.implicits._
+    val withNull = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "click", 1.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), null, 2.0))
+      .toDF("time", "event_type", "value")
+    cat.register("muta", "nn", withNull)
+    cat.statement("DELETE FROM nn WHERE event_type = 'click'")
+    assert(cat.statement("SELECT count(value) AS n FROM nn")
+      .select("n").head.getLong(0) == 1)
   }
 
   test("measurement catalog: create/use/drop database lifecycle") {
