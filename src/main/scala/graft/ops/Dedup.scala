@@ -184,17 +184,7 @@ object Dedup {
     * buckets over 64 docs are degenerate and dropped — the MaxShingleDf
     * idiom. Engine-specific hashing ⇒ rows-only + precision/recall spec. */
   def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.GraftFunctions.simHash64
-    val sigs = cappedPosting(spark, dir)
-      .groupBy(col("doc_id")).agg(collect_list(col("h")).as("hs"))
-      .select(col("doc_id"), simHash64(spark, col("hs")).as("simhash"))
-    val bands = sigs.select(col("doc_id"), col("simhash"),
-      explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("key",
-        expr("shiftright(simhash, CAST(band * 16 AS INT)) & 65535"))
-    val wB = Window.partitionBy(col("band"), col("key"))
-    val kept = bands.withColumn("cnt", count(lit(1)).over(wB))
-      .filter(col("cnt") <= 64)
+    val kept = simhashBandRows(spark, dir).filter(col("cnt") <= 64)
     val cand = kept.as("a").join(kept.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key")
           && col("a.doc_id") < col("b.doc_id"))
@@ -205,6 +195,22 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= 6)
       .select(col("id_a"), col("id_b"), col("hamming")))
+  }
+
+  /** The pre-cap band rows of [[dedupSimhashPairs]] — (doc_id, simhash,
+    * band, key, cnt) with cnt the bucket size; the pair op keeps cnt ≤ 64,
+    * the cap-stats audit aggregates the whole frame. */
+  private def simhashBandRows(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.simHash64
+    val sigs = cappedPosting(spark, dir)
+      .groupBy(col("doc_id")).agg(collect_list(col("h")).as("hs"))
+      .select(col("doc_id"), simHash64(spark, col("hs")).as("simhash"))
+    val bands = sigs.select(col("doc_id"), col("simhash"),
+      explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("key",
+        expr("shiftright(simhash, CAST(band * 16 AS INT)) & 65535"))
+    val wB = Window.partitionBy(col("band"), col("key"))
+    bands.withColumn("cnt", count(lit(1)).over(wB))
   }
 
   /** Embedding-cosine near-dup (SURVEY §2.10): semantic duplicates via the
@@ -457,9 +463,69 @@ object Dedup {
       .agg(count(lit(1)).as("n_dup_pairs")))
   }
 
+  /** Cap-drop accounting for the shingle df cap (the "no silent caps"
+    * audit family — the [[dedupSpanStats]] idiom applied to every capped
+    * candidate generator): how many distinct shingles the
+    * [[MaxShingleDf]] cap discards, the posting rows they carried, and the
+    * candidate-pair mass routed through them (Σ df·(df−1)/2 — an upper
+    * bound on pairs lost to the cap, since a pair may also meet via a
+    * surviving shingle). df is counted on the shingle STRING, matching the
+    * main op's oracle semantics (the engine's xxhash64 grouping is
+    * identical modulo 64-bit collisions). One hash-agg; shingle text never
+    * rides a shuffle wider than the df count itself. */
+  def dedupNgramCapStats(spark: SparkSession, dir: String): DataFrame = {
+    val dfreq = shingled(spark, dir)
+      .select(explode(col("shingles")).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+    totalOrder(dfreq.agg(
+      count(lit(1)).as("n_shingles"),
+      sum(when(col("df") > MaxShingleDf, 1L).otherwise(0L))
+        .as("n_dropped_shingles"),
+      sum(when(col("df") > MaxShingleDf, col("df")).otherwise(0L))
+        .as("n_dropped_postings"),
+      expr(s"CAST(sum(CASE WHEN df > $MaxShingleDf THEN df * (df - 1) " +
+        "ELSE 0 END) DIV 2 AS BIGINT)").as("n_dropped_pairs")))
+  }
+
+  /** Cap-drop accounting for [[dedupEmbcos]]' banded sign-LSH (and
+    * [[Vectors.simCosineLsh]], which shares [[SignLsh]]): band rows, rows
+    * sent through full-signature refinement (raw bucket > cap), rows
+    * DROPPED after refinement (refined bucket still > cap), and the
+    * candidate-pair mass those dropped buckets would have generated.
+    * Deterministic plane bank ⇒ full DuckDB oracle — the audit itself is
+    * hash-pinned. */
+  def dedupEmbcosCapStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = SignLsh.keptDetail(
+      SignLsh.withKeys(spark, dir).transform(graft.OpCaches.cached))
+    totalOrder(d.agg(
+      count(lit(1)).as("n_band_rows"),
+      sum(when(col("cnt1") > SignLsh.BucketCap, 1L).otherwise(0L))
+        .as("n_refined_rows"),
+      sum(when(col("cnt2") > SignLsh.BucketCap, 1L).otherwise(0L))
+        .as("n_dropped_rows"),
+      expr(s"CAST(sum(CASE WHEN cnt2 > ${SignLsh.BucketCap} THEN cnt2 - 1 " +
+        "ELSE 0 END) DIV 2 AS BIGINT)").as("n_dropped_pairs")))
+  }
+
+  /** Cap-drop accounting for [[dedupSimhashPairs]]' Hamming-LSH bands:
+    * band rows, rows in over-cap buckets (dropped), and the candidate-pair
+    * mass those buckets carried. Engine-specific signature hashing ⇒
+    * rows-only + the spec asserting the fixture leaves the cap untouched
+    * (so the pair op's recall is not cap-limited where the oracle can't
+    * see it). */
+  def dedupSimhashCapStats(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(simhashBandRows(spark, dir).agg(
+      count(lit(1)).as("n_band_rows"),
+      sum(when(col("cnt") > 64, 1L).otherwise(0L)).as("n_dropped_rows"),
+      expr("CAST(sum(CASE WHEN cnt > 64 THEN cnt - 1 ELSE 0 END) DIV 2 " +
+        "AS BIGINT)").as("n_dropped_pairs")))
+
   // ----------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_ngram_cap_stats" -> dedupNgramCapStats,
+    "dedup_embcos_cap_stats" -> dedupEmbcosCapStats,
+    "dedup_simhash_cap_stats" -> dedupSimhashCapStats,
     "dedup_cross_source" -> dedupCrossSource,
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
@@ -535,6 +601,41 @@ object Dedup {
       |  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.3)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dedup_ngram_cap_stats" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_filter(
+         |    regexp_split_to_array(lower(text), '[^a-z0-9'']+'), t -> t <> '') AS t
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    range(1, greatest(len(t) - 2, 1) + 1),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+         |  FROM tok),
+         |dfreq AS (
+         |  SELECT sh, COUNT(*) AS df FROM (
+         |    SELECT doc_id, unnest(s) AS sh FROM sh) GROUP BY sh)
+         |SELECT COUNT(*) AS n_shingles,
+         |  CAST(SUM(CASE WHEN df > $MaxShingleDf THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dropped_shingles,
+         |  CAST(SUM(CASE WHEN df > $MaxShingleDf THEN df ELSE 0 END) AS BIGINT)
+         |    AS n_dropped_postings,
+         |  CAST(SUM(CASE WHEN df > $MaxShingleDf THEN df * (df - 1) ELSE 0 END)
+         |    // 2 AS BIGINT) AS n_dropped_pairs
+         |FROM dfreq
+         |${orderAll("n_shingles", "n_dropped_shingles", "n_dropped_postings",
+            "n_dropped_pairs")}""".stripMargin,
+    "dedup_embcos_cap_stats" ->
+      s"""WITH ${SignLsh.sqlCandCtes()}
+         |SELECT COUNT(*) AS n_band_rows,
+         |  CAST(SUM(CASE WHEN cnt1 > ${SignLsh.BucketCap} THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_refined_rows,
+         |  CAST(SUM(CASE WHEN cnt2 > ${SignLsh.BucketCap} THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dropped_rows,
+         |  CAST(SUM(CASE WHEN cnt2 > ${SignLsh.BucketCap} THEN cnt2 - 1
+         |    ELSE 0 END) // 2 AS BIGINT) AS n_dropped_pairs
+         |FROM k3
+         |${orderAll("n_band_rows", "n_refined_rows", "n_dropped_rows",
+            "n_dropped_pairs")}""".stripMargin,
     "dedup_cross_source" ->
       s"""WITH $jaccardPairsCtes,
          |src AS (SELECT doc_id, source FROM documents)

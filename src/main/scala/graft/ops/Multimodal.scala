@@ -98,19 +98,7 @@ object Multimodal {
   /** The banding/verify pipeline over any (doc_id, text) frame — split out
     * so the spec can feed constructed duplicates through the same path. */
   private[graft] def phashPairs(spark: SparkSession, docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import spark.implicits._
-    val sigs = docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) =>
-        (id, MultimodalLib.dHash64(text))
-      }).toDF("doc_id", "phash")
-    val bands = sigs.select(col("doc_id"), col("phash"),
-        explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("key",
-        expr("shiftright(phash, CAST(band * 16 AS INT)) & 65535"))
-    val wB = Window.partitionBy(col("band"), col("key"))
-    val kept = bands.withColumn("cnt", count(lit(1)).over(wB))
-      .filter(col("cnt") <= 64)
+    val kept = phashBandRows(spark, docs).filter(col("cnt") <= 64)
     val cand = kept.as("a").join(kept.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key")
           && col("a.doc_id") < col("b.doc_id"))
@@ -123,6 +111,38 @@ object Multimodal {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** The pre-cap band rows of [[phashPairs]] — (doc_id, phash, band, key,
+    * cnt); the pair op keeps cnt ≤ 64, the cap-stats audit aggregates the
+    * whole frame. */
+  private[graft] def phashBandRows(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val sigs = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, MultimodalLib.dHash64(text))
+      }).toDF("doc_id", "phash")
+    val bands = sigs.select(col("doc_id"), col("phash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("key",
+        expr("shiftright(phash, CAST(band * 16 AS INT)) & 65535"))
+    val wB = Window.partitionBy(col("band"), col("key"))
+    bands.withColumn("cnt", count(lit(1)).over(wB))
+  }
+
+  /** Cap-drop accounting for [[mmPhashPairs]]' Hamming-LSH bands (the "no
+    * silent caps" audit family — see [[Dedup.dedupSimhashCapStats]]): band
+    * rows, rows in over-cap buckets (dropped for that band), and the
+    * candidate-pair mass those buckets carried. Codec + engine hash ⇒
+    * rows-only; the spec asserts the fixture leaves the cap untouched and
+    * that a constructed hot bucket is counted, not silently lost. */
+  def mmPhashCapStats(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(phashBandRows(spark,
+      load(spark, dir, "documents").select(col("doc_id"), col("text"))).agg(
+      count(lit(1)).as("n_band_rows"),
+      sum(when(col("cnt") > 64, 1L).otherwise(0L)).as("n_dropped_rows"),
+      expr("CAST(sum(CASE WHEN cnt > 64 THEN cnt - 1 ELSE 0 END) DIV 2 " +
+        "AS BIGINT)").as("n_dropped_pairs")))
+
   // ----------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -131,7 +151,8 @@ object Multimodal {
     "mm_resize" -> mmResize,
     "mm_frame_sample" -> mmFrameSample,
     "mm_decode_features" -> MultimodalLib.mmDecodeFeatures _,
-    "mm_phash_pairs" -> mmPhashPairs)
+    "mm_phash_pairs" -> mmPhashPairs,
+    "mm_phash_cap_stats" -> mmPhashCapStats)
 
   val oracle: Map[String, String] = Map(
     "multimodal_cols" ->

@@ -60,7 +60,15 @@ private[graft] object SignLsh {
   /** Cap-and-refine survivors: (vec_id, band, rkey). Exposed for the spec
     * asserting no surviving bucket exceeds `cap`. Shuffles only
     * (id, band, key, fullkey) — embeddings never ride the banding shuffle. */
-  def kept(base: DataFrame, cap: Int = BucketCap): DataFrame = {
+  def kept(base: DataFrame, cap: Int = BucketCap): DataFrame =
+    keptDetail(base, cap)
+      .filter(col("cnt2") <= cap)
+      .select(col("vec_id"), col("band"), col("rkey"))
+
+  /** The pre-filter banding frame with both cap counters (cnt1 = raw
+    * bucket size, cnt2 = refined-bucket size) — [[kept]] is this filtered
+    * to cnt2 ≤ cap; the cap-stats audit op aggregates it unfiltered. */
+  def keptDetail(base: DataFrame, cap: Int = BucketCap): DataFrame = {
     val banded = base.select(col("vec_id"),
       concat_ws("-", col("bk").cast("array<string>")).as("fullkey"),
       posexplode(col("bk")).as(Seq("band", "key")))
@@ -71,8 +79,6 @@ private[graft] object SignLsh {
       .withColumn("rkey", when(col("cnt1") <= cap, col("key").cast("string"))
         .otherwise(concat(lit("F"), col("fullkey"))))
       .withColumn("cnt2", count(lit(1)).over(wR))
-      .filter(col("cnt2") <= cap)
-      .select(col("vec_id"), col("band"), col("rkey"))
   }
 
   /** Candidate pairs (id_a < id_b) with the number of agreeing bands. The

@@ -170,20 +170,33 @@ object Vectors {
   }
 
   /** Train the IVF coarse quantizer over `base` (embeddings + nrm, cached
-    * by the caller): k = ⌊√n⌋ id-stride seeds refined by two Lloyd rounds,
-    * exact decimal means. Returns (centroids (cid, cvec, cnrm),
-    * inverted-list membership (vec_id, cid)). Shared by [[simKnnIvf]] and
-    * [[simKnnIvfPq]]. */
+    * by the caller): k = ⌊√n⌋ id-stride seeds refined by two Lloyd rounds
+    * run over a deterministic id-stride TRAINING SAMPLE (~16·√n rows, the
+    * standard sample-trained-quantizer posture — FAISS trains on a few
+    * hundred points per centroid, not the corpus). Refinement cost is
+    * O(sample·k) = O(16·n) per round instead of the full-corpus O(n·√n) =
+    * O(n^1.5); the one remaining n×k pass is the final inverted-list build,
+    * which IS the index. Exact decimal means keep the trained k-means
+    * oracle-able. Returns (centroids (cid, cvec, cnrm), inverted-list
+    * membership (vec_id, cid)). Shared by [[simKnnIvf]] and [[simKnnIvfPq]]. */
   private def ivfIndex(spark: SparkSession, base: DataFrame): (DataFrame, DataFrame) = {
     import graft.functions.GraftFunctions.vecDot
-    // k = ⌊√n⌋ via seed stride ⌈n/k⌉ over the (dense) id space — counts only,
-    // no global sort; at cluster scale this is the sample-seeding analog
-    val stride = base.agg(ceil(count(lit(1)) / floor(sqrt(count(lit(1)))))
-      .cast("long").as("stride"))
-    val seeds = base.crossJoin(broadcast(stride))
+    // k = ⌊√n⌋ via seed stride ⌈n/k⌉ over the (dense) id space, and the
+    // training-sample stride ⌊√n/16⌋ (sample ≈ 16·√n rows; 1 ⇒ full corpus
+    // at small n) — counts only, no global sort
+    val strides = base.agg(
+      ceil(count(lit(1)) / floor(sqrt(count(lit(1))))).cast("long").as("stride"),
+      greatest(lit(1L), floor(sqrt(count(lit(1))) / 16)).as("tstride"))
+    val seeds = base.crossJoin(broadcast(strides))
       .filter(col("vec_id") % col("stride") === 0)
       .select(col("vec_id").as("cid"),
         transform(col("embedding"), x => x.cast(DoubleType)).as("cvec"))
+    // deterministic training sample: Lloyd refinement touches ONLY these
+    // rows (id-stride, so DuckDB reproduces it with one WHERE clause)
+    val tr = base.crossJoin(broadcast(strides))
+      .filter(col("vec_id") % col("tstride") === 0)
+      .select(base.columns.map(col): _*)
+      .transform(lineageCut)
     def withCnrm(c: DataFrame): DataFrame =
       c.withColumn("cnrm", sqrt(vecDot(spark, col("cvec"), col("cvec"))))
     // nearest centroid per vector by cosine (ties → lowest cid). The argmax
@@ -192,8 +205,8 @@ object Vectors {
     // shuffle (vs a window sort, which would shuffle all n×k rows). The dot
     // is the fused codegen VecDot (float embedding × double centroid), not
     // the zip_with lambda — same IEEE fold, ~6× less per-pair cost.
-    def assign(cents: DataFrame): DataFrame =
-      base.crossJoin(broadcast(cents))
+    def assign(src: DataFrame, cents: DataFrame): DataFrame =
+      src.crossJoin(broadcast(cents))
         .withColumn("sim",
           vecDot(spark, col("embedding"), col("cvec"))
             / (col("nrm") * col("cnrm")))
@@ -202,18 +215,19 @@ object Vectors {
     val centroidAgg = org.apache.spark.sql.functions.udaf(
       new graft.functions.GraftFunctions.VecCentroid(64),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
-    // Lloyd update: exact mean of the member embeddings (partial-aggregable)
+    // Lloyd update: exact mean of the SAMPLE members (partial-aggregable);
+    // sample-empty clusters drop out of the GROUP BY, as in any k-means
     def update(assigned: DataFrame): DataFrame =
-      base.join(assigned, "vec_id")
+      tr.join(assigned, "vec_id")
         .groupBy(col("cid")).agg(centroidAgg(col("embedding")).as("cvec"))
     // checkpoint each centroid generation: they are tiny (k ≈ √n rows) but
     // referenced by multiple downstream stages (next iteration, probes,
     // final lists) — without lineage truncation the training subtree would
     // re-execute once per reference
     val c0 = withCnrm(seeds).transform(lineageCut)
-    val c1 = withCnrm(update(assign(c0))).transform(lineageCut)
-    val c2 = withCnrm(update(assign(c1))).transform(lineageCut)
-    (c2, assign(c2)) // final inverted-list membership (vec_id, cid)
+    val c1 = withCnrm(update(assign(tr, c0))).transform(lineageCut)
+    val c2 = withCnrm(update(assign(tr, c1))).transform(lineageCut)
+    (c2, assign(base, c2)) // final inverted-list membership (vec_id, cid)
   }
 
   /** Probe assignment: each query's `nprobe` nearest centroids — a |Q| × k
@@ -294,7 +308,10 @@ object Vectors {
 
   /** Train the product quantizer over `base` (embeddings + nrm, cached by
     * the caller): per-subspace K=[[PqK]] codewords from id-stride seeds +
-    * one Lloyd round, exact decimal means. Returns (codebooks (m, cid,
+    * one Lloyd round run over a deterministic id-stride TRAINING SAMPLE
+    * (~64·K = 1024 vectors — the FAISS points-per-codeword posture), exact
+    * decimal means. Encoding the full corpus under the trained book stays
+    * the one linear pass (it IS the index). Returns (codebooks (m, cid,
     * cvec), codes (vec_id, m, cid) — the M-byte PQ code). Shared by
     * [[simKnnPq]] and [[simKnnIvfPq]]. */
   private def pqIndex(spark: SparkSession, base: DataFrame): (DataFrame, DataFrame) = {
@@ -303,28 +320,35 @@ object Vectors {
         base.select(col("vec_id"), lit(m).as("m"),
           slice(col("embedding"), m * PqSub + 1, PqSub).as("sub")))
       .reduce(_ unionByName _)
-    val stride = base.agg(
-      ceil(count(lit(1)) / lit(PqK.toDouble)).cast("long").as("stride"))
-    val cb0 = subs.crossJoin(broadcast(stride))
+    val strides = base.agg(
+      ceil(count(lit(1)) / lit(PqK.toDouble)).cast("long").as("stride"),
+      greatest(lit(1L), floor(count(lit(1)) / lit(1024.0))).as("tstride"))
+    val cb0 = subs.crossJoin(broadcast(strides))
       .filter(col("vec_id") % col("stride") === 0)
       .select(col("m"), col("vec_id").as("cid"),
         transform(col("sub"), x => x.cast(DoubleType)).as("cvec"))
+    // deterministic training sample of the slice table (id-stride ⇒ one
+    // WHERE clause in the oracle); Lloyd touches only these rows
+    val trSubs = subs.crossJoin(broadcast(strides))
+      .filter(col("vec_id") % col("tstride") === 0)
+      .select(col("vec_id"), col("m"), col("sub"))
+      .transform(lineageCut)
     // nearest codeword per (vector, subspace): argmin d², ties → lowest cid;
     // max_by partial-aggregates, so map tasks reduce n·K scored rows locally
-    def assign(cb: DataFrame): DataFrame =
-      subs.join(broadcast(cb), "m")
+    def assign(src: DataFrame, cb: DataFrame): DataFrame =
+      src.join(broadcast(cb), "m")
         .withColumn("d2", pqL2(col("sub"), col("cvec")))
         .groupBy(col("vec_id"), col("m"))
         .agg(max_by(col("cid"), struct(-col("d2"), -col("cid"))).as("cid"))
     val subAgg = org.apache.spark.sql.functions.udaf(
       new graft.functions.GraftFunctions.VecCentroid(PqSub),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
-    // one Lloyd update: exact decimal mean of each codeword's members
-    val cb1 = subs.join(assign(cb0.transform(lineageCut)), Seq("vec_id", "m"))
+    // one Lloyd update: exact decimal mean of each codeword's SAMPLE members
+    val cb1 = trSubs.join(assign(trSubs, cb0.transform(lineageCut)), Seq("vec_id", "m"))
       .groupBy(col("m"), col("cid"))
       .agg(subAgg(col("sub")).as("cvec"))
       .transform(lineageCut)
-    (cb1, assign(cb1))
+    (cb1, assign(subs, cb1))
   }
 
   /** ADC tables: |Q|·M·K per-subspace query-to-codeword distances — tiny,
@@ -434,9 +458,11 @@ object Vectors {
       "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
 
   /** Lloyd-iteration CTE fragments for the trained-IVF oracle: nearest-
-    * centroid assignment under centroid set `c` (cosine desc, cid tiebreak)
-    * and the exact decimal-mean update over an assignment `a`. */
-  private def sqlAssign(a: String, c: String): String =
+    * centroid assignment of `src` rows under centroid set `c` (cosine desc,
+    * cid tiebreak) and the exact decimal-mean update over an assignment `a`
+    * of `src` rows. Training passes run over the `tr` sample; the final
+    * inverted-list build runs over `base` — mirroring [[ivfIndex]]. */
+  private def sqlAssign(a: String, c: String, src: String = "base"): String =
     s"""$a AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT b.vec_id, c.cid,
@@ -444,18 +470,27 @@ object Vectors {
        |        list_aggregate(list_transform(list_zip(b.embedding, c.cvec),
        |          x -> CAST(x[1] AS DOUBLE) * x[2]), 'sum')
        |          / (b.nrm * c.cnrm) DESC, c.cid) AS rn
-       |    FROM base b CROSS JOIN $c c) WHERE rn = 1)""".stripMargin
+       |    FROM $src b CROSS JOIN $c c) WHERE rn = 1)""".stripMargin
 
-  private def sqlUpdate(c: String, a: String): String =
+  private def sqlUpdate(c: String, a: String, src: String = "tr"): String =
     s"""$c AS (
        |  SELECT cid, cvec,
        |    sqrt(list_aggregate(list_transform(cvec, x -> x * x), 'sum')) AS cnrm
        |  FROM (SELECT cid, list(c ORDER BY i) AS cvec FROM (
        |    SELECT a.cid, t.i,
        |      ${graft.Tables.sqlDavg("CAST(b.embedding[t.i] AS DOUBLE)")} AS c
-       |    FROM $a a JOIN base b USING (vec_id),
+       |    FROM $a a JOIN $src b USING (vec_id),
        |      generate_series(1, 64) AS t(i)
        |    GROUP BY a.cid, t.i) GROUP BY cid))""".stripMargin
+
+  /** Strides + training-sample CTEs shared by the trained-IVF oracles:
+    * seed stride ⌈n/⌊√n⌋⌉, sample stride max(1, ⌊√n/16⌋). */
+  private val sqlIvfPrelude: String =
+    s"""p AS (SELECT CAST(ceil(COUNT(*) / floor(sqrt(COUNT(*)))) AS BIGINT)
+       |      AS stride,
+       |      greatest(1, CAST(floor(sqrt(COUNT(*)) / 16) AS BIGINT))
+       |      AS tstride FROM base),
+       |tr AS (SELECT * FROM base WHERE vec_id % (SELECT tstride FROM p) = 0)""".stripMargin
 
   val oracle: Map[String, String] = oracleBase +
     ("vec_quantize_int8" ->
@@ -483,33 +518,37 @@ object Vectors {
     ("sim_knn_pq" -> {
       val l2 = "list_aggregate(list_transform(list_zip(%s, %s), " +
         "x -> (CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2])), 'sum')"
-      def assignCte(a: String, c: String): String =
+      def assignCte(a: String, c: String, src: String = "subs"): String =
         s"""$a AS (
            |  SELECT vec_id, m, cid FROM (
            |    SELECT s.vec_id, s.m, c.cid,
            |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
            |        ${l2.format("s.sub", "c.cvec")} ASC, c.cid ASC) AS rn
-           |    FROM subs s JOIN $c c ON c.m = s.m) WHERE rn = 1)""".stripMargin
+           |    FROM $src s JOIN $c c ON c.m = s.m) WHERE rn = 1)""".stripMargin
       s"""WITH base AS (
          |  SELECT vec_id, embedding, ${sqlNorm.format("embedding")} AS nrm
          |  FROM embeddings),
-         |p AS (SELECT CAST(ceil(COUNT(*) / 16.0) AS BIGINT) AS stride FROM base),
+         |p AS (SELECT CAST(ceil(COUNT(*) / 16.0) AS BIGINT) AS stride,
+         |      greatest(1, CAST(floor(COUNT(*) / 1024.0) AS BIGINT))
+         |      AS tstride FROM base),
          |subs AS (
          |  SELECT vec_id, t.m, embedding[(t.m*16+1):(t.m*16+16)] AS sub
          |  FROM base, (SELECT unnest(range(0, 4)) AS m) AS t),
+         |trsubs AS (
+         |  SELECT * FROM subs WHERE vec_id % (SELECT tstride FROM p) = 0),
          |cb0 AS (
          |  SELECT m, vec_id AS cid,
          |    list_transform(sub, x -> CAST(x AS DOUBLE)) AS cvec
          |  FROM subs WHERE vec_id % (SELECT stride FROM p) = 0),
-         |${assignCte("a0", "cb0")},
+         |${assignCte("a0", "cb0", "trsubs")},
          |cb1 AS (
          |  SELECT m, cid, list(c ORDER BY i) AS cvec FROM (
          |    SELECT a.m, a.cid, t.i,
          |      ${graft.Tables.sqlDavg("CAST(s.sub[t.i] AS DOUBLE)")} AS c
-         |    FROM a0 a JOIN subs s ON s.vec_id = a.vec_id AND s.m = a.m,
+         |    FROM a0 a JOIN trsubs s ON s.vec_id = a.vec_id AND s.m = a.m,
          |      generate_series(1, 16) AS t(i)
          |    GROUP BY a.m, a.cid, t.i) GROUP BY m, cid),
-         |${assignCte("codes", "cb1")},
+         |${assignCte("codes", "cb1", "subs")},
          |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
          |      FROM base WHERE vec_id % 100 = 0),
          |qsubs AS (
@@ -546,45 +585,48 @@ object Vectors {
     ("sim_knn_ivfpq" -> {
       val l2 = "list_aggregate(list_transform(list_zip(%s, %s), " +
         "x -> (CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2])), 'sum')"
-      def assignCte(a: String, c: String): String =
+      def assignCte(a: String, c: String, src: String = "subs"): String =
         s"""$a AS (
            |  SELECT vec_id, m, cid FROM (
            |    SELECT s.vec_id, s.m, c.cid,
            |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
            |        ${l2.format("s.sub", "c.cvec")} ASC, c.cid ASC) AS rn
-           |    FROM subs s JOIN $c c ON c.m = s.m) WHERE rn = 1)""".stripMargin
+           |    FROM $src s JOIN $c c ON c.m = s.m) WHERE rn = 1)""".stripMargin
       s"""WITH base AS (
          |  SELECT vec_id, embedding, ${sqlNorm.format("embedding")} AS nrm
          |  FROM embeddings),
-         |p AS (SELECT CAST(ceil(COUNT(*) / floor(sqrt(COUNT(*)))) AS BIGINT)
-         |      AS stride FROM base),
+         |$sqlIvfPrelude,
          |c0 AS (
          |  SELECT vec_id AS cid,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec,
          |    ${sqlNorm.format("embedding")} AS cnrm
          |  FROM base WHERE vec_id % (SELECT stride FROM p) = 0),
-         |${sqlAssign("a0", "c0")},
+         |${sqlAssign("a0", "c0", "tr")},
          |${sqlUpdate("c1", "a0")},
-         |${sqlAssign("a1", "c1")},
+         |${sqlAssign("a1", "c1", "tr")},
          |${sqlUpdate("c2", "a1")},
-         |${sqlAssign("a2", "c2")},
-         |pqp AS (SELECT CAST(ceil(COUNT(*) / 16.0) AS BIGINT) AS stride FROM base),
+         |${sqlAssign("a2", "c2", "base")},
+         |pqp AS (SELECT CAST(ceil(COUNT(*) / 16.0) AS BIGINT) AS stride,
+         |      greatest(1, CAST(floor(COUNT(*) / 1024.0) AS BIGINT))
+         |      AS tstride FROM base),
          |subs AS (
          |  SELECT vec_id, t.m, embedding[(t.m*16+1):(t.m*16+16)] AS sub
          |  FROM base, (SELECT unnest(range(0, 4)) AS m) AS t),
+         |trsubs AS (
+         |  SELECT * FROM subs WHERE vec_id % (SELECT tstride FROM pqp) = 0),
          |cb0 AS (
          |  SELECT m, vec_id AS cid,
          |    list_transform(sub, x -> CAST(x AS DOUBLE)) AS cvec
          |  FROM subs WHERE vec_id % (SELECT stride FROM pqp) = 0),
-         |${assignCte("pa0", "cb0")},
+         |${assignCte("pa0", "cb0", "trsubs")},
          |cb1 AS (
          |  SELECT m, cid, list(c ORDER BY i) AS cvec FROM (
          |    SELECT a.m, a.cid, t.i,
          |      ${graft.Tables.sqlDavg("CAST(s.sub[t.i] AS DOUBLE)")} AS c
-         |    FROM pa0 a JOIN subs s ON s.vec_id = a.vec_id AND s.m = a.m,
+         |    FROM pa0 a JOIN trsubs s ON s.vec_id = a.vec_id AND s.m = a.m,
          |      generate_series(1, 16) AS t(i)
          |    GROUP BY a.m, a.cid, t.i) GROUP BY m, cid),
-         |${assignCte("codes", "cb1")},
+         |${assignCte("codes", "cb1", "subs")},
          |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
          |      FROM base WHERE vec_id % 100 = 0),
          |probes AS (
@@ -635,18 +677,17 @@ object Vectors {
       s"""WITH base AS (
          |  SELECT vec_id, embedding, ${sqlNorm.format("embedding")} AS nrm
          |  FROM embeddings),
-         |p AS (SELECT CAST(ceil(COUNT(*) / floor(sqrt(COUNT(*)))) AS BIGINT)
-         |      AS stride FROM base),
+         |$sqlIvfPrelude,
          |c0 AS (
          |  SELECT vec_id AS cid,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec,
          |    ${sqlNorm.format("embedding")} AS cnrm
          |  FROM base WHERE vec_id % (SELECT stride FROM p) = 0),
-         |${sqlAssign("a0", "c0")},
+         |${sqlAssign("a0", "c0", "tr")},
          |${sqlUpdate("c1", "a0")},
-         |${sqlAssign("a1", "c1")},
+         |${sqlAssign("a1", "c1", "tr")},
          |${sqlUpdate("c2", "a1")},
-         |${sqlAssign("a2", "c2")},
+         |${sqlAssign("a2", "c2", "base")},
          |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
          |      FROM base WHERE vec_id % 100 = 0),
          |probes AS (

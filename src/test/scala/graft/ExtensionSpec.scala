@@ -251,6 +251,40 @@ class ExtensionSpec extends SparkTestBase {
     assert(dHash64(txt(0L)) == dHash64(txt(100000L)))
   }
 
+  test("cap stats: fixture caps accounted; hot buckets dropped AND counted") {
+    // the three text/embedding caps are untouched at fixture scale — the
+    // main ops' recall is not silently cap-limited where the oracle can't
+    // see it (the audit twin is what proves this at any scale)
+    val ng = ops.Dedup.dedupNgramCapStats(spark, sf).head
+    assert(ng.getLong(0) > 0 && ng.getLong(1) == 0 && ng.getLong(3) == 0)
+    val ec = ops.Dedup.dedupEmbcosCapStats(spark, sf).head
+    assert(ec.getLong(0) > 0 && ec.getLong(2) == 0 && ec.getLong(3) == 0)
+    val sh = ops.Dedup.dedupSimhashCapStats(spark, sf).head
+    assert(sh.getLong(0) > 0 && sh.getLong(1) == 0 && sh.getLong(2) == 0)
+    // the phash cap IS active on the fixture (text-derived luma images
+    // share band keys): drops must be accounted, never silent
+    val ph = ops.Multimodal.mmPhashCapStats(spark, sf).head
+    assert(ph.getLong(0) > 0)
+    assert(ph.getLong(1) > 0, "fixture phash cap expected active")
+    assert(ph.getLong(2) > 0, "dropped pair mass must be accounted")
+    // constructed hot bucket: 70 copies of one doc exceed the 64 cap in
+    // every band — the cap drops the clique from pair generation AND the
+    // audit frame counts every dropped row (nothing silently vanishes)
+    val base = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val one = base.filter(col("doc_id") === 0)
+    val clique = (1 to 70).map(i =>
+        one.withColumn("doc_id", col("doc_id") + lit(200000 + i)))
+      .reduce(_ unionByName _)
+    val aug = base.unionByName(clique)
+    val pairs = ops.Multimodal.phashPairs(spark, aug)
+      .filter(col("id_a") >= 200000 && col("id_b") >= 200000).count()
+    assert(pairs == 0, "over-cap clique must not explode into pairs")
+    val cnt = ops.Multimodal.phashBandRows(spark, aug)
+      .filter(col("doc_id") >= 200000 && col("cnt") > 64).count()
+    assert(cnt == 70 * 4L, s"every clique band row must be counted, got $cnt")
+  }
+
   test("int8 quantization: error bounded by half a step, codes in range") {
     val rows = ops.Vectors.vecQuantizeInt8(spark, sf)
       .select("scale", "max_abs_err", "mse")
