@@ -39,15 +39,50 @@ object Tables {
     "spark.sql.warehouse.dir" ->
       s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
 
+  /** Per-(session, dir, table) memo of the loaded PLAN. Constructing a
+    * parquet DataFrame costs a driver-side footer read for schema
+    * inference; catalog-style statements (the SHOW family) touch every
+    * fixture table, so re-inferring per statement is pure metadata
+    * overhead — exactly what a deployment's registered catalog
+    * ([[graft.influxql.MeasurementCatalog]], a metastore) avoids by
+    * holding frames once. The memo pins only the lazy plan, never data
+    * (nothing to unpersist — execution still reads the files), and keys
+    * on the session so test suites with their own sessions don't share. */
+  private val loadMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts" &&
-        f.dataType == org.apache.spark.sql.types.LongType) match {
-      // ns→µs via integer division (a double division would lose precision
-      // at 1.7e18 ns); truncation matches DuckDB CAST(ts_ns AS TIMESTAMP).
-      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case None => df
-    }
+    // bound the memo (cloned sessions each key their own entries): the
+    // fixture set is ~10 tables × a handful of sessions; a runaway caller
+    // clears rather than leaks
+    if (loadMemo.size > 256) loadMemo.clear()
+    loadMemo.computeIfAbsent((spark, sfDir, name), _ => {
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      df.schema.fields.find(f => f.name == "ts" &&
+          f.dataType == org.apache.spark.sql.types.LongType) match {
+        // ns→µs via integer division (a double division would lose precision
+        // at 1.7e18 ns); truncation matches DuckDB CAST(ts_ns AS TIMESTAMP).
+        case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case None => df
+      }
+    })
+  }
+
+  /** A cloned session whose `spark.sql.shuffle.partitions` is sized to one
+    * op's state/pair-graph width. Per-PLAN shuffle width without mutating
+    * the caller's session conf (a session-global set/restore is racy under
+    * concurrent queries — the conf is read at execution, not plan-build,
+    * time). `newSession` shares the SparkContext and cached data but NOT
+    * runtime SQL confs, so the graft-required confs are re-applied
+    * explicitly. */
+  def sizedSession(spark: SparkSession, shufflePartitions: Int): SparkSession = {
+    val s = spark.newSession()
+    // static confs (warehouse dir) can't be set on a live session — they
+    // are JVM-wide already; re-apply only the modifiable ones
+    sessionConfs.filter { case (k, _) => s.conf.isModifiable(k) }
+      .foreach { case (k, v) => s.conf.set(k, v) }
+    s.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    s
   }
 
   /** Register all fixture tables as temp views (for spark.sql paths). */

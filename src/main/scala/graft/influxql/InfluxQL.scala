@@ -586,9 +586,10 @@ object InfluxQL {
         Query(fields, measList.headOption.getOrElse("__regex"), conds, bucket, tags,
           Option(fillS).map(_.toLowerCase),
           // INTO may be quote-segmented ("rp".:MEASUREMENT, "t") — the
-          // catalog/store key is the bare dotted name
+          // catalog/store key is the bare dotted name, quotes stripped per
+          // segment so `INTO "a.b"` cannot collapse into the path a.b
           descS != null, Option(limitS).map(_.toInt),
-          Option(intoS).map(_.replace("\"", "")),
+          Option(intoS).map(normalizeInto(_, q)),
           Option(offS).map(_.toInt), Option(slimS).map(_.toInt),
           Option(soffS).map(_.toInt), subText.map(parse), orConds,
           Option(tzS), bucketOff, Option(measRe),
@@ -725,6 +726,23 @@ object InfluxQL {
     * when present, None for a plain target. A bare `:MEASUREMENT` fails
     * loudly (it would write each source onto itself) — ONE validation
     * shared by the catalog and store tiers so they cannot drift. */
+  /** Normalize an INTO target to its bare dotted catalog/store key:
+    * quotes are stripped PER SEGMENT (dots outside quotes separate
+    * segments), and a dot inside a quoted identifier — `INTO "a.b"` —
+    * is rejected loudly rather than silently collapsing onto the
+    * two-segment path `a.b`'s key. */
+  private def normalizeInto(raw: String, q: String): String = {
+    var inQ = false
+    raw.foreach { c =>
+      if (c == '"') inQ = !inQ
+      else if (c == '.' && inQ)
+        fail(q, s"dot inside quoted INTO segment '$raw' — quoted " +
+          "identifiers with dots would collide with dotted paths; rename " +
+          "the target")
+    }
+    raw.replace("\"", "")
+  }
+
   private[graft] def backrefPrefix(target: String): Option[String] =
     if (!target.endsWith(":MEASUREMENT")) None
     else {

@@ -198,19 +198,25 @@ class MeasurementCatalog(spark: SparkSession) {
       // source measurement (runCatalog's union carries the source name in
       // its leading `measurement` column); a bare `:MEASUREMENT` would
       // overwrite each source with its own aggregate and is rejected.
+      // multi-source is a property of the PARSED query shape, never
+      // sniffed from the result columns — a single-measurement source
+      // with a user column named 'measurement' must not fan out
+      val multi = p.fromRegex.isDefined || p.fromList.nonEmpty
       p.into.foreach { target =>
         InfluxQL.backrefPrefix(target) match {
-          case Some(prefix) if result.columns.contains("measurement") =>
-            measurements(db).map(_._1)
-              .filter(nm =>
-                p.fromRegex.forall(re => re.r.findFirstIn(nm).isDefined))
-              .filter(nm => p.fromList.isEmpty || p.fromList.contains(nm))
-              .foreach { nm =>
-                register(db, s"$prefix.$nm", result
-                  .filter(org.apache.spark.sql.functions
-                    .col("measurement") === nm)
-                  .drop("measurement"))
-              }
+          case Some(prefix) if multi =>
+            // target names come from the RESULT's distinct source values
+            // (one catalog-bounded job), matching the store tier
+            // (influxqlAll's 'hit'): a FROM-matched source contributing
+            // zero rows gets NO empty target, as in InfluxDB
+            val hit = result.select("measurement").distinct()
+              .collect().map(_.getString(0)).sorted
+            hit.foreach { nm =>
+              register(db, s"$prefix.$nm", result
+                .filter(org.apache.spark.sql.functions
+                  .col("measurement") === nm)
+                .drop("measurement"))
+            }
           case Some(prefix) =>
             register(db, s"$prefix.${p.measurement}", result)
           case None =>
@@ -218,9 +224,7 @@ class MeasurementCatalog(spark: SparkSession) {
             // leading source column, matching the store tier's schema
             // for the same statement
             register(db, target,
-              if (result.columns.contains("measurement"))
-                result.drop("measurement")
-              else result)
+              if (multi) result.drop("measurement") else result)
         }
       }
       result

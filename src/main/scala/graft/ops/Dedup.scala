@@ -269,15 +269,17 @@ object Dedup {
     * family (pair emission alone doesn't say which rows to keep). Pairs
     * MUST be lineage-cut ([[graft.Tables.lineageCut]]) by the caller. Returns
     * (<idName>, canonical_id, cluster_size, is_survivor), unsorted. */
-  private def clusterSurvivorship(spark: SparkSession, pairs: DataFrame,
+  private def clusterSurvivorship(spark: SparkSession, pairs0: DataFrame,
     idName: String): DataFrame = {
     // the label-propagation frames are |near-dup pairs| rows — orders of
     // magnitude below the corpus — so the iteration shuffles at a width
     // sized to THEM, not the session default (at 100 TB the same rule
-    // applies: the pair graph is the small derived structure)
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    // applies: the pair graph is the small derived structure). The width
+    // lives on a CLONED session so it never mutates the caller's conf
+    // (safe under concurrent queries); the pair frame (a checkpointed
+    // LogicalRDD) is re-hosted into the clone once.
+    val s = graft.Tables.sizedSession(spark, 8)
+    val pairs = s.createDataFrame(pairs0.rdd, pairs0.schema)
     val sym = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .unionAll(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
       .transform(lineageCut)
@@ -314,7 +316,6 @@ object Dedup {
       .withColumn("is_survivor", col(idName) === col("canonical_id"))
       .select(col(idName), col("canonical_id"), col("cluster_size"),
         col("is_survivor"))
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** Semantic-duplicate clusters: the same survivorship pass over the

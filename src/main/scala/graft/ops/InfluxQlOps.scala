@@ -1348,11 +1348,15 @@ object InfluxQlOps {
          |FROM sums
          |${orderAll("time", "cmo")}""".stripMargin,
     "influxql_delete" ->
+      // NULL-safe complements mirror the engine (MeasurementCatalog
+      // .deleteFrom): a row where a DELETE predicate evaluates NULL was
+      // NOT matched and survives — plain NOT(...) would drop it
       s"""WITH kept AS (
          |  SELECT CAST(ts AS TIMESTAMP) AS t, event_type, value FROM events
-         |  WHERE NOT (event_type = 'click'
-         |      AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-03 00:00:00')
-         |    AND NOT (event_type = 'error'))
+         |  WHERE COALESCE(NOT (event_type = 'click'
+         |      AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-03 00:00:00'),
+         |      TRUE)
+         |    AND COALESCE(NOT (event_type = 'error'), TRUE))
          |SELECT ${sqlBucket("t", 86400)} AS time, event_type,
          |  COUNT(value) AS n
          |FROM kept GROUP BY 1, 2

@@ -56,6 +56,76 @@ object Text {
       .agg(count(lit(1)).as("pair_count"))
       .filter(col("pair_count") >= 5))
 
+  /** BPE-APPLY tokenization: the top-[[BpeMerges]] merges ranked by
+    * [[textBpePairs]]' pair statistics (count desc, then textual — an
+    * engine-deterministic priority list) applied to every document,
+    * closing the train→encode loop: `n_bpe_tokens` is a real merge-aware
+    * count, not a whitespace proxy, and feeds
+    * [[Pipeline.pipelinePackSequences]]-style token budgets.
+    *
+    * Encoding is a fold over the RANKED merge list with the document as a
+    * DOUBLE-space-joined token string (`" t1  t2  ...  tn "`): applying
+    * merge (a,b) is ONE plain string replace of `" a  b "` with
+    * `" a_b "`. String replace is left-to-right non-overlapping in both
+    * engines — exactly BPE's per-merge scan ("a a a" under merge (a,a)
+    * yields [a_a, a], never [a_a, a_a]) — and the double-space join keeps
+    * ADJACENT occurrences independent: each match consumes one boundary
+    * space from either margin, leaving the neighbor's own margin intact,
+    * so "a b a b" merges to [a_b, a_b] in the single pass. '_' never
+    * occurs in a token ([[TokenPattern]] keeps [a-z0-9'] only), so merged
+    * tokens cannot collide with base ones, and later merges see earlier
+    * ones' output (an occurrence consumed by a higher-priority merge is
+    * gone) — the greedy BPE contract. No regex anywhere, so the fold is
+    * byte-identical across engines; DuckDB mirrors it with list_reduce
+    * over the same ranked list. One corpus pass for the pair stats (the
+    * textBpePairs hash agg), one broadcast of the ≤[[BpeMerges]]-entry
+    * list, one per-row fold — nothing else shuffles. */
+  def textBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .transform(graft.OpCaches.cached)
+    val pairCounts = docs.filter(size(col("t")) >= 2)
+      .select(explode(transform(
+        sequence(lit(0), size(col("t")) - 2),
+        i => struct(element_at(col("t"), i + 1).as("a"),
+          element_at(col("t"), i + 2).as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    // ranked merge list as "a b" strings: sort_array over (-count, a, b)
+    // structs gives (count desc, a asc, b asc) — deterministic ties
+    val merges = pairCounts
+      .agg(slice(sort_array(collect_list(struct((-col("c")).as("nc"),
+        col("a"), col("b")))), 1, BpeMerges).as("ms"))
+      .select(transform(col("ms"),
+        m => concat_ws(" ", m.getField("a"), m.getField("b"))).as("merges"))
+    totalOrder(bpeApply(docs, merges).drop("encoded").withColumn("n_merged",
+      col("n_ws_tokens") - col("n_bpe_tokens")))
+  }
+
+  /** The encode fold of [[textBpeEncode]], split out so the spec can feed
+    * constructed token arrays and merge lists through the exact production
+    * path: `docs` is (doc_id, t array<string>), `merges` a 1-row frame
+    * with a `merges` array<string> of "a b" entries in priority order. */
+  private[graft] def bpeApply(docs: DataFrame, merges: DataFrame): DataFrame =
+    docs.crossJoin(broadcast(merges))
+      .withColumn("base",
+        concat(lit(" "), array_join(col("t"), "  "), lit(" ")))
+      .withColumn("enc", expr(
+        """aggregate(merges, base, (acc, m) -> replace(acc,
+          |  ' ' || split_part(m, ' ', 1) || '  ' || split_part(m, ' ', 2) || ' ',
+          |  ' ' || split_part(m, ' ', 1) || '_' || split_part(m, ' ', 2) || ' '))"""
+          .stripMargin))
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_ws_tokens"),
+        when(size(col("t")) === 0, 0L)
+          .otherwise(size(split(trim(col("enc")), "  ")).cast("long"))
+          .as("n_bpe_tokens"),
+        when(size(col("t")) === 0, lit(""))
+          .otherwise(trim(col("enc"))).as("encoded"))
+
+  /** Merge-list size for [[textBpeEncode]] — enough to exercise chained
+    * merges on the fixture while keeping the broadcast list trivial. */
+  private val BpeMerges = 32
+
   /** Per-document token counts: whitespace tokens and a BPE-ish regex
     * (contractions / word / number / punct-run classes). */
   def textTokenCount(spark: SparkSession, dir: String): DataFrame = {
@@ -195,6 +265,7 @@ object Text {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_boilerplate" -> textBoilerplate,
     "text_bpe_pairs" -> textBpePairs,
+    "text_bpe_encode" -> textBpeEncode,
     "text_tokenize_tf" -> textTokenizeTf,
     "text_token_count" -> textTokenCount,
     "text_quality" -> textQuality,
@@ -233,6 +304,40 @@ object Text {
          |FROM pairs GROUP BY 1, 2
          |HAVING COUNT(*) >= 5
          |${orderAll("left_tok", "right_tok", "pair_count")}""".stripMargin,
+    "text_bpe_encode" ->
+      // the same double-space fold as the Spark op: list_reduce has no
+      // init parameter, so the doc string is PREPENDED to the (VARCHAR-
+      // encoded "a b") merge list — the accumulator stays a plain VARCHAR
+      // throughout (the LIST-in-struct list_reduce bug doesn't apply)
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_filter(
+         |    regexp_split_to_array(lower(text), '[^a-z0-9'']+'), t -> t <> '') AS t
+         |  FROM documents),
+         |pr AS (
+         |  SELECT p.a AS a, p.b AS b, COUNT(*) AS c FROM (
+         |    SELECT unnest(list_transform(range(1, len(t)),
+         |      i -> struct_pack(a := t[i], b := t[i + 1]))) AS p
+         |    FROM tok WHERE len(t) >= 2)
+         |  GROUP BY 1, 2),
+         |mg AS (
+         |  SELECT list(a || ' ' || b ORDER BY c DESC, a, b)[1:32] AS merges
+         |  FROM pr),
+         |enc AS (
+         |  SELECT doc_id, len(t) AS n_ws,
+         |    list_reduce(list_prepend(
+         |        ' ' || list_aggregate(t, 'string_agg', '  ') || ' ', merges),
+         |      (acc, m) -> replace(acc,
+         |        ' ' || split_part(m, ' ', 1) || '  ' || split_part(m, ' ', 2) || ' ',
+         |        ' ' || split_part(m, ' ', 1) || '_' || split_part(m, ' ', 2) || ' '))
+         |      AS e
+         |  FROM tok CROSS JOIN mg WHERE len(t) > 0)
+         |SELECT doc_id, n_ws AS n_ws_tokens,
+         |  len(str_split(trim(e), '  ')) AS n_bpe_tokens,
+         |  n_ws - len(str_split(trim(e), '  ')) AS n_merged
+         |FROM enc
+         |UNION ALL
+         |SELECT doc_id, 0, 0, 0 FROM tok WHERE len(t) = 0
+         |${orderAll("doc_id", "n_ws_tokens", "n_bpe_tokens", "n_merged")}""".stripMargin,
     "text_tokenize_tf" ->
       s"""SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
          |FROM (SELECT doc_id,

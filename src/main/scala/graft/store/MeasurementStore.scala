@@ -171,9 +171,13 @@ class MeasurementStore(spark: SparkSession, root: String) {
     }
     val cat = names.map(n => n -> prunedFrame(n, q))
     val result = graft.influxql.InfluxQL.runCatalog(spark, cat, query)
+    // multi-source is a property of the PARSED query shape, never sniffed
+    // from the result columns — a single-measurement source with a user
+    // column named 'measurement' must not be mistaken for a union frame
+    val multi = q.fromRegex.isDefined || q.fromList.nonEmpty
     q.into.foreach { target =>
       graft.influxql.InfluxQL.backrefPrefix(target) match {
-        case Some(prefix) if result.columns.contains("measurement") =>
+        case Some(prefix) if multi =>
           // fan-out writes all read the SAME union result — persist it so
           // N targets cost one source pass, not N+1
           result.persist()
@@ -188,9 +192,7 @@ class MeasurementStore(spark: SparkSession, root: String) {
           } finally result.unpersist()
         case Some(prefix) => append(s"$prefix.${q.measurement}", result)
         case None => append(target,
-          if (result.columns.contains("measurement"))
-            result.drop("measurement")
-          else result)
+          if (multi) result.drop("measurement") else result)
       }
     }
     result

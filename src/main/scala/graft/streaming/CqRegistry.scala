@@ -179,63 +179,12 @@ class CqRegistry(spark: SparkSession, root: String,
   }
 
   /** Merge `batch` (the changed buckets) into the parquet dir `out` on
-    * `keys`: unchanged rows survive via anti-join, changed keys take the
-    * batch row. Staged as write-tmp → swap so a reader never sees a
-    * half-written dir and a crash leaves a recoverable state
-    * ([[healSwap]]). */
+    * `keys` — the shared staged swap sink ([[MergeSink.mergeOnKeys]]). */
   private def mergeIntoDir(batch: DataFrame, out: String,
-    keys: Seq[String]): Unit = {
-    // AvailableNow drains end with an empty watermark-commit batch; an
-    // empty delta must not rewrite (or first-create) the target
-    if (batch.isEmpty) return
-    val hfs = fs(out)
-    val outP = new Path(out)
-    if (!hfs.exists(outP)) {
-      // first-ever write is staged too: a crash mid-write leaves only a
-      // .cq_tmp without _SUCCESS (discarded by healSwap), a crash after
-      // the write but before the rename leaves .cq_tmp WITH _SUCCESS and
-      // no live dir (promoted by healSwap) — every target mutation goes
-      // through the same _SUCCESS-gated swap/heal protocol
-      val tmp = new Path(out + ".cq_tmp")
-      if (hfs.exists(tmp)) hfs.delete(tmp, true)
-      batch.write.parquet(tmp.toString)
-      require(hfs.rename(tmp, outP), s"swap failed: $tmp -> $outP")
-    } else {
-      val tmp = new Path(out + ".cq_tmp")
-      val old = new Path(out + ".cq_old")
-      if (hfs.exists(tmp)) hfs.delete(tmp, true)
-      val b = batch.persist()
-      try {
-        val existing = spark.read.parquet(out)
-        existing.join(b.select(keys.map(col): _*), keys, "left_anti")
-          .unionByName(b)
-          .write.parquet(tmp.toString)
-      } finally b.unpersist()
-      if (hfs.exists(old)) hfs.delete(old, true)
-      require(hfs.rename(outP, old), s"swap failed: $outP -> $old")
-      require(hfs.rename(tmp, outP), s"swap failed: $tmp -> $outP")
-      hfs.delete(old, true)
-    }
-  }
+    keys: Seq[String]): Unit =
+    MergeSink.mergeOnKeys(spark, batch, out, keys)
 
-  /** Complete a [[mergeIntoDir]] swap interrupted mid-flight: a staged
-    * `.cq_tmp` with a `_SUCCESS` marker but no live dir promotes; a
-    * leftover `.cq_old` alongside a live dir (crash before cleanup)
-    * deletes; anything else stale is discarded. */
-  private def healSwap(out: String): Unit = {
-    val hfs = fs(out)
-    val outP = new Path(out)
-    val tmp = new Path(out + ".cq_tmp")
-    val old = new Path(out + ".cq_old")
-    if (!hfs.exists(outP)) {
-      if (hfs.exists(tmp) && hfs.exists(new Path(tmp, "_SUCCESS")))
-        require(hfs.rename(tmp, outP), s"heal failed: $tmp -> $outP")
-      else if (hfs.exists(old))
-        require(hfs.rename(old, outP), s"heal failed: $old -> $outP")
-    }
-    if (hfs.exists(tmp)) hfs.delete(tmp, true)
-    if (hfs.exists(old)) hfs.delete(old, true)
-  }
+  private def healSwap(out: String): Unit = MergeSink.healSwap(spark, out)
 
   /** As [[run]], but the INTO target lands in a [[graft.store.MeasurementStore]]
     * measurement instead of a bare parquet dir — the continuous path writes

@@ -56,15 +56,57 @@ object StreamingOps {
     df.sparkSession.table(name)
   }
 
+  /** The historical-backfill watermark lag: the fixture drain replays days
+    * of history in one run, so the lag must cover the replayed span — no
+    * replayed bucket counts as late. A live deployment uses its freshness
+    * SLA here and state stays bounded by open windows × series within it
+    * (the same contract as [[CqRegistry]]). */
+  private val BackfillLag = "30 days"
+
+  /** Incremental drain — the stream_cq_into_store shape without the
+    * registry: a watermarked aggregate runs in UPDATE mode, each
+    * micro-batch emitting only its CHANGED rows, which MERGE into a staged
+    * parquet dir ([[MergeSink]]) under `stale` (equality on `keys` by
+    * default). State is bounded by open windows × series within the
+    * watermark lag; per-trigger Spark work is sized to the delta. Returns
+    * the materialized read-back. */
+  private def mergeDrain(agged: DataFrame, keys: Seq[String],
+    stale: Option[(DataFrame, DataFrame) => DataFrame] = None): DataFrame = {
+    val spark = agged.sparkSession
+    val out = java.nio.file.Files.createTempDirectory("merge_sink")
+      .toString + "/result"
+    val q = agged.writeStream
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("merge_ckpt").toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        stale match {
+          case Some(f) => MergeSink.merge(spark, batch, out)(f)
+          case None => MergeSink.mergeOnKeys(spark, batch, out, keys)
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+  }
+
   /** Streaming hourly downsample (InfluxQL GROUP BY time(1h) as an
-    * unbounded query): tumbling windows in complete mode — the same
-    * window() expression as the batch op, so semantics are shared. */
+    * unbounded query): the same window() expression as the batch op, run
+    * INCREMENTALLY — watermark + update mode, each micro-batch upserting
+    * only its changed buckets through the [[MergeSink]] MERGE (the
+    * stream_cq_into_store path), state bounded by open windows × series.
+    * The stateful shuffle is sized to that (buckets × series) state on a
+    * cloned session — never by mutating the caller's conf. */
   def streamTimeBucket(spark: SparkSession, dir: String): DataFrame = {
-    val agg = eventsStream(spark, dir)
+    val s = Tables.sizedSession(spark, 4)
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts", BackfillLag)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("bucket"), col("event_type"), col("n"))
-    totalOrder(runToTable(agg, OutputMode.Complete()))
+    totalOrder(mergeDrain(agg, Seq("bucket", "event_type")))
   }
 
   /** Streaming idempotent ingest: the source replayed twice (the re-
@@ -82,12 +124,22 @@ object StreamingOps {
   }
 
   /** Streaming session windows (SURVEY §2.8: the pulse-run grouping as
-    * sessions): merging session_window state per user key. Complete mode
-    * emits the full session set at the AvailableNow drain, so the op shares
-    * the batch formulation's lag/cumsum-island oracle row-for-row; an
-    * unbounded deployment would run Append + watermark instead. */
+    * sessions): merging session_window state per user key. This is the one
+    * demo stream Spark REQUIRES outside update mode: session-window
+    * aggregation supports only complete and append output
+    * (STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION on update — a session's
+    * key is unstable under merges, so Spark cannot emit keyed deltas), and
+    * append withholds every session still open at the watermark, which in
+    * a finite drain is each user's last session — never emitted, so the
+    * batch oracle could not match. Complete mode at the AvailableNow drain
+    * emits the full session set; an unbounded deployment runs Append +
+    * watermark and accepts closed-session latency (or the
+    * flatMapGroupsWithState pattern for keyed custom emission). The
+    * stateful shuffle is sized on a cloned session, never by mutating the
+    * caller's conf. */
   def streamSessionWindow(spark: SparkSession, dir: String): DataFrame = {
-    val agg = eventsStream(spark, dir)
+    val s = Tables.sizedSession(spark, 4)
+    val agg = eventsStream(s, dir)
       .groupBy(session_window(col("ts"), "30 minutes").as("s"), col("user_id"))
       .agg(count(lit(1)).as("n_events"), Tables.dsum(col("value")).as("sum_value"),
         max(col("ts")).as("last_ts"))
@@ -176,7 +228,13 @@ object StreamingOps {
     * Under AvailableNow the inner join emits exactly the batch join's rows,
     * so the oracle is the equivalent batch SQL. */
   def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
-    val s = eventsStream(spark, dir)
+    // a stream-stream join opens FOUR state stores per shuffle partition;
+    // size the state partitioning to the keyed throughput (user keys
+    // here), not the session default — on a CLONED session, so the width
+    // never mutates the caller's conf (safe under concurrent queries). At
+    // production scale this is the same knob, set from key cardinality.
+    val s2 = Tables.sizedSession(spark, 8)
+    val s = eventsStream(s2, dir)
     val clicks = s.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
         col("ts").as("c_ts"))
@@ -189,15 +247,7 @@ object StreamingOps {
       col("c_user") === col("p_user") &&
         col("p_ts") >= col("c_ts") &&
         col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
-    // a stream-stream join opens FOUR state stores per shuffle partition;
-    // size the state partitioning to the keyed throughput (user keys here),
-    // not the session default — at production scale this is the same knob,
-    // just set from the key cardinality / rate instead
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val table =
-      try runToTable(joined, OutputMode.Append())
-      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val table = runToTable(joined, OutputMode.Append())
     totalOrder(table
       .select(col("c_user").as("user_id"), col("click_id"),
         col("purchase_id"),
@@ -212,20 +262,21 @@ object StreamingOps {
     * INTO target names the sink. AvailableNow drains the fixture, so the
     * result equals the batch run of the same body (the oracle). */
   def continuousQuery(spark: SparkSession, dir: String): DataFrame = {
-    val stmt =
-      "CREATE CONTINUOUS QUERY cq_hourly ON graft BEGIN " +
-        "SELECT mean(value) AS mv, count(value) AS n INTO hourly_means " +
-        "FROM events GROUP BY time(1h), event_type END"
-    val (_, _, body) = graft.influxql.InfluxQL.parseCq(stmt)
-    val stream = eventsStream(spark, dir).withColumnRenamed("ts", "time")
-    val agged = graft.influxql.InfluxQL.streamingAggregate(stream, body, stmt)
-    // buckets × series state: size the stateful shuffle to it (see
-    // continuousQueryIntoStore — the width bakes into the fresh
-    // checkpoint at start, restore cannot affect the running query)
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try totalOrder(runToTable(agged, OutputMode.Complete()))
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // the ad-hoc (one-shot, registry-throwaway) run of a CQ body goes
+    // through the SAME incremental machinery as the registered path
+    // ([[CqRegistry.run]]): watermark + update mode, each micro-batch
+    // MERGing only its changed buckets into the INTO target — no Complete
+    // mode, state bounded by open windows × series. Shuffle width sized
+    // to that state on a cloned session.
+    val s = Tables.sizedSession(spark, 4)
+    val reg = new CqRegistry(s,
+      java.nio.file.Files.createTempDirectory("cq_adhoc").toString,
+      watermarkLag = BackfillLag)
+    reg.create("CREATE CONTINUOUS QUERY cq_hourly ON graft BEGIN " +
+      "SELECT mean(value) AS mv, count(value) AS n INTO hourly_means " +
+      "FROM events GROUP BY time(1h), event_type END")
+    val stream = eventsStream(s, dir).withColumnRenamed("ts", "time")
+    totalOrder(reg.run("cq_hourly", stream))
   }
 
   /** Streaming top-k: the "current leaderboard" every live dashboard shows —
@@ -237,11 +288,18 @@ object StreamingOps {
     * oracle. */
   def streamTopk(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val agged = eventsStream(spark, dir)
+    // the unbounded half (windowed count) runs INCREMENTALLY — watermark +
+    // update mode, changed (bucket, user) rows MERGEd into the maintained
+    // aggregate; the rank runs over that compact materialized result per
+    // refresh (top-k is not incrementally maintainable in pure streaming
+    // SQL — ranking the aggregate is the standard shape)
+    val s = Tables.sizedSession(spark, 4)
+    val agged = eventsStream(s, dir)
+      .withWatermark("ts", BackfillLag)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
       .agg(count(lit(1)).as("n"))
       .withColumn("bucket", col("w.start")).drop("w")
-    val table = runToTable(agged, OutputMode.Complete())
+    val table = mergeDrain(agged, Seq("bucket", "user_id"))
     val wR = Window.partitionBy(col("bucket"))
       .orderBy(col("n").desc, col("user_id"))
     totalOrder(table.withColumn("rk", row_number().over(wR))
@@ -256,29 +314,25 @@ object StreamingOps {
     * equals the batch aggregation of the same body, which is the oracle. */
   def continuousQueryIntoStore(spark: SparkSession, dir: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("cq_store").toString
-    // the fixture drain is a historical backfill (days of history replayed
-    // in one run): the watermark lag must cover the replayed span so no
-    // replayed bucket counts as late — a live deployment uses its
-    // freshness SLA here and state stays bounded by windows inside it
-    val reg = new CqRegistry(spark, root, watermarkLag = "30 days")
-    reg.create("CREATE CONTINUOUS QUERY cq_store ON graft BEGIN " +
-      "SELECT mean(value) AS mv, count(value) AS n INTO hourly_means " +
-      "FROM events GROUP BY time(1h), event_type END")
-    val store = new graft.store.MeasurementStore(spark, s"$root/store")
-    val stream = eventsStream(spark, dir).withColumnRenamed("ts", "time")
     // the CQ's state is buckets × series (hundreds of rows) — size the
     // stateful shuffle to THAT, not the session default: each state
     // partition is its own store instance with per-batch commit/snapshot
     // overhead, so 32 partitions cost ~32 store commits per trigger for
-    // rows that fit in 4. The width is baked into the query's (fresh,
-    // per-run) checkpoint at start, so the restore in `finally` cannot
-    // affect the running query. The streamStreamJoin precedent: correct
-    // under the driver's sequential execution.
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try totalOrder(reg.runIntoStore("cq_store", stream, store)
+    // rows that fit in 4. Sized on a CLONED session, so the width never
+    // mutates the caller's conf (safe under concurrent queries). The
+    // fixture drain is a historical backfill (days of history replayed in
+    // one run): the watermark lag covers the replayed span so no replayed
+    // bucket counts as late — a live deployment uses its freshness SLA
+    // here and state stays bounded by windows inside it.
+    val s = Tables.sizedSession(spark, 4)
+    val reg = new CqRegistry(s, root, watermarkLag = BackfillLag)
+    reg.create("CREATE CONTINUOUS QUERY cq_store ON graft BEGIN " +
+      "SELECT mean(value) AS mv, count(value) AS n INTO hourly_means " +
+      "FROM events GROUP BY time(1h), event_type END")
+    val store = new graft.store.MeasurementStore(s, s"$root/store")
+    val stream = eventsStream(s, dir).withColumnRenamed("ts", "time")
+    totalOrder(reg.runIntoStore("cq_store", stream, store)
       .select(col("time"), col("event_type"), col("mv"), col("n")))
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   // ------------------- streaming CSV ingest (the production loop, §2.8) ---

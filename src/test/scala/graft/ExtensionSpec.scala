@@ -362,6 +362,37 @@ class ExtensionSpec extends SparkTestBase {
     assert(tf == direct)
   }
 
+  test("bpe encode: greedy merge application laws") {
+    def run(toks: Seq[String], merges: Seq[String]): (Long, String) = {
+      val d = Seq((0L, toks)).toDF("doc_id", "t")
+      val m = Seq(Tuple1(merges)).toDF("merges")
+      val r = ops.Text.bpeApply(d, m)
+        .select("n_bpe_tokens", "encoded").head
+      (r.getLong(0), r.getString(1))
+    }
+    // left-to-right NON-OVERLAP: "a a a" under (a,a) → [a_a, a], never
+    // [a_a, a_a]
+    assert(run(Seq("a", "a", "a"), Seq("a a")) == (2L, "a_a  a"))
+    // ADJACENT occurrences both merge in one pass: "a b a b" → [a_b, a_b]
+    assert(run(Seq("a", "b", "a", "b"), Seq("a b")) == (2L, "a_b  a_b"))
+    // priority: an occurrence consumed by a higher-ranked merge is gone
+    // for lower-ranked ones ("a b c" under [(a,b), (b,c)] → [a_b, c])
+    assert(run(Seq("a", "b", "c"), Seq("a b", "b c")) == (2L, "a_b  c"))
+    // ...and the lower-ranked merge still fires where it survives
+    assert(run(Seq("x", "b", "c"), Seq("a b", "b c")) == (2L, "x  b_c"))
+    // merged tokens never cascade (the list holds base-token pairs only)
+    assert(run(Seq("a", "b", "b"), Seq("a b", "b b")) == (2L, "a_b  b"))
+    // empty doc → 0 tokens
+    assert(run(Nil, Seq("a b"))._1 == 0L)
+    // fixture-level: the loop to pack_sequences' budgets is real — merges
+    // actually fire, and counts reconcile
+    val e = ops.Text.textBpeEncode(spark, sf)
+    assert(e.filter(col("n_merged") > 0).count() > 0, "no merges fired")
+    assert(e.filter(col("n_bpe_tokens") + col("n_merged")
+      =!= col("n_ws_tokens")).count() == 0)
+    OpCaches.releaseAll()
+  }
+
   test("lang id guess is the argmax of the hit counts") {
     // fixture lang labels are synthetic (the text is uniform word soup), so
     // agreement with them is meaningless — assert the mechanism instead:

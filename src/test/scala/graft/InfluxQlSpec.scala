@@ -926,6 +926,13 @@ class InfluxQlSpec extends SparkTestBase {
       Seq("time", "event_type", "s"), "left_anti").count() == 0)
     // identical on every run (the seed is fixed)
     assert(s1.collect().toSeq == InfluxQL.run(spark, m, q).collect().toSeq)
+    // and invariant under input row-order PERMUTATION: the rank key is a
+    // pure function of (seed, time, value), never of arrival order —
+    // repartitioned + reverse-sorted input selects the same points
+    val shuffled = m.repartition(7, col("user_id"))
+      .sortWithinPartitions(col("time").desc, col("value").desc)
+    assert(s1.collect().toSeq ==
+      InfluxQL.run(spark, shuffled, q).collect().toSeq)
     // and NOT the first-n-by-time degenerate pick: at least one bucket's
     // sample differs from its 3 earliest points
     val firstN = m
@@ -1174,6 +1181,43 @@ class InfluxQlSpec extends SparkTestBase {
     intercept[IllegalArgumentException](g.statement(
       "SELECT mean(value) AS mv INTO :MEASUREMENT FROM /^ciws_/ " +
         "GROUP BY time(1d)"))
+    OpCaches.releaseAll()
+  }
+
+  test("INTO fan-out keys on query shape; empty sources get no target") {
+    val g = Graft(spark)
+    g.statement("CREATE DATABASE shapedb; USE shapedb")
+    // a source whose DATA has a column literally named 'measurement' must
+    // not be mistaken for a multi-source union frame (the fan-out key is
+    // the parsed FROM shape, not a column sniff)
+    val m = Tables.load(spark, sf, "events").limit(50)
+      .select(col("ts").as("time"), col("value"),
+        col("event_type").as("measurement"))
+    g.register("shapedb", "src", m)
+    g.statement("SELECT * INTO t1 FROM src")
+    // the user column survives INTO; exactly one target was registered
+    assert(g.statement("SELECT * FROM t1").columns.contains("measurement"))
+    val names1 = g.statement("SHOW MEASUREMENTS")
+      .collect().map(_.getString(0)).toSet
+    assert(names1.contains("t1"))
+    assert(!names1.exists(_.startsWith("t1.")))
+    // a FROM-matched source contributing ZERO rows gets no empty target
+    // (target names derive from the result's distinct source values,
+    // matching the store tier / InfluxDB)
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("ts").as("time"), col("value"))
+    g.register("shapedb", "ciws_live", ev.limit(40))
+    g.register("shapedb", "ciws_dead", ev.limit(0))
+    g.statement("SELECT mean(value) AS mv INTO \"w\".:MEASUREMENT " +
+      "FROM /^ciws_/ GROUP BY time(1d)")
+    val names2 = g.statement("SHOW MEASUREMENTS")
+      .collect().map(_.getString(0)).toSet
+    assert(names2.contains("w.ciws_live"))
+    assert(!names2.contains("w.ciws_dead"))
+    // a dot inside a QUOTED INTO identifier would collide with the dotted
+    // path key after quote stripping — rejected loudly
+    intercept[IllegalArgumentException](
+      g.statement("SELECT value INTO \"a.b\" FROM src"))
     OpCaches.releaseAll()
   }
 

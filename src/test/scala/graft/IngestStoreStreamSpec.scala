@@ -496,4 +496,24 @@ class IngestStoreStreamSpec extends SparkTestBase {
       .agg(sum("n")).as[Long].head()
     assert(n == Tables.load(spark, sf, "events").count())
   }
+
+  test("concurrent ops: no session-global conf mutation, results correct") {
+    // ops that size a stateful/pair-graph shuffle do it on a CLONED
+    // session; two running concurrently must not race on the shared
+    // session's conf (the pre-clone set/restore pattern did) and must
+    // both produce their sequential-run results
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val fa = Future(streaming.StreamingOps.streamTimeBucket(spark, sf)
+      .agg(sum("n")).as[Long].head())
+    val fb = Future(ops.Dedup.dedupEmbcosClusters(spark, sf).count())
+    val a = Await.result(fa, 10.minutes)
+    val b = Await.result(fb, 10.minutes)
+    assert(a == Tables.load(spark, sf, "events").count())
+    assert(b == ops.Dedup.dedupEmbcosClusters(spark, sf).count())
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+    OpCaches.releaseAll()
+  }
 }
