@@ -21,10 +21,13 @@ import org.apache.spark.sql.functions._
   *
   * Scale: a line is parsed entirely within its own row — the plan is a
   * stateless projection + one explode, fully codegen'd, splittable across
-  * whatever file parallelism the source provides. Quoted string fields
-  * may not contain raw spaces or raw commas (the section/field splits are
-  * regexes, not a scanner; line protocol allows both unescaped inside
-  * quotes); such lines land in the quarantine channel loudly — and
+  * whatever file parallelism the source provides. Raw spaces, commas and
+  * equals INSIDE double-quoted string values — valid line protocol, all
+  * unescaped — are handled by masking quoted runs before the structural
+  * splits: `\"` becomes a sentinel first, then the line splits on the
+  * remaining (real) quote delimiters and the separators inside every odd
+  * segment are sentineled — a declarative scanner in one `transform`.
+  * Still-unparseable lines land in the quarantine channel loudly — and
   * ATOMICALLY: badness is decided per LINE before the field explode, so a
   * line with one unparseable field never half-ingests its other fields.
   */
@@ -35,11 +38,12 @@ object LineProtocol {
   private val EscSpace = "\u0001"
   private val EscComma = "\u0002"
   private val EscEq = "\u0003"
+  private val EscQuote = "\u0004"
 
   private val LineRe = "^([^ ]+) ([^ ]+)( [0-9]+)?[ ]*$"
 
   private def restore(c: Column): Column =
-    translate(c, EscSpace + EscComma + EscEq, " ,=")
+    translate(c, EscSpace + EscComma + EscEq + EscQuote, " ,=\"")
 
   /** Parse a frame with a `line` string column (extra columns ride along).
     * Returns one row per (point, field): measurement, tags (map), time
@@ -49,8 +53,17 @@ object LineProtocol {
   def parseLines(lines: DataFrame): DataFrame = {
     val sent = lines
       .filter(length(trim(col("line"))) > 0 && !col("line").startsWith("#"))
+      // quoted-run masking: `\"` first (so remaining quotes are REAL
+      // delimiters), then split on quotes and sentinel the separators
+      // inside every odd (= inside-quotes) segment — raw spaces/commas/
+      // equals in string values stop confusing the structural regexes
+      .withColumn("__l", regexp_replace(col("line"), "\\\\\"", EscQuote))
+      .withColumn("__l", array_join(expr(
+        s"""transform(split(__l, '"'), (s, i) ->
+           |  IF(i % 2 = 1, translate(s, ' ,=', '$EscSpace$EscComma$EscEq'), s))"""
+          .stripMargin), "\""))
       .withColumn("__l",
-        regexp_replace(regexp_replace(regexp_replace(col("line"),
+        regexp_replace(regexp_replace(regexp_replace(col("__l"),
           "\\\\ ", EscSpace), "\\\\,", EscComma), "\\\\=", EscEq))
       .withColumn("__mt", regexp_extract(col("__l"), LineRe, 1))
       .withColumn("__fs", regexp_extract(col("__l"), LineRe, 2))
@@ -72,10 +85,11 @@ object LineProtocol {
       // line-level badness so quarantine is atomic per line: any
       // comma-split fragment that isn't key=value with a typeable value
       // (the same four lexical forms the explode path types below) marks
-      // EVERY row of the line bad. A raw ',' inside a quoted string —
-      // valid line protocol, mis-split by the regex — fails this check on
-      // the dangling fragments, so the whole line is quarantined instead
-      // of partially ingested. Per-row exists(), no shuffle.
+      // EVERY row of the line bad — e.g. an UNBALANCED quote leaves a
+      // fragment whose value never matches `^".*"$`, so the whole line is
+      // quarantined instead of partially ingested. (Separators inside
+      // BALANCED quotes were masked above and no longer mis-split.)
+      // Per-row exists(), no shuffle.
       .withColumn("__badLine", col("__mt") === "" || col("__fs") === "" ||
         // instr <= 1 also rejects an EMPTY field key (`=5`) — invalid
         // line protocol that the typed-value checks alone would admit
@@ -92,8 +106,8 @@ object LineProtocol {
         "substring(__f, length(substring_index(__f, '=', 1)) + 2)"))
     val typed = fields
       .withColumn("f_str", when(col("__v").rlike("^\".*\"$"),
-        restore(regexp_replace(
-          expr("substring(__v, 2, length(__v) - 2)"), "\\\\\"", "\""))))
+        // quotes stripped; restore() covers the masked `\"` sentinel too
+        restore(expr("substring(__v, 2, length(__v) - 2)"))))
       .withColumn("f_long", when(col("__v").rlike("^-?[0-9]+i$"),
         expr("try_cast(substring(__v, 1, length(__v) - 1) AS BIGINT)")))
       .withColumn("f_bool", when(col("__v").rlike("^(?i)(t|true|f|false)$"),

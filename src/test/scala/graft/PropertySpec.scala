@@ -193,31 +193,38 @@ class PropertySpec extends SparkTestBase {
     assert(got == want)
   }
 
-  test("line protocol: a mis-splittable line is quarantined ATOMICALLY") {
+  test("line protocol: quoted separators parse; bad lines quarantine ATOMICALLY") {
     import spark.implicits._
-    // a raw ',' inside a quoted string value is valid line protocol but
-    // mis-splits the regex field split; the x=1 field must NOT survive as
-    // a good row while the string fragments go to quarantine
+    // raw separators inside BALANCED quotes are valid line protocol and
+    // now parse (quoted-run masking); truly malformed lines still
+    // quarantine atomically — no field of a bad line half-ingests
     val lines = Seq(
-      """m,ta=t msg="a,b",x=1 1704067200000000000""",  // comma in quotes
+      """m,ta=t msg="a,b c=d",x=1i 1704067200000000000""", // sep in quotes: GOOD
       """m,ta=t x=1,y=notanumber 1704067200000000000""", // untypeable value
       """m,ta=t x=2,y= 1704067200000000000""",           // empty value
       """m,ta=t =5,x=9 1704067200000000000""",           // empty field KEY
+      """m,ta=t msg="unbalanced,x=7 1704067200000000000""", // dangling quote
       """m,ta=t ok=3 1704067200000000000""").toDF("line") // control: good
     val parsed = graft.ingest.LineProtocol.parseLines(lines)
     val good = parsed.filter(!col("is_bad"))
-    assert(good.count() == 1)
-    assert(good.select("field_key").head.getString(0) == "ok")
-    // every row of each bad line carries is_bad — no partial ingest
-    assert(parsed.filter(!col("is_bad") && col("field_key") === "x")
-      .count() == 0)
-    // escaped comma/equals inside a string value still parse (sentinel
-    // path): the whole line is good
+    // the quoted line contributes (msg, x), the control (ok)
+    assert(good.count() == 3)
+    assert(good.filter(col("field_key") === "msg").select("f_str")
+      .head.getString(0) == "a,b c=d")
+    assert(good.filter(col("field_key") === "x").select("f_long")
+      .head.getLong(0) == 1L)
+    // every row of each bad line carries is_bad — no partial ingest (x=1
+    // of the untypeable line, x=9, x=7 of the unbalanced line never leak)
+    assert(good.filter(col("field_key") === "x").count() == 1)
+    // InfluxDB parity inside quotes: `\"` is the ONLY escape — `\,`/`\=`
+    // stay literal backslash sequences (outside quotes they still escape,
+    // covered by the round-trip property above)
     val esc = graft.ingest.LineProtocol.parseLines(
-      Seq("""m,ta=t msg="a\,b\=c",x=1 1704067200000000000""").toDF("line"))
+      Seq("""m,ta=t msg="a\,b\=c \"q\" e,f",x=1 1704067200000000000""")
+        .toDF("line"))
     assert(esc.filter(col("is_bad")).count() == 0)
     assert(esc.filter(col("field_key") === "msg").select("f_str")
-      .head.getString(0) == "a,b=c")
+      .head.getString(0) == """a\,b\=c "q" e,f""")
   }
 
   test("store model law: random mutation sequences match a reference map") {
