@@ -480,12 +480,13 @@ object Dedup {
       .groupBy(col("s")).agg(count(lit(1)).as("df"))
     totalOrder(dfreq.agg(
       count(lit(1)).as("n_shingles"),
-      sum(when(col("df") > MaxShingleDf, 1L).otherwise(0L))
+      coalesce(sum(when(col("df") > MaxShingleDf, 1L).otherwise(0L)), lit(0L))
         .as("n_dropped_shingles"),
-      sum(when(col("df") > MaxShingleDf, col("df")).otherwise(0L))
-        .as("n_dropped_postings"),
-      expr(s"CAST(sum(CASE WHEN df > $MaxShingleDf THEN df * (df - 1) " +
-        "ELSE 0 END) DIV 2 AS BIGINT)").as("n_dropped_pairs")))
+      coalesce(sum(when(col("df") > MaxShingleDf, col("df")).otherwise(0L)),
+        lit(0L)).as("n_dropped_postings"),
+      coalesce(expr(s"CAST(sum(CASE WHEN df > $MaxShingleDf THEN " +
+        "df * (df - 1) ELSE 0 END) DIV 2 AS BIGINT)"), lit(0L))
+        .as("n_dropped_pairs")))
   }
 
   /** Cap-drop accounting for [[dedupEmbcos]]' banded sign-LSH (and
@@ -500,12 +501,13 @@ object Dedup {
       SignLsh.withKeys(spark, dir).transform(graft.OpCaches.cached))
     totalOrder(d.agg(
       count(lit(1)).as("n_band_rows"),
-      sum(when(col("cnt1") > SignLsh.BucketCap, 1L).otherwise(0L))
-        .as("n_refined_rows"),
-      sum(when(col("cnt2") > SignLsh.BucketCap, 1L).otherwise(0L))
-        .as("n_dropped_rows"),
-      expr(s"CAST(sum(CASE WHEN cnt2 > ${SignLsh.BucketCap} THEN cnt2 - 1 " +
-        "ELSE 0 END) DIV 2 AS BIGINT)").as("n_dropped_pairs")))
+      coalesce(sum(when(col("cnt1") > SignLsh.BucketCap, 1L).otherwise(0L)),
+        lit(0L)).as("n_refined_rows"),
+      coalesce(sum(when(col("cnt2") > SignLsh.BucketCap, 1L).otherwise(0L)),
+        lit(0L)).as("n_dropped_rows"),
+      coalesce(expr(s"CAST(sum(CASE WHEN cnt2 > ${SignLsh.BucketCap} THEN " +
+        "cnt2 - 1 ELSE 0 END) DIV 2 AS BIGINT)"), lit(0L))
+        .as("n_dropped_pairs")))
   }
 
   /** Cap-drop accounting for [[dedupSimhashPairs]]' Hamming-LSH bands:
@@ -515,11 +517,14 @@ object Dedup {
     * (so the pair op's recall is not cap-limited where the oracle can't
     * see it). */
   def dedupSimhashCapStats(spark: SparkSession, dir: String): DataFrame =
+    // coalesce: an EMPTY band frame (upstream shingle-df cap saturated,
+    // e.g. a wholly replicated corpus) must audit as zeros, not NULLs
     totalOrder(simhashBandRows(spark, dir).agg(
       count(lit(1)).as("n_band_rows"),
-      sum(when(col("cnt") > 64, 1L).otherwise(0L)).as("n_dropped_rows"),
-      expr("CAST(sum(CASE WHEN cnt > 64 THEN cnt - 1 ELSE 0 END) DIV 2 " +
-        "AS BIGINT)").as("n_dropped_pairs")))
+      coalesce(sum(when(col("cnt") > 64, 1L).otherwise(0L)), lit(0L))
+        .as("n_dropped_rows"),
+      coalesce(expr("CAST(sum(CASE WHEN cnt > 64 THEN cnt - 1 ELSE 0 END) " +
+        "DIV 2 AS BIGINT)"), lit(0L)).as("n_dropped_pairs")))
 
   // ----------------------------------------------------------------- wiring
 

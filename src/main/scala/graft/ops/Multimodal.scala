@@ -139,9 +139,10 @@ object Multimodal {
     totalOrder(phashBandRows(spark,
       load(spark, dir, "documents").select(col("doc_id"), col("text"))).agg(
       count(lit(1)).as("n_band_rows"),
-      sum(when(col("cnt") > 64, 1L).otherwise(0L)).as("n_dropped_rows"),
-      expr("CAST(sum(CASE WHEN cnt > 64 THEN cnt - 1 ELSE 0 END) DIV 2 " +
-        "AS BIGINT)").as("n_dropped_pairs")))
+      coalesce(sum(when(col("cnt") > 64, 1L).otherwise(0L)), lit(0L))
+        .as("n_dropped_rows"),
+      coalesce(expr("CAST(sum(CASE WHEN cnt > 64 THEN cnt - 1 ELSE 0 END) " +
+        "DIV 2 AS BIGINT)"), lit(0L)).as("n_dropped_pairs")))
 
   // ----------------------------------------------------------------- wiring
 
