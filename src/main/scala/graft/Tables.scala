@@ -27,12 +27,15 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Session configs every graft session needs. `nanosAsLong` lets the
-    * parquet reader accept TIMESTAMP(NANOS) columns (events.ts) as long,
-    * which [[load]] converts to a µs timestamp — matching DuckDB's
-    * CAST(ts AS TIMESTAMP) truncation. */
+  /** Session configs every graft session needs. `inferTimestampNTZ=false`
+    * makes the parquet reader surface TIMESTAMP(MICROS, isAdjustedToUTC
+    * either way) as session-TZ TimestampType (values stay the stored UTC
+    * instants under the pinned-UTC session), so `time` math (`unix_micros`,
+    * windows, `Row.getTimestamp`) is type-stable. Fixture layouts have
+    * changed under us once already (INT64-ns → µs-NTZ); [[normalizeTs]]
+    * converts by ACTUAL schema type so the engine survives the next one. */
   val sessionConfs: Map[String, String] = Map(
-    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false",
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.adaptive.enabled" -> "true",
     // managed tables (bucketed-join demo) live outside the repo checkout
@@ -56,16 +59,29 @@ object Tables {
     // fixture set is ~10 tables × a handful of sessions; a runaway caller
     // clears rather than leaks
     if (loadMemo.size > 256) loadMemo.clear()
-    loadMemo.computeIfAbsent((spark, sfDir, name), _ => {
-      val df = spark.read.parquet(s"$sfDir/$name.parquet")
-      df.schema.fields.find(f => f.name == "ts" &&
-          f.dataType == org.apache.spark.sql.types.LongType) match {
-        // ns→µs via integer division (a double division would lose precision
-        // at 1.7e18 ns); truncation matches DuckDB CAST(ts_ns AS TIMESTAMP).
-        case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-        case None => df
-      }
-    })
+    loadMemo.computeIfAbsent((spark, sfDir, name), _ =>
+      normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet")))
+  }
+
+  /** Normalize an event-time column to µs TimestampType by ACTUAL schema
+    * type — never by an assumed fixture layout. Handles every layout the
+    * driver has materialized so far plus the obvious next ones:
+    *   - LongType: legacy TIMESTAMP(NANOS) read as raw INT64 ns. ns→µs via
+    *     integer division (double division loses precision at 1.7e18 ns);
+    *     truncation matches DuckDB CAST(ts_ns AS TIMESTAMP).
+    *   - TimestampNTZType: µs with isAdjustedToUTC=false (stored values are
+    *     UTC instants). Cast under the pinned-UTC session reinterprets the
+    *     same micros value — a no-op on the instant.
+    *   - TimestampType / absent column: nothing to do. */
+  def normalizeTs(df: DataFrame, c: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema.fields.find(_.name == c).map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn(c, timestamp_micros(expr(s"`$c` DIV 1000")))
+      case Some(TimestampNTZType) =>
+        df.withColumn(c, col(c).cast("timestamp"))
+      case _ => df
+    }
   }
 
   /** A cloned session whose `spark.sql.shuffle.partitions` is sized to one

@@ -18,13 +18,21 @@ object Verify {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that throws must be a VISIBLE red row, never a silent
+    // omission: without the marker files the driver's ledger just shrinks
+    // by the crashed ids (round 7 lost 8 entries that way). Each failure
+    // writes <name>.error.txt, and the set is summarized in _errors.json.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getName}: ${e.getMessage}"
+        System.err.println(s"[verify] $name failed: $msg")
+        errors(name) = msg
+        Files.writeString(Paths.get(s"$outDir/$name.error.txt"), msg + "\n")
       }
       // per-query caches must not accumulate across the ~180-query session:
       // release the op-registered caches explicitly, then clear strays
@@ -46,6 +54,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/_errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
+    // exit 0 even on per-query failure: the driver must still run its
+    // DuckDB compare over the queries that DID dump; the .error.txt /
+    // _errors.json markers are the loud signal for the ones that didn't
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries failed: " +
+        errors.keys.mkString(", "))
   }
 }

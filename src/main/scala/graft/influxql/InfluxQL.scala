@@ -1620,8 +1620,13 @@ object InfluxQL {
     }
   }
 
-  private def runParsed(spark: SparkSession, source: DataFrame, p0: Query,
+  private def runParsed(spark: SparkSession, source0: DataFrame, p0: Query,
     q: String, now: Option[String]): DataFrame = {
+    // Front-door type normalization: every downstream `unix_micros(time)` /
+    // window / Row.getTimestamp site assumes session-TZ TimestampType, so
+    // make `time` type-stable here regardless of how the source was read
+    // (µs-NTZ parquet, legacy INT64-ns, or already-normal).
+    val source = Tables.normalizeTs(source0, "time")
     // FROM (SELECT ...): the inner query's result is the outer's measurement
     val in = p0.sub.map(s => runParsed(spark, source, s, q, now)).getOrElse(source)
     // GROUP BY * = every tag (Influx convention: the string-typed columns)
@@ -2010,7 +2015,7 @@ object InfluxQL {
     catalog: Seq[(String, DataFrame)], q: String): DataFrame = {
     import spark.implicits._
     def frame(m: String): DataFrame = catalog.collectFirst {
-      case (n, df) if n == m => df
+      case (n, df) if n == m => Tables.normalizeTs(df, "time")
     }.getOrElse(fail(q, s"unknown measurement '$m'"))
     q match {
       case ShowMeasRe() =>

@@ -204,13 +204,17 @@ object Ingest {
     * quarantine channel. */
   private[graft] def writeLineProtoFile(spark: SparkSession, dir: String,
     target: Path): Unit = {
+    // epoch micros computed engine-side: Row.getTimestamp throws on an NTZ
+    // column (returns LocalDateTime), so never let a timestamp object cross
+    // the collect boundary — unix_micros after a cast is layout-proof.
     val rows = pulseSlice(spark, dir)
-      .select(col("user_id"), col("ts"), col("value")).collect()
-      .sortBy(r => (r.getLong(0), r.getTimestamp(1).getTime))
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("value"))
+      .collect()
+      .sortBy(r => (r.getLong(0), r.getLong(1)))
     val pts = rows.map { r =>
       val u = r.getLong(0)
-      val inst = r.getTimestamp(1).toInstant
-      val ns = inst.getEpochSecond * 1000000000L + inst.getNano
+      val ns = r.getLong(1) * 1000L
       s"pulses,siteID=${100 + u},meterID=${300 + u} " +
         s"value=${r.getDouble(2)},count=${math.floor(r.getDouble(2)).toLong}i $ns"
     }

@@ -24,23 +24,21 @@ import org.apache.spark.sql.types._
 object StreamingOps {
   import graft.ops.Relational.{totalOrder, orderAll}
 
-  /** events schema as the parquet reader sees it (ts = TIMESTAMP(NANOS)
-    * surfaced as long via nanosAsLong, converted after read). */
-  private val eventsRawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   private var sinkId = 0
   private def nextSink(): String = synchronized { sinkId += 1; s"graft_sink_$sinkId" }
 
+  /** File-source stream over the events fixture. A streaming source needs a
+    * declared schema; hard-coding one broke when the driver re-materialized
+    * `ts` from INT64-ns to µs-NTZ, so the schema comes from a batch footer
+    * read of the SAME file under the SAME session confs — whatever the
+    * batch reader infers is by construction what the stream reader can
+    * decode — and [[Tables.normalizeTs]] converts by actual type. */
   private def eventsStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventsRawSchema)
+    Tables.normalizeTs(spark.readStream
+      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
       // the file source wants a directory; select just the events table
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .parquet(dir))
 
   /** Run a streaming frame to completion into a memory sink; return the
     * materialized table. */
@@ -146,6 +144,82 @@ object StreamingOps {
       .select(col("s.start").as("session_start"), col("user_id"),
         col("n_events"), col("sum_value"), col("last_ts"))
     totalOrder(runToTable(agg, OutputMode.Complete()))
+  }
+
+  // --- session emission via keyed state (the unbounded-deployment twin of
+  // streamSessionWindow's Complete-mode drain) ---------------------------
+
+  case class SEv(user_id: Long, ts: Timestamp, value: Double)
+  /** One open session per user: start/end epoch-µs (full fixture
+    * precision — epoch-ms would shear µs-offset events onto wrong
+    * boundaries), event count, and the 6-dp decimal-accumulated value sum
+    * (unscaled long of a scale-6 BigDecimal) — exact and
+    * order-independent, matching [[Tables.dsum]]'s DECIMAL(38,6)
+    * accumulation so the spec can compare sums bit-exactly against the
+    * batch session_window aggregate. */
+  case class SessState(startUs: Long, endUs: Long, n: Long, sumMicros: Long)
+  case class SessionOut(user_id: Long, start_us: Long,
+    n_events: Long, sum_value: Double)
+
+  private def micros6(v: Double): Long =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .underlying.unscaledValue.longValueExact
+
+  private def epochUs(t: Timestamp): Long = {
+    val i = t.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
+  /** Keyed session builder: merge event-time-sorted rows into the open
+    * session; a gap > `gapMs` CLOSES it — emitted immediately, not held
+    * until a global watermark pass. This is the unbounded shape Spark's
+    * session_window aggregation cannot give in update mode (session keys
+    * are unstable under merges): state is O(1) per user (the one open
+    * session), closed sessions stream out with bounded latency. The still-
+    * open session stays in state; an unbounded deployment registers an
+    * event-time timeout at (session end + gap) to flush it once the
+    * watermark passes — a finite AvailableNow drain never fires that
+    * timeout, which the spec accounts for (each user's LAST session stays
+    * unemitted, exactly append-mode's withholding). */
+  def sessionMachine(gapUs: Long)(userId: Long, rows: Iterator[SEv],
+    state: GroupState[SessState]): Iterator[SessionOut] = {
+    val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
+    var st = state.getOption.orNull
+    // per-key in-batch sort: same bounded-batch contract as pulseMachine
+    for (e <- rows.toSeq.sortBy(e => epochUs(e.ts))) {
+      val t = epochUs(e.ts)
+      // close iff gap ≥ gapUs: session_window(ts, g) spans [ts, ts+g) per
+      // event and merges on overlap, so an exactly-g gap starts a NEW
+      // session — the keyed twin must agree on the boundary
+      if (st == null) st = SessState(t, t, 1L, micros6(e.value))
+      else if (t - st.endUs >= gapUs) {
+        out += SessionOut(userId, st.startUs, st.n,
+          BigDecimal(st.sumMicros, 6).toDouble)
+        st = SessState(t, t, 1L, micros6(e.value))
+      } else st = SessState(st.startUs, math.max(st.endUs, t), st.n + 1,
+        st.sumMicros + micros6(e.value))
+    }
+    if (st != null) state.update(st)
+    out.iterator
+  }
+
+  /** The session-window op in its UNBOUNDED deployment shape:
+    * flatMapGroupsWithState emitting each session the moment a later event
+    * proves it closed. Spec-gated against the batch session_window result
+    * (closed sessions ≡ all but each user's event-time-last session);
+    * [[streamSessionWindow]]'s Complete-mode drain remains the
+    * driver-facing op because a finite drain can also emit the open tail. */
+  def streamSessionWindowKeyed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s2 = Tables.sizedSession(spark, 4)
+    val evs = eventsStream(s2, dir)
+      .select(col("user_id"), col("ts"), col("value")).as[SEv]
+    val sessions = evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(sessionMachine(30L * 60 * 1000000L))
+    totalOrder(runToTable(sessions.toDF(), OutputMode.Append())
+      .select(col("user_id"), timestamp_micros(col("start_us")).as("session_start"),
+        col("n_events"), col("sum_value")))
   }
 
   // --- pulse-interval state machine (streaming twin of win_lag_interval) --

@@ -497,6 +497,28 @@ class IngestStoreStreamSpec extends SparkTestBase {
     assert(n == Tables.load(spark, sf, "events").count())
   }
 
+  test("keyed session machine (unbounded shape) emits exactly the closed sessions") {
+    // the flatMapGroupsWithState twin of stream_session_window: sessions
+    // stream out as soon as a later event proves them closed (O(1) state
+    // per key), vs the Complete-mode drain that emits everything. In a
+    // finite drain the ONLY difference must be each user's event-time-last
+    // session (still open — an unbounded run flushes it via event-time
+    // timeout once the watermark passes).
+    val keyed = streaming.StreamingOps.streamSessionWindowKeyed(spark, sf)
+      .select("user_id", "session_start", "n_events", "sum_value")
+    val full = streaming.StreamingOps.streamSessionWindow(spark, sf)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy(col("session_start").desc)
+    val closed = full.withColumn("rk", row_number().over(w))
+      .filter(col("rk") > 1)
+      .select("user_id", "session_start", "n_events", "sum_value")
+    assert(keyed.count() > 0)
+    // bit-exact both ways: the machine's decimal micro-unit accumulation
+    // must reproduce dsum's DECIMAL(38,6) sums, not just approximate them
+    assert(keyed.exceptAll(closed).count() == 0)
+    assert(closed.exceptAll(keyed).count() == 0)
+  }
+
   test("concurrent ops: no session-global conf mutation, results correct") {
     // ops that size a stateful/pair-graph shuffle do it on a CLONED
     // session; two running concurrently must not race on the shared
