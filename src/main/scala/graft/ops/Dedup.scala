@@ -55,8 +55,43 @@ object Dedup {
   /** Max document frequency for a shingle to count as discriminative: a
     * shingle seen in more docs carries no near-dup signal (the stop-word
     * guard of AllPairs-style similarity joins). Both Jaccard and MinHash
-    * work over this capped vocabulary, so their results are comparable. */
+    * work over this capped vocabulary, so their results are comparable.
+    *
+    * The cap is a corpus FRACTION with this value as the floor, calibrated
+    * on the 5000-doc sf0.1 corpus — see [[shingleDfCap]]. An ABSOLUTE cap
+    * does not survive scale: growing the corpus multiplies every df
+    * (verified at 30×: every shingle crossed the old fixed cap, the
+    * discriminative vocabulary emptied, and the whole near-dup family
+    * silently returned zero pairs while its oracle — replicating the same
+    * broken cap — agreed). Discriminativeness is df/n, not df. */
   private[ops] val MaxShingleDf = 20
+
+  /** Calibration corpus size for the cap floors (the sf0.1 fixture). */
+  private val CapCalibDocs = 5000L
+
+  /** Corpus-relative shingle-df cap: `max(MaxShingleDf, ⌈n/250⌉)` — the
+    * MaxShingleDf/CapCalibDocs fraction, integer-exact so the DuckDB
+    * oracle reproduces it with `GREATEST(20, (COUNT(*) + 249) // 250)`. */
+  private[ops] def shingleDfCap(nDocs: Long): Long =
+    math.max(MaxShingleDf.toLong, (nDocs + 249) / 250)
+
+  /** Corpus-relative Hamming-LSH band-bucket cap for the simhash family:
+    * `max(64, ⌈64·n/5000⌉)` — same calibration, same rationale (a
+    * replicated corpus puts every replica group in one bucket; a fixed
+    * cap would drop ALL of them, which is precisely the near-dup mass the
+    * op exists to find). */
+  private[ops] def bandBucketCap(nDocs: Long): Long =
+    math.max(64L, (64L * nDocs + CapCalibDocs - 1) / CapCalibDocs)
+
+  /** Memoized corpus size (one cheap parquet count per (session, dir);
+    * the caps above are plan-build scalars, not per-row lookups). */
+  private val nDocsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), java.lang.Long]()
+  private[ops] def nDocs(spark: SparkSession, dir: String): Long = {
+    if (nDocsMemo.size > 64) nDocsMemo.clear()
+    nDocsMemo.computeIfAbsent((spark, dir),
+      _ => load(spark, dir, "documents").count()).longValue
+  }
 
   /** Discriminative shingle postings: (doc_id, h) with the shingle's
     * 64-bit hash, restricted to df(h) <= MaxShingleDf. The df filter is a
@@ -70,7 +105,7 @@ object Dedup {
       .select(col("doc_id"), explode(col("shingles")).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
     val keep = posting.groupBy(col("h")).count()
-      .filter(col("count") <= MaxShingleDf).select(col("h"))
+      .filter(col("count") <= shingleDfCap(nDocs(spark, dir))).select(col("h"))
     posting.join(broadcast(keep), "h")
       // cache: the posting feeds both sides of the candidate self-join plus
       // the size lookup (and the MinHash path); without it Catalyst
@@ -184,7 +219,8 @@ object Dedup {
     * buckets over 64 docs are degenerate and dropped — the MaxShingleDf
     * idiom. Engine-specific hashing ⇒ rows-only + precision/recall spec. */
   def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val kept = simhashBandRows(spark, dir).filter(col("cnt") <= 64)
+    val kept = simhashBandRows(spark, dir)
+      .filter(col("cnt") <= bandBucketCap(nDocs(spark, dir)))
     val cand = kept.as("a").join(kept.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key")
           && col("a.doc_id") < col("b.doc_id"))
@@ -475,16 +511,17 @@ object Dedup {
     * identical modulo 64-bit collisions). One hash-agg; shingle text never
     * rides a shuffle wider than the df count itself. */
   def dedupNgramCapStats(spark: SparkSession, dir: String): DataFrame = {
+    val cap = shingleDfCap(nDocs(spark, dir))
     val dfreq = shingled(spark, dir)
       .select(explode(col("shingles")).as("s"))
       .groupBy(col("s")).agg(count(lit(1)).as("df"))
     totalOrder(dfreq.agg(
       count(lit(1)).as("n_shingles"),
-      coalesce(sum(when(col("df") > MaxShingleDf, 1L).otherwise(0L)), lit(0L))
+      coalesce(sum(when(col("df") > cap, 1L).otherwise(0L)), lit(0L))
         .as("n_dropped_shingles"),
-      coalesce(sum(when(col("df") > MaxShingleDf, col("df")).otherwise(0L)),
+      coalesce(sum(when(col("df") > cap, col("df")).otherwise(0L)),
         lit(0L)).as("n_dropped_postings"),
-      coalesce(expr(s"CAST(sum(CASE WHEN df > $MaxShingleDf THEN " +
+      coalesce(expr(s"CAST(sum(CASE WHEN df > $cap THEN " +
         "df * (df - 1) ELSE 0 END) DIV 2 AS BIGINT)"), lit(0L))
         .as("n_dropped_pairs")))
   }
@@ -516,15 +553,17 @@ object Dedup {
     * rows-only + the spec asserting the fixture leaves the cap untouched
     * (so the pair op's recall is not cap-limited where the oracle can't
     * see it). */
-  def dedupSimhashCapStats(spark: SparkSession, dir: String): DataFrame =
+  def dedupSimhashCapStats(spark: SparkSession, dir: String): DataFrame = {
+    val cap = bandBucketCap(nDocs(spark, dir))
     // coalesce: an EMPTY band frame (upstream shingle-df cap saturated,
     // e.g. a wholly replicated corpus) must audit as zeros, not NULLs
     totalOrder(simhashBandRows(spark, dir).agg(
       count(lit(1)).as("n_band_rows"),
-      coalesce(sum(when(col("cnt") > 64, 1L).otherwise(0L)), lit(0L))
+      coalesce(sum(when(col("cnt") > cap, 1L).otherwise(0L)), lit(0L))
         .as("n_dropped_rows"),
-      coalesce(expr("CAST(sum(CASE WHEN cnt > 64 THEN cnt - 1 ELSE 0 END) " +
+      coalesce(expr(s"CAST(sum(CASE WHEN cnt > $cap THEN cnt - 1 ELSE 0 END) " +
         "DIV 2 AS BIGINT)"), lit(0L)).as("n_dropped_pairs")))
+  }
 
   // ----------------------------------------------------------------- wiring
 
@@ -590,7 +629,9 @@ object Dedup {
       |capped AS (
       |  SELECT * FROM (
       |    SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df
-      |    FROM posting) WHERE df <= 20),
+      |    FROM posting)
+      |  WHERE df <= (SELECT GREATEST(20, (COUNT(*) + 249) // 250)
+      |               FROM documents)),
       |shsizes AS (
       |  SELECT doc_id, COUNT(*) AS n_sh FROM capped GROUP BY doc_id),
       |rawpairs AS (
@@ -619,15 +660,17 @@ object Dedup {
          |  FROM tok),
          |dfreq AS (
          |  SELECT sh, COUNT(*) AS df FROM (
-         |    SELECT doc_id, unnest(s) AS sh FROM sh) GROUP BY sh)
+         |    SELECT doc_id, unnest(s) AS sh FROM sh) GROUP BY sh),
+         |cap AS (
+         |  SELECT GREATEST(20, (COUNT(*) + 249) // 250) AS c FROM documents)
          |SELECT COUNT(*) AS n_shingles,
-         |  CAST(SUM(CASE WHEN df > $MaxShingleDf THEN 1 ELSE 0 END) AS BIGINT)
+         |  CAST(SUM(CASE WHEN df > cap.c THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_dropped_shingles,
-         |  CAST(SUM(CASE WHEN df > $MaxShingleDf THEN df ELSE 0 END) AS BIGINT)
+         |  CAST(SUM(CASE WHEN df > cap.c THEN df ELSE 0 END) AS BIGINT)
          |    AS n_dropped_postings,
-         |  CAST(SUM(CASE WHEN df > $MaxShingleDf THEN df * (df - 1) ELSE 0 END)
+         |  CAST(SUM(CASE WHEN df > cap.c THEN df * (df - 1) ELSE 0 END)
          |    // 2 AS BIGINT) AS n_dropped_pairs
-         |FROM dfreq
+         |FROM dfreq, cap
          |${orderAll("n_shingles", "n_dropped_shingles", "n_dropped_postings",
             "n_dropped_pairs")}""".stripMargin,
     "dedup_embcos_cap_stats" ->
