@@ -124,21 +124,62 @@ object Dedup {
 
   /** The unsorted verified pair frame shared by [[dedupNgramJaccard]] and
     * [[dedupClusters]] (the cluster op must not pay the driver-contract
-    * total-order sort — range partitioning samples the child twice). */
+    * total-order sort — range partitioning samples the child twice).
+    *
+    * Exact duplicates are collapsed BEFORE candidate generation — the
+    * production pipeline order. Docs with identical kept shingle-hash
+    * sets form one group represented by the min doc id; the inverted-
+    * index self-join runs over group representatives only, and group
+    * pairs re-expand to doc pairs afterwards at OUTPUT size. On a corpus
+    * where each doc carries r exact copies this cuts the join candidate
+    * mass from Σ(r·df)² to Σdf² — r² cheaper (at 30× replication: 2.5B
+    * candidate rows down to ~2.8M) — while the result is bit-identical
+    * (identical sets ⇒ identical jaccard to every counterpart, and
+    * within-group pairs are jaccard-1 by construction). On a corpus with
+    * no exact dups every group is a singleton and the plan degenerates to
+    * the plain inverted-index join plus one cheap set-keyed group-by. */
   private def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val p = cappedPosting(spark, dir).select(col("doc_id"), col("h"))
-    val sizes = p.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val pairs = p.as("a").join(p.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    // group key = the full sorted hash set (not a re-hash of it: the
+    // oracle compare is exact, so collapse must be collision-free)
+    val groups = p.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("h"))).as("hs"))
+      .groupBy(col("hs"))
+      .agg(min(col("doc_id")).as("rep_id"),
+        collect_list(col("doc_id")).as("members"),
+        count(lit(1)).as("m"))
+      .transform(graft.OpCaches.cached)
+    val repPost = groups.select(col("rep_id"), explode(col("hs")).as("h"))
+    val sizes = groups.select(col("rep_id"), size(col("hs")).as("n_sh"))
+    val rpairs = repPost.as("a").join(repPost.as("b"),
+        col("a.h") === col("b.h") && col("a.rep_id") < col("b.rep_id"))
+      .groupBy(col("a.rep_id").as("ra"), col("b.rep_id").as("rb"))
       .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .join(sizes.select(col("rep_id").as("ra"), col("n_sh").as("n_a")), "ra")
+      .join(sizes.select(col("rep_id").as("rb"), col("n_sh").as("n_b")), "rb")
       .withColumn("jaccard", col("inter").cast(DoubleType) /
         (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= 0.3)
-      .select(col("id_a"), col("id_b"), col("inter"), col("jaccard"))
+    // cross-group expansion: every (x ∈ A, y ∈ B) doc pair carries its
+    // group pair's jaccard; least/greatest restores the id_a < id_b form
+    val cross = rpairs
+      .join(groups.select(col("rep_id").as("ra"), col("members").as("ma")), "ra")
+      .join(groups.select(col("rep_id").as("rb"), col("members").as("mb")), "rb")
+      .select(explode(col("ma")).as("x"), col("mb"), col("inter"), col("jaccard"))
+      .select(col("x"), explode(col("mb")).as("y"), col("inter"), col("jaccard"))
+      .select(least(col("x"), col("y")).as("id_a"),
+        greatest(col("x"), col("y")).as("id_b"),
+        col("inter"), col("jaccard"))
+    // within-group pairs: identical kept sets ⇒ inter = |set|, jaccard 1
+    // (exactly 1.0 in IEEE on the oracle side too: n/(n+n-n))
+    val within = groups.filter(col("m") >= 2)
+      .select(size(col("hs")).as("inter"), explode(col("members")).as("x"),
+        col("members"))
+      .select(col("x"), explode(col("members")).as("y"), col("inter"))
+      .filter(col("x") < col("y"))
+      .select(col("x").as("id_a"), col("y").as("id_b"), col("inter"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(within)
   }
 
   /** MinHash + LSH banding (SURVEY §2.10 dedup_minhash): 16 xxhash64-based
@@ -613,7 +654,14 @@ object Dedup {
 
   /** Shared CTE chain reconstructing the capped-shingle Jaccard pairs
     * (DuckDB twin of [[dedupNgramJaccard]]); ends in `jpairs`
-    * (id_a, id_b, inter, jaccard ≥ 0.3). */
+    * (id_a, id_b, inter, jaccard ≥ 0.3). Mirrors the engine's
+    * exact-duplicate collapse — identical kept shingle sets are grouped
+    * before the pair join and re-expanded afterwards (a provable identity:
+    * identical sets have identical jaccard to every counterpart, and
+    * within-group pairs are jaccard-1) — because the doc-level join is
+    * Σdf² and the oracle must stay runnable at the 10×/30× evidence
+    * fixtures where replication inflates that by the duplication factor
+    * squared. */
   private val jaccardPairsCtes: String =
     """tok AS (
       |  SELECT doc_id, list_filter(
@@ -632,20 +680,46 @@ object Dedup {
       |    FROM posting)
       |  WHERE df <= (SELECT GREATEST(20, (COUNT(*) + 249) // 250)
       |               FROM documents)),
-      |shsizes AS (
-      |  SELECT doc_id, COUNT(*) AS n_sh FROM capped GROUP BY doc_id),
+      |dsets AS (
+      |  SELECT doc_id, list_sort(list(sh)) AS hs FROM capped GROUP BY doc_id),
+      |grp AS (
+      |  SELECT hs, MIN(doc_id) AS rep_id, list(doc_id) AS members,
+      |    COUNT(*) AS m
+      |  FROM dsets GROUP BY hs),
+      |rpost AS (
+      |  SELECT rep_id, unnest(hs) AS sh FROM grp),
+      |rsizes AS (
+      |  SELECT rep_id, len(hs) AS n_sh FROM grp),
       |rawpairs AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-      |  FROM capped a JOIN capped b
-      |    ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  SELECT a.rep_id AS ra, b.rep_id AS rb, COUNT(*) AS inter
+      |  FROM rpost a JOIN rpost b
+      |    ON a.sh = b.sh AND a.rep_id < b.rep_id
       |  GROUP BY 1, 2),
-      |jpairs AS (
-      |  SELECT id_a, id_b, inter,
+      |rjac AS (
+      |  SELECT ra, rb, inter,
       |    CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
       |  FROM rawpairs
-      |  JOIN shsizes sa ON sa.doc_id = id_a
-      |  JOIN shsizes sb ON sb.doc_id = id_b
-      |  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.3)""".stripMargin
+      |  JOIN rsizes sa ON sa.rep_id = ra
+      |  JOIN rsizes sb ON sb.rep_id = rb
+      |  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.3),
+      |cx1 AS (
+      |  SELECT unnest(ga.members) AS x, gb.members AS mb, r.inter, r.jaccard
+      |  FROM rjac r
+      |  JOIN grp ga ON ga.rep_id = r.ra
+      |  JOIN grp gb ON gb.rep_id = r.rb),
+      |cx2 AS (
+      |  SELECT x, unnest(mb) AS y, inter, jaccard FROM cx1),
+      |w1 AS (
+      |  SELECT len(hs) AS inter, members, unnest(members) AS x
+      |  FROM grp WHERE m >= 2),
+      |w2 AS (
+      |  SELECT x, unnest(members) AS y, inter FROM w1),
+      |jpairs AS (
+      |  SELECT LEAST(x, y) AS id_a, GREATEST(x, y) AS id_b, inter, jaccard
+      |  FROM cx2
+      |  UNION ALL
+      |  SELECT x AS id_a, y AS id_b, inter, CAST(1.0 AS DOUBLE) AS jaccard
+      |  FROM w2 WHERE x < y)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "dedup_ngram_cap_stats" ->
