@@ -21,7 +21,7 @@ object SparkEntry {
       ops.Windows.queries ++ ops.TimeSeries.queries ++ ops.Scalars.queries ++
       ops.Text.queries ++ ops.Dedup.queries ++ ops.Vectors.queries ++
       ops.Multimodal.queries ++ ops.Ingest.queries ++ ops.Store.queries ++
-      ops.Pipeline.queries ++ ops.InfluxQlOps.queries ++
+      ops.Pipeline.queries ++ ops.InfluxQlOps.queries ++ ops.Admin.queries ++
       streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -31,6 +31,6 @@ object SparkEntry {
       ops.Windows.oracle ++ ops.TimeSeries.oracle ++ ops.Scalars.oracle ++
       ops.Text.oracle ++ ops.Dedup.oracle ++ ops.Vectors.oracle ++
       ops.Multimodal.oracle ++ ops.Ingest.oracle ++ ops.Store.oracle ++
-      ops.Pipeline.oracle ++ ops.InfluxQlOps.oracle ++
+      ops.Pipeline.oracle ++ ops.InfluxQlOps.oracle ++ ops.Admin.oracle ++
       streaming.StreamingOps.oracle
 }

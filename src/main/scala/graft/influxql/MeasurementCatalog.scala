@@ -112,6 +112,23 @@ class MeasurementCatalog(spark: SparkSession) {
       throw new IllegalStateException("no database selected — CREATE/USE first"))
   }
 
+  /** The selected database, if any — the admin tier labels registry
+    * entries with it without forcing a selection. */
+  private[influxql] def currentDbOption: Option[String] = synchronized(current)
+
+  /** Admin tier (users/privileges, query registry, operator diagnostics)
+    * behind this catalog's front door — lazy, like the CQ registry: a
+    * catalog used only for data queries never allocates it. */
+  private var adminCat: Option[AdminCatalog] = None
+
+  def admin: AdminCatalog = synchronized {
+    adminCat.getOrElse {
+      val a = new AdminCatalog(spark)
+      adminCat = Some(a)
+      a
+    }
+  }
+
   /** Continuous-query registry behind this catalog's front door (lazy: a
     * catalog used only for data queries never touches the CQ machinery).
     * Checkpoints/outputs live under the JVM temp dir unless
@@ -166,6 +183,11 @@ class MeasurementCatalog(spark: SparkSession) {
         .toDF("name", "duration", "replicaN", "default")
     case CqStmtRe() =>
       cqs.statement(q)
+    // admin tier: users/privileges, query registry, operator diagnostics —
+    // the lazy-metadata path; the registry-TRACKED eager path is
+    // [[AdminCatalog.run]], which wraps this front door
+    case _ if AdminCatalog.handles(q) =>
+      admin.statement(q, this)
     // data-mutation statements at the catalog tier: a registered
     // measurement is a lazy frame, so DELETE / DROP SERIES re-register it
     // as the filter COMPLEMENT (the WHERE re-parses through the normal

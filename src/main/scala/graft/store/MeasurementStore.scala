@@ -147,6 +147,42 @@ class MeasurementStore(spark: SparkSession, root: String) {
       .sorted
   }
 
+  /** `SHOW SHARDS` over this store's layout: one shard per distinct day
+    * partition across all measurements (a shard holds every measurement's
+    * points for its time range, as InfluxDB's shard groups do; this
+    * store's group duration IS one day — the layout above). Pure
+    * metadata: a directory listing per measurement, bounded like the day
+    * lists; the time columns derive in-plan under the session timezone.
+    * `expiry_time` = `end_time` for the infinite default retention.
+    *
+    * InfluxDB's columns: (id, database, retention_policy, shard_group,
+    * start_time, end_time, expiry_time, owners); ids are assigned in
+    * time order, `owners` is the data-node list — "1", this single
+    * logical store (on a cluster, executors hold partitions of every
+    * shard; ownership is not a per-shard concept on Spark). */
+  def showShards(database: String = "graft",
+    retentionPolicy: String = "autogen"): DataFrame = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val days = measurementNames.flatMap { m =>
+      val mPath = new org.apache.hadoop.fs.Path(path(m))
+      fs.listStatus(mPath).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
+        .map(_.getPath.getName.stripPrefix("day="))
+    }.distinct.sorted
+    import spark.implicits._
+    days.zipWithIndex.map { case (d, i) => (i + 1L, d) }.toDF("id", "day")
+      .withColumn("database", lit(database))
+      .withColumn("retention_policy", lit(retentionPolicy))
+      .withColumn("shard_group", col("id"))
+      .withColumn("start_time", to_timestamp(col("day")))
+      .withColumn("end_time", col("start_time") + expr("INTERVAL 1 DAY"))
+      .withColumn("expiry_time", col("end_time"))
+      .withColumn("owners", lit("1"))
+      .select("id", "database", "retention_policy", "shard_group",
+        "start_time", "end_time", "expiry_time", "owners")
+  }
+
   /** Store-wide form of [[influxql]]: `FROM /regex/` (or a FROM list)
     * resolves against [[measurementNames]], each source day-pruned before
     * its per-measurement run, and an `INTO <rp>.:MEASUREMENT`

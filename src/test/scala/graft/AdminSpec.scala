@@ -1,0 +1,139 @@
+package graft
+
+import graft.influxql.{AdminCatalog, MeasurementCatalog}
+import graft.store.MeasurementStore
+import org.apache.spark.sql.functions._
+
+/** Admin tier (users/privileges, query registry, diagnostics statements)
+  * — the statement surface behind [[graft.ops.Admin]]'s gate queries. */
+class AdminSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def events = Tables.load(spark, sf, "events")
+    .withColumnRenamed("ts", "time")
+
+  private def freshCat(): MeasurementCatalog = {
+    val cat = new MeasurementCatalog(spark)
+    cat.createDatabase("ciwsdb")
+    cat.register("ciwsdb", "events", events)
+    cat
+  }
+
+  test("user lifecycle: create, authenticate, rotate, drop") {
+    val cat = freshCat()
+    cat.statement("CREATE USER alice WITH PASSWORD 's3cret' WITH ALL PRIVILEGES")
+    cat.statement("CREATE USER bob WITH PASSWORD 'hunter2'")
+    val admin = cat.admin
+    assert(admin.authenticate("alice", "s3cret"))
+    assert(!admin.authenticate("alice", "wrong"))
+    assert(!admin.authenticate("nobody", "s3cret"))
+    cat.statement("SET PASSWORD FOR bob = 'rotated'")
+    assert(!admin.authenticate("bob", "hunter2"))
+    assert(admin.authenticate("bob", "rotated"))
+    val users = cat.statement("SHOW USERS").as[(String, Boolean)].collect().toSet
+    assert(users === Set(("alice", true), ("bob", false)))
+    cat.statement("DROP USER bob")
+    assert(cat.statement("SHOW USERS").count() === 1)
+    intercept[IllegalArgumentException] {
+      cat.statement("CREATE USER alice WITH PASSWORD 'again'")
+    }
+    intercept[IllegalArgumentException] { cat.statement("DROP USER ghost") }
+  }
+
+  test("sha256 digest matches the published test vector") {
+    // independently known value — the same digest DuckDB's sha256() returns,
+    // which is what the influxql_auth_check oracle hash-checks at the gate
+    assert(AdminCatalog.sha256Hex("hunter2") ===
+      "f52fbd32b2b3b86ff88ef6c490628285f482af15ddcb29541f94bcf526a3f6c7")
+  }
+
+  test("privilege lattice: grant composes to ALL, revoke downgrades") {
+    val cat = freshCat()
+    cat.statement("CREATE USER u WITH PASSWORD 'p'")
+    cat.statement("GRANT READ ON db1 TO u")
+    cat.statement("GRANT WRITE ON db1 TO u")
+    cat.statement("GRANT ALL ON db2 TO u")
+    cat.statement("REVOKE READ ON db2 FROM u")
+    cat.statement("GRANT READ ON db3 TO u")
+    cat.statement("REVOKE READ ON db3 FROM u")
+    // revoking a privilege the user never held is a no-op, not an error
+    cat.statement("REVOKE WRITE ON db4 FROM u")
+    val grants = cat.statement("SHOW GRANTS FOR u")
+      .as[(String, String)].collect().toSet
+    assert(grants === Set(("db1", "ALL PRIVILEGES"), ("db2", "WRITE")))
+    // the ON-less forms flip the admin bit
+    cat.statement("GRANT ALL PRIVILEGES TO u")
+    assert(cat.statement("SHOW USERS").as[(String, Boolean)]
+      .collect().toSet === Set(("u", true)))
+    cat.statement("REVOKE ALL PRIVILEGES FROM u")
+    assert(cat.statement("SHOW USERS").as[(String, Boolean)]
+      .collect().toSet === Set(("u", false)))
+  }
+
+  test("query registry: tracked runs finish; SHOW QUERIES lists itself") {
+    val cat = freshCat()
+    val admin = cat.admin
+    admin.run(cat, "SHOW MEASUREMENTS")
+    val inFlight = admin.run(cat, "SHOW QUERIES")
+      .select("qid", "query", "duration")
+      .as[(Long, String, String)].collect().toSeq
+    assert(inFlight === Seq((2L, "SHOW QUERIES", "0s")))
+    val audit = admin.auditLog.select("qid", "status")
+      .as[(Long, String)].collect().toSet
+    assert(audit === Set((1L, "finished"), (2L, "finished")))
+  }
+
+  test("KILL QUERY interrupts a genuinely running job") {
+    // end-to-end through the gate op: a task parked on a latch, killed via
+    // the statement surface; the audit must show the kill and the worker
+    // thread must have been released by the interrupt (asserted inside)
+    val out = ops.Admin.queries("influxql_kill_query")(spark, sf)
+      .as[(Long, String, String, String)].collect().toSeq
+    assert(out ===
+      Seq((1L, "SELECT * FROM events /* blocked */", "ciwsdb", "killed")))
+  }
+
+  test("SHOW STATS matches directly computed points/series") {
+    val cat = freshCat()
+    val stats = cat.statement("SHOW STATS")
+      .select("measurement", "points", "series")
+      .as[(String, Long, Long)].collect()
+      .map { case (m, p, s) => m -> ((p, s)) }.toMap
+    val pts = events.count()
+    val ser = events.select("event_type", "props").distinct().count()
+    assert(stats === Map("events" -> (pts, ser)))
+  }
+
+  test("SHOW DIAGNOSTICS echoes the live session configuration") {
+    val cat = freshCat()
+    val d = cat.statement("SHOW DIAGNOSTICS")
+      .as[(String, String, String)].collect()
+      .map { case (_, n, v) => n -> v }.toMap
+    // the test session runs 4 shuffle partitions (not the gate's 32) —
+    // proving the statement reads the session, not a constant
+    assert(d("shuffle_partitions") ===
+      spark.conf.get("spark.sql.shuffle.partitions"))
+    assert(d("session_timezone") === "UTC")
+    assert(d("spark_version") === spark.version)
+  }
+
+  test("SHOW SHARDS: one row per distinct day, contiguous ids, 1-day spans") {
+    val root = java.nio.file.Files.createTempDirectory("shards_spec").toString
+    val store = new MeasurementStore(spark, root)
+    store.append("m1", events.select(col("time"), col("value")))
+    store.append("m2", events.filter(col("event_type") === "error")
+      .select(col("time"), col("value")))
+    val shards = store.showShards(database = "ciwsdb").collect()
+    val expectDays = events
+      .select(date_format(col("time"), "yyyy-MM-dd")).distinct().count()
+    assert(shards.length === expectDays)
+    assert(shards.map(_.getLong(0)).toSeq === (1L to expectDays).toSeq)
+    shards.foreach { r =>
+      val start = r.getTimestamp(4).toInstant
+      val end = r.getTimestamp(5).toInstant
+      assert(java.time.Duration.between(start, end).toDays === 1)
+      assert(r.getTimestamp(6) === r.getTimestamp(5)) // infinite retention
+      assert(r.getString(1) === "ciwsdb" && r.getString(7) === "1")
+    }
+  }
+}
