@@ -7,8 +7,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * together over an existing SparkSession:
   *
   *  - [[catalog]]: databases, measurements, retention policies, and every
-  *    InfluxQL statement (SELECT / SHOW / DDL / CQ management) through
-  *    [[statement]] — the CLI/Grafana dialogue verbatim;
+  *    InfluxQL statement (SELECT / SHOW / DDL / CQ management, plus the
+  *    admin tier: CREATE USER / GRANT / SHOW USERS / SHOW GRANTS /
+  *    SHOW QUERIES / KILL QUERY / SHOW STATS / SHOW DIAGNOSTICS) through
+  *    [[statement]] — the CLI/Grafana dialogue verbatim; the registry-
+  *    tracked synchronous tier is `catalog.admin.run` (what a serving
+  *    layer calls per request so KILL QUERY can interrupt it);
   *  - [[store]]: day-partitioned measurement storage with upsert, delete,
   *    drop, compaction, and retention enforcement;
   *  - [[cqRegistry]]: managed continuous queries with checkpointed resume;

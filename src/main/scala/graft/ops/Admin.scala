@@ -161,6 +161,32 @@ object Admin {
     totalOrder(store.showShards(database = "ciwsdb"))
   }
 
+  /** SHOW SHARD GROUPS: the group-level view of the same day listing. */
+  private def showShardGroups(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("shard_groups").toString
+    val store = new MeasurementStore(spark, root)
+    store.append("RawData", load(spark, dir, "events")
+      .select(col("event_type"), col("ts").as("time"), col("value")))
+    totalOrder(store.showShardGroups(database = "ciwsdb"))
+  }
+
+  /** DROP SHARD roundtrip — the reclaim-space-NOW half of retention: write
+    * events as two measurements, drop shard 2 (one day across BOTH), and
+    * re-list; the dropped day is gone from every measurement and the
+    * positional ids renumber, which the oracle reproduces by excluding
+    * the second day. */
+  private def dropShard(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("drop_shard").toString
+    val store = new MeasurementStore(spark, root)
+    val points = load(spark, dir, "events")
+      .select(col("event_type"), col("user_id"), col("ts").as("time"),
+        col("value"))
+    store.append("RawData", points)
+    store.append("QCData", points.filter(col("event_type") === "error"))
+    store.dropShard(2L)
+    totalOrder(store.showShards(database = "ciwsdb"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "influxql_show_users" -> (showUsers _),
     "influxql_show_grants" -> (showGrants _),
@@ -169,7 +195,9 @@ object Admin {
     "influxql_kill_query" -> (killQuery _),
     "influxql_show_stats" -> (showStats _),
     "influxql_show_diagnostics" -> (showDiagnostics _),
-    "influxql_show_shards" -> (showShards _))
+    "influxql_show_shards" -> (showShards _),
+    "influxql_show_shard_groups" -> (showShardGroups _),
+    "influxql_drop_shard" -> (dropShard _))
 
   val oracle: Map[String, String] = Map(
     "influxql_show_users" ->
@@ -237,6 +265,36 @@ object Admin {
          |  CAST(day AS TIMESTAMP) + INTERVAL 1 DAY AS expiry_time,
          |  '1' AS owners
          |FROM d
+         |${orderAll("id", "\"database\"", "retention_policy", "shard_group",
+           "start_time", "end_time", "expiry_time", "owners")}""".stripMargin,
+    "influxql_show_shard_groups" ->
+      s"""WITH d AS (
+         |  SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+         |  FROM events)
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS id,
+         |  'ciwsdb' AS "database", 'autogen' AS retention_policy,
+         |  CAST(day AS TIMESTAMP) AS start_time,
+         |  CAST(day AS TIMESTAMP) + INTERVAL 1 DAY AS end_time,
+         |  CAST(day AS TIMESTAMP) + INTERVAL 1 DAY AS expiry_time
+         |FROM d
+         |${orderAll("id", "\"database\"", "retention_policy",
+           "start_time", "end_time", "expiry_time")}""".stripMargin,
+    // the oracle re-derives the post-drop listing: all days except the
+    // second, re-ranked — proving both the deletion and the positional ids
+    "influxql_drop_shard" ->
+      s"""WITH d AS (
+         |  SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+         |  FROM events),
+         |r AS (SELECT day, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM d),
+         |k AS (SELECT day FROM r WHERE rn <> 2)
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS id,
+         |  'ciwsdb' AS "database", 'autogen' AS retention_policy,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS shard_group,
+         |  CAST(day AS TIMESTAMP) AS start_time,
+         |  CAST(day AS TIMESTAMP) + INTERVAL 1 DAY AS end_time,
+         |  CAST(day AS TIMESTAMP) + INTERVAL 1 DAY AS expiry_time,
+         |  '1' AS owners
+         |FROM k
          |${orderAll("id", "\"database\"", "retention_policy", "shard_group",
            "start_time", "end_time", "expiry_time", "owners")}""".stripMargin)
 }

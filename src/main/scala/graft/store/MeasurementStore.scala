@@ -183,6 +183,46 @@ class MeasurementStore(spark: SparkSession, root: String) {
         "start_time", "end_time", "expiry_time", "owners")
   }
 
+  /** `SHOW SHARD GROUPS`: the same day listing as [[showShards]] without
+    * the per-shard ownership columns — InfluxDB's shard-group view
+    * (id, database, retention_policy, start_time, end_time, expiry_time).
+    * One group per day; in this layout group and shard are 1:1 (single
+    * logical store), so ids line up with [[showShards]]. */
+  def showShardGroups(database: String = "graft",
+    retentionPolicy: String = "autogen"): DataFrame =
+    showShards(database, retentionPolicy)
+      .select("id", "database", "retention_policy",
+        "start_time", "end_time", "expiry_time")
+
+  /** `DROP SHARD <id>`: delete one shard's data — this layout's day
+    * partition, across every measurement that has it — as a pure metadata
+    * operation (directory deletes, no data read). The manual half of
+    * retention (the automatic half is [[MeasurementCatalog.applyRetention]]
+    * driving [[deleteWhere]]); InfluxDB operators drop shards to reclaim
+    * space NOW rather than waiting for expiry. The id is resolved against
+    * the CURRENT [[showShards]] listing (ids are positional over the
+    * sorted day set, as InfluxDB's are over its shard registry). Returns
+    * the dropped day. Unknown ids fail loudly. */
+  def dropShard(id: Long): String = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val days = measurementNames.flatMap { m =>
+      val mPath = new org.apache.hadoop.fs.Path(path(m))
+      fs.listStatus(mPath).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
+        .map(_.getPath.getName.stripPrefix("day="))
+    }.distinct.sorted
+    if (id < 1 || id > days.length)
+      throw new IllegalArgumentException(
+        s"unknown shard id $id (store has ${days.length} shards)")
+    val day = days(id.toInt - 1)
+    measurementNames.foreach { m =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(path(m)), s"day=$day"), true)
+    }
+    day
+  }
+
   /** Store-wide form of [[influxql]]: `FROM /regex/` (or a FROM list)
     * resolves against [[measurementNames]], each source day-pruned before
     * its per-measurement run, and an `INTO <rp>.:MEASUREMENT`

@@ -136,4 +136,27 @@ class AdminSpec extends SparkTestBase {
       assert(r.getString(1) === "ciwsdb" && r.getString(7) === "1")
     }
   }
+
+  test("DROP SHARD deletes one day across every measurement, ids renumber") {
+    val root = java.nio.file.Files.createTempDirectory("drop_shard_spec").toString
+    val store = new MeasurementStore(spark, root)
+    store.append("m1", events.select(col("time"), col("value")))
+    store.append("m2", events.select(col("time"), col("value")))
+    val before = store.showShards().collect()
+    val droppedDay = before(1).getTimestamp(4).toLocalDateTime.toLocalDate.toString
+    store.dropShard(2L)
+    val after = store.showShards().collect()
+    assert(after.length === before.length - 1)
+    assert(after.map(_.getLong(0)).toSeq === (1L to after.length).toSeq)
+    // the day is gone from the DATA of both measurements, not just the listing
+    Seq("m1", "m2").foreach { m =>
+      assert(store.read(m).filter(col("day") === droppedDay).count() === 0)
+      assert(store.read(m).count() > 0)
+    }
+    // group view carries the same ids minus ownership columns
+    assert(store.showShardGroups().columns.toSeq ===
+      Seq("id", "database", "retention_policy",
+        "start_time", "end_time", "expiry_time"))
+    intercept[IllegalArgumentException] { store.dropShard(999L) }
+  }
 }
