@@ -86,6 +86,32 @@ class MeasurementCatalog(spark: SparkSession) {
     dropped ++ rewritten
   }
 
+  /** (db, rp, subscription name) → (mode ALL|ANY, destination endpoints).
+    * Subscriptions are InfluxDB's write-forwarding registrations (the
+    * Kapacitor hookup); this engine records the registry — the catalog
+    * half every client manages — while actual forwarding belongs to a
+    * serving layer (the reference's own forwarding is its HTTP uploader,
+    * transfer_manager.py). */
+  private val subs =
+    mutable.LinkedHashMap[(String, String, String), (String, Seq[String])]()
+
+  def createSubscription(db: String, rp: String, name: String,
+    mode: String, destinations: Seq[String]): Unit = synchronized {
+    if (!dbs.contains(db))
+      throw new IllegalArgumentException(s"unknown database '$db'")
+    if (!rps.contains((db, rp)))
+      throw new IllegalArgumentException(s"unknown retention policy '$rp'")
+    if (subs.contains((db, rp, name)))
+      throw new IllegalArgumentException(s"subscription already exists: '$name'")
+    subs((db, rp, name)) = (mode.toUpperCase, destinations)
+  }
+
+  def dropSubscription(db: String, rp: String, name: String): Unit =
+    synchronized {
+      if (subs.remove((db, rp, name)).isEmpty)
+        throw new IllegalArgumentException(s"unknown subscription '$name'")
+    }
+
   def use(name: String): Unit = synchronized {
     if (!dbs.contains(name))
       throw new IllegalArgumentException(s"unknown database '$name'")
@@ -181,6 +207,20 @@ class MeasurementCatalog(spark: SparkSession) {
       retentionPolicies(db).sortBy(_._1)
         .map { case (n, dur, rep, df) => (n, s"${dur}s", rep, df) }
         .toDF("name", "duration", "replicaN", "default")
+    case CreateSubRe(name, db, rp, mode, dests) =>
+      createSubscription(db, rp, name, mode,
+        DestRe.findAllMatchIn(dests).map(_.group(1)).toSeq)
+      emptyNames
+    case DropSubRe(name, db, rp) =>
+      dropSubscription(db, rp, name); emptyNames
+    case ShowSubsRe() =>
+      // InfluxDB groups by database; flattened columns here, destinations
+      // rendered as a comma-joined string (a list in InfluxDB's JSON)
+      synchronized(subs.toSeq)
+        .map { case ((db, rp, n), (mode, ds)) =>
+          (db, rp, n, mode, ds.mkString(",")) }
+        .sortBy(t => (t._1, t._2, t._3))
+        .toDF("database", "retention_policy", "name", "mode", "destinations")
     case CqStmtRe() =>
       cqs.statement(q)
     // admin tier: users/privileges, query registry, operator diagnostics —
@@ -292,6 +332,15 @@ object MeasurementCatalog {
     """(?i)^\s*DROP\s+RETENTION\s+POLICY\s+"?(\w+)"?\s+ON\s+"?([\w.]+)"?\s*;?\s*$""".r
   private val ShowRpRe =
     """(?i)^\s*SHOW\s+RETENTION\s+POLICIES(?:\s+ON\s+"?([\w.]+)"?)?\s*;?\s*$""".r
+  private val CreateSubRe =
+    ("""(?i)^\s*CREATE\s+SUBSCRIPTION\s+"?([\w.-]+)"?\s+ON\s+"?([\w]+)"?\.""" +
+      """"?([\w]+)"?\s+DESTINATIONS\s+(ALL|ANY)\s+(.+?)\s*;?\s*$""").r
+  private val DropSubRe =
+    ("""(?i)^\s*DROP\s+SUBSCRIPTION\s+"?([\w.-]+)"?\s+ON\s+"?([\w]+)"?\.""" +
+      """"?([\w]+)"?\s*;?\s*$""").r
+  private val ShowSubsRe = """(?i)^\s*SHOW\s+SUBSCRIPTIONS\s*;?\s*$""".r
+  /** Destination list items: quoted endpoint URIs. */
+  private val DestRe = """'([^']*)'""".r
   private val DropMeasRe =
     """(?i)^\s*DROP\s+MEASUREMENT\s+"?([\w.]+)"?\s*;?\s*$""".r
   private val DeleteRe =

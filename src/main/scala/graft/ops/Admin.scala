@@ -187,6 +187,22 @@ object Admin {
     totalOrder(store.showShards(database = "ciwsdb"))
   }
 
+  /** Subscription registry lifecycle: two registrations (ALL and ANY
+    * modes, single and multi destination), one dropped — SHOW
+    * SUBSCRIPTIONS lists the survivors. */
+  private def showSubscriptions(spark: SparkSession, dir: String): DataFrame = {
+    val cat = freshCat(spark, dir)
+    cat.statement("CREATE DATABASE telegraf")
+    cat.statement("CREATE SUBSCRIPTION sub_kapacitor ON ciwsdb.autogen " +
+      "DESTINATIONS ALL 'http://kapacitor:9092'")
+    cat.statement("CREATE SUBSCRIPTION sub_mirror ON telegraf.autogen " +
+      "DESTINATIONS ANY 'udp://mirror-a:8089', 'udp://mirror-b:8089'")
+    cat.statement("CREATE SUBSCRIPTION sub_tmp ON ciwsdb.autogen " +
+      "DESTINATIONS ALL 'udp://scratch:8089'")
+    cat.statement("DROP SUBSCRIPTION sub_tmp ON ciwsdb.autogen")
+    totalOrder(cat.statement("SHOW SUBSCRIPTIONS"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "influxql_show_users" -> (showUsers _),
     "influxql_show_grants" -> (showGrants _),
@@ -197,7 +213,8 @@ object Admin {
     "influxql_show_diagnostics" -> (showDiagnostics _),
     "influxql_show_shards" -> (showShards _),
     "influxql_show_shard_groups" -> (showShardGroups _),
-    "influxql_drop_shard" -> (dropShard _))
+    "influxql_drop_shard" -> (dropShard _),
+    "influxql_show_subscriptions" -> (showSubscriptions _))
 
   val oracle: Map[String, String] = Map(
     "influxql_show_users" ->
@@ -296,7 +313,16 @@ object Admin {
          |  '1' AS owners
          |FROM k
          |${orderAll("id", "\"database\"", "retention_policy", "shard_group",
-           "start_time", "end_time", "expiry_time", "owners")}""".stripMargin)
+           "start_time", "end_time", "expiry_time", "owners")}""".stripMargin,
+    "influxql_show_subscriptions" ->
+      s"""SELECT * FROM (VALUES
+         |  ('ciwsdb', 'autogen', 'sub_kapacitor', 'ALL',
+         |   'http://kapacitor:9092'),
+         |  ('telegraf', 'autogen', 'sub_mirror', 'ANY',
+         |   'udp://mirror-a:8089,udp://mirror-b:8089')
+         |) AS t("database", retention_policy, name, mode, destinations)
+         |${orderAll("\"database\"", "retention_policy", "name", "mode",
+           "destinations")}""".stripMargin)
 }
 
 /** Re-entrant latch registry for the KILL QUERY demonstration: the task

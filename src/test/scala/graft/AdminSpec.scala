@@ -159,4 +159,33 @@ class AdminSpec extends SparkTestBase {
         "start_time", "end_time", "expiry_time"))
     intercept[IllegalArgumentException] { store.dropShard(999L) }
   }
+
+  test("subscription registry: create validates db/rp, drop removes, list") {
+    val cat = freshCat()
+    cat.statement("CREATE SUBSCRIPTION s1 ON ciwsdb.autogen " +
+      "DESTINATIONS ANY 'udp://a:8089', 'udp://b:8089'")
+    val listed = cat.statement("SHOW SUBSCRIPTIONS")
+      .as[(String, String, String, String, String)].collect().toSeq
+    assert(listed ===
+      Seq(("ciwsdb", "autogen", "s1", "ANY", "udp://a:8089,udp://b:8089")))
+    // a second registration under the same (db, rp, name) is an error
+    intercept[IllegalArgumentException] {
+      cat.statement("CREATE SUBSCRIPTION s1 ON ciwsdb.autogen " +
+        "DESTINATIONS ALL 'http://x:1'")
+    }
+    // unknown database and unknown retention policy both fail loudly
+    intercept[IllegalArgumentException] {
+      cat.statement("CREATE SUBSCRIPTION s2 ON nodb.autogen " +
+        "DESTINATIONS ALL 'http://x:1'")
+    }
+    intercept[IllegalArgumentException] {
+      cat.statement("CREATE SUBSCRIPTION s2 ON ciwsdb.norp " +
+        "DESTINATIONS ALL 'http://x:1'")
+    }
+    cat.statement("DROP SUBSCRIPTION s1 ON ciwsdb.autogen")
+    assert(cat.statement("SHOW SUBSCRIPTIONS").count() === 0)
+    intercept[IllegalArgumentException] {
+      cat.statement("DROP SUBSCRIPTION s1 ON ciwsdb.autogen")
+    }
+  }
 }
