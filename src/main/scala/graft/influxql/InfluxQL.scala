@@ -1935,6 +1935,15 @@ object InfluxQL {
     """(?i)^\s*SHOW\s+SERIES\s+(?:EXACT\s+)?CARDINALITY(?:\s+FROM\s+"?(\w+)"?)?\s*;?\s*$""".r
   private val ShowMeasCardRe =
     """(?i)^\s*SHOW\s+MEASUREMENT\s+(?:EXACT\s+)?CARDINALITY\s*;?\s*$""".r
+  // the rest of the 1.x cardinality family: tag-key / field-key counts are
+  // schema-only (no data read); tag-values cardinality is one distinct-count
+  // agg per measurement carrying the key
+  private val ShowTagKeyCardRe =
+    """(?i)^\s*SHOW\s+TAG\s+KEY\s+(?:EXACT\s+)?CARDINALITY(?:\s+FROM\s+"?(\w+)"?)?\s*;?\s*$""".r
+  private val ShowFieldKeyCardRe =
+    """(?i)^\s*SHOW\s+FIELD\s+KEY\s+(?:EXACT\s+)?CARDINALITY(?:\s+FROM\s+"?(\w+)"?)?\s*;?\s*$""".r
+  private val ShowTagValsCardRe =
+    """(?i)^\s*SHOW\s+TAG\s+VALUES\s+(?:EXACT\s+)?CARDINALITY\s+(?:FROM\s+"?(\w+)"?\s+)?WITH\s+KEY\s*=\s*"?(\w+)"?\s*;?\s*$""".r
   private val CqRe =
     ("""(?is)^\s*CREATE\s+CONTINUOUS\s+QUERY\s+"?(\w+)"?\s+ON\s+"?(\w+)"?""" +
       """(?:\s+RESAMPLE(?:\s+EVERY\s+(\d+(?:ns|u|µ|ms|s|m|h|d|w)))?""" +
@@ -2118,6 +2127,47 @@ object InfluxQL {
                 .select(lit(m).as("measurement"), col("count"))
             }.reduce(_ unionByName _).orderBy(col("measurement"))
         }
+      case ShowTagKeyCardRe(mOpt) =>
+        // tag-key cardinality is a SCHEMA property — answered from the
+        // catalog's footer-inferred schemas, zero data read (InfluxDB
+        // answers it from the index for the same reason)
+        def nTags(df: DataFrame): Long = df.schema.fields.count(f =>
+          f.name != "time" &&
+            f.dataType == org.apache.spark.sql.types.StringType).toLong
+        Option(mOpt) match {
+          case Some(m) => Seq(nTags(frame(m))).toDF("count")
+          case None => catalog.map { case (m, df) => (m, nTags(df)) }
+            .toDF("measurement", "count").orderBy(col("measurement"))
+        }
+      case ShowFieldKeyCardRe(mOpt) =>
+        def nFields(df: DataFrame): Long = {
+          import org.apache.spark.sql.types._
+          df.schema.fields.count(f => f.name != "time" && (f.dataType match {
+            case FloatType | DoubleType | IntegerType | LongType |
+              BooleanType => true
+            case _ => false
+          })).toLong
+        }
+        Option(mOpt) match {
+          case Some(m) => Seq(nFields(frame(m))).toDF("count")
+          case None => catalog.map { case (m, df) => (m, nFields(df)) }
+            .toDF("measurement", "count").orderBy(col("measurement"))
+        }
+      case ShowTagValsCardRe(mOpt, key) =>
+        // distinct values of ONE tag — the per-key slice of the series
+        // explosion (a runaway tag shows here first). One partial+final
+        // distinct-count agg per measurement; measurements without the
+        // key are skipped, as InfluxDB skips them
+        def card(m: String, df: DataFrame): DataFrame =
+          df.agg(count_distinct(col(key)).cast("long").as("count"))
+            .select(lit(m).as("measurement"), col("count"))
+        val frames = Option(mOpt) match {
+          case Some(m) => Seq(m -> frame(m)).filter(_._2.columns.contains(key))
+          case None => catalog.filter(_._2.columns.contains(key))
+        }
+        if (frames.isEmpty) Seq.empty[(String, Long)].toDF("measurement", "count")
+        else frames.map { case (m, df) => card(m, df) }
+          .reduce(_ unionByName _).orderBy(col("measurement"))
       case ShowSeriesRe(m) =>
         // one row per distinct tag combination, Influx line-protocol style
         val df = frame(m)

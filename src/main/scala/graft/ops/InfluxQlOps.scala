@@ -611,6 +611,12 @@ object InfluxQlOps {
       metaCat("SHOW SERIES EXACT CARDINALITY") _,
     "influxql_measurement_cardinality" ->
       metaCat("SHOW MEASUREMENT EXACT CARDINALITY") _,
+    "influxql_tag_key_cardinality" ->
+      metaCat("SHOW TAG KEY EXACT CARDINALITY") _,
+    "influxql_field_key_cardinality" ->
+      metaCat("SHOW FIELD KEY EXACT CARDINALITY") _,
+    "influxql_tag_values_cardinality" ->
+      metaCat("SHOW TAG VALUES EXACT CARDINALITY WITH KEY = event_type") _,
     "influxql_select_star" ->
       run("SELECT * FROM events " +
         "WHERE time >= '2024-01-02 00:00:00' AND time < '2024-01-02 06:00:00'") _,
@@ -723,6 +729,23 @@ object InfluxQlOps {
     "influxql_measurement_cardinality" ->
       s"""SELECT CAST(2 AS BIGINT) AS count
          |${orderAll("count")}""".stripMargin,
+    "influxql_tag_key_cardinality" ->
+      s"""SELECT measurement, CAST(n AS BIGINT) AS count FROM (VALUES
+         |  ('events', 2), ('events_clicks', 2)) AS t(measurement, n)
+         |${orderAll("measurement", "count")}""".stripMargin,
+    "influxql_field_key_cardinality" ->
+      s"""SELECT measurement, CAST(n AS BIGINT) AS count FROM (VALUES
+         |  ('events', 3), ('events_clicks', 3)) AS t(measurement, n)
+         |${orderAll("measurement", "count")}""".stripMargin,
+    "influxql_tag_values_cardinality" ->
+      s"""SELECT measurement, count FROM (
+         |  SELECT 'events' AS measurement,
+         |    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS count FROM events
+         |  UNION ALL
+         |  SELECT 'events_clicks' AS measurement,
+         |    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS count
+         |  FROM events WHERE event_type = 'click')
+         |${orderAll("measurement", "count")}""".stripMargin,
     "influxql_show_tag_keys_all" ->
       s"""SELECT * FROM (VALUES
          |  ('events', 'event_type'), ('events', 'props'),

@@ -262,7 +262,45 @@ object Text {
       .agg(count(lit(1)).as("df"), min(col("doc_id")).as("first_doc"))
       .filter(col("df") >= BoilerplateDf))
 
+  /** Unigram-LM quality score — the CCNet/KenLM-shaped perplexity filter
+    * every pretraining pipeline runs, with the LM trained on the corpus
+    * itself: score(doc) = mean over tokens of ln(c(tok)/N). Very negative
+    * ⇒ rare-token-heavy (OCR noise, gibberish); near the corpus mode ⇒
+    * ordinary prose. Two shuffles, both map-side-combined: token counts
+    * (keyed by token), then the per-doc mean (keyed by doc_id); the vocab
+    * table joins back BROADCAST (an aggregated vocabulary is ~O(unique
+    * tokens), which a df-floor caps in a 100 TB deployment — here the
+    * fixture vocab is already tiny). Each log term is rounded to 6 dp and
+    * decimal-accumulated (the [[textEntropy]] convention) so the per-doc
+    * fold is associative and engine-stable; the final mean is one IEEE
+    * double division (the [[graft.Tables.davg]] shape). */
+  def textLmScore(spark: SparkSession, dir: String): DataFrame =
+    lmScore(load(spark, dir, "documents"))
+
+  /** [[textLmScore]] over an arbitrary documents frame (doc_id, text). */
+  private[graft] def lmScore(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val toks = docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .transform(graft.OpCaches.cached)
+      .select(col("doc_id"), explode(col("t")).as("token"))
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    // corpus token total as a one-row frame: broadcast cross join makes it
+    // a scalar available inside the distributed plan, never a collect
+    val total = counts.agg(sum(col("c")).cast(DoubleType).as("n"))
+    totalOrder(toks
+      .join(broadcast(counts), "token")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        round(log(col("c").cast(DoubleType) / col("n")), 6)
+          .cast(DecimalType(38, 6)).as("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(col("term")).cast(DoubleType) / count(lit(1))).as("avg_logp")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lm_score" -> textLmScore,
     "text_boilerplate" -> textBoilerplate,
     "text_bpe_pairs" -> textBpePairs,
     "text_bpe_encode" -> textBpeEncode,
@@ -275,6 +313,22 @@ object Text {
     "text_fingerprint" -> textFingerprint)
 
   val oracle: Map[String, String] = Map(
+    "text_lm_score" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, token
+         |  FROM (SELECT doc_id,
+         |          unnest(regexp_split_to_array(lower(text), '[^a-z0-9'']+'))
+         |            AS token
+         |        FROM documents)
+         |  WHERE token <> ''),
+         |counts AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+         |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM counts)
+         |SELECT doc_id, COUNT(*) AS n_tokens,
+         |  CAST(SUM(CAST(round(ln(CAST(c AS DOUBLE) / n), 6)
+         |    AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_logp
+         |FROM toks JOIN counts USING (token) CROSS JOIN tot
+         |GROUP BY doc_id
+         |${orderAll("doc_id", "n_tokens", "avg_logp")}""".stripMargin,
     "text_boilerplate" ->
       s"""WITH tok AS (
          |  SELECT doc_id, list_filter(

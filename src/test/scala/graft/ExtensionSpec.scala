@@ -410,4 +410,33 @@ class ExtensionSpec extends SparkTestBase {
       .count()
     assert(bad == 0)
   }
+
+  test("unigram lm score: strictly negative, token counts reconcile, " +
+    "all-common-token doc outscores the corpus median") {
+    val lm = ops.Text.textLmScore(spark, sf).collect()
+    assert(lm.nonEmpty)
+    // ln(c/N) < 0 for every token as long as the vocab has >1 entry
+    assert(lm.forall(_.getDouble(2) < 0.0))
+    // the scored token count is exactly the whitespace tokenizer's count
+    // (same tokens() definition feeds both)
+    val tc = ops.Text.textTokenCount(spark, sf)
+      .select("doc_id", "n_ws_tokens").as[(Long, Int)].collect().toMap
+    assert(lm.forall(r => tc(r.getLong(0)) == r.getLong(1).toInt))
+    // mechanism check on a constructed corpus: a doc of only the dominant
+    // token must outscore a doc carrying the rare token, and the scores
+    // are exactly the mean ln(c/N) terms (N=11: 10×"aa", 1×"zz")
+    import spark.implicits._
+    val docs = Seq((1L, "aa aa aa aa aa aa aa"), (2L, "aa aa aa zz"))
+      .toDF("doc_id", "text")
+    val scored = ops.Text.lmScore(docs)
+      .select("doc_id", "avg_logp").as[(Long, Double)].collect().toMap
+    assert(scored(1L) > scored(2L))
+    val lnAa = BigDecimal(math.log(10.0 / 11.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lnZz = BigDecimal(math.log(1.0 / 11.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(scored(1L) - lnAa) < 1e-9)
+    assert(math.abs(scored(2L) - (3 * lnAa + lnZz) / 4) < 1e-9)
+    OpCaches.releaseAll()
+  }
 }

@@ -1410,4 +1410,35 @@ class InfluxQlSpec extends SparkTestBase {
         "WHERE event_type =~ /click|view/ AND event_type != 'view' LIMIT 3")
     assert(chained.count() <= 3)
   }
+
+  test("SHOW TAG KEY / FIELD KEY / TAG VALUES CARDINALITY answer the 1.x family") {
+    val m = Tables.load(spark, sf, "events").withColumnRenamed("ts", "time")
+    val cat = Seq(
+      "events" -> m,
+      "events_clicks" -> m.filter(col("event_type") === "click"))
+    // tag/field key cardinality is schema-only: events carries 2 string
+    // tags (event_type, props) and 3 numeric fields (event_id, user_id,
+    // value); `time` is neither
+    val tk = InfluxQL.runMeta(spark, cat, "SHOW TAG KEY CARDINALITY")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(tk == Seq(("events", 2L), ("events_clicks", 2L)))
+    val fk = InfluxQL.runMeta(spark, cat, "SHOW FIELD KEY EXACT CARDINALITY")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(fk == Seq(("events", 3L), ("events_clicks", 3L)))
+    // FROM form: a single count for the named measurement
+    val tkm = InfluxQL.runMeta(spark, cat,
+      "SHOW TAG KEY CARDINALITY FROM events").collect()
+    assert(tkm.map(_.getLong(0)).toSeq == Seq(2L))
+    // tag-values cardinality = distinct values of ONE key; events_clicks
+    // is a single-value slice by construction
+    val tv = InfluxQL.runMeta(spark, cat,
+      "SHOW TAG VALUES EXACT CARDINALITY WITH KEY = event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val nTypes = m.select("event_type").distinct().count()
+    assert(tv == Map("events" -> nTypes, "events_clicks" -> 1L))
+    // unknown key: measurements without it are skipped → EMPTY, not error
+    val none = InfluxQL.runMeta(spark, cat,
+      "SHOW TAG VALUES CARDINALITY WITH KEY = nosuchkey")
+    assert(none.isEmpty && none.columns.toSeq == Seq("measurement", "count"))
+  }
 }
