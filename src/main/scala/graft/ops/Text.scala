@@ -299,8 +299,49 @@ object Text {
         (sum(col("term")).cast(DoubleType) / count(lit(1))).as("avg_logp")))
   }
 
+  /** Bigram-LM fluency score — [[textLmScore]]'s second-order sibling:
+    * score(doc) = mean over ADJACENT token pairs of ln p(b|a), with
+    * p(b|a) = c₂(a,b) / Σ_b' c₂(a,b') the row-stochastic conditional read
+    * off the corpus bigram table itself (self-consistent, so no smoothing
+    * term and no OOV case — the model is trained on the scored corpus, the
+    * CCNet arrangement). Unigram catches rare WORDS; this catches unlikely
+    * SEQUENCES — shuffled or spliced text scores low even when every word
+    * is common. Same scale shape as the unigram op: pair postings shuffle
+    * by (a,b) for the count, by a for the head total, and the two
+    * aggregated model tables broadcast back onto the postings (a df-floor
+    * caps the bigram vocab in a 100 TB deployment); per-pair terms are
+    * 6-dp-rounded and decimal-accumulated. */
+  def textLmBigram(spark: SparkSession, dir: String): DataFrame =
+    lmBigram(load(spark, dir, "documents"))
+
+  /** [[textLmBigram]] over an arbitrary documents frame (doc_id, text). */
+  private[graft] def lmBigram(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val bi = docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .transform(graft.OpCaches.cached)
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("t")) - 2),
+        i => struct(element_at(col("t"), i + 1).as("a"),
+          element_at(col("t"), i + 2).as("b")))).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val c2 = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("a")).agg(sum(col("c2")).as("c1"))
+    totalOrder(bi
+      .join(broadcast(c2), Seq("a", "b"))
+      .join(broadcast(c1), Seq("a"))
+      .select(col("doc_id"),
+        round(log(col("c2").cast(DoubleType) / col("c1").cast(DoubleType)), 6)
+          .cast(DecimalType(38, 6)).as("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("term")).cast(DoubleType) / count(lit(1))).as("avg_logp2")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_lm_score" -> textLmScore,
+    "text_lm_bigram" -> textLmBigram,
     "text_boilerplate" -> textBoilerplate,
     "text_bpe_pairs" -> textBpePairs,
     "text_bpe_encode" -> textBpeEncode,
@@ -329,6 +370,24 @@ object Text {
          |FROM toks JOIN counts USING (token) CROSS JOIN tot
          |GROUP BY doc_id
          |${orderAll("doc_id", "n_tokens", "avg_logp")}""".stripMargin,
+    "text_lm_bigram" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_filter(
+         |    regexp_split_to_array(lower(text), '[^a-z0-9'']+'), t -> t <> '') AS t
+         |  FROM documents),
+         |bi AS (
+         |  SELECT doc_id, p.a AS a, p.b AS b
+         |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+         |          i -> struct_pack(a := t[i], b := t[i + 1]))) AS p
+         |        FROM tok WHERE len(t) >= 2)),
+         |c2 AS (SELECT a, b, COUNT(*) AS c2 FROM bi GROUP BY a, b),
+         |c1 AS (SELECT a, SUM(c2) AS c1 FROM c2 GROUP BY a)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  CAST(SUM(CAST(round(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)), 6)
+         |    AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_logp2
+         |FROM bi JOIN c2 USING (a, b) JOIN c1 USING (a)
+         |GROUP BY doc_id
+         |${orderAll("doc_id", "n_bigrams", "avg_logp2")}""".stripMargin,
     "text_boilerplate" ->
       s"""WITH tok AS (
          |  SELECT doc_id, list_filter(

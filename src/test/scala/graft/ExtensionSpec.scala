@@ -439,4 +439,30 @@ class ExtensionSpec extends SparkTestBase {
     assert(math.abs(scored(2L) - (3 * lnAa + lnZz) / 4) < 1e-9)
     OpCaches.releaseAll()
   }
+
+  test("bigram lm score: row-stochastic conditionals, hand-checked corpus") {
+    import spark.implicits._
+    // c2: (a,b)=3 (b,a)=1 (a,a)=1 (b,b)=1 → c1: a=4, b=2
+    val docs = Seq((1L, "a b a b"), (2L, "a a b b")).toDF("doc_id", "text")
+    val out = ops.Text.lmBigram(docs)
+      .select("doc_id", "n_bigrams", "avg_logp2")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (pAB, pBA, pAA, pBB) =
+      (r6(math.log(0.75)), r6(math.log(0.5)),
+        r6(math.log(0.25)), r6(math.log(0.5)))
+    assert(out(1L)._1 == 3L)
+    assert(math.abs(out(1L)._2 - (pAB + pBA + pAB) / 3) < 1e-9)
+    assert(out(2L)._1 == 3L)
+    assert(math.abs(out(2L)._2 - (pAA + pAB + pBB) / 3) < 1e-9)
+    // fluency beats the unigram signal: both docs share the same unigram
+    // multiset, yet the spliced doc (2) scores strictly lower
+    assert(out(1L)._2 > out(2L)._2)
+    // single-token docs carry no bigram → absent, not crashed
+    val one = ops.Text.lmBigram(Seq((9L, "solo")).toDF("doc_id", "text"))
+    assert(one.count() == 0)
+    OpCaches.releaseAll()
+  }
 }

@@ -235,4 +235,17 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("hashpartitioning(shard"),
       s"rank window not partitioned by shard:\n$windows")
   }
+
+  test("text_lm_score / text_lm_bigram: model tables broadcast back onto " +
+    "the postings — no sort-merge join of the corpus") {
+    for (df <- Seq(ops.Text.textLmScore(spark, sf),
+        ops.Text.textLmBigram(spark, sf))) {
+      val plan = planOf(df)
+      assert(plan.contains("BroadcastHashJoin") ||
+        plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+      assert(!plan.contains("SortMergeJoin"),
+        s"corpus-side shuffle join in:\n${plan.take(2000)}")
+      OpCaches.releaseAll()
+    }
+  }
 }
