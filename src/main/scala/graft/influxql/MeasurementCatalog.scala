@@ -61,6 +61,23 @@ class MeasurementCatalog(spark: SparkSession) {
     rps((db, name)) = (durationSec, replication, default)
   }
 
+  /** ALTER: update only the named clauses of an EXISTING policy. DEFAULT
+    * promotes this policy and demotes the db's current default (same
+    * single-default invariant CREATE maintains); omitting DEFAULT leaves
+    * the flag as it was — InfluxDB has no demote-by-ALTER form. */
+  def alterRetentionPolicy(db: String, name: String, durationSec: Option[Long],
+    replication: Option[Int], default: Boolean): Unit = synchronized {
+    val (dur, rep, dflt) = rps.getOrElse((db, name),
+      throw new IllegalArgumentException(s"unknown retention policy '$name'"))
+    if (default)
+      rps.mapValuesInPlace { case ((d, _), (du, re, _)) if d == db =>
+        (du, re, false)
+      case (_, v) => v }
+    rps((db, name)) =
+      (durationSec.getOrElse(dur), replication.getOrElse(rep),
+        default || dflt)
+  }
+
   def retentionPolicies(db: String): Seq[(String, Long, Int, Boolean)] =
     synchronized(rps.collect {
       case ((d, n), (dur, rep, df)) if d == db => (n, dur, rep, df)
@@ -200,6 +217,12 @@ class MeasurementCatalog(spark: SparkSession) {
           throw new IllegalArgumentException(s"unknown retention policy '$name'")
       }
       emptyNames
+    case AlterRpRe(name, db, clauses) =>
+      alterRetentionPolicy(db, name,
+        AlterDurRe.findFirstMatchIn(clauses).map(m => parseDur(m.group(1))),
+        AlterRepRe.findFirstMatchIn(clauses).map(_.group(1).toInt),
+        AlterDfltRe.findFirstIn(clauses).isDefined)
+      emptyNames
     case ShowRpRe(dbOpt) =>
       // InfluxDB's rendering: duration 0s = infinite; default flag marks
       // the policy writes land in
@@ -330,6 +353,15 @@ object MeasurementCatalog {
       """(\s+DEFAULT)?\s*;?\s*$""").r
   private val DropRpRe =
     """(?i)^\s*DROP\s+RETENTION\s+POLICY\s+"?(\w+)"?\s+ON\s+"?([\w.]+)"?\s*;?\s*$""".r
+  // ALTER takes any non-empty subset of the CREATE clauses; unnamed ones
+  // keep their current value (InfluxDB 1.x semantics)
+  private val AlterRpRe =
+    ("""(?i)^\s*ALTER\s+RETENTION\s+POLICY\s+"?(\w+)"?\s+ON\s+"?([\w.]+)"?""" +
+      """((?:\s+(?:DURATION\s+(?:\d+[smhdw]|INF)|REPLICATION\s+\d+|DEFAULT))+)""" +
+      """\s*;?\s*$""").r
+  private val AlterDurRe = """(?i)DURATION\s+(\d+[smhdw]|INF)""".r
+  private val AlterRepRe = """(?i)REPLICATION\s+(\d+)""".r
+  private val AlterDfltRe = """(?i)\bDEFAULT\b""".r
   private val ShowRpRe =
     """(?i)^\s*SHOW\s+RETENTION\s+POLICIES(?:\s+ON\s+"?([\w.]+)"?)?\s*;?\s*$""".r
   private val CreateSubRe =

@@ -420,6 +420,13 @@ object InfluxQlOps {
     cat.statement("CREATE DATABASE ciwsdb")
     cat.statement(
       "CREATE RETENTION POLICY one_week ON ciwsdb DURATION 7d REPLICATION 1 DEFAULT")
+    // the full lifecycle: ALTER retunes a non-default policy and promotes
+    // it — one_week demotes (single-default invariant), the named clauses
+    // change, REPLICATION carries over untouched
+    cat.statement(
+      "CREATE RETENTION POLICY archive ON ciwsdb DURATION 4w REPLICATION 2")
+    cat.statement(
+      "ALTER RETENTION POLICY archive ON ciwsdb DURATION 52w DEFAULT")
     totalOrder(cat.statement("SHOW RETENTION POLICIES ON ciwsdb"))
   }
 
@@ -908,8 +915,9 @@ object InfluxQlOps {
          |${orderAll("name")}""".stripMargin,
     "influxql_show_retention_policies" ->
       s"""SELECT * FROM (VALUES
+         |  ('archive', '31449600s', 2, true),
          |  ('autogen', '0s', 1, false),
-         |  ('one_week', '604800s', 1, true)
+         |  ('one_week', '604800s', 1, false)
          |) AS t(name, duration, "replicaN", "default")
          |${orderAll("name", "duration", "\"replicaN\"", "\"default\"")}""".stripMargin,
     "influxql_show_continuous_queries" ->

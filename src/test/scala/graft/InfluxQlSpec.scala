@@ -1354,6 +1354,24 @@ class InfluxQlSpec extends SparkTestBase {
     assert(cat.statement("SHOW RETENTION POLICIES ON ciwsdb").count() == 1)
     intercept[IllegalArgumentException](
       cat.statement("DROP RETENTION POLICY nosuch ON ciwsdb"))
+    // ALTER: only the named clauses change; DEFAULT promotes + demotes;
+    // omitted clauses (REPLICATION here) carry over
+    cat.statement(
+      "CREATE RETENTION POLICY keep ON ciwsdb DURATION 1w REPLICATION 3")
+    cat.statement("ALTER RETENTION POLICY keep ON ciwsdb DURATION 2w DEFAULT")
+    val altered = cat.statement("SHOW RETENTION POLICIES ON ciwsdb").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getBoolean(3)))
+      .toSet
+    assert(altered == Set(("autogen", "0s", 1, false),
+      ("keep", "1209600s", 3, true)))
+    // REPLICATION-only alter leaves duration and the default flag alone
+    cat.statement("ALTER RETENTION POLICY keep ON ciwsdb REPLICATION 2")
+    assert(cat.statement("SHOW RETENTION POLICIES ON ciwsdb").collect()
+      .map(r => (r.getString(0), r.getInt(2), r.getBoolean(3))).toSet
+      == Set(("autogen", 1, false), ("keep", 2, true)))
+    // altering an unknown policy fails loudly — ALTER never creates
+    intercept[IllegalArgumentException](
+      cat.statement("ALTER RETENTION POLICY nosuch ON ciwsdb DURATION 1d"))
   }
 
   test("FROM comma list unions series sets; unknown names fail loudly") {
