@@ -1944,6 +1944,10 @@ object InfluxQL {
     """(?i)^\s*SHOW\s+FIELD\s+KEY\s+(?:EXACT\s+)?CARDINALITY(?:\s+FROM\s+"?(\w+)"?)?\s*;?\s*$""".r
   private val ShowTagValsCardRe =
     """(?i)^\s*SHOW\s+TAG\s+VALUES\s+(?:EXACT\s+)?CARDINALITY\s+(?:FROM\s+"?(\w+)"?\s+)?WITH\s+KEY\s*=\s*"?(\w+)"?\s*;?\s*$""".r
+  // EXPLAIN only — EXPLAIN ANALYZE re-runs the query and reports wall-clock
+  // timings (nondeterministic by design), so it stays unsupported/loud
+  private val ExplainRe = """(?is)^\s*EXPLAIN\s+(SELECT\s+.+)$""".r
+  private val ExplainExprRe = """(?is)^\s*SELECT\s+(.+?)\s+FROM\s.*$""".r
   private val CqRe =
     ("""(?is)^\s*CREATE\s+CONTINUOUS\s+QUERY\s+"?(\w+)"?\s+ON\s+"?(\w+)"?""" +
       """(?:\s+RESAMPLE(?:\s+EVERY\s+(\d+(?:ns|u|µ|ms|s|m|h|d|w)))?""" +
@@ -2127,6 +2131,40 @@ object InfluxQL {
                 .select(lit(m).as("measurement"), col("count"))
             }.reduce(_ unionByName _).orderBy(col("measurement"))
         }
+      case ExplainRe(body) =>
+        // InfluxDB 1.x's pre-execution query report, deterministically:
+        // the parsed expression list plus the data the plan would touch —
+        // shard count (distinct days the filtered points span; the store's
+        // shard-group duration IS one day), series count (distinct tag
+        // sets) and point count after the WHERE. ONE distributed aggregate
+        // over the filtered frame — the same partial+final shape the real
+        // query's first stage would run, so the report's cost mirrors a
+        // planning pass, not an execution
+        val p = parse(body)
+        val src = frame(p.measurement)
+        val filtered = src.filter(whereFilter(p, None))
+        val tags = src.schema.fields
+          .filter(f => f.name != "time" &&
+            f.dataType == org.apache.spark.sql.types.StringType)
+          .map(_.name).toSeq.sorted
+        val seriesAgg =
+          if (tags.isEmpty) max(lit(1L))
+          else count_distinct(struct(tags.map(col): _*))
+        val stats = filtered.agg(
+          count(lit(1)).as("points"),
+          coalesce(seriesAgg.cast("long"), lit(0L)).as("series"),
+          count_distinct(to_date(col("time"))).cast("long").as("shards"))
+          .head()
+        val exprText = body match {
+          case ExplainExprRe(items) => items.trim.replaceAll("\\s+", " ")
+          case _ => fail(q, "EXPLAIN body is not a SELECT")
+        }
+        Seq(
+          ("EXPRESSION", exprText),
+          ("NUMBER OF SHARDS", stats.getLong(2).toString),
+          ("NUMBER OF SERIES", stats.getLong(1).toString),
+          ("NUMBER OF POINTS", stats.getLong(0).toString))
+          .toDF("item", "value")
       case ShowTagKeyCardRe(mOpt) =>
         // tag-key cardinality is a SCHEMA property — answered from the
         // catalog's footer-inferred schemas, zero data read (InfluxDB

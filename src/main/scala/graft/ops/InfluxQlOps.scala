@@ -624,6 +624,10 @@ object InfluxQlOps {
       metaCat("SHOW FIELD KEY EXACT CARDINALITY") _,
     "influxql_tag_values_cardinality" ->
       metaCat("SHOW TAG VALUES EXACT CARDINALITY WITH KEY = event_type") _,
+    "influxql_explain" ->
+      meta("EXPLAIN SELECT mean(value) AS mv FROM events " +
+        "WHERE time >= '2024-01-02 00:00:00' AND time < '2024-01-10 00:00:00' " +
+        "GROUP BY time(1d), event_type") _,
     "influxql_select_star" ->
       run("SELECT * FROM events " +
         "WHERE time >= '2024-01-02 00:00:00' AND time < '2024-01-02 06:00:00'") _,
@@ -744,6 +748,22 @@ object InfluxQlOps {
       s"""SELECT measurement, CAST(n AS BIGINT) AS count FROM (VALUES
          |  ('events', 3), ('events_clicks', 3)) AS t(measurement, n)
          |${orderAll("measurement", "count")}""".stripMargin,
+    "influxql_explain" ->
+      s"""WITH f AS (SELECT * FROM events
+         |  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-02 00:00:00'
+         |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-10 00:00:00')
+         |SELECT item, value FROM (
+         |  SELECT 'EXPRESSION' AS item, 'mean(value) AS mv' AS value
+         |  UNION ALL
+         |  SELECT 'NUMBER OF SHARDS',
+         |    CAST(COUNT(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE))
+         |      AS VARCHAR) FROM f
+         |  UNION ALL
+         |  SELECT 'NUMBER OF SERIES', CAST((SELECT COUNT(*) FROM
+         |    (SELECT DISTINCT event_type, props FROM f)) AS VARCHAR)
+         |  UNION ALL
+         |  SELECT 'NUMBER OF POINTS', CAST(COUNT(*) AS VARCHAR) FROM f)
+         |${orderAll("item", "value")}""".stripMargin,
     "influxql_tag_values_cardinality" ->
       s"""SELECT measurement, count FROM (
          |  SELECT 'events' AS measurement,

@@ -1459,4 +1459,25 @@ class InfluxQlSpec extends SparkTestBase {
       "SHOW TAG VALUES CARDINALITY WITH KEY = nosuchkey")
     assert(none.isEmpty && none.columns.toSeq == Seq("measurement", "count"))
   }
+
+  test("EXPLAIN reports expression, shards, series and points pre-execution") {
+    val m = Tables.load(spark, sf, "events").withColumnRenamed("ts", "time")
+    val cat = Seq("events" -> m)
+    val rep = InfluxQL.runMeta(spark, cat,
+      "EXPLAIN SELECT mean(value) AS mv FROM events " +
+        "WHERE time >= '2024-01-02 00:00:00' AND time < '2024-01-04 00:00:00' " +
+        "GROUP BY time(1d), event_type")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rep("EXPRESSION") == "mean(value) AS mv")
+    val f = m.filter(col("time") >= "2024-01-02 00:00:00" &&
+      col("time") < "2024-01-04 00:00:00")
+    assert(rep("NUMBER OF POINTS").toLong == f.count())
+    assert(rep("NUMBER OF SHARDS").toLong == 2L) // two whole days in range
+    assert(rep("NUMBER OF SERIES").toLong ==
+      f.select("event_type", "props").distinct().count())
+    // EXPLAIN ANALYZE re-executes and reports timings — nondeterministic,
+    // rejected loudly rather than approximated
+    intercept[IllegalArgumentException](InfluxQL.runMeta(spark, cat,
+      "EXPLAIN ANALYZE SELECT mean(value) FROM events"))
+  }
 }
