@@ -169,6 +169,40 @@ object Vectors {
         col("rk"), col("cosine")))
   }
 
+  /** All-vectors kNN SELF-JOIN — the hard-negative-mining / retrieval-pair
+    * shape: top-k approximate neighbors for EVERY vector, not a sampled
+    * query set. The per-query plan of [[simKnnIvf]] inverts here: with n
+    * queries, broadcasting queries is the wrong move — instead each vector
+    * searches only its OWN IVF cell (nprobe=1, its assignment), so the
+    * whole search is one BUCKETED SELF-JOIN on cell id with join mass
+    * Σ|cell|² ≈ n·√n, shuffled by cid and never broadcast. At 100 TB this
+    * is the canonical shape: both sides hash-partition on the cell, cells
+    * are √n-sized by construction, and skew is bounded by the quantizer's
+    * balance (monitored via the cap-stats audit twins of the dedup
+    * family). A vector alone in its cell emits no pairs — the standard
+    * approximate-join recall trade, raised by nprobe in the per-query
+    * tier. */
+  def simKnnJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.vecDot
+    val base = load(spark, dir, "embeddings")
+      .withColumn("nrm", sqrt(vecDot(spark, col("embedding"), col("embedding"))))
+      .transform(graft.OpCaches.cached)
+    val (_, lists) = ivfIndex(spark, base)
+    val q = lists.join(base, "vec_id")
+      .select(col("cid"), col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    totalOrder(q.join(lists, "cid").join(base, "vec_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine",
+        vecDot(spark, col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("rk"), col("cosine")))
+  }
+
   /** Train the IVF coarse quantizer over `base` (embeddings + nrm, cached
     * by the caller): k = ⌊√n⌋ id-stride seeds refined by two Lloyd rounds
     * run over a deterministic id-stride TRAINING SAMPLE (~16·√n rows, the
@@ -445,6 +479,7 @@ object Vectors {
     "sim_knn_native" -> simKnnNative,
     "sim_knn_ivf" -> simKnnIvf,
     "sim_knn_ivfpq" -> simKnnIvfPq,
+    "sim_knn_join" -> simKnnJoin,
     "sim_cosine_lsh" -> simCosineLsh,
     "vec_centroid" -> vecCentroid,
     "vec_centroid_native" -> vecCentroidNative)
@@ -673,6 +708,37 @@ object Vectors {
     }) +
     ("sim_knn_native" -> oracleBase("sim_knn_bruteforce")) +
     ("vec_centroid_native" -> oracleBase("vec_centroid")) +
+    ("sim_knn_join" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding, ${sqlNorm.format("embedding")} AS nrm
+         |  FROM embeddings),
+         |$sqlIvfPrelude,
+         |c0 AS (
+         |  SELECT vec_id AS cid,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec,
+         |    ${sqlNorm.format("embedding")} AS cnrm
+         |  FROM base WHERE vec_id % (SELECT stride FROM p) = 0),
+         |${sqlAssign("a0", "c0", "tr")},
+         |${sqlUpdate("c1", "a0")},
+         |${sqlAssign("a1", "c1", "tr")},
+         |${sqlUpdate("c2", "a1")},
+         |${sqlAssign("a2", "c2", "base")},
+         |q AS (SELECT a2.cid, a2.vec_id AS q_id, b.embedding AS q_emb,
+         |        b.nrm AS q_nrm
+         |      FROM a2 JOIN base b ON b.vec_id = a2.vec_id),
+         |scored AS (
+         |  SELECT q.q_id, b.vec_id,
+         |    ${sqlDot.format("b.embedding", "q.q_emb")} / (b.nrm * q.q_nrm) AS cosine
+         |  FROM q JOIN a2 ON a2.cid = q.cid
+         |  JOIN base b ON b.vec_id = a2.vec_id
+         |  WHERE b.vec_id <> q.q_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id AS neighbor_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY cosine DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT q_id, neighbor_id, rk, cosine FROM ranked WHERE rk <= 3
+         |${orderAll("q_id", "neighbor_id", "rk", "cosine")}""".stripMargin) +
     ("sim_knn_ivf" ->
       s"""WITH base AS (
          |  SELECT vec_id, embedding, ${sqlNorm.format("embedding")} AS nrm

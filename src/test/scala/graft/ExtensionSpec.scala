@@ -145,6 +145,43 @@ class ExtensionSpec extends SparkTestBase {
     assert(recall >= 0.1, s"recall@5 = $recall")
   }
 
+  test("knn self-join: co-celled pairs only, contiguous ranks, " +
+    "nontrivial recall vs exact all-pairs top-3") {
+    val kj = ops.Vectors.simKnnJoin(spark, sf)
+    assert(kj.filter(col("q_id") === col("neighbor_id")).count() == 0)
+    // ranks are contiguous from 1 and cosine is non-increasing in rank
+    val byQ = kj.select("q_id", "rk", "cosine")
+      .as[(Long, Int, Double)].collect().groupBy(_._1)
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length))
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._3 >= b._3; case _ => true })
+    }
+    // near-all coverage: only vectors alone in their cell emit nothing
+    val n = Tables.load(spark, sf, "embeddings").count()
+    assert(byQ.size >= n / 2, s"only ${byQ.size} of $n vectors got neighbors")
+    // recall vs the exact all-pairs top-3 (cell-restricted nprobe=1 search
+    // over near-orthogonal random vectors — must beat a trivial floor)
+    import graft.functions.GraftFunctions.vecDot
+    val base = Tables.load(spark, sf, "embeddings")
+      .withColumn("nrm", sqrt(vecDot(spark, col("embedding"), col("embedding"))))
+    val b2 = base.select(col("vec_id").as("n_id"),
+      col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("n_id"))
+    val exact = base.crossJoin(b2).filter(col("vec_id") =!= col("n_id"))
+      .withColumn("cosine",
+        vecDot(spark, col("embedding"), col("n_emb")) / (col("nrm") * col("n_nrm")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("vec_id"), col("n_id")).as[(Long, Long)].collect().toSet
+    val got = kj.select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.1, s"recall@3 = $recall")
+    OpCaches.releaseAll()
+  }
+
   test("pq knn: valid structure and nontrivial recall vs brute force") {
     val pq = ops.Vectors.simKnnPq(spark, sf)
     assert(pq.filter(col("q_id") === col("neighbor_id")).count() == 0)
