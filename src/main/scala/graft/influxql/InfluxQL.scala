@@ -2141,6 +2141,11 @@ object InfluxQL {
         // query's first stage would run, so the report's cost mirrors a
         // planning pass, not an execution
         val p = parse(body)
+        // the report is a single-measurement scan estimate; a subquery /
+        // regex / list FROM has no one frame to estimate against — reject
+        // loudly rather than report the wrong source's numbers
+        if (p.sub.nonEmpty || p.fromRegex.nonEmpty || p.fromList.nonEmpty)
+          fail(q, "EXPLAIN supports a single named measurement FROM")
         val src = frame(p.measurement)
         val filtered = src.filter(whereFilter(p, None))
         val tags = src.schema.fields

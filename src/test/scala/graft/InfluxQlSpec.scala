@@ -1479,5 +1479,12 @@ class InfluxQlSpec extends SparkTestBase {
     // rejected loudly rather than approximated
     intercept[IllegalArgumentException](InfluxQL.runMeta(spark, cat,
       "EXPLAIN ANALYZE SELECT mean(value) FROM events"))
+    // multi-source FROM shapes have no one frame to estimate — loud, not
+    // the wrong source's numbers
+    intercept[IllegalArgumentException](InfluxQL.runMeta(spark, cat,
+      "EXPLAIN SELECT mean(mv) FROM (SELECT mean(value) AS mv FROM events " +
+        "GROUP BY time(1h))"))
+    intercept[IllegalArgumentException](InfluxQL.runMeta(spark, cat,
+      "EXPLAIN SELECT mean(value) FROM /ev/"))
   }
 }
