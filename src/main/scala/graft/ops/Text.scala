@@ -339,7 +339,56 @@ object Text {
         (sum(col("term")).cast(DoubleType) / count(lit(1))).as("avg_logp2")))
   }
 
+  /** BM25 query terms / parameters for [[textBm25]] — a fixed demo query
+    * with the standard Robertson k1/b constants. */
+  private val Bm25Query = Seq("spark", "window", "merge")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
+  /** BM25 relevance scoring — the retrieval op of the text family: rank
+    * every document against a query term set with the Okapi weighting
+    * (idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))) that underlies both
+    * search serving and retrieval-based data curation (e.g. mining
+    * training docs relevant to a seed query). Shape at 100 TB: ONE corpus
+    * pass computes the per-doc term frequencies AS ROW EXPRESSIONS (the
+    * query is a handful of terms — no posting-list explode, no shuffle),
+    * and the global statistics (N, avgdl, per-term df) are a single
+    * one-row aggregate broadcast back — so the whole op is scan + tiny
+    * broadcast + scan, embarrassingly parallel. Per-term scores are
+    * 6-dp-rounded and decimal-accumulated (the [[textLmScore]]
+    * convention); avgdl uses the exact decimal mean. */
+  def textBm25(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val docs = load(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("dl", size(col("t")).cast(DoubleType))
+    val dfCols = Bm25Query.map(t =>
+      sum(when(array_contains(col("t"), t), 1L).otherwise(0L)).as(s"df_$t"))
+    val stats = docs.agg(
+      count(lit(1)).cast(DoubleType).as("n_docs"),
+      (davg(col("dl")).as("avgdl") +: dfCols): _*)
+    def tf(t: String) = size(filter(col("t"), x => x === t)).cast(DoubleType)
+    def idf(t: String) = log(lit(1.0) +
+      (col("n_docs") - col(s"df_$t").cast(DoubleType) + lit(0.5)) /
+        (col(s"df_$t").cast(DoubleType) + lit(0.5)))
+    def term(t: String) =
+      when(tf(t) > 0,
+        round(idf(t) * tf(t) * lit(Bm25K1 + 1) /
+          (tf(t) + lit(Bm25K1) * (lit(1 - Bm25B)
+            + lit(Bm25B) * (col("dl") / col("avgdl")))), 6))
+        .otherwise(lit(0.0)).cast(DecimalType(38, 6))
+    val nMatch = Bm25Query
+      .map(t => when(array_contains(col("t"), t), 1).otherwise(0))
+      .reduce(_ + _)
+    totalOrder(docs.crossJoin(broadcast(stats))
+      .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
+        nMatch.as("n_terms_matched"),
+        Bm25Query.map(term).reduce(_ + _).cast(DoubleType).as("bm25"))
+      .filter(col("n_terms_matched") >= 1))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25" -> textBm25,
     "text_lm_score" -> textLmScore,
     "text_lm_bigram" -> textLmBigram,
     "text_boilerplate" -> textBoilerplate,
@@ -353,7 +402,46 @@ object Text {
     "text_lang_topk" -> textLangTopk,
     "text_fingerprint" -> textFingerprint)
 
+  /** DuckDB BM25 term score — the exact double expression of
+    * [[textBm25]]'s `term`, tf/df names parameterized. Decimal literals
+    * promote to DOUBLE on first contact with a double operand (tf, dl,
+    * avgdl all double), mirroring the Spark lit constants. */
+  private def sqlBm25Term(t: String): String =
+    s"""CAST(CASE WHEN tf_$t > 0 THEN round(
+       |  ln(1.0 + (n_docs - CAST(df_$t AS DOUBLE) + 0.5)
+       |            / (CAST(df_$t AS DOUBLE) + 0.5))
+       |  * tf_$t * 2.2
+       |  / (tf_$t + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))), 6)
+       |ELSE 0.0 END AS DECIMAL(38,6))""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "text_bm25" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_filter(
+         |    regexp_split_to_array(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS t
+         |  FROM documents),
+         |st AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         |    ${graft.Tables.sqlDavg("len(t)")} AS avgdl,
+         |    ${Bm25Query.map(t =>
+              s"SUM(CASE WHEN list_contains(t, '$t') THEN 1 ELSE 0 END) AS df_$t")
+              .mkString(",\n    ")}
+         |  FROM tok),
+         |tfs AS (
+         |  SELECT doc_id, len(t) AS dl,
+         |    ${Bm25Query.map(t =>
+              s"CAST(len(list_filter(t, x -> x = '$t')) AS DOUBLE) AS tf_$t")
+              .mkString(",\n    ")}
+         |  FROM tok)
+         |SELECT doc_id, dl,
+         |  ${Bm25Query.map(t => s"(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END)")
+              .mkString(" + ")} AS n_terms_matched,
+         |  CAST(${Bm25Query.map(sqlBm25Term).mkString("\n  + ")}
+         |    AS DOUBLE) AS bm25
+         |FROM tfs CROSS JOIN st
+         |WHERE ${Bm25Query.map(t => s"(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END)")
+              .mkString(" + ")} >= 1
+         |${orderAll("doc_id", "dl", "n_terms_matched", "bm25")}""".stripMargin,
     "text_lm_score" ->
       s"""WITH toks AS (
          |  SELECT doc_id, token

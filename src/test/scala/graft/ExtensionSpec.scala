@@ -221,6 +221,23 @@ class ExtensionSpec extends SparkTestBase {
     OpCaches.releaseAll()
   }
 
+  test("rp knn: valid structure and strong recall vs brute force") {
+    val rp = ops.Vectors.simKnnRp(spark, sf)
+    assert(rp.filter(col("q_id") === col("neighbor_id")).count() == 0)
+    val counts = rp.groupBy("q_id").count().select("count").as[Long].collect()
+    assert(counts.nonEmpty && counts.forall(_ == 5L))
+    val bf = ops.Vectors.simKnnBruteforce(spark, sf)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = rp.select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = got.intersect(bf).size.toDouble / bf.size
+    // random near-orthogonal vectors are JL's worst case (the top-5 gap
+    // is comparable to the 1/√k projection noise); the pool must still
+    // carry far more of the true top-5 than a random 32-of-n pool would
+    // (~0.05 here), and the family's trivial floor applies
+    assert(recall >= 0.1, s"recall@5 = $recall")
+    OpCaches.releaseAll()
+  }
+
   test("lsh pairs are a subset of all >=0.4 cosine pairs and nonempty") {
     val n = ops.Vectors.simCosineLsh(spark, sf).count()
     assert(n > 0, "expected some near pairs at threshold 0.4")
@@ -501,5 +518,44 @@ class ExtensionSpec extends SparkTestBase {
     val one = ops.Text.lmBigram(Seq((9L, "solo")).toDF("doc_id", "text"))
     assert(one.count() == 0)
     OpCaches.releaseAll()
+  }
+
+  test("bm25: row set is exactly the matching docs and every score " +
+    "reproduces an imperative Okapi reference") {
+    val q = Seq("spark", "window", "merge")
+    val toks = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, t) =>
+        id -> t.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty).toSeq }
+    val n = toks.length.toDouble
+    val avgdl = toks.map(_._2.size.toLong).sum.toDouble / toks.length
+    val dfm = q.map(t => t -> toks.count(_._2.contains(t)).toDouble).toMap
+    def ref(ts: Seq[String]): (Int, Double) = {
+      val dl = ts.size.toDouble
+      var acc = BigDecimal(0)
+      var m = 0
+      for (t <- q) {
+        val tf = ts.count(_ == t).toDouble
+        if (tf > 0) {
+          m += 1
+          val idf = math.log(1.0 + (n - dfm(t) + 0.5) / (dfm(t) + 0.5))
+          val s = idf * tf * (1.2 + 1) /
+            (tf + 1.2 * ((1 - 0.75) + 0.75 * (dl / avgdl)))
+          acc += BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        }
+      }
+      (m, acc.toDouble)
+    }
+    val expected = toks.map { case (id, ts) => id -> ref(ts) }
+      .filter(_._2._1 >= 1).toMap
+    val out = ops.Text.textBm25(spark, sf)
+      .select("doc_id", "n_terms_matched", "bm25")
+      .as[(Long, Int, Double)].collect()
+    assert(out.map(_._1).toSet == expected.keySet)
+    out.foreach { case (id, m, s) =>
+      assert(m == expected(id)._1, s"doc $id matched-term count")
+      assert(math.abs(s - expected(id)._2) < 1e-9, s"doc $id score $s")
+      assert(s > 0.0, s"doc $id nonpositive score")
+    }
   }
 }
