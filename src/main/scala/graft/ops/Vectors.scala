@@ -203,6 +203,61 @@ object Vectors {
         col("rk"), col("cosine")))
   }
 
+  /** Reduced dimensionality for [[simKnnRp]] (Dim/4) and the candidate
+    * pool width the exact re-rank pays for. */
+  private val RpDims = 16
+  private val RpCandidates = 32
+
+  /** Random-projection (Johnson–Lindenstrauss) kNN — the compressed-domain
+    * tier between brute force and IVF: every vector is projected once to
+    * [[RpDims]] = Dim/4 dimensions through the deterministic Achlioptas ±1
+    * plane bank ([[SignLsh.weight]] — the SAME bank whose sign bits drive
+    * the LSH ops; here the raw projections are kept, not just their
+    * signs), the top-[[RpCandidates]] candidates per query are found by
+    * cosine IN THE PROJECTED SPACE (4× less arithmetic and memory
+    * bandwidth per comparison — at 100 TB the projected table is the one
+    * that fits in cluster memory), and only those candidates pay the exact
+    * 64-dim re-rank. JL preserves angles to O(1/√k); how much of the true
+    * top-5 the 32-wide pool keeps depends on the corpus's cosine spread
+    * (near-orthogonal random vectors are the worst case) and is measured
+    * against [[simKnnBruteforce]] in the spec. Projection is 16 fused
+    * [[graft.functions.VecDot]] loops against literal plane vectors;
+    * determinism of the bank is what lets DuckDB inline the identical
+    * planes and hash-match. */
+  def simKnnRp(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.vecDot
+    val planes = (0 until RpDims).map { j =>
+      typedlit(Array.tabulate(SignLsh.Dim)(d => SignLsh.weight(j, d).toFloat))
+    }
+    val base = load(spark, dir, "embeddings")
+      .withColumn("nrm", sqrt(vecDot(spark, col("embedding"), col("embedding"))))
+      .withColumn("rp",
+        array(planes.map(p => vecDot(spark, col("embedding"), p)): _*))
+      .withColumn("pn", sqrt(vecDot(spark, col("rp"), col("rp"))))
+      .transform(graft.OpCaches.cached)
+    val queries = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("rp").as("q_rp"), col("pn").as("q_pn"))
+    val wCand = Window.partitionBy(col("q_id"))
+      .orderBy(col("pcos").desc, col("vec_id"))
+    val cand = base.select("vec_id", "rp", "pn").crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("pcos",
+        vecDot(spark, col("rp"), col("q_rp")) / (col("pn") * col("q_pn")))
+      .withColumn("crk", row_number().over(wCand))
+      .filter(col("crk") <= RpCandidates)
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    totalOrder(cand.select("q_id", "vec_id", "q_emb", "q_nrm")
+      .join(base.select(col("vec_id"), col("embedding"), col("nrm")), "vec_id")
+      .withColumn("cosine",
+        vecDot(spark, col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("rk"), col("cosine")))
+  }
+
   /** Train the IVF coarse quantizer over `base` (embeddings + nrm, cached
     * by the caller): k = ⌊√n⌋ id-stride seeds refined by two Lloyd rounds
     * run over a deterministic id-stride TRAINING SAMPLE (~16·√n rows, the
@@ -480,6 +535,7 @@ object Vectors {
     "sim_knn_ivf" -> simKnnIvf,
     "sim_knn_ivfpq" -> simKnnIvfPq,
     "sim_knn_join" -> simKnnJoin,
+    "sim_knn_rp" -> simKnnRp,
     "sim_cosine_lsh" -> simCosineLsh,
     "vec_centroid" -> vecCentroid,
     "vec_centroid_native" -> vecCentroidNative)
@@ -796,6 +852,46 @@ object Vectors {
          |  FROM scored)
          |SELECT q_id, neighbor_id, rk, cosine FROM ranked WHERE rk <= 5
          |${orderAll("q_id", "neighbor_id", "rk", "cosine")}""".stripMargin,
+    "sim_knn_rp" -> {
+      // the identical ±1 plane bank, inlined as literal lists per plane
+      val sqlRp = (0 until RpDims).map { j =>
+        val wl = (0 until SignLsh.Dim)
+          .map(SignLsh.weight(j, _)).mkString("[", ",", "]")
+        s"list_aggregate(list_transform(list_zip(embedding, $wl), " +
+          "x -> CAST(x[1] AS DOUBLE) * x[2]), 'sum')"
+      }.mkString("[\n    ", ",\n    ", "]")
+      s"""WITH b0 AS (
+         |  SELECT vec_id, embedding, ${sqlNorm.format("embedding")} AS nrm,
+         |    $sqlRp AS rp
+         |  FROM embeddings),
+         |base AS (
+         |  SELECT *, sqrt(list_aggregate(list_transform(rp, x -> x * x),
+         |    'sum')) AS pn
+         |  FROM b0),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm,
+         |        rp AS q_rp, pn AS q_pn
+         |      FROM base WHERE vec_id % 100 = 0),
+         |cand AS (
+         |  SELECT q_id, vec_id, q_emb, q_nrm,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+         |      list_aggregate(list_transform(list_zip(rp, q_rp),
+         |        x -> x[1] * x[2]), 'sum') / (pn * q_pn) DESC,
+         |      vec_id) AS crk
+         |  FROM base CROSS JOIN q WHERE vec_id <> q_id),
+         |scored AS (
+         |  SELECT c.q_id, b.vec_id AS neighbor_id,
+         |    ${sqlDot.format("b.embedding", "c.q_emb")}
+         |      / (b.nrm * c.q_nrm) AS cosine
+         |  FROM cand c JOIN base b ON b.vec_id = c.vec_id
+         |  WHERE c.crk <= $RpCandidates),
+         |ranked AS (
+         |  SELECT q_id, neighbor_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY cosine DESC, neighbor_id) AS rk
+         |  FROM scored)
+         |SELECT q_id, neighbor_id, rk, cosine FROM ranked WHERE rk <= 5
+         |${orderAll("q_id", "neighbor_id", "rk", "cosine")}""".stripMargin
+    },
     "sim_cosine_lsh" ->
       s"""WITH ${SignLsh.sqlCandCtes()},
          |scored AS (
