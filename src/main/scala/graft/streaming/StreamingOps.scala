@@ -514,9 +514,44 @@ object StreamingOps {
       .select(col("siteID"), col("meterID"), col("time"), col("value")))
   }
 
+  /** Streaming corpus curation — the LLM-pipeline tier run as an unbounded
+    * ingest (the shape of a crawl feed landing continuously): documents
+    * stream through a per-row quality gate (token floor — pure expressions,
+    * stateless), then exact-dedup + survivorship AS AN AGGREGATION on the
+    * normalized content hash (min doc_id = canonical survivor, dup count,
+    * token mass), run in UPDATE mode with each micro-batch MERGE-upserting
+    * only its changed hash groups through [[MergeSink]] (the
+    * stream_cq_into_store path). Aggregate state is one row per distinct
+    * surviving hash — the result itself — and, because the output is a pure
+    * aggregate, survivorship is ORDER-INDEPENDENT: any file/batch arrival
+    * order converges to the same table (what makes a streaming dedup
+    * oracle-able at all; a first-seen dropDuplicates would be
+    * arrival-order-dependent). At 100 TB the hash groups hash-partition
+    * across the cluster and each batch touches only its delta. */
+  def streamDocCurate(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.sizedSession(spark, 4)
+    val docs = s.readStream
+      .schema(s.read.parquet(s"$dir/documents.parquet").schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val toks = filter(split(lower(col("text")), "[^a-z0-9']+"), t => t =!= "")
+    val agg = docs
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .filter(col("n_tokens") >= 20)
+      .withColumn("content_hash",
+        sha2(regexp_replace(lower(col("text")), "[^a-z0-9]", ""), 256))
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("n_dupes"),
+        min(col("source")).as("first_source"),
+        sum(col("n_tokens")).as("total_tokens"))
+    totalOrder(mergeDrain(agg, Seq("content_hash")))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_doc_curate" -> streamDocCurate,
     "stream_time_bucket" -> streamTimeBucket,
     "stream_dedup" -> streamDedup,
     "stream_pulse_rate" -> streamPulseRate,
@@ -529,6 +564,21 @@ object StreamingOps {
     "stream_topk" -> streamTopk)
 
   val oracle: Map[String, String] = Map(
+    "stream_doc_curate" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, source,
+         |    sha256(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+         |      AS content_hash,
+         |    len(list_filter(regexp_split_to_array(lower(text),
+         |      '[^a-z0-9'']+'), x -> x <> '')) AS n_tokens
+         |  FROM documents)
+         |SELECT content_hash, MIN(doc_id) AS canonical_id,
+         |  COUNT(*) AS n_dupes, MIN(source) AS first_source,
+         |  SUM(n_tokens) AS total_tokens
+         |FROM g WHERE n_tokens >= 20
+         |GROUP BY content_hash
+         |${orderAll("content_hash", "canonical_id", "n_dupes",
+              "first_source", "total_tokens")}""".stripMargin,
     "stream_time_bucket" ->
       s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
          |  event_type, COUNT(*) AS n

@@ -519,6 +519,29 @@ class IngestStoreStreamSpec extends SparkTestBase {
     assert(closed.exceptAll(keyed).count() == 0)
   }
 
+  test("streaming doc curation equals its batch twin and collapses dups") {
+    import org.apache.spark.sql.functions._
+    val streamed = streaming.StreamingOps.streamDocCurate(spark, sf)
+    val toks = filter(split(lower(col("text")), "[^a-z0-9']+"), t => t =!= "")
+    val batch = Tables.load(spark, sf, "documents")
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .filter(col("n_tokens") >= 20)
+      .withColumn("content_hash",
+        sha2(regexp_replace(lower(col("text")), "[^a-z0-9]", ""), 256))
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("n_dupes"),
+        min(col("source")).as("first_source"),
+        sum(col("n_tokens")).as("total_tokens"))
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    // sf0.001 plants no exact dups (sf0.01 does — the gate run covers
+    // survivorship); here every group is a singleton and the gate dropped
+    // the short tail
+    assert(streamed.count() > 0)
+    assert(streamed.agg(min(col("n_dupes"))).head().getLong(0) >= 1)
+  }
+
   test("concurrent ops: no session-global conf mutation, results correct") {
     // ops that size a stateful/pair-graph shuffle do it on a CLONED
     // session; two running concurrently must not race on the shared
