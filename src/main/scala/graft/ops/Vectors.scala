@@ -258,6 +258,33 @@ object Vectors {
         col("rk"), col("cosine")))
   }
 
+  /** IVF index balance audit — the ANN twin of the dedup family's
+    * cap-stats ops: one row summarizing the trained quantizer's cell-size
+    * distribution. `skew` (max cell / mean cell) bounds the straggler
+    * factor of every list-pruned search, and `join_mass` (Σ|cell|²) IS the
+    * exact shuffle mass of the [[simKnnJoin]] self-join — the two numbers
+    * an operator checks BEFORE committing a 100 TB all-vectors pass to the
+    * cluster. A quantizer whose skew drifts (data no longer matches the
+    * trained centroids) shows up here long before a straggling stage
+    * does. Fully oracled: DuckDB reproduces the training chain and the
+    * same audit aggregate. */
+  def simIvfStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.vecDot
+    val base = load(spark, dir, "embeddings")
+      .withColumn("nrm", sqrt(vecDot(spark, col("embedding"), col("embedding"))))
+      .transform(graft.OpCaches.cached)
+    val (_, lists) = ivfIndex(spark, base)
+    val sizes = lists.groupBy(col("cid")).agg(count(lit(1)).as("sz"))
+    totalOrder(sizes.agg(
+      count(lit(1)).as("n_cells"),
+      min(col("sz")).as("min_sz"),
+      max(col("sz")).as("max_sz"),
+      davg(col("sz").cast(DoubleType)).as("avg_sz"),
+      (max(col("sz")).cast(DoubleType) * count(lit(1)).cast(DoubleType) /
+        sum(col("sz")).cast(DoubleType)).as("skew"),
+      sum(col("sz") * col("sz")).as("join_mass")))
+  }
+
   /** Train the IVF coarse quantizer over `base` (embeddings + nrm, cached
     * by the caller): k = ⌊√n⌋ id-stride seeds refined by two Lloyd rounds
     * run over a deterministic id-stride TRAINING SAMPLE (~16·√n rows, the
@@ -536,6 +563,7 @@ object Vectors {
     "sim_knn_ivfpq" -> simKnnIvfPq,
     "sim_knn_join" -> simKnnJoin,
     "sim_knn_rp" -> simKnnRp,
+    "sim_ivf_stats" -> simIvfStats,
     "sim_cosine_lsh" -> simCosineLsh,
     "vec_centroid" -> vecCentroid,
     "vec_centroid_native" -> vecCentroidNative)
@@ -795,6 +823,30 @@ object Vectors {
          |  FROM scored)
          |SELECT q_id, neighbor_id, rk, cosine FROM ranked WHERE rk <= 3
          |${orderAll("q_id", "neighbor_id", "rk", "cosine")}""".stripMargin) +
+    ("sim_ivf_stats" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding, ${sqlNorm.format("embedding")} AS nrm
+         |  FROM embeddings),
+         |$sqlIvfPrelude,
+         |c0 AS (
+         |  SELECT vec_id AS cid,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec,
+         |    ${sqlNorm.format("embedding")} AS cnrm
+         |  FROM base WHERE vec_id % (SELECT stride FROM p) = 0),
+         |${sqlAssign("a0", "c0", "tr")},
+         |${sqlUpdate("c1", "a0")},
+         |${sqlAssign("a1", "c1", "tr")},
+         |${sqlUpdate("c2", "a1")},
+         |${sqlAssign("a2", "c2", "base")},
+         |sizes AS (SELECT cid, COUNT(*) AS sz FROM a2 GROUP BY cid)
+         |SELECT COUNT(*) AS n_cells, MIN(sz) AS min_sz, MAX(sz) AS max_sz,
+         |  ${graft.Tables.sqlDavg("sz")} AS avg_sz,
+         |  CAST(MAX(sz) AS DOUBLE) * COUNT(*) / CAST(SUM(sz) AS DOUBLE)
+         |    AS skew,
+         |  CAST(SUM(sz * sz) AS BIGINT) AS join_mass
+         |FROM sizes
+         |${orderAll("n_cells", "min_sz", "max_sz", "avg_sz", "skew",
+              "join_mass")}""".stripMargin) +
     ("sim_knn_ivf" ->
       s"""WITH base AS (
          |  SELECT vec_id, embedding, ${sqlNorm.format("embedding")} AS nrm
