@@ -92,6 +92,37 @@ object Joins {
       .agg(count(lit(1)).as("n_below")))
   }
 
+  /** Bucketed range join — the interval join rewritten as an EQUI join, the
+    * technique that keeps a time-window join linear at 100 TB: a
+    * BroadcastNestedLoop theta join is O(n·m) and only survives when one
+    * side broadcasts, but a window predicate `p.ts ∈ [c.ts, c.ts+g]` spans
+    * at most TWO g-sized buckets, so exploding the left side to (bucket,
+    * bucket+1) and keying the right by its own bucket turns the join into
+    * `ON (user_id, bucket)` — hash-shuffled, linear, skew governed by the
+    * bucket width — with the exact predicate as a post-join refine. Each
+    * qualifying pair matches in EXACTLY one bucket (the right row's bucket
+    * is unique), so no dedup pass is needed. Same pair semantics as the
+    * watermarked stream-stream join; integer µs division keeps bucket
+    * assignment exact (double division near 2^53 µs is not). */
+  def joinRangeBucket(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000000
+    val ev = load(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("c_us"))
+      .withColumn("bucket", explode(array(
+        expr(s"c_us DIV $gapUs"), expr(s"c_us DIV $gapUs") + 1)))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        unix_micros(col("ts")).as("p_us"))
+      .withColumn("bucket", expr(s"p_us DIV $gapUs"))
+    totalOrder(clicks.join(purchases, Seq("user_id", "bucket"))
+      .filter(col("p_us") >= col("c_us") &&
+        col("p_us") <= col("c_us") + gapUs)
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (col("p_us") - col("c_us")).as("gap_us")))
+  }
+
   /** As-of join: for each click, the latest view of the same user at-or-before
     * the click. Composed as union → single window (one shuffle, sorted once,
     * streams at any scale) instead of a per-row point lookup or a range join
@@ -174,6 +205,7 @@ object Joins {
     "join_left_semi" -> joinLeftSemi,
     "join_left_anti" -> joinLeftAnti,
     "join_theta_range" -> joinThetaRange,
+    "join_range_bucket" -> joinRangeBucket,
     "join_asof" -> joinAsof)
 
   val oracle: Map[String, String] = Map(
@@ -224,6 +256,22 @@ object Joins {
          |  ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
          |GROUP BY s_suppkey
          |${orderAll("s_suppkey", "n_below")}""".stripMargin,
+    "join_range_bucket" ->
+      // the oracle states the JOIN SEMANTICS (plain range join); the
+      // bucket explode is an implementation detail proven not to change
+      // the pair set
+      s"""SELECT * FROM (
+         |  SELECT c.user_id, c.event_id AS click_id,
+         |    p.event_id AS purchase_id,
+         |    epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP))
+         |      AS gap_us
+         |  FROM events c JOIN events p
+         |    ON p.user_id = c.user_id
+         |   AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+         |   AND CAST(p.ts AS TIMESTAMP) <=
+         |       CAST(c.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+         |  WHERE c.event_type = 'click' AND p.event_type = 'purchase')
+         |${orderAll("user_id", "click_id", "purchase_id", "gap_us")}""".stripMargin,
     "join_asof" ->
       s"""SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS ts,
          |  (SELECT MAX(CAST(v.ts AS TIMESTAMP)) FROM events v
