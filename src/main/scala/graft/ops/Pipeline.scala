@@ -141,8 +141,20 @@ object Pipeline {
     * shrink the broadcast. Output: contaminated doc ids with the count of
     * distinct shared grams. */
   def pipelineDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val posting = fiveGramPostings(spark, dir)
+    val isEval = col("doc_id") % 97 === 0
+    val evalGrams = posting.filter(isEval).select(col("g")).distinct()
+    totalOrder(posting.filter(!isEval)
+      .join(broadcast(evalGrams), "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared")))
+  }
+
+  /** Per-doc DISTINCT word 5-gram postings (doc_id, g) — shared by the
+    * decontamination gate and its report twin. */
+  private def fiveGramPostings(spark: SparkSession, dir: String): DataFrame = {
     val toks = filter(split(lower(col("text")), "[^a-z0-9']+"), t => t =!= "")
-    val withGrams = load(spark, dir, "documents")
+    load(spark, dir, "documents")
       .withColumn("t", toks)
       .withColumn("grams", when(size(col("t")) >= 5,
         array_distinct(transform(
@@ -158,14 +170,29 @@ object Pipeline {
       // cache before explode: Generate re-evaluates the un-materialized
       // transform() once per output row (see Dedup.shingled)
       .transform(graft.OpCaches.cached)
-    val posting = withGrams
       .select(col("doc_id"), explode(col("grams")).as("g"))
+  }
+
+  /** Decontamination REPORT — the leakage view from the eval owner's side
+    * (the "no silent drops" audit idiom applied to decontamination): for
+    * every eval doc, how many training docs share at least one 5-gram with
+    * it and how many of its distinct grams are hit. `pipelineDecontaminate`
+    * says which TRAINING docs to drop; this says which EVAL items are
+    * compromised and how badly — the number that decides whether an eval
+    * set is still usable. Same broadcast discipline: the eval posting set
+    * is the small side and broadcasts; the training posting meets it
+    * map-side. */
+  def pipelineContamReport(spark: SparkSession, dir: String): DataFrame = {
+    val posting = fiveGramPostings(spark, dir)
     val isEval = col("doc_id") % 97 === 0
-    val evalGrams = posting.filter(isEval).select(col("g")).distinct()
+    val evalPost = posting.filter(isEval)
+      .select(col("doc_id").as("eval_id"), col("g"))
     totalOrder(posting.filter(!isEval)
-      .join(broadcast(evalGrams), "g")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shared")))
+      .select(col("doc_id").as("train_id"), col("g"))
+      .join(broadcast(evalPost), "g")
+      .groupBy(col("eval_id"))
+      .agg(countDistinct(col("train_id")).as("n_train_docs"),
+        countDistinct(col("g")).as("n_grams_hit")))
   }
 
   /** Intra-document repetition gate (the Gopher/RefinedWeb quality rule):
@@ -278,6 +305,7 @@ object Pipeline {
     "pipeline_pack_sequences" -> pipelinePackSequences,
     "pipeline_source_mix" -> pipelineSourceMix,
     "pipeline_decontaminate" -> pipelineDecontaminate,
+    "pipeline_contam_report" -> pipelineContamReport,
     "pipeline_repetition_filter" -> pipelineRepetitionFilter,
     "pipeline_shard_manifest" -> pipelineShardManifest,
     "pipeline_shuffle_order" -> pipelineShuffleOrder,
@@ -322,6 +350,26 @@ object Pipeline {
          |FROM p WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM e)
          |GROUP BY doc_id
          |${orderAll("doc_id", "n_shared")}""".stripMargin,
+    "pipeline_contam_report" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+         |      x -> x <> '') AS t
+         |  FROM documents),
+         |p AS (
+         |  SELECT DISTINCT doc_id, g FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(generate_series(1, len(t) - 4),
+         |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+         |          t[i+3] || ' ' || t[i+4])) AS g
+         |    FROM t WHERE len(t) >= 5))
+         |SELECT e.doc_id AS eval_id,
+         |  COUNT(DISTINCT tr.doc_id) AS n_train_docs,
+         |  COUNT(DISTINCT e.g) AS n_grams_hit
+         |FROM (SELECT * FROM p WHERE doc_id % 97 = 0) e
+         |JOIN (SELECT * FROM p WHERE doc_id % 97 <> 0) tr ON e.g = tr.g
+         |GROUP BY e.doc_id
+         |${orderAll("eval_id", "n_train_docs", "n_grams_hit")}""".stripMargin,
     "pipeline_repetition_filter" ->
       s"""WITH t AS (
          |  SELECT doc_id,
