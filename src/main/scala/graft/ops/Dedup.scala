@@ -346,7 +346,7 @@ object Dedup {
     * family (pair emission alone doesn't say which rows to keep). Pairs
     * MUST be lineage-cut ([[graft.Tables.lineageCut]]) by the caller. Returns
     * (<idName>, canonical_id, cluster_size, is_survivor), unsorted. */
-  private def clusterSurvivorship(spark: SparkSession, pairs0: DataFrame,
+  private[ops] def clusterSurvivorship(spark: SparkSession, pairs0: DataFrame,
     idName: String): DataFrame = {
     // the label-propagation frames are |near-dup pairs| rows — orders of
     // magnitude below the corpus — so the iteration shuffles at a width

@@ -144,6 +144,22 @@ object Multimodal {
       coalesce(expr("CAST(sum(CASE WHEN cnt > 64 THEN cnt - 1 ELSE 0 END) " +
         "DIV 2 AS BIGINT)"), lit(0L)).as("n_dropped_pairs")))
 
+  /** Image-dup survivorship — [[mmPhashPairs]] fed through the SHARED
+    * min-id connected-components engine ([[Dedup.clusterSurvivorship]]):
+    * every pair family in the engine ends in the same cluster/survivor
+    * view, and the visual signal is no exception. Canonical survivor = the
+    * smallest doc_id of each phash component; the pair graph is lineage-cut
+    * before the iterative propagation (the dedup_clusters discipline).
+    * Codec + engine hash ⇒ rows-only, with the consistency spec proving
+    * pair endpoints always share a canonical id. */
+  def mmPhashClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = phashPairs(spark,
+      load(spark, dir, "documents").select(col("doc_id"), col("text")))
+      .select(col("id_a"), col("id_b"))
+      .transform(graft.Tables.lineageCut)
+    totalOrder(Dedup.clusterSurvivorship(spark, pairs, "doc_id"))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -153,6 +169,7 @@ object Multimodal {
     "mm_frame_sample" -> mmFrameSample,
     "mm_decode_features" -> MultimodalLib.mmDecodeFeatures _,
     "mm_phash_pairs" -> mmPhashPairs,
+    "mm_phash_clusters" -> mmPhashClusters,
     "mm_phash_cap_stats" -> mmPhashCapStats)
 
   val oracle: Map[String, String] = Map(

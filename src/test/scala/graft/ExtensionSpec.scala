@@ -238,6 +238,21 @@ class ExtensionSpec extends SparkTestBase {
     OpCaches.releaseAll()
   }
 
+  test("ivf stats: audit reconciles with the corpus and bounds the self-join") {
+    val r = ops.Vectors.simIvfStats(spark, sf).head()
+    val (nCells, minSz, maxSz, avgSz, skew, mass) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5))
+    val n = Tables.load(spark, sf, "embeddings").count()
+    // every vector lands in exactly one cell
+    assert(math.abs(avgSz * nCells - n) < 1e-6)
+    assert(minSz >= 1 && minSz <= maxSz)
+    assert(skew >= 1.0 && math.abs(skew - maxSz / avgSz) < 1e-9)
+    // join mass brackets: n ≤ Σsz² ≤ n·max (the simKnnJoin cost envelope)
+    assert(mass >= n && mass <= n * maxSz)
+    OpCaches.releaseAll()
+  }
+
   test("lsh pairs are a subset of all >=0.4 cosine pairs and nonempty") {
     val n = ops.Vectors.simCosineLsh(spark, sf).count()
     assert(n > 0, "expected some near pairs at threshold 0.4")
@@ -265,6 +280,27 @@ class ExtensionSpec extends SparkTestBase {
       .select("doc_id", "f0").as[(Long, Double)].collect().toMap
     assert(a == b)
     assert(a.values.forall(v => v >= 0.0 && v <= 1.0 && !v.isNaN))
+  }
+
+  test("phash clusters: pair endpoints share a canonical id, survivor is " +
+    "the component minimum") {
+    val clusters = ops.Multimodal.mmPhashClusters(spark, sf)
+      .select("doc_id", "canonical_id", "cluster_size", "is_survivor")
+      .as[(Long, Long, Long, Boolean)].collect()
+    val lbl = clusters.map(c => c._1 -> c._2).toMap
+    val pairs = ops.Multimodal.mmPhashPairs(spark, sf)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "fixture yields no phash pairs — spec is vacuous")
+    pairs.foreach { case (a, b) =>
+      assert(lbl(a) == lbl(b), s"pair ($a,$b) split across clusters")
+    }
+    // canonical id is the minimum of its component; exactly one survivor
+    clusters.groupBy(_._2).foreach { case (canon, members) =>
+      assert(members.map(_._1).min == canon)
+      assert(members.count(_._4) == 1)
+      assert(members.forall(_._3 == members.length))
+    }
+    OpCaches.releaseAll()
   }
 
   test("phash pairs: recall on true image dups, precision vs pixel compare") {

@@ -248,4 +248,32 @@ class PlanSpec extends SparkTestBase {
       OpCaches.releaseAll()
     }
   }
+
+  test("join_range_bucket: interval join plans as an EQUI join, never " +
+    "a nested-loop theta join") {
+    val plan = planOf(ops.Joins.joinRangeBucket(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"theta-join shape survived the bucket rewrite:\n${plan.take(2000)}")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("text_bm25: one-row stats broadcast, documents scan prunes to " +
+    "id + text, corpus never shuffle-joins") {
+    val plan = planOf(ops.Text.textBm25(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    val reads = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!reads.contains("lang") && !reads.contains("n_chars"),
+      s"unpruned documents scan: $reads")
+  }
+
+  test("sim_knn_rp: query set broadcasts against the projected corpus") {
+    val plan = planOf(ops.Vectors.simKnnRp(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // the exact re-rank joins the 32-wide candidate pool back — small
+    // side must broadcast, the corpus must not sort-merge
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    OpCaches.releaseAll()
+  }
 }
