@@ -315,6 +315,8 @@ object InfluxQL {
     case x: Elapsed => x.copy(alias = Some(a))
     case x: Integral => x.copy(alias = Some(a))
     case x: Atan2 => x.copy(alias = Some(a))
+    case x: HoltWinters => x.copy(alias = Some(a))
+    case x: TechAnalysis => x.copy(alias = Some(a))
   }
 
   /** Grafana's query editor emits `::field` / `::tag` type disambiguators
@@ -682,6 +684,19 @@ object InfluxQL {
         }
         val (lb, rb) = (bare(l), bare(r))
         s"${wrapL(op, lb, f(lb))} $op ${wrapR(op, rb, f(rb))}"
+      // the forecast/TA wrappers guarantee an un-aliased Agg inner at
+      // parse time, so the inner renders bare by construction
+      case HoltWinters(inner, h, m, withFit, _) =>
+        val fn = if (withFit) "holt_winters_with_fit" else "holt_winters"
+        s"$fn(${f(inner)}, $h, $m)"
+      case TechAnalysis(fn, inner, n, _) => s"$fn(${f(inner)}, $n)"
+      case Atan2(y, x, _) =>
+        def bare(v: Field): Field = v match {
+          case rr: Raw => rr.copy(alias = None)
+          case a: Agg => a.copy(alias = None)
+          case other => other
+        }
+        s"atan2(${f(bare(y))}, ${f(bare(x))})"
     }) + fl.alias.map(" AS " + _).getOrElse("")
     def renderCond(c: Cond): String = {
       val rhs = c.nowOffset match {

@@ -107,11 +107,30 @@ class InfluxQlSpec extends SparkTestBase {
         case bb: InfluxQL.BinOp => bb.copy(alias = a)
       }
     }
+    val hwAgg = agg.suchThat(a => a.fn != "distinct" && a.fn != "mode")
+    val holtWinters = for {
+      inner <- hwAgg; h <- Gen.chooseNum(1, 12); m <- Gen.chooseNum(0, 6)
+      fit <- Gen.oneOf(true, false); a <- Gen.option(ident)
+    } yield InfluxQL.HoltWinters(inner, h, m, fit, a)
+    val techAnalysis = for {
+      fn <- Gen.oneOf("exponential_moving_average", "relative_strength_index",
+        "chande_momentum_oscillator", "double_exponential_moving_average",
+        "triple_exponential_moving_average", "triple_exponential_derivative",
+        "kaufmans_efficiency_ratio", "kaufmans_adaptive_moving_average")
+      inner <- hwAgg; n <- Gen.chooseNum(2, 20); a <- Gen.option(ident)
+    } yield InfluxQL.TechAnalysis(fn, inner, n, a)
+    val atan2F = for {
+      isRaw <- Gen.oneOf(true, false)
+      atom = if (isRaw) ident.map(InfluxQL.Raw(_, None): InfluxQL.Field)
+        else hwAgg.map(a => a: InfluxQL.Field)
+      y <- atom; x <- atom; a <- Gen.option(ident)
+    } yield InfluxQL.Atan2(y, x, a)
     val field = Gen.oneOf(
       Gen.zip(ident, Gen.option(ident)).map { case (n, a) => InfluxQL.Raw(n, a) },
       Gen.zip(agg, Gen.option(ident)).map { case (g, a) => g.copy(alias = a) },
       Gen.zip(perc, Gen.option(ident)).map { case (g, a) => g.copy(alias = a) },
-      transform, elapsed, integral, arith, mathFn, binop)
+      transform, elapsed, integral, arith, mathFn, binop,
+      holtWinters, techAnalysis, atan2F)
     val cond = for {
       c <- Gen.oneOf(ident, Gen.const("time"))
       op <- Gen.oneOf("=", "!=", "<", "<=", ">", ">=")
@@ -188,6 +207,16 @@ class InfluxQlSpec extends SparkTestBase {
       assert(InfluxQL.parse(printed) == outer,
         s"subquery round-trip broke for: $printed")
     }
+    // paren-grouped forecast/TA items with an alias route through
+    // withAlias — formerly a MatchError for these field kinds
+    val hwParen = InfluxQL.parse(
+      "SELECT (holt_winters(mean(value), 3, 0)) AS fc FROM events GROUP BY time(1h)")
+    assert(hwParen.fields == Seq(InfluxQL.HoltWinters(
+      InfluxQL.Agg("mean", "value", None), 3, 0, withFit = false, Some("fc"))))
+    val taParen = InfluxQL.parse(
+      "SELECT (relative_strength_index(mean(value), 14)) AS r FROM events GROUP BY time(1h)")
+    assert(taParen.fields == Seq(InfluxQL.TechAnalysis(
+      "relative_strength_index", InfluxQL.Agg("mean", "value", None), 14, Some("r"))))
   }
 
   test("derivative/difference/cumulative_sum match hand-built windows") {
