@@ -51,7 +51,24 @@ object Bench {
     // compare — are re-run twice more and reported as the MEDIAN of three;
     // the fast tail keeps its single timing (noise there is absolute ~ms)
     val Reruns = 20
-    val rerunSet = firstPass.sortBy(-_._2).take(Reruns).map(_._1).toSet
+    // any query whose single-run drifts >1.5× against the last committed
+    // ledger joins the re-run set too — round-over-round regressions must
+    // be judged on a median, not one noisy sample (round-8 verdict: the
+    // mm_phash_pairs ×2.19 "regression" was exactly this); the explicit
+    // watch set keeps the round-8 flagged pair on min-of-3 either way
+    val DriftFactor = 1.5
+    val watch = Set("mm_phash_pairs", "dedup_span_stats")
+    val prev: Map[String, Double] = scala.util.Try {
+      val txt = Files.readString(Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "BENCH_LOCAL.json")))
+      val m = """"([a-z0-9_]+)":([0-9.]+)""".r
+      m.findAllMatchIn(txt).map(x => x.group(1) -> x.group(2).toDouble).toMap
+    }.getOrElse(Map.empty)
+    val drifted = firstPass.collect {
+      case (n, t) if prev.get(n).exists(p => p > 0 && t > p * DriftFactor) => n
+    }.toSet
+    val rerunSet = firstPass.sortBy(-_._2).take(Reruns).map(_._1).toSet ++
+      drifted ++ watch.filter(SparkEntry.queries.contains)
     val samples: Map[String, Seq[Double]] = firstPass.map { case (name, t1) =>
       if (rerunSet(name)) {
         val fn = SparkEntry.queries(name)

@@ -304,6 +304,28 @@ object InfluxQL {
     }
   }
 
+  /** Total alias strip — the printer renders every OPERAND position (an
+    * inner field of arith/math/transform/forecast/atan2) bare, because
+    * InfluxQL grammar has no `AS` inside function arguments. The parser
+    * also rejects inner aliases, but print must stay total over
+    * PROGRAMMATICALLY built ASTs too: an aliased inner would otherwise
+    * render as e.g. `holt_winters(mean(v) AS a, 3, 0)`, which cannot
+    * re-parse (round-8 advice). */
+  private def noAlias(fl: Field): Field = fl match {
+    case x: Raw => x.copy(alias = None)
+    case x: Agg => x.copy(alias = None)
+    case x: Transform => x.copy(alias = None)
+    case x: Selector => x.copy(alias = None)
+    case x: Arith => x.copy(alias = None)
+    case x: BinOp => x.copy(alias = None)
+    case x: MathFn => x.copy(alias = None)
+    case x: Elapsed => x.copy(alias = None)
+    case x: Integral => x.copy(alias = None)
+    case x: Atan2 => x.copy(alias = None)
+    case x: HoltWinters => x.copy(alias = None)
+    case x: TechAnalysis => x.copy(alias = None)
+  }
+
   private def withAlias(fl: Field, a: String): Field = fl match {
     case x: Raw => x.copy(alias = Some(a))
     case x: Agg => x.copy(alias = Some(a))
@@ -457,6 +479,9 @@ object InfluxQL {
       Seq(y, x).foreach {
         case a: Agg if a.fn == "distinct" || a.fn == "mode" =>
           fail(q, "atan2 cannot wrap distinct()/mode()")
+        // InfluxQL has no AS inside function arguments — reject loudly
+        // (the HwRe/TaRe discipline) so parse∘print stays a fixpoint
+        case fl if fl.alias.nonEmpty => fail(q, "no AS alias inside atan2(...)")
         case _: Raw | _: Agg | _: Arith | _: MathFn | _: BinOp => ()
         case _ => fail(q, "atan2 applies to fields and aggregates only")
       }
@@ -646,57 +671,26 @@ object InfluxQL {
       case Selector(fn, n, k, _, by) =>
         s"$fn($n${by.map(", " + _).getOrElse("")}, $k)"
       case Arith(i, op, k, _) =>
-        val bare = i match {
-          case r: Raw => r.copy(alias = None): Field
-          case a: Agg => a.copy(alias = None): Field
-          case ar: Arith => ar.copy(alias = None): Field
-          case m: MathFn => m.copy(alias = None): Field
-          case b: BinOp => b.copy(alias = None): Field
-          case other => other
-        }
+        val bare = noAlias(i)
         s"${wrapL(op, bare, f(bare))} $op ${num(k)}"
       case MathFn(fn, i, _, k) =>
-        val bare = i match {
-          case r: Raw => r.copy(alias = None): Field
-          case a: Agg => a.copy(alias = None): Field
-          case ar: Arith => ar.copy(alias = None): Field
-          case m: MathFn => m.copy(alias = None): Field
-          case other => other
-        }
-        s"$fn(${f(bare)}${k.map(x => ", " + num(x)).getOrElse("")})"
+        s"$fn(${f(noAlias(i))}${k.map(x => ", " + num(x)).getOrElse("")})"
       case Elapsed(n, arg, _) => s"elapsed($n${arg.map(", " + _).getOrElse("")})"
       case Integral(n, arg, _) => s"integral($n${arg.map(", " + _).getOrElse("")})"
       case Transform(fn, inner, arg, _) =>
-        val bareIn: Field = inner match {
-          case r: Raw => r.copy(alias = None)
-          case a: Agg => a.copy(alias = None)
-          case other => other
-        }
-        s"$fn(${f(bareIn)}${arg.map(", " + _).getOrElse("")})"
+        s"$fn(${f(noAlias(inner))}${arg.map(", " + _).getOrElse("")})"
       case BinOp(l, op, r, _) =>
-        def bare(x: Field): Field = x match {
-          case rr: Raw => rr.copy(alias = None)
-          case a: Agg => a.copy(alias = None)
-          case ar: Arith => ar.copy(alias = None)
-          case m: MathFn => m.copy(alias = None)
-          case b: BinOp => b.copy(alias = None)
-          case other => other
-        }
-        val (lb, rb) = (bare(l), bare(r))
+        val (lb, rb) = (noAlias(l), noAlias(r))
         s"${wrapL(op, lb, f(lb))} $op ${wrapR(op, rb, f(rb))}"
-      // the forecast/TA wrappers guarantee an un-aliased Agg inner at
-      // parse time, so the inner renders bare by construction
+      // the forecast/TA wrappers reject an aliased Agg inner at parse
+      // time, but a programmatically built AST may carry one — render the
+      // inner through [[noAlias]] so print stays total (round-8 advice)
       case HoltWinters(inner, h, m, withFit, _) =>
         val fn = if (withFit) "holt_winters_with_fit" else "holt_winters"
-        s"$fn(${f(inner)}, $h, $m)"
-      case TechAnalysis(fn, inner, n, _) => s"$fn(${f(inner)}, $n)"
+        s"$fn(${f(noAlias(inner))}, $h, $m)"
+      case TechAnalysis(fn, inner, n, _) => s"$fn(${f(noAlias(inner))}, $n)"
       case Atan2(y, x, _) =>
-        def bare(v: Field): Field = v match {
-          case rr: Raw => rr.copy(alias = None)
-          case a: Agg => a.copy(alias = None)
-          case other => other
-        }
-        s"atan2(${f(bare(y))}, ${f(bare(x))})"
+        s"atan2(${f(noAlias(y))}, ${f(noAlias(x))})"
     }) + fl.alias.map(" AS " + _).getOrElse("")
     def renderCond(c: Cond): String = {
       val rhs = c.nowOffset match {
@@ -2156,34 +2150,51 @@ object InfluxQL {
         // query's first stage would run, so the report's cost mirrors a
         // planning pass, not an execution
         val p = parse(body)
-        // the report is a single-measurement scan estimate; a subquery /
-        // regex / list FROM has no one frame to estimate against — reject
-        // loudly rather than report the wrong source's numbers
-        if (p.sub.nonEmpty || p.fromRegex.nonEmpty || p.fromList.nonEmpty)
-          fail(q, "EXPLAIN supports a single named measurement FROM")
-        val src = frame(p.measurement)
-        val filtered = src.filter(whereFilter(p, None))
-        val tags = src.schema.fields
-          .filter(f => f.name != "time" &&
-            f.dataType == org.apache.spark.sql.types.StringType)
-          .map(_.name).toSeq.sorted
-        val seriesAgg =
-          if (tags.isEmpty) max(lit(1L))
-          else count_distinct(struct(tags.map(col): _*))
-        val stats = filtered.agg(
-          count(lit(1)).as("points"),
-          coalesce(seriesAgg.cast("long"), lit(0L)).as("series"),
-          count_distinct(to_date(col("time"))).cast("long").as("shards"))
-          .head()
+        // a subquery FROM has no stored frame to estimate against
+        if (p.sub.nonEmpty)
+          fail(q, "EXPLAIN does not support a subquery FROM")
+        // regex / list FROM resolve against the catalog (unknown names
+        // skipped, unanchored regex — the SHOW MEASUREMENTS conventions)
+        // and report ONE block per source, as InfluxDB's per-shard report
+        // sections do; a lone named measurement keeps the original
+        // headerless four-row shape
+        val sources: Seq[String] = p.fromRegex match {
+          case Some(re) =>
+            val rx = re.r
+            catalog.map(_._1).filter(n => rx.findFirstIn(n).isDefined).sorted
+          case None if p.fromList.nonEmpty =>
+            p.fromList.filter(n => catalog.exists(_._1 == n))
+          case None => Seq(p.measurement)
+        }
+        if (sources.isEmpty) fail(q, "EXPLAIN matched no measurements")
         val exprText = body match {
           case ExplainExprRe(items) => items.trim.replaceAll("\\s+", " ")
           case _ => fail(q, "EXPLAIN body is not a SELECT")
         }
-        Seq(
-          ("EXPRESSION", exprText),
-          ("NUMBER OF SHARDS", stats.getLong(2).toString),
-          ("NUMBER OF SERIES", stats.getLong(1).toString),
-          ("NUMBER OF POINTS", stats.getLong(0).toString))
+        def block(m: String, withSource: Boolean): Seq[(String, String)] = {
+          val src = frame(m)
+          val filtered = src.filter(whereFilter(p, None))
+          val tags = src.schema.fields
+            .filter(f => f.name != "time" &&
+              f.dataType == org.apache.spark.sql.types.StringType)
+            .map(_.name).toSeq.sorted
+          val seriesAgg =
+            if (tags.isEmpty) max(lit(1L))
+            else count_distinct(struct(tags.map(col): _*))
+          val stats = filtered.agg(
+            count(lit(1)).as("points"),
+            coalesce(seriesAgg.cast("long"), lit(0L)).as("series"),
+            count_distinct(to_date(col("time"))).cast("long").as("shards"))
+            .head()
+          (if (withSource) Seq(("SOURCE", m)) else Nil) ++ Seq(
+            ("EXPRESSION", exprText),
+            ("NUMBER OF SHARDS", stats.getLong(2).toString),
+            ("NUMBER OF SERIES", stats.getLong(1).toString),
+            ("NUMBER OF POINTS", stats.getLong(0).toString))
+        }
+        (if (p.fromRegex.isEmpty && p.fromList.isEmpty)
+           block(sources.head, withSource = false)
+         else sources.flatMap(m => block(m, withSource = true)))
           .toDF("item", "value")
       case ShowTagKeyCardRe(mOpt) =>
         // tag-key cardinality is a SCHEMA property — answered from the

@@ -129,6 +129,42 @@ class MeasurementCatalog(spark: SparkSession) {
         throw new IllegalArgumentException(s"unknown subscription '$name'")
     }
 
+  /** The `file://` destinations a write into (db, rp) must fan out to:
+    * ALL-mode subscriptions forward to EVERY destination, ANY-mode to the
+    * first (a deterministic stand-in for InfluxDB's load-balanced pick).
+    * Non-file schemes (udp://, http:// — Kapacitor transports) are a
+    * serving-layer concern and are skipped here. */
+  def subscriptionFileTargets(db: String, rp: String): Seq[String] =
+    synchronized {
+      subs.collect {
+        case ((d, r, _), (mode, dests)) if d == db && r == rp =>
+          val files = dests.filter(_.startsWith("file://"))
+          if (mode == "ANY") files.take(1) else files
+      }.flatten.toSeq.distinct
+    }
+
+  /** The serving half of a subscription — write-forwarding: tee a write
+    * batch for `measurement` to every registered file destination of
+    * (db, rp) as an APPENDED parquet delta under `<dest>/<measurement>`.
+    * Append, not merge: a subscriber consumes the raw write stream (the
+    * Kapacitor contract — it maintains its own state), not the merged
+    * store view; replays/re-emissions are therefore the SUBSCRIBER's to
+    * collapse, which is why the CQ tee ships a version column (see
+    * [[graft.streaming.CqRegistry.runIntoStore]]). Each destination write
+    * is one distributed parquet append of the delta — no driver
+    * materialization, no coupling to store commit latency. Returns the
+    * target dirs written (empty when nothing subscribes — the write path
+    * pays nothing). */
+  def forwardWrite(db: String, rp: String, measurement: String,
+    batch: DataFrame): Seq[String] = {
+    val dests = subscriptionFileTargets(db, rp)
+    dests.map { d =>
+      val dir = d.stripPrefix("file://").stripSuffix("/") + "/" + measurement
+      batch.write.mode("append").parquet(dir)
+      dir
+    }
+  }
+
   def use(name: String): Unit = synchronized {
     if (!dbs.contains(name))
       throw new IllegalArgumentException(s"unknown database '$name'")

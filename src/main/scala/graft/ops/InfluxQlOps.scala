@@ -628,6 +628,10 @@ object InfluxQlOps {
       meta("EXPLAIN SELECT mean(value) AS mv FROM events " +
         "WHERE time >= '2024-01-02 00:00:00' AND time < '2024-01-10 00:00:00' " +
         "GROUP BY time(1d), event_type") _,
+    "influxql_explain_multi" ->
+      metaCat("EXPLAIN SELECT mean(value) AS mv FROM /events/ " +
+        "WHERE time >= '2024-01-02 00:00:00' AND time < '2024-01-10 00:00:00' " +
+        "GROUP BY time(1d), event_type") _,
     "influxql_select_star" ->
       run("SELECT * FROM events " +
         "WHERE time >= '2024-01-02 00:00:00' AND time < '2024-01-02 06:00:00'") _,
@@ -763,6 +767,32 @@ object InfluxQlOps {
          |    (SELECT DISTINCT event_type, props FROM f)) AS VARCHAR)
          |  UNION ALL
          |  SELECT 'NUMBER OF POINTS', CAST(COUNT(*) AS VARCHAR) FROM f)
+         |${orderAll("item", "value")}""".stripMargin,
+    "influxql_explain_multi" ->
+      // FROM /events/ matches both catalog measurements; one report block
+      // per source, each led by a SOURCE row (rows hash as a multiset, so
+      // the blocks may interleave under the gate's total order)
+      s"""WITH fe AS (SELECT * FROM events
+         |  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-02 00:00:00'
+         |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-10 00:00:00'),
+         |fc AS (SELECT * FROM fe WHERE event_type = 'click')
+         |SELECT item, value FROM (
+         |  SELECT 'SOURCE' AS item, 'events' AS value
+         |  UNION ALL SELECT 'EXPRESSION', 'mean(value) AS mv'
+         |  UNION ALL SELECT 'NUMBER OF SHARDS',
+         |    CAST(COUNT(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE))
+         |      AS VARCHAR) FROM fe
+         |  UNION ALL SELECT 'NUMBER OF SERIES', CAST((SELECT COUNT(*) FROM
+         |    (SELECT DISTINCT event_type, props FROM fe)) AS VARCHAR)
+         |  UNION ALL SELECT 'NUMBER OF POINTS', CAST(COUNT(*) AS VARCHAR) FROM fe
+         |  UNION ALL SELECT 'SOURCE', 'events_clicks'
+         |  UNION ALL SELECT 'EXPRESSION', 'mean(value) AS mv'
+         |  UNION ALL SELECT 'NUMBER OF SHARDS',
+         |    CAST(COUNT(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE))
+         |      AS VARCHAR) FROM fc
+         |  UNION ALL SELECT 'NUMBER OF SERIES', CAST((SELECT COUNT(*) FROM
+         |    (SELECT DISTINCT event_type, props FROM fc)) AS VARCHAR)
+         |  UNION ALL SELECT 'NUMBER OF POINTS', CAST(COUNT(*) AS VARCHAR) FROM fc)
          |${orderAll("item", "value")}""".stripMargin,
     "influxql_tag_values_cardinality" ->
       s"""SELECT measurement, count FROM (

@@ -262,37 +262,58 @@ object Text {
       .agg(count(lit(1)).as("df"), min(col("doc_id")).as("first_doc"))
       .filter(col("df") >= BoilerplateDf))
 
+  /** Count floor for the self-trained LM model tables ([[lmScore]] /
+    * [[lmBigram]]): a token / bigram pair with corpus count below this
+    * collapses into one shared `<unk>` mass instead of carrying its own
+    * model row. This BOUNDS the broadcast model at `corpus_mass / floor`
+    * rows — the knob a 100 TB deployment turns up (50–100 is typical for
+    * web corpora) where an uncapped bigram table is O(distinct pairs) and
+    * will not broadcast. The fixture corpora contain hapaxes, so the cap
+    * is LIVE in the gated ops and the DuckDB oracle applies the identical
+    * floor; [[textLmCapStats]] is the audit twin reporting what the cap
+    * kept vs collapsed (the dedup cap-stats idiom). */
+  private[graft] val LmCountFloor = 2L
+
   /** Unigram-LM quality score — the CCNet/KenLM-shaped perplexity filter
     * every pretraining pipeline runs, with the LM trained on the corpus
-    * itself: score(doc) = mean over tokens of ln(c(tok)/N). Very negative
-    * ⇒ rare-token-heavy (OCR noise, gibberish); near the corpus mode ⇒
-    * ordinary prose. Two shuffles, both map-side-combined: token counts
-    * (keyed by token), then the per-doc mean (keyed by doc_id); the vocab
-    * table joins back BROADCAST (an aggregated vocabulary is ~O(unique
-    * tokens), which a df-floor caps in a 100 TB deployment — here the
-    * fixture vocab is already tiny). Each log term is rounded to 6 dp and
-    * decimal-accumulated (the [[textEntropy]] convention) so the per-doc
-    * fold is associative and engine-stable; the final mean is one IEEE
-    * double division (the [[graft.Tables.davg]] shape). */
+    * itself: score(doc) = mean over tokens of ln(c(tok)/N), where tokens
+    * below [[LmCountFloor]] share the standard `<unk>` probability
+    * unk_mass/N (so scoring stays TOTAL — no OOV case — with a bounded
+    * model). Very negative ⇒ rare-token-heavy (OCR noise, gibberish);
+    * near the corpus mode ⇒ ordinary prose. Two shuffles, both
+    * map-side-combined: token counts (keyed by token), then the per-doc
+    * mean (keyed by doc_id); the FLOORED vocab joins back BROADCAST
+    * (≤ N/floor rows by construction). Each log term is rounded to 6 dp
+    * and decimal-accumulated (the [[textEntropy]] convention) so the
+    * per-doc fold is associative and engine-stable; the final mean is one
+    * IEEE double division (the [[graft.Tables.davg]] shape). */
   def textLmScore(spark: SparkSession, dir: String): DataFrame =
     lmScore(load(spark, dir, "documents"))
 
   /** [[textLmScore]] over an arbitrary documents frame (doc_id, text). */
-  private[graft] def lmScore(docs: DataFrame): DataFrame = {
+  private[graft] def lmScore(docs: DataFrame,
+      floor: Long = LmCountFloor): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val toks = docs
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .transform(graft.OpCaches.cached)
       .select(col("doc_id"), explode(col("t")).as("token"))
     val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
-    // corpus token total as a one-row frame: broadcast cross join makes it
-    // a scalar available inside the distributed plan, never a collect
-    val total = counts.agg(sum(col("c")).cast(DoubleType).as("n"))
+    // the broadcast model is ONLY tokens at/above the floor; rare tokens
+    // miss the left join and fall through to the shared <unk> mass below
+    val kept = counts.filter(col("c") >= floor)
+    // corpus token total + collapsed rare mass as a one-row frame:
+    // broadcast cross join makes them scalars inside the distributed
+    // plan, never a collect
+    val stats = counts.agg(
+      sum(col("c")).cast(DoubleType).as("n"),
+      sum(when(col("c") < floor, col("c")).otherwise(lit(0L)))
+        .cast(DoubleType).as("unk_c"))
     totalOrder(toks
-      .join(broadcast(counts), "token")
-      .crossJoin(broadcast(total))
+      .join(broadcast(kept), Seq("token"), "left")
+      .crossJoin(broadcast(stats))
       .select(col("doc_id"),
-        round(log(col("c").cast(DoubleType) / col("n")), 6)
+        round(log(coalesce(col("c").cast(DoubleType), col("unk_c")) / col("n")), 6)
           .cast(DecimalType(38, 6)).as("term"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
@@ -308,14 +329,17 @@ object Text {
     * SEQUENCES — shuffled or spliced text scores low even when every word
     * is common. Same scale shape as the unigram op: pair postings shuffle
     * by (a,b) for the count, by a for the head total, and the two
-    * aggregated model tables broadcast back onto the postings (a df-floor
-    * caps the bigram vocab in a 100 TB deployment); per-pair terms are
-    * 6-dp-rounded and decimal-accumulated. */
+    * aggregated model tables broadcast back onto the postings FLOORED at
+    * [[LmCountFloor]] — pairs below the floor share one global
+    * ln(rare_mass/total) fallback term, so both broadcasts are
+    * ≤ mass/floor rows; per-pair terms are 6-dp-rounded and
+    * decimal-accumulated. */
   def textLmBigram(spark: SparkSession, dir: String): DataFrame =
     lmBigram(load(spark, dir, "documents"))
 
   /** [[textLmBigram]] over an arbitrary documents frame (doc_id, text). */
-  private[graft] def lmBigram(docs: DataFrame): DataFrame = {
+  private[graft] def lmBigram(docs: DataFrame,
+      floor: Long = LmCountFloor): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val bi = docs
       .select(col("doc_id"), tokens(col("text")).as("t"))
@@ -327,16 +351,61 @@ object Text {
           element_at(col("t"), i + 2).as("b")))).as("p"))
       .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
     val c2 = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c2"))
+    val kept2 = c2.filter(col("c2") >= floor)
+    // head totals keep the FULL row mass (the conditional's denominator is
+    // unchanged by the cap) but only heads surviving in kept2 broadcast —
+    // a pair with c2 >= floor implies c1 >= floor, so |c1| <= |kept2|;
+    // the semi-join's build side is kept2's distinct heads, also bounded
     val c1 = c2.groupBy(col("a")).agg(sum(col("c2")).as("c1"))
+      .join(broadcast(kept2.select(col("a")).distinct()), Seq("a"), "left_semi")
+    val stats = c2.agg(
+      sum(col("c2")).cast(DoubleType).as("total"),
+      sum(when(col("c2") < floor, col("c2")).otherwise(lit(0L)))
+        .cast(DoubleType).as("rare_mass"))
     totalOrder(bi
-      .join(broadcast(c2), Seq("a", "b"))
-      .join(broadcast(c1), Seq("a"))
+      .join(broadcast(kept2), Seq("a", "b"), "left")
+      .join(broadcast(c1), Seq("a"), "left")
+      .crossJoin(broadcast(stats))
       .select(col("doc_id"),
-        round(log(col("c2").cast(DoubleType) / col("c1").cast(DoubleType)), 6)
+        round(when(col("c2").isNotNull,
+            log(col("c2").cast(DoubleType) / col("c1").cast(DoubleType)))
+          .otherwise(log(col("rare_mass") / col("total"))), 6)
           .cast(DecimalType(38, 6)).as("term"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         (sum(col("term")).cast(DoubleType) / count(lit(1))).as("avg_logp2")))
+  }
+
+  /** Audit twin of the LM floor (the dedup cap-stats idiom): for each
+    * model table, how many types the [[LmCountFloor]] kept vs collapsed
+    * and the token mass on each side — the numbers an operator checks
+    * BEFORE a corpus-scale LM pass (rare_mass/total is also exactly the
+    * `<unk>` probability mass [[lmScore]]/[[lmBigram]] will assign). Two
+    * aggregate rows; the heavy work is the same two map-side-combined
+    * count shuffles the scoring ops run. */
+  def textLmCapStats(spark: SparkSession, dir: String): DataFrame = {
+    val toks = load(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .transform(graft.OpCaches.cached)
+    val uni = toks
+      .select(explode(col("t")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val big = toks
+      .filter(size(col("t")) >= 2)
+      .select(explode(transform(
+        sequence(lit(0), size(col("t")) - 2),
+        i => struct(element_at(col("t"), i + 1).as("a"),
+          element_at(col("t"), i + 2).as("b")))).as("p"))
+      .groupBy(col("p.a"), col("p.b")).agg(count(lit(1)).as("c"))
+    def capRow(model: String, counts: DataFrame): DataFrame = counts
+      .agg(
+        sum(when(col("c") >= LmCountFloor, 1L).otherwise(0L)).as("kept_types"),
+        sum(when(col("c") < LmCountFloor, 1L).otherwise(0L)).as("rare_types"),
+        sum(when(col("c") >= LmCountFloor, col("c")).otherwise(0L)).as("kept_mass"),
+        sum(when(col("c") < LmCountFloor, col("c")).otherwise(0L)).as("rare_mass"))
+      .select(lit(model).as("model"), col("kept_types"), col("rare_types"),
+        col("kept_mass"), col("rare_mass"))
+    totalOrder(capRow("unigram", uni).unionByName(capRow("bigram", big)))
   }
 
   /** BM25 query terms / parameters for [[textBm25]] — a fixed demo query
@@ -391,6 +460,7 @@ object Text {
     "text_bm25" -> textBm25,
     "text_lm_score" -> textLmScore,
     "text_lm_bigram" -> textLmBigram,
+    "text_lm_cap_stats" -> textLmCapStats,
     "text_boilerplate" -> textBoilerplate,
     "text_bpe_pairs" -> textBpePairs,
     "text_bpe_encode" -> textBpeEncode,
@@ -451,11 +521,14 @@ object Text {
          |        FROM documents)
          |  WHERE token <> ''),
          |counts AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
-         |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM counts)
+         |kept AS (SELECT token, c FROM counts WHERE c >= $LmCountFloor),
+         |st AS (SELECT CAST(SUM(c) AS DOUBLE) AS n,
+         |  CAST(SUM(CASE WHEN c < $LmCountFloor THEN c ELSE 0 END) AS DOUBLE)
+         |    AS unk_c FROM counts)
          |SELECT doc_id, COUNT(*) AS n_tokens,
-         |  CAST(SUM(CAST(round(ln(CAST(c AS DOUBLE) / n), 6)
+         |  CAST(SUM(CAST(round(ln(COALESCE(CAST(c AS DOUBLE), unk_c) / n), 6)
          |    AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_logp
-         |FROM toks JOIN counts USING (token) CROSS JOIN tot
+         |FROM toks LEFT JOIN kept USING (token) CROSS JOIN st
          |GROUP BY doc_id
          |${orderAll("doc_id", "n_tokens", "avg_logp")}""".stripMargin,
     "text_lm_bigram" ->
@@ -469,13 +542,60 @@ object Text {
          |          i -> struct_pack(a := t[i], b := t[i + 1]))) AS p
          |        FROM tok WHERE len(t) >= 2)),
          |c2 AS (SELECT a, b, COUNT(*) AS c2 FROM bi GROUP BY a, b),
-         |c1 AS (SELECT a, SUM(c2) AS c1 FROM c2 GROUP BY a)
+         |kept2 AS (SELECT a, b, c2 FROM c2 WHERE c2 >= $LmCountFloor),
+         |c1 AS (SELECT a, SUM(c2) AS c1 FROM c2 GROUP BY a),
+         |st AS (SELECT CAST(SUM(c2) AS DOUBLE) AS total,
+         |  CAST(SUM(CASE WHEN c2 < $LmCountFloor THEN c2 ELSE 0 END) AS DOUBLE)
+         |    AS rare_mass FROM c2)
          |SELECT doc_id, COUNT(*) AS n_bigrams,
-         |  CAST(SUM(CAST(round(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)), 6)
+         |  CAST(SUM(CAST(round(CASE WHEN kept2.c2 IS NOT NULL
+         |    THEN ln(CAST(kept2.c2 AS DOUBLE) / CAST(c1 AS DOUBLE))
+         |    ELSE ln(rare_mass / total) END, 6)
          |    AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_logp2
-         |FROM bi JOIN c2 USING (a, b) JOIN c1 USING (a)
+         |FROM bi LEFT JOIN kept2 USING (a, b) LEFT JOIN c1 USING (a)
+         |  CROSS JOIN st
          |GROUP BY doc_id
          |${orderAll("doc_id", "n_bigrams", "avg_logp2")}""".stripMargin,
+    "text_lm_cap_stats" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, token
+         |  FROM (SELECT doc_id,
+         |          unnest(regexp_split_to_array(lower(text), '[^a-z0-9'']+'))
+         |            AS token
+         |        FROM documents)
+         |  WHERE token <> ''),
+         |counts AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+         |tok AS (
+         |  SELECT doc_id, list_filter(
+         |    regexp_split_to_array(lower(text), '[^a-z0-9'']+'), t -> t <> '') AS t
+         |  FROM documents),
+         |c2 AS (
+         |  SELECT p.a AS a, p.b AS b, COUNT(*) AS c FROM (
+         |    SELECT unnest(list_transform(range(1, len(t)),
+         |      i -> struct_pack(a := t[i], b := t[i + 1]))) AS p
+         |    FROM tok WHERE len(t) >= 2)
+         |  GROUP BY 1, 2),
+         |u AS (SELECT 'unigram' AS model,
+         |  CAST(SUM(CASE WHEN c >= $LmCountFloor THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS kept_types,
+         |  CAST(SUM(CASE WHEN c < $LmCountFloor THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS rare_types,
+         |  CAST(SUM(CASE WHEN c >= $LmCountFloor THEN c ELSE 0 END) AS BIGINT)
+         |    AS kept_mass,
+         |  CAST(SUM(CASE WHEN c < $LmCountFloor THEN c ELSE 0 END) AS BIGINT)
+         |    AS rare_mass FROM counts),
+         |b AS (SELECT 'bigram' AS model,
+         |  CAST(SUM(CASE WHEN c >= $LmCountFloor THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS kept_types,
+         |  CAST(SUM(CASE WHEN c < $LmCountFloor THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS rare_types,
+         |  CAST(SUM(CASE WHEN c >= $LmCountFloor THEN c ELSE 0 END) AS BIGINT)
+         |    AS kept_mass,
+         |  CAST(SUM(CASE WHEN c < $LmCountFloor THEN c ELSE 0 END) AS BIGINT)
+         |    AS rare_mass FROM c2)
+         |SELECT * FROM (SELECT * FROM u UNION ALL SELECT * FROM b)
+         |${orderAll("model", "kept_types", "rare_types", "kept_mass",
+              "rare_mass")}""".stripMargin,
     "text_boilerplate" ->
       s"""WITH tok AS (
          |  SELECT doc_id, list_filter(

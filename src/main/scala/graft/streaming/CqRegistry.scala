@@ -197,7 +197,9 @@ class CqRegistry(spark: SparkSession, root: String,
     * last-write-wins, a resumed run (same checkpoint) stays idempotent, and
     * the store MERGE rewrites only the day partitions the delta touches. */
   def runIntoStore(name: String, stream: DataFrame,
-    store: graft.store.MeasurementStore): DataFrame = {
+    store: graft.store.MeasurementStore,
+    subscriptions: Option[graft.influxql.MeasurementCatalog] = None,
+    rp: String = "autogen"): DataFrame = {
     val (db, stmt) = resolve(name)
     guarded(db, name) {
     val (_, _, body, _, forDur) =
@@ -213,9 +215,24 @@ class CqRegistry(spark: SparkSession, root: String,
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        store.upsert(target,
-          batch.withColumn("__cq_version", org.apache.spark.sql.functions.lit(batchId)),
-          keys, "__cq_version", dropVersion = true)
+        val versioned = batch.withColumn("__cq_version",
+          org.apache.spark.sql.functions.lit(batchId))
+        // cache the delta once: the store MERGE and each subscription tee
+        // all consume the same micro-batch
+        val shared =
+          if (subscriptions.exists(c =>
+              c.subscriptionFileTargets(db, rp).nonEmpty))
+            versioned.persist()
+          else versioned
+        try {
+          store.upsert(target, shared, keys, "__cq_version",
+            dropVersion = true)
+          // subscription write-forwarding: the same delta, version column
+          // INCLUDED, appends to each registered file destination — the
+          // subscriber's last-write-wins collapse key (raw write stream,
+          // not merged store state: the Kapacitor contract)
+          subscriptions.foreach(_.forwardWrite(db, rp, target, shared))
+        } finally if (shared ne versioned) { shared.unpersist(); () }
         ()
       }
       .start()

@@ -409,6 +409,41 @@ object StreamingOps {
       .select(col("time"), col("event_type"), col("mv"), col("n")))
   }
 
+  /** Subscription write-forwarding through the CQ-into-store path
+    * (round-8 verdict item 6): same CQ as [[continuousQueryIntoStore]],
+    * but with a [[graft.influxql.MeasurementCatalog]] carrying a
+    * registered `file://` subscription — every micro-batch delta the
+    * store MERGE consumes is ALSO appended (version column included) to
+    * the subscription target. The op's RESULT is read from the
+    * subscription dir, collapsed last-write-wins per (time, tag) on the
+    * shipped version — the subscriber's view — so the gate proves the
+    * forwarded stream reconstructs exactly the stored table: one oracle
+    * covers both halves of the tee. Order-independent: max-version
+    * collapse gives the same table under any micro-batch split. */
+  def streamCqSubscription(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("cq_sub").toString
+    val s = Tables.sizedSession(spark, 4)
+    val cat = new graft.influxql.MeasurementCatalog(s)
+    cat.statement("CREATE DATABASE graft")
+    cat.statement("CREATE SUBSCRIPTION sub_tee ON graft.autogen " +
+      s"""DESTINATIONS ALL 'file://$root/subs'""")
+    val reg = new CqRegistry(s, root, watermarkLag = BackfillLag)
+    reg.create("CREATE CONTINUOUS QUERY cq_sub ON graft BEGIN " +
+      "SELECT mean(value) AS mv, count(value) AS n INTO hourly_means " +
+      "FROM events GROUP BY time(1h), event_type END")
+    val store = new graft.store.MeasurementStore(s, s"$root/store")
+    val stream = eventsStream(s, dir).withColumnRenamed("ts", "time")
+    reg.runIntoStore("cq_sub", stream, store, subscriptions = Some(cat))
+    // the subscriber's state: raw forwarded deltas → last write per key
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("time"), col("event_type"))
+      .orderBy(col("__cq_version").desc)
+    totalOrder(s.read.parquet(s"$root/subs/hourly_means")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("time"), col("event_type"), col("mv"), col("n")))
+  }
+
   // ------------------- streaming CSV ingest (the production loop, §2.8) ---
 
   /** The reference's actual production loop (loader.py:32-86: watch a
@@ -561,6 +596,7 @@ object StreamingOps {
     "stream_stream_join" -> streamStreamJoin,
     "stream_continuous_query" -> continuousQuery,
     "stream_cq_into_store" -> continuousQueryIntoStore,
+    "stream_cq_subscription" -> streamCqSubscription,
     "stream_topk" -> streamTopk)
 
   val oracle: Map[String, String] = Map(
@@ -574,7 +610,7 @@ object StreamingOps {
          |  FROM documents)
          |SELECT content_hash, MIN(doc_id) AS canonical_id,
          |  COUNT(*) AS n_dupes, MIN(source) AS first_source,
-         |  SUM(n_tokens) AS total_tokens
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
          |FROM g WHERE n_tokens >= 20
          |GROUP BY content_hash
          |${orderAll("content_hash", "canonical_id", "n_dupes",
@@ -621,6 +657,16 @@ object StreamingOps {
          |WHERE rk <= 3
          |${orderAll("bucket", "user_id", "n", "rk")}""".stripMargin,
     "stream_cq_into_store" ->
+      s"""SELECT TIMESTAMP '1970-01-01 00:00:00' +
+         |    ((CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 3600)
+         |    * 3600) * INTERVAL 1 SECOND AS time,
+         |  event_type,
+         |  ${Tables.sqlDavg("value")} AS mv, COUNT(value) AS n
+         |FROM events GROUP BY 1, 2
+         |${orderAll("time", "event_type", "mv", "n")}""".stripMargin,
+    // the forwarded-stream collapse must reconstruct exactly the stored
+    // table, so the subscription op shares the into-store oracle
+    "stream_cq_subscription" ->
       s"""SELECT TIMESTAMP '1970-01-01 00:00:00' +
          |    ((CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 3600)
          |    * 3600) * INTERVAL 1 SECOND AS time,

@@ -514,7 +514,9 @@ class ExtensionSpec extends SparkTestBase {
     assert(lm.forall(r => tc(r.getLong(0)) == r.getLong(1).toInt))
     // mechanism check on a constructed corpus: a doc of only the dominant
     // token must outscore a doc carrying the rare token, and the scores
-    // are exactly the mean ln(c/N) terms (N=11: 10×"aa", 1×"zz")
+    // are exactly the mean ln(c/N) terms (N=11: 10×"aa", 1×"zz"; "zz" is
+    // below the df-floor, so its term is the <unk> mass ln(1/11) — which
+    // for a single rare type equals the uncapped ln(c/N))
     import spark.implicits._
     val docs = Seq((1L, "aa aa aa aa aa aa aa"), (2L, "aa aa aa zz"))
       .toDF("doc_id", "text")
@@ -530,9 +532,62 @@ class ExtensionSpec extends SparkTestBase {
     OpCaches.releaseAll()
   }
 
-  test("bigram lm score: row-stochastic conditionals, hand-checked corpus") {
+  test("unigram lm df-floor: rare types share the <unk> mass, floor below " +
+    "min count is a no-op, broadcast model shrinks to the kept vocab") {
     import spark.implicits._
-    // c2: (a,b)=3 (b,a)=1 (a,a)=1 (b,b)=1 → c1: a=4, b=2
+    // N=12: 9×"aa", plus hapaxes "xx" "yy" "zz" → unk mass 3. With the
+    // floor=2 default each hapax scores ln(3/12), NOT ln(1/12): the cap is
+    // OBSERVABLE (collapsed mass is shared), unlike the uncapped model.
+    val docs = Seq((1L, "aa aa aa aa aa aa aa aa aa"), (2L, "xx yy zz"))
+      .toDF("doc_id", "text")
+    val capped = ops.Text.lmScore(docs)
+      .select("doc_id", "avg_logp").as[(Long, Double)].collect().toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(capped(2L) - r6(math.log(3.0 / 12.0))) < 1e-9)
+    // floor=1 (below every corpus count) reproduces the uncapped model
+    val uncapped = ops.Text.lmScore(docs, floor = 1L)
+      .select("doc_id", "avg_logp").as[(Long, Double)].collect().toMap
+    assert(math.abs(uncapped(2L) - r6(math.log(1.0 / 12.0))) < 1e-9)
+    assert(math.abs(uncapped(1L) - capped(1L)) < 1e-9)
+    // the cap actually bounds the model: with floor=10 nothing is kept
+    // and every token scores the full-corpus <unk> term ln(12/12)=0
+    val all = ops.Text.lmScore(docs, floor = 100L)
+      .select("doc_id", "avg_logp").as[(Long, Double)].collect().toMap
+    assert(math.abs(all(1L) - 0.0) < 1e-9 && math.abs(all(2L) - 0.0) < 1e-9)
+    OpCaches.releaseAll()
+  }
+
+  test("text_lm_cap_stats: kept/rare types and mass reconcile against the " +
+    "fixture token counts, and rare_mass is the <unk> mass lmScore uses") {
+    import spark.implicits._
+    val st = ops.Text.textLmCapStats(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(st.keySet == Set("unigram", "bigram"))
+    // totals reconcile with the tf table: types = vocab size, mass = tokens
+    val tf = ops.Text.textTokenizeTf(spark, sf)
+      .select("tf").as[Long].collect()
+    val (ku, ru, km, rm) = st("unigram")
+    assert(ku + ru == tf.length)
+    assert(km + rm == tf.sum)
+    assert(ru == tf.count(_ < ops.Text.LmCountFloor))
+    // the synthetic vocab has no unigram hapaxes (31 types, all count>=2,
+    // so the unigram cap is a fixture no-op) but the BIGRAM table does →
+    // the floor is LIVE in the gated text_lm_bigram op
+    assert(rm == 0 && km > 0)
+    val (kb, rb, kmb, rmb) = st("bigram")
+    assert(kb > 0 && kmb > 0)
+    assert(rb > 0 && rmb > 0, "fixture has no rare bigrams; floor cap untested")
+    OpCaches.releaseAll()
+  }
+
+  test("bigram lm score: row-stochastic conditionals with the df-floor, " +
+    "hand-checked corpus") {
+    import spark.implicits._
+    // c2: (a,b)=3 (b,a)=1 (a,a)=1 (b,b)=1 → c1: a=4, b=2. With floor=2
+    // only (a,b) is kept; the three rare pairs share the global fallback
+    // ln(rare_mass/total) = ln(3/6).
     val docs = Seq((1L, "a b a b"), (2L, "a a b b")).toDF("doc_id", "text")
     val out = ops.Text.lmBigram(docs)
       .select("doc_id", "n_bigrams", "avg_logp2")
@@ -540,16 +595,23 @@ class ExtensionSpec extends SparkTestBase {
       .map(r => r._1 -> ((r._2, r._3))).toMap
     def r6(x: Double) = BigDecimal(x)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val (pAB, pBA, pAA, pBB) =
-      (r6(math.log(0.75)), r6(math.log(0.5)),
-        r6(math.log(0.25)), r6(math.log(0.5)))
+    val pAB = r6(math.log(0.75))     // kept: c2/c1 = 3/4
+    val pUnk = r6(math.log(0.5))     // rare fallback: 3/6
     assert(out(1L)._1 == 3L)
-    assert(math.abs(out(1L)._2 - (pAB + pBA + pAB) / 3) < 1e-9)
+    assert(math.abs(out(1L)._2 - (pAB + pUnk + pAB) / 3) < 1e-9)
     assert(out(2L)._1 == 3L)
-    assert(math.abs(out(2L)._2 - (pAA + pAB + pBB) / 3) < 1e-9)
+    assert(math.abs(out(2L)._2 - (pUnk + pAB + pUnk) / 3) < 1e-9)
     // fluency beats the unigram signal: both docs share the same unigram
     // multiset, yet the spliced doc (2) scores strictly lower
     assert(out(1L)._2 > out(2L)._2)
+    // floor=1 (below every pair count) reproduces the uncapped
+    // row-stochastic model exactly: p(b|a) = c2/c1 per pair
+    val un = ops.Text.lmBigram(docs, floor = 1L)
+      .select("doc_id", "avg_logp2").as[(Long, Double)].collect().toMap
+    val (pBA, pAA, pBB) =
+      (r6(math.log(0.5)), r6(math.log(0.25)), r6(math.log(0.5)))
+    assert(math.abs(un(1L) - (pAB + pBA + pAB) / 3) < 1e-9)
+    assert(math.abs(un(2L) - (pAA + pAB + pBB) / 3) < 1e-9)
     // single-token docs carry no bigram → absent, not crashed
     val one = ops.Text.lmBigram(Seq((9L, "solo")).toDF("doc_id", "text"))
     assert(one.count() == 0)

@@ -207,6 +207,38 @@ class InfluxQlSpec extends SparkTestBase {
       assert(InfluxQL.parse(printed) == outer,
         s"subquery round-trip broke for: $printed")
     }
+    // print is TOTAL over programmatically built ASTs (round-8 advice):
+    // an aliased inner in forecast/TA/atan2 — unconstructible via parse,
+    // which rejects inner AS — renders bare and re-parses cleanly
+    val aliasedInner = InfluxQL.Agg("mean", "v", Some("m"))
+    val hwAliased = InfluxQL.Query(
+      Seq(InfluxQL.HoltWinters(aliasedInner, 3, 0, withFit = false, None)),
+      "events", Nil, Some((1, "h")), Nil, None, orderDesc = false, None, None)
+    val hwPrinted = InfluxQL.print(hwAliased)
+    assert(hwPrinted.contains("holt_winters(mean(v), 3, 0)"), hwPrinted)
+    assert(InfluxQL.parse(hwPrinted) ==
+      hwAliased.copy(fields = Seq(InfluxQL.HoltWinters(
+        aliasedInner.copy(alias = None), 3, 0, withFit = false, None))))
+    val taAliased = hwAliased.copy(fields = Seq(
+      InfluxQL.TechAnalysis("relative_strength_index", aliasedInner, 4, None)))
+    assert(InfluxQL.parse(InfluxQL.print(taAliased)) == taAliased.copy(
+      fields = Seq(InfluxQL.TechAnalysis("relative_strength_index",
+        aliasedInner.copy(alias = None), 4, None))))
+    // aliased Arith operand inside atan2 also renders bare (formerly the
+    // strip covered Raw/Agg only — inconsistently)
+    val arithAliased = InfluxQL.Arith(
+      InfluxQL.Agg("max", "v", None), "*", 2.0, Some("k"))
+    val atanAliased = hwAliased.copy(fields = Seq(
+      InfluxQL.Atan2(arithAliased, InfluxQL.Agg("min", "v", None), None)))
+    val atanPrinted = InfluxQL.print(atanAliased)
+    assert(atanPrinted.contains("atan2(max(v) * 2, min(v))"), atanPrinted)
+    assert(InfluxQL.parse(atanPrinted) == atanAliased.copy(fields = Seq(
+      InfluxQL.Atan2(arithAliased.copy(alias = None),
+        InfluxQL.Agg("min", "v", None), None))))
+    // ...and the parser now rejects inner AS in atan2 (HwRe/TaRe style),
+    // so parse∘print is a fixpoint over everything parse accepts
+    intercept[IllegalArgumentException](InfluxQL.parse(
+      "SELECT atan2(mean(v) AS m, mean(w)) FROM m GROUP BY time(1h)"))
     // paren-grouped forecast/TA items with an alias route through
     // withAlias — formerly a MatchError for these field kinds
     val hwParen = InfluxQL.parse(
@@ -1508,12 +1540,50 @@ class InfluxQlSpec extends SparkTestBase {
     // rejected loudly rather than approximated
     intercept[IllegalArgumentException](InfluxQL.runMeta(spark, cat,
       "EXPLAIN ANALYZE SELECT mean(value) FROM events"))
-    // multi-source FROM shapes have no one frame to estimate — loud, not
-    // the wrong source's numbers
+    // a subquery FROM has no stored frame to estimate — loud, not the
+    // wrong source's numbers
     intercept[IllegalArgumentException](InfluxQL.runMeta(spark, cat,
       "EXPLAIN SELECT mean(mv) FROM (SELECT mean(value) AS mv FROM events " +
         "GROUP BY time(1h))"))
+  }
+
+  test("EXPLAIN over FROM /regex/ and FROM list: one SOURCE-led block per " +
+    "resolved measurement; unknown names skipped; no match is loud") {
+    val m = Tables.load(spark, sf, "events").withColumnRenamed("ts", "time")
+    val cat = Seq("events" -> m,
+      "events_clicks" -> m.filter(col("event_type") === "click"))
+    def blocks(rows: Array[(String, String)]): Map[String, Map[String, String]] = {
+      // split the (item, value) stream at SOURCE rows
+      val idx = rows.zipWithIndex.collect { case (("SOURCE", _), i) => i }
+      idx.zip(idx.drop(1) :+ rows.length).map { case (s, e) =>
+        rows(s)._2 -> rows.slice(s + 1, e).toMap }.toMap
+    }
+    val re = InfluxQL.runMeta(spark, cat,
+      "EXPLAIN SELECT mean(value) FROM /events/ " +
+        "WHERE time >= '2024-01-02 00:00:00' AND time < '2024-01-04 00:00:00'")
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    val b = blocks(re)
+    assert(b.keySet == Set("events", "events_clicks"))
+    val f = m.filter(col("time") >= "2024-01-02 00:00:00" &&
+      col("time") < "2024-01-04 00:00:00")
+    assert(b("events")("NUMBER OF POINTS").toLong == f.count())
+    assert(b("events_clicks")("NUMBER OF POINTS").toLong ==
+      f.filter(col("event_type") === "click").count())
+    assert(b("events")("EXPRESSION") == "mean(value)")
+    // quoted FROM list resolves in list order, unknown names skipped
+    val li = InfluxQL.runMeta(spark, cat,
+      """EXPLAIN SELECT count(value) FROM "events_clicks", "nope"""")
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    val lb = blocks(li)
+    assert(lb.keySet == Set("events_clicks"))
+    assert(lb("events_clicks")("NUMBER OF POINTS").toLong ==
+      m.filter(col("event_type") === "click").count())
+    // a single NAMED measurement keeps the headerless four-row shape
+    val one = InfluxQL.runMeta(spark, cat,
+      "EXPLAIN SELECT mean(value) FROM events").collect()
+    assert(one.length == 4 && !one.exists(_.getString(0) == "SOURCE"))
+    // zero regex matches: loud, as with an unknown named measurement
     intercept[IllegalArgumentException](InfluxQL.runMeta(spark, cat,
-      "EXPLAIN SELECT mean(value) FROM /ev/"))
+      "EXPLAIN SELECT mean(value) FROM /zzz/"))
   }
 }

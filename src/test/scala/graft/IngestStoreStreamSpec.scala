@@ -274,6 +274,61 @@ class IngestStoreStreamSpec extends SparkTestBase {
     assert(reg.run("cq_guard", stream).count() > 0)
   }
 
+  test("subscription write-forwarding: a CQ write lands in BOTH the store " +
+    "and every registered file destination; ANY picks one; no-sub is free") {
+    val root = Files.createTempDirectory("cq_subs").toString
+    val landing = Files.createTempDirectory("cq_subs_landing").toString
+    val cat = new graft.influxql.MeasurementCatalog(spark)
+    cat.statement("CREATE DATABASE graft")
+    // ALL fans out to every file destination; non-file transports skipped
+    cat.statement("CREATE SUBSCRIPTION s_all ON graft.autogen " +
+      s"DESTINATIONS ALL 'file://$root/dest_a', 'file://$root/dest_b', " +
+      "'http://kapacitor:9092'")
+    // ANY load-balances: deterministically the FIRST file destination
+    cat.statement("CREATE SUBSCRIPTION s_any ON graft.autogen " +
+      s"DESTINATIONS ANY 'file://$root/any_1', 'file://$root/any_2'")
+    assert(cat.subscriptionFileTargets("graft", "autogen") ==
+      Seq(s"file://$root/dest_a", s"file://$root/dest_b", s"file://$root/any_1"))
+    val reg = new graft.streaming.CqRegistry(spark, root, "30 days")
+    reg.create("CREATE CONTINUOUS QUERY cq_subs ON graft BEGIN " +
+      "SELECT count(value) AS n INTO daily FROM events GROUP BY time(1d) END")
+    val events = Tables.load(spark, sf, "events")
+      .select(col("ts").as("time"), col("value"))
+    val store = new graft.store.MeasurementStore(spark,
+      Files.createTempDirectory("cq_subs_store").toString)
+    def stream = spark.readStream.schema(events.schema).parquet(landing)
+    // two incremental drains: the tee must ship each run's DELTA
+    events.limit(60).write.mode("append").parquet(landing)
+    reg.runIntoStore("cq_subs", stream, store, subscriptions = Some(cat))
+    events.write.mode("append").parquet(landing)
+    val stored = reg.runIntoStore("cq_subs", stream, store,
+      subscriptions = Some(cat))
+    // every destination received the forwarded stream, version included,
+    // and its last-write-wins collapse reconstructs the stored table
+    for (dest <- Seq("dest_a", "dest_b", "any_1")) {
+      val raw = spark.read.parquet(s"$root/$dest/daily")
+      assert(raw.columns.contains("__cq_version"), dest)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("time").orderBy(col("__cq_version").desc)
+      val collapsed = raw
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rn") === 1).select("time", "n")
+      assert(collapsed.exceptAll(stored.select("time", "n")).isEmpty &&
+        stored.select("time", "n").exceptAll(collapsed).isEmpty, dest)
+      // both drains forwarded: the raw stream holds re-emitted buckets
+      assert(raw.count() > collapsed.count(), dest)
+    }
+    // ANY's second destination was never written
+    assert(!new java.io.File(s"$root/any_2").exists())
+    // and with no catalog the path is unchanged (no tee, no dirs)
+    val reg2 = new graft.streaming.CqRegistry(spark,
+      Files.createTempDirectory("cq_nosub").toString, "30 days")
+    reg2.create("CREATE CONTINUOUS QUERY cq_subs ON graft BEGIN " +
+      "SELECT count(value) AS n INTO daily FROM events GROUP BY time(1d) END")
+    reg2.runIntoStore("cq_subs", stream, new graft.store.MeasurementStore(
+      spark, Files.createTempDirectory("cq_nosub_store").toString))
+  }
+
   test("CQ registry: interrupted merge swap heals on the next run") {
     val root = Files.createTempDirectory("cq_heal").toString
     val landing = Files.createTempDirectory("cq_heal_landing").toString

@@ -34,6 +34,19 @@ def compare(name, spark_df, duck_df):
         return f"SHAPE spark={s.shape} duck={d.shape}"
     for c in s.columns:
         sv, dv = s[c], d[c]
+        # The driver hash-compares TYPED values, so an integer Spark column
+        # against a float/object DuckDB column (e.g. a bare SUM(int) typed as
+        # HUGEINT, rendered by pandas as float64/object) hash-fails even when
+        # values are equal. Flag the dtype mismatch before the tolerance
+        # compare so oracle type bugs can't pass locally.
+        s_int = pd.api.types.is_integer_dtype(sv)
+        d_int = pd.api.types.is_integer_dtype(dv)
+        if s_int != d_int and (
+                pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(dv)
+                or sv.dtype == object or dv.dtype == object):
+            return (f"DTYPE col={c} spark={sv.dtype} duck={dv.dtype} "
+                    f"(int vs non-int: driver hash would differ — "
+                    f"CAST the oracle aggregate to BIGINT/DOUBLE)")
         if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(dv):
             a = sv.astype(float).to_numpy()
             b = dv.astype(float).to_numpy()
