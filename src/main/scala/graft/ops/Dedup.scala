@@ -139,46 +139,88 @@ object Dedup {
     * no exact dups every group is a singleton and the plan degenerates to
     * the plain inverted-index join plus one cheap set-keyed group-by. */
   private def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val p = cappedPosting(spark, dir).select(col("doc_id"), col("h"))
-    // group key = the full sorted hash set (not a re-hash of it: the
-    // oracle compare is exact, so collapse must be collision-free)
-    val groups = p.groupBy(col("doc_id"))
+    val groups = shingleGroups(spark, dir)
+    val rpairs = repPairsSized(groups)
+      .withColumn("jaccard", col("inter").cast(DoubleType) /
+        (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= 0.3)
+    expandPairs(groups, rpairs, "jaccard")
+  }
+
+  /** Containment threshold for [[dedupContainment]] — 80% of the smaller
+    * doc's shingles present in the other. */
+  private[ops] val ContainmentMin = 0.8
+
+  /** Asymmetric near-dup detection by set CONTAINMENT: inter / min(|A|,
+    * |B|) ≥ [[ContainmentMin]] — the measure that catches a document
+    * EMBEDDED in a much larger one (an article quoted inside a digest, a
+    * README pasted into a monorepo dump), where Jaccard is diluted by the
+    * larger doc's size and stays under any sensible pair threshold.
+    * Broome/Broder's containment, the quote-detection half every corpus
+    * dedup runs next to the symmetric Jaccard pass. Same machinery as
+    * [[dedupNgramJaccard]] — capped postings, exact-dup collapse, one
+    * inverted-index self-join (cost Σdf², never n²) — only the scoring
+    * expression differs, so the two ops share plan shape, caches, and the
+    * 100 TB story. */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val groups = shingleGroups(spark, dir)
+    val rpairs = repPairsSized(groups)
+      .withColumn("containment", col("inter").cast(DoubleType) /
+        least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= ContainmentMin)
+    totalOrder(expandPairs(groups, rpairs, "containment"))
+  }
+
+  /** Exact-dup groups over the kept shingle-hash sets — the collapse
+    * stage shared by every set-similarity pair op. Group key = the full
+    * sorted hash set (not a re-hash of it: the oracle compare is exact,
+    * so collapse must be collision-free). */
+  private def shingleGroups(spark: SparkSession, dir: String): DataFrame =
+    cappedPosting(spark, dir).select(col("doc_id"), col("h"))
+      .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("h"))).as("hs"))
       .groupBy(col("hs"))
       .agg(min(col("doc_id")).as("rep_id"),
         collect_list(col("doc_id")).as("members"),
         count(lit(1)).as("m"))
       .transform(graft.OpCaches.cached)
+
+  /** Representative-pair frame with intersection and both set sizes:
+    * the inverted-index self-join every set measure (Jaccard,
+    * containment) scores from — (ra, rb, inter, n_a, n_b), ra < rb. */
+  private def repPairsSized(groups: DataFrame): DataFrame = {
     val repPost = groups.select(col("rep_id"), explode(col("hs")).as("h"))
     val sizes = groups.select(col("rep_id"), size(col("hs")).as("n_sh"))
-    val rpairs = repPost.as("a").join(repPost.as("b"),
+    repPost.as("a").join(repPost.as("b"),
         col("a.h") === col("b.h") && col("a.rep_id") < col("b.rep_id"))
       .groupBy(col("a.rep_id").as("ra"), col("b.rep_id").as("rb"))
       .agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("rep_id").as("ra"), col("n_sh").as("n_a")), "ra")
       .join(sizes.select(col("rep_id").as("rb"), col("n_sh").as("n_b")), "rb")
-      .withColumn("jaccard", col("inter").cast(DoubleType) /
-        (col("n_a") + col("n_b") - col("inter")))
-      .filter(col("jaccard") >= 0.3)
-    // cross-group expansion: every (x ∈ A, y ∈ B) doc pair carries its
-    // group pair's jaccard; least/greatest restores the id_a < id_b form
+  }
+
+  /** Re-expand surviving rep pairs to doc pairs (every (x ∈ A, y ∈ B)
+    * inherits its group pair's inter + measure), plus the within-group
+    * pairs, where identical kept sets make every set measure exactly 1.0
+    * (IEEE-exact on the oracle side too). `rpairs` must carry (ra, rb,
+    * inter, <measure>); least/greatest restores the id_a < id_b form. */
+  private def expandPairs(groups: DataFrame, rpairs: DataFrame,
+      measure: String): DataFrame = {
     val cross = rpairs
       .join(groups.select(col("rep_id").as("ra"), col("members").as("ma")), "ra")
       .join(groups.select(col("rep_id").as("rb"), col("members").as("mb")), "rb")
-      .select(explode(col("ma")).as("x"), col("mb"), col("inter"), col("jaccard"))
-      .select(col("x"), explode(col("mb")).as("y"), col("inter"), col("jaccard"))
+      .select(explode(col("ma")).as("x"), col("mb"), col("inter"), col(measure))
+      .select(col("x"), explode(col("mb")).as("y"), col("inter"), col(measure))
       .select(least(col("x"), col("y")).as("id_a"),
         greatest(col("x"), col("y")).as("id_b"),
-        col("inter"), col("jaccard"))
-    // within-group pairs: identical kept sets ⇒ inter = |set|, jaccard 1
-    // (exactly 1.0 in IEEE on the oracle side too: n/(n+n-n))
+        col("inter"), col(measure))
     val within = groups.filter(col("m") >= 2)
       .select(size(col("hs")).as("inter"), explode(col("members")).as("x"),
         col("members"))
       .select(col("x"), explode(col("members")).as("y"), col("inter"))
       .filter(col("x") < col("y"))
       .select(col("x").as("id_a"), col("y").as("id_b"), col("inter"),
-        lit(1.0).as("jaccard"))
+        lit(1.0).as(measure))
     cross.unionByName(within)
   }
 
@@ -615,6 +657,7 @@ object Dedup {
     "dedup_cross_source" -> dedupCrossSource,
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_containment" -> dedupContainment,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_pairs" -> dedupSimhashPairs,
@@ -662,7 +705,10 @@ object Dedup {
     * Σdf² and the oracle must stay runnable at the 10×/30× evidence
     * fixtures where replication inflates that by the duplication factor
     * squared. */
-  private val jaccardPairsCtes: String =
+  /** Shared oracle prefix (tokens → shingles → capped postings →
+    * exact-dup collapse → rep self-join): everything up to the scored
+    * measure, mirrored by [[shingleGroups]]/[[repPairsSized]]. */
+  private val pairsBaseCtes: String =
     """tok AS (
       |  SELECT doc_id, list_filter(
       |    regexp_split_to_array(lower(text), '[^a-z0-9'']+'), t -> t <> '') AS t
@@ -695,6 +741,14 @@ object Dedup {
       |  FROM rpost a JOIN rpost b
       |    ON a.sh = b.sh AND a.rep_id < b.rep_id
       |  GROUP BY 1, 2),
+      |w1 AS (
+      |  SELECT len(hs) AS inter, members, unnest(members) AS x
+      |  FROM grp WHERE m >= 2),
+      |w2 AS (
+      |  SELECT x, unnest(members) AS y, inter FROM w1)""".stripMargin
+
+  private val jaccardPairsCtes: String = pairsBaseCtes +
+    """,
       |rjac AS (
       |  SELECT ra, rb, inter,
       |    CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
@@ -709,16 +763,40 @@ object Dedup {
       |  JOIN grp gb ON gb.rep_id = r.rb),
       |cx2 AS (
       |  SELECT x, unnest(mb) AS y, inter, jaccard FROM cx1),
-      |w1 AS (
-      |  SELECT len(hs) AS inter, members, unnest(members) AS x
-      |  FROM grp WHERE m >= 2),
-      |w2 AS (
-      |  SELECT x, unnest(members) AS y, inter FROM w1),
       |jpairs AS (
       |  SELECT LEAST(x, y) AS id_a, GREATEST(x, y) AS id_b, inter, jaccard
       |  FROM cx2
       |  UNION ALL
       |  SELECT x AS id_a, y AS id_b, inter, CAST(1.0 AS DOUBLE) AS jaccard
+      |  FROM w2 WHERE x < y)""".stripMargin
+
+  /** Containment twin of [[jaccardPairsCtes]]: same base, scored by
+    * inter / min set size at [[ContainmentMin]]. */
+  private val containmentPairsCtes: String = pairsBaseCtes +
+    s""",
+      |rcon AS (
+      |  SELECT ra, rb, inter,
+      |    CAST(inter AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) AS containment
+      |  FROM rawpairs
+      |  JOIN rsizes sa ON sa.rep_id = ra
+      |  JOIN rsizes sb ON sb.rep_id = rb
+      |  WHERE CAST(inter AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh)
+      |    >= $ContainmentMin),
+      |ccx1 AS (
+      |  SELECT unnest(ga.members) AS x, gb.members AS mb, r.inter,
+      |    r.containment
+      |  FROM rcon r
+      |  JOIN grp ga ON ga.rep_id = r.ra
+      |  JOIN grp gb ON gb.rep_id = r.rb),
+      |ccx2 AS (
+      |  SELECT x, unnest(mb) AS y, inter, containment FROM ccx1),
+      |cpairs AS (
+      |  SELECT LEAST(x, y) AS id_a, GREATEST(x, y) AS id_b, inter,
+      |    containment
+      |  FROM ccx2
+      |  UNION ALL
+      |  SELECT x AS id_a, y AS id_b, inter,
+      |    CAST(1.0 AS DOUBLE) AS containment
       |  FROM w2 WHERE x < y)""".stripMargin
 
   val oracle: Map[String, String] = Map(
@@ -780,6 +858,10 @@ object Dedup {
       s"""WITH $jaccardPairsCtes
          |SELECT id_a, id_b, inter, jaccard FROM jpairs
          |${orderAll("id_a", "id_b", "inter", "jaccard")}""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH $containmentPairsCtes
+         |SELECT id_a, id_b, inter, containment FROM cpairs
+         |${orderAll("id_a", "id_b", "inter", "containment")}""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE $jaccardPairsCtes,
          |edges AS (

@@ -13,6 +13,30 @@ import org.apache.spark.sql.functions._
 object Pipeline {
   import Relational.{totalOrder, orderAll}
 
+  /** Corpus datasheet — the per-source summary every dataset release
+    * publishes (the "Datasheets for Datasets" / Dolma-report numbers) and
+    * every pipeline run re-checks before shipping: document and token
+    * counts, language spread, mean document size, and the short-doc
+    * fraction that dominates quality-filter tuning. ONE pass over the
+    * corpus: per-row token counts are a codegen'd expression, then a
+    * single map-side-combined aggregate keyed by source — the 100 TB
+    * shape is a scan plus a |sources|-row shuffle, nothing else. Exact
+    * decimal mean for chars (engine-stable; the [[graft.Tables.davg]]
+    * convention). */
+  def pipelineCorpusStats(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[^a-z0-9']+"), t => t =!= "")
+    totalOrder(load(spark, dir, "documents")
+      .withColumn("n_tok", size(toks).cast("long"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        davg(col("n_chars").cast(org.apache.spark.sql.types.DoubleType))
+          .as("avg_chars"),
+        sum(when(col("n_tok") < 50, 1L).otherwise(0L)).as("short_docs")))
+  }
+
   /** End-to-end corpus curation as ONE Catalyst plan — the standard
     * pre-training filter chain: exact-dedup survivor selection (lowest
     * doc_id per normalized content hash) → quality gate → minimum-length
@@ -301,6 +325,7 @@ object Pipeline {
   // ----------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_corpus_stats" -> pipelineCorpusStats,
     "pipeline_curate" -> pipelineCurate,
     "pipeline_pack_sequences" -> pipelinePackSequences,
     "pipeline_source_mix" -> pipelineSourceMix,
@@ -313,6 +338,22 @@ object Pipeline {
     "text_pii_scrub" -> textPiiScrub)
 
   val oracle: Map[String, String] = Map(
+    "pipeline_corpus_stats" ->
+      s"""WITH t AS (
+         |  SELECT source, lang, n_chars,
+         |    len(list_filter(regexp_split_to_array(lower(text),
+         |      '[^a-z0-9'']+'), x -> x <> '')) AS n_tok
+         |  FROM documents)
+         |SELECT source,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |  COUNT(DISTINCT lang) AS n_langs,
+         |  ${graft.Tables.sqlDavg("n_chars")} AS avg_chars,
+         |  CAST(SUM(CASE WHEN n_tok < 50 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS short_docs
+         |FROM t GROUP BY source
+         |${orderAll("source", "n_docs", "n_tokens", "n_langs", "avg_chars",
+              "short_docs")}""".stripMargin,
     "pipeline_shard_manifest" ->
       s"""WITH t AS (
          |  SELECT doc_id,

@@ -408,6 +408,32 @@ object Text {
     totalOrder(capRow("unigram", uni).unionByName(capRow("bigram", big)))
   }
 
+  /** CCNet-style corpus split: per-language head/middle/tail terciles of
+    * the unigram-LM score — the published recipe (CCNet, Wenzek et al.)
+    * every pretraining pipeline applies to web text: keep "head" (most
+    * fluent third per language), sample "middle", usually drop "tail".
+    * Terciles are RANK-exact here — ntile(3) over (score desc, doc_id)
+    * per language — because integer rank logic carries a hash oracle
+    * where interpolated percentile CUTOFFS would be ulp-fragile at
+    * bucket boundaries. The window sorts per language (parallel across
+    * languages, range-partitioned within one); at 100 TB the production
+    * variant derives cutoffs from a percentile sketch on a sample — the
+    * CCNet paper's own arrangement — and buckets by comparison, trading
+    * rank-exactness for a sort-free scan; the scoring and per-lang
+    * decomposition are identical. */
+  def textLmSplit(spark: SparkSession, dir: String): DataFrame = {
+    val scored = lmScore(load(spark, dir, "documents"))
+      .select(col("doc_id"), col("avg_logp"))
+    val langs = load(spark, dir, "documents").select(col("doc_id"), col("lang"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("avg_logp").desc, col("doc_id"))
+    totalOrder(scored.join(langs, "doc_id")
+      .withColumn("t", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("avg_logp"),
+        when(col("t") === 1, "head").when(col("t") === 2, "middle")
+          .otherwise("tail").as("bucket")))
+  }
+
   /** BM25 query terms / parameters for [[textBm25]] — a fixed demo query
     * with the standard Robertson k1/b constants. */
   private val Bm25Query = Seq("spark", "window", "merge")
@@ -461,6 +487,7 @@ object Text {
     "text_lm_score" -> textLmScore,
     "text_lm_bigram" -> textLmBigram,
     "text_lm_cap_stats" -> textLmCapStats,
+    "text_lm_split" -> textLmSplit,
     "text_boilerplate" -> textBoilerplate,
     "text_bpe_pairs" -> textBpePairs,
     "text_bpe_encode" -> textBpeEncode,
@@ -556,6 +583,32 @@ object Text {
          |  CROSS JOIN st
          |GROUP BY doc_id
          |${orderAll("doc_id", "n_bigrams", "avg_logp2")}""".stripMargin,
+    "text_lm_split" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, token
+         |  FROM (SELECT doc_id,
+         |          unnest(regexp_split_to_array(lower(text), '[^a-z0-9'']+'))
+         |            AS token
+         |        FROM documents)
+         |  WHERE token <> ''),
+         |counts AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+         |kept AS (SELECT token, c FROM counts WHERE c >= $LmCountFloor),
+         |st AS (SELECT CAST(SUM(c) AS DOUBLE) AS n,
+         |  CAST(SUM(CASE WHEN c < $LmCountFloor THEN c ELSE 0 END) AS DOUBLE)
+         |    AS unk_c FROM counts),
+         |sc AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CAST(round(ln(COALESCE(CAST(c AS DOUBLE), unk_c) / n), 6)
+         |      AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_logp
+         |  FROM toks LEFT JOIN kept USING (token) CROSS JOIN st
+         |  GROUP BY doc_id)
+         |SELECT doc_id, lang, avg_logp,
+         |  CASE ntile(3) OVER (PARTITION BY lang
+         |      ORDER BY avg_logp DESC, doc_id)
+         |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+         |  END AS bucket
+         |FROM sc JOIN documents USING (doc_id)
+         |${orderAll("doc_id", "lang", "avg_logp", "bucket")}""".stripMargin,
     "text_lm_cap_stats" ->
       s"""WITH toks AS (
          |  SELECT doc_id, token

@@ -618,6 +618,97 @@ class ExtensionSpec extends SparkTestBase {
     OpCaches.releaseAll()
   }
 
+  test("containment dedup: catches a doc embedded in a larger one that " +
+    "jaccard misses, and reduces to inter/min-size exactly") {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("contain").toString
+    // doc 2 = doc 1's opening verbatim; doc 1 continues with 4x more
+    // unique text → jaccard diluted under 0.3, containment 1.0
+    val core = (1 to 12).map(i => s"alpha$i beta$i gamma$i").mkString(" ")
+    val tail = (1 to 160).map(i => s"unique$i token$i filler$i").mkString(" ")
+    val rows = Seq(
+      (1L, s"$core $tail", "en", "web", 10L),
+      (2L, core, "en", "news", 10L),
+      (3L, "wholly unrelated text about something else entirely here okay",
+        "en", "web", 10L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$tmp/documents.parquet")
+    val con = ops.Dedup.dedupContainment(spark, tmp)
+      .select("id_a", "id_b", "containment")
+      .as[(Long, Long, Double)].collect()
+    assert(con.map(r => (r._1, r._2)).toSet == Set((1L, 2L)))
+    // doc 2's shingles are all in doc 1 → containment exactly 1.0
+    assert(con.head._3 == 1.0)
+    // the symmetric jaccard pass does NOT pair them (dilution)
+    val jac = ops.Dedup.dedupNgramJaccard(spark, tmp)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((1L, 2L)),
+      "fixture too small: jaccard also caught the pair, containment adds nothing")
+    OpCaches.releaseAll()
+  }
+
+  test("containment on the fixture corpus: superset of high-jaccard " +
+    "near-dups, measure laws hold") {
+    val con = ops.Dedup.dedupContainment(spark, sf)
+      .select("id_a", "id_b", "inter", "containment")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(con.nonEmpty)
+    assert(con.forall(r => r._4 >= 0.8 && r._4 <= 1.0))
+    assert(con.forall(r => r._1 < r._2))
+    // jaccard >= 0.8 implies containment >= 0.8 (inter/min >= inter/union):
+    // every very-near dup pair must re-appear here
+    val highJ = ops.Dedup.dedupNgramJaccard(spark, sf)
+      .filter(col("jaccard") >= 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val cp = con.map(r => (r._1, r._2)).toSet
+    assert(highJ.subsetOf(cp), s"missing: ${highJ -- cp}")
+    OpCaches.releaseAll()
+  }
+
+  test("lm split: per-lang terciles balanced to within one, head outscores " +
+    "tail, buckets reconcile with the lm score table") {
+    val split = ops.Text.textLmSplit(spark, sf)
+      .select("doc_id", "lang", "avg_logp", "bucket")
+      .as[(Long, String, Double, String)].collect()
+    val scores = ops.Text.textLmScore(spark, sf)
+      .select("doc_id", "avg_logp").as[(Long, Double)].collect().toMap
+    assert(split.length == scores.size)
+    assert(split.forall(r => scores(r._1) == r._3))
+    for ((lang, rows) <- split.groupBy(_._2)) {
+      val byBucket = rows.groupBy(_._4).view.mapValues(_.length).toMap
+      val sizes = Seq("head", "middle", "tail").map(byBucket.getOrElse(_, 0))
+      assert(sizes.max - sizes.min <= 1, s"$lang terciles: $byBucket")
+      // min head score >= max tail score (desc rank order)
+      val head = rows.filter(_._4 == "head").map(_._3)
+      val tail = rows.filter(_._4 == "tail").map(_._3)
+      if (head.nonEmpty && tail.nonEmpty)
+        assert(head.min >= tail.max, s"$lang: head/tail overlap")
+    }
+    OpCaches.releaseAll()
+  }
+
+  test("corpus stats: per-source datasheet reconciles with doc counts and " +
+    "the token-count table") {
+    val st = ops.Pipeline.pipelineCorpusStats(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))).toMap
+    val docs = Tables.load(spark, sf, "documents")
+      .select("source", "doc_id", "n_chars").as[(String, Long, Long)].collect()
+    assert(st.keySet == docs.map(_._1).toSet)
+    val tc = ops.Text.textTokenCount(spark, sf)
+      .select("doc_id", "n_ws_tokens").as[(Long, Int)].collect().toMap
+    for ((src, (nDocs, nToks, nLangs, avgChars, shortDocs)) <- st) {
+      val mine = docs.filter(_._1 == src)
+      assert(nDocs == mine.length)
+      assert(nToks == mine.map(d => tc(d._2).toLong).sum)
+      assert(shortDocs == mine.count(d => tc(d._2) < 50))
+      assert(nLangs >= 1)
+      assert(math.abs(avgChars -
+        mine.map(_._3).sum.toDouble / mine.length) < 1e-6)
+    }
+    OpCaches.releaseAll()
+  }
+
   test("bm25: row set is exactly the matching docs and every score " +
     "reproduces an imperative Okapi reference") {
     val q = Seq("spark", "window", "merge")
