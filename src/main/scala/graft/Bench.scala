@@ -61,8 +61,13 @@ object Bench {
     val prev: Map[String, Double] = scala.util.Try {
       val txt = Files.readString(Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "BENCH_LOCAL.json")))
+      // parse ONLY the "queries" object — the trailing min_of_3 map uses
+      // the same key names and would otherwise overwrite the medians,
+      // making drift be judged against the min-of-3 floor instead
+      val qobj = """"queries":\{([^}]*)\}""".r
+        .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
       val m = """"([a-z0-9_]+)":([0-9.]+)""".r
-      m.findAllMatchIn(txt).map(x => x.group(1) -> x.group(2).toDouble).toMap
+      m.findAllMatchIn(qobj).map(x => x.group(1) -> x.group(2).toDouble).toMap
     }.getOrElse(Map.empty)
     val drifted = firstPass.collect {
       case (n, t) if prev.get(n).exists(p => p > 0 && t > p * DriftFactor) => n

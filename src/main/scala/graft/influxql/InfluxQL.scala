@@ -2153,17 +2153,22 @@ object InfluxQL {
         // a subquery FROM has no stored frame to estimate against
         if (p.sub.nonEmpty)
           fail(q, "EXPLAIN does not support a subquery FROM")
-        // regex / list FROM resolve against the catalog (unknown names
-        // skipped, unanchored regex — the SHOW MEASUREMENTS conventions)
-        // and report ONE block per source, as InfluxDB's per-shard report
-        // sections do; a lone named measurement keeps the original
-        // headerless four-row shape
+        // regex / list FROM resolve against the catalog and report ONE
+        // block per source, as InfluxDB's per-shard report sections do; a
+        // lone named measurement keeps the original headerless four-row
+        // shape. An unknown LIST name fails loudly — the same error the
+        // query itself would hit at execution, so an EXPLAIN report never
+        // estimates a query that cannot run. The regex form matches
+        // unanchored (the SHOW MEASUREMENTS convention); duplicates in a
+        // list collapse so a block (and its aggregate) runs once.
         val sources: Seq[String] = p.fromRegex match {
           case Some(re) =>
             val rx = re.r
             catalog.map(_._1).filter(n => rx.findFirstIn(n).isDefined).sorted
           case None if p.fromList.nonEmpty =>
-            p.fromList.filter(n => catalog.exists(_._1 == n))
+            p.fromList.find(n => !catalog.exists(_._1 == n))
+              .foreach(n => fail(q, s"unknown measurement '$n'"))
+            p.fromList.distinct
           case None => Seq(p.measurement)
         }
         if (sources.isEmpty) fail(q, "EXPLAIN matched no measurements")

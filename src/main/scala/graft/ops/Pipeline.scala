@@ -24,7 +24,7 @@ object Pipeline {
     * decimal mean for chars (engine-stable; the [[graft.Tables.davg]]
     * convention). */
   def pipelineCorpusStats(spark: SparkSession, dir: String): DataFrame = {
-    val toks = filter(split(lower(col("text")), "[^a-z0-9']+"), t => t =!= "")
+    val toks = Text.tokens(col("text"))
     totalOrder(load(spark, dir, "documents")
       .withColumn("n_tok", size(toks).cast("long"))
       .groupBy(col("source"))
@@ -114,7 +114,7 @@ object Pipeline {
     val width = maxId / PackBuckets + 1
     val base = docs
       .withColumn("n_tokens",
-        size(filter(split(lower(col("text")), "[^a-z0-9']+"), t => t =!= "")))
+        size(Text.tokens(col("text"))))
       .withColumn("bucket", floor(col("doc_id") / width))
       .select(col("doc_id"), col("n_tokens"), col("bucket"))
     // pass 1: per-bucket subtotals → exclusive prefix offsets. The window
@@ -177,7 +177,7 @@ object Pipeline {
   /** Per-doc DISTINCT word 5-gram postings (doc_id, g) — shared by the
     * decontamination gate and its report twin. */
   private def fiveGramPostings(spark: SparkSession, dir: String): DataFrame = {
-    val toks = filter(split(lower(col("text")), "[^a-z0-9']+"), t => t =!= "")
+    val toks = Text.tokens(col("text"))
     load(spark, dir, "documents")
       .withColumn("t", toks)
       .withColumn("grams", when(size(col("t")) >= 5,
@@ -225,7 +225,7 @@ object Pipeline {
     * expression over the text: no shuffle, composes into the curation
     * chain at any scale. */
   def pipelineRepetitionFilter(spark: SparkSession, dir: String): DataFrame = {
-    val toks = filter(split(lower(col("text")), "[^a-z0-9']+"), t => t =!= "")
+    val toks = Text.tokens(col("text"))
     totalOrder(load(spark, dir, "documents")
       .withColumn("t", toks)
       .withColumn("grams", when(size(col("t")) >= 3,

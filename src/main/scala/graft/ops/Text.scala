@@ -19,10 +19,14 @@ import org.apache.spark.sql.types.DoubleType
 object Text {
   import Relational.{totalOrder, orderAll}
 
-  /** Word tokens: split on any non-[a-z0-9'] run after lowercasing. */
+  /** Word tokens: split on any non-[a-z0-9'] run after lowercasing.
+    * THE canonical tokenizer — `private[ops]` so sibling families
+    * (Pipeline's datasheet/packing ops) reuse it instead of inlining the
+    * regex, keeping their token counts reconciliation-exact with the
+    * text ops by construction. */
   private val TokenPattern = "[^a-z0-9']+"
 
-  private def tokens(c: org.apache.spark.sql.Column) =
+  private[ops] def tokens(c: org.apache.spark.sql.Column) =
     filter(split(lower(c), TokenPattern), t => t =!= "")
 
   /** Term frequency across the corpus (explode → hash agg, SURVEY §2.10
@@ -290,14 +294,31 @@ object Text {
   def textLmScore(spark: SparkSession, dir: String): DataFrame =
     lmScore(load(spark, dir, "documents"))
 
+  /** (doc_id, token) postings over the cached tokenized frame — the
+    * unigram model's input, shared by [[lmScore]] and [[textLmCapStats]]
+    * so the audit counts exactly what the scorer counts. */
+  private def tokenPostings(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), tokens(col("text")).as("t"))
+    .transform(graft.OpCaches.cached)
+    .select(col("doc_id"), explode(col("t")).as("token"))
+
+  /** (doc_id, a, b) adjacent-pair postings — the bigram model's input,
+    * shared by [[lmBigram]] and [[textLmCapStats]] for the same reason. */
+  private def bigramPostings(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), tokens(col("text")).as("t"))
+    .transform(graft.OpCaches.cached)
+    .filter(size(col("t")) >= 2)
+    .select(col("doc_id"), explode(transform(
+      sequence(lit(0), size(col("t")) - 2),
+      i => struct(element_at(col("t"), i + 1).as("a"),
+        element_at(col("t"), i + 2).as("b")))).as("p"))
+    .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+
   /** [[textLmScore]] over an arbitrary documents frame (doc_id, text). */
   private[graft] def lmScore(docs: DataFrame,
       floor: Long = LmCountFloor): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val toks = docs
-      .select(col("doc_id"), tokens(col("text")).as("t"))
-      .transform(graft.OpCaches.cached)
-      .select(col("doc_id"), explode(col("t")).as("token"))
+    val toks = tokenPostings(docs)
     val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
     // the broadcast model is ONLY tokens at/above the floor; rare tokens
     // miss the left join and fall through to the shared <unk> mass below
@@ -341,15 +362,7 @@ object Text {
   private[graft] def lmBigram(docs: DataFrame,
       floor: Long = LmCountFloor): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val bi = docs
-      .select(col("doc_id"), tokens(col("text")).as("t"))
-      .transform(graft.OpCaches.cached)
-      .filter(size(col("t")) >= 2)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(0), size(col("t")) - 2),
-        i => struct(element_at(col("t"), i + 1).as("a"),
-          element_at(col("t"), i + 2).as("b")))).as("p"))
-      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val bi = bigramPostings(docs)
     val c2 = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c2"))
     val kept2 = c2.filter(col("c2") >= floor)
     // head totals keep the FULL row mass (the conditional's denominator is
@@ -384,19 +397,11 @@ object Text {
     * aggregate rows; the heavy work is the same two map-side-combined
     * count shuffles the scoring ops run. */
   def textLmCapStats(spark: SparkSession, dir: String): DataFrame = {
-    val toks = load(spark, dir, "documents")
-      .select(col("doc_id"), tokens(col("text")).as("t"))
-      .transform(graft.OpCaches.cached)
-    val uni = toks
-      .select(explode(col("t")).as("token"))
+    val docs = load(spark, dir, "documents")
+    val uni = tokenPostings(docs)
       .groupBy(col("token")).agg(count(lit(1)).as("c"))
-    val big = toks
-      .filter(size(col("t")) >= 2)
-      .select(explode(transform(
-        sequence(lit(0), size(col("t")) - 2),
-        i => struct(element_at(col("t"), i + 1).as("a"),
-          element_at(col("t"), i + 2).as("b")))).as("p"))
-      .groupBy(col("p.a"), col("p.b")).agg(count(lit(1)).as("c"))
+    val big = bigramPostings(docs)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
     def capRow(model: String, counts: DataFrame): DataFrame = counts
       .agg(
         sum(when(col("c") >= LmCountFloor, 1L).otherwise(0L)).as("kept_types"),
@@ -422,9 +427,9 @@ object Text {
     * rank-exactness for a sort-free scan; the scoring and per-lang
     * decomposition are identical. */
   def textLmSplit(spark: SparkSession, dir: String): DataFrame = {
-    val scored = lmScore(load(spark, dir, "documents"))
-      .select(col("doc_id"), col("avg_logp"))
-    val langs = load(spark, dir, "documents").select(col("doc_id"), col("lang"))
+    val docs = load(spark, dir, "documents")
+    val scored = lmScore(docs).select(col("doc_id"), col("avg_logp"))
+    val langs = docs.select(col("doc_id"), col("lang"))
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("avg_logp").desc, col("doc_id"))
     totalOrder(scored.join(langs, "doc_id")

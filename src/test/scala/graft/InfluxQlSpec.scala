@@ -1548,7 +1548,7 @@ class InfluxQlSpec extends SparkTestBase {
   }
 
   test("EXPLAIN over FROM /regex/ and FROM list: one SOURCE-led block per " +
-    "resolved measurement; unknown names skipped; no match is loud") {
+    "resolved measurement; unknown list names and no-match regex are loud") {
     val m = Tables.load(spark, sf, "events").withColumnRenamed("ts", "time")
     val cat = Seq("events" -> m,
       "events_clicks" -> m.filter(col("event_type") === "click"))
@@ -1570,14 +1570,18 @@ class InfluxQlSpec extends SparkTestBase {
     assert(b("events_clicks")("NUMBER OF POINTS").toLong ==
       f.filter(col("event_type") === "click").count())
     assert(b("events")("EXPRESSION") == "mean(value)")
-    // quoted FROM list resolves in list order, unknown names skipped
+    // quoted FROM list resolves in list order; duplicates collapse to one
+    // block; an unknown name fails loudly — EXACTLY the error the query
+    // itself would hit, so EXPLAIN never estimates an unrunnable query
     val li = InfluxQL.runMeta(spark, cat,
-      """EXPLAIN SELECT count(value) FROM "events_clicks", "nope"""")
+      """EXPLAIN SELECT count(value) FROM "events_clicks", "events_clicks"""")
       .collect().map(r => r.getString(0) -> r.getString(1))
     val lb = blocks(li)
-    assert(lb.keySet == Set("events_clicks"))
+    assert(lb.keySet == Set("events_clicks") && li.length == 5)
     assert(lb("events_clicks")("NUMBER OF POINTS").toLong ==
       m.filter(col("event_type") === "click").count())
+    intercept[IllegalArgumentException](InfluxQL.runMeta(spark, cat,
+      """EXPLAIN SELECT count(value) FROM "events_clicks", "nope""""))
     // a single NAMED measurement keeps the headerless four-row shape
     val one = InfluxQL.runMeta(spark, cat,
       "EXPLAIN SELECT mean(value) FROM events").collect()
