@@ -145,6 +145,35 @@ class ExtensionSpec extends SparkTestBase {
     assert(recall >= 0.1, s"recall@5 = $recall")
   }
 
+  test("persisted ivf index: cold read-back search is bit-identical to " +
+    "the in-memory tier; lists land cid-partitioned on disk") {
+    import graft.functions.GraftFunctions.vecDot
+    val mem = ops.Vectors.simKnnIvf(spark, sf)
+      .select("q_id", "neighbor_id", "rk", "cosine")
+      .as[(Long, Long, Int, Double)].collect().sorted
+    OpCaches.releaseAll(); spark.catalog.clearCache()
+    val idx = ops.Vectors.simKnnIndexed(spark, sf)
+      .select("q_id", "neighbor_id", "rk", "cosine")
+      .as[(Long, Long, Int, Double)].collect().sorted
+    // EXACT equality including every cosine double: the index round-trips
+    // through parquet bit-for-bit, so cold search == in-memory search
+    assert(idx.sameElements(mem))
+    // the on-disk layout is the list-pruning contract: one directory per
+    // cell, so a probed search's scan touches only its cells' files
+    val out = java.nio.file.Files.createTempDirectory("ivf_layout").toString
+    val base = Tables.load(spark, sf, "embeddings")
+      .withColumn("nrm", sqrt(vecDot(spark, col("embedding"), col("embedding"))))
+    ops.Vectors.ivfIndexWrite(spark, base, out)
+    val cellDirs = new java.io.File(s"$out/lists").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cid="))
+    val cells = ops.Vectors.simIndexBuild(spark, sf)
+      .select("cid").as[Long].collect()
+    assert(cellDirs.length == cells.length && cellDirs.nonEmpty)
+    assert(cellDirs.map(_.getName.stripPrefix("cid=").toLong).sorted
+      .sameElements(cells.sorted))
+    OpCaches.releaseAll()
+  }
+
   test("knn self-join: co-celled pairs only, contiguous ranks, " +
     "nontrivial recall vs exact all-pairs top-3") {
     val kj = ops.Vectors.simKnnJoin(spark, sf)

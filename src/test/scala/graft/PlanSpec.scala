@@ -249,6 +249,15 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("sim_knn_indexed: probed cells dynamic-partition-prune the on-disk " +
+    "lists scan — the storage layer does the list pruning") {
+    val plan = ops.Vectors.simKnnIndexed(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"lists scan not partition-pruned by the probe set:\n${plan.take(2000)}")
+    OpCaches.releaseAll()
+  }
+
   test("join_range_bucket: interval join plans as an EQUI join, never " +
     "a nested-loop theta join") {
     val plan = planOf(ops.Joins.joinRangeBucket(spark, sf))
