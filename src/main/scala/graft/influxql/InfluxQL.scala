@@ -2156,11 +2156,11 @@ object InfluxQL {
         // regex / list FROM resolve against the catalog and report ONE
         // block per source, as InfluxDB's per-shard report sections do; a
         // lone named measurement keeps the original headerless four-row
-        // shape. An unknown LIST name fails loudly — the same error the
-        // query itself would hit at execution, so an EXPLAIN report never
-        // estimates a query that cannot run. The regex form matches
-        // unanchored (the SHOW MEASUREMENTS convention); duplicates in a
-        // list collapse so a block (and its aggregate) runs once.
+        // shape. Execution parity throughout: an unknown LIST name fails
+        // loudly (the same error the query itself would hit), and a
+        // duplicated list entry gets its own block (execution unions each
+        // entry's scan, so the report must count the work twice) — though
+        // the stats aggregate runs once per DISTINCT measurement.
         val sources: Seq[String] = p.fromRegex match {
           case Some(re) =>
             val rx = re.r
@@ -2168,7 +2168,7 @@ object InfluxQL {
           case None if p.fromList.nonEmpty =>
             p.fromList.find(n => !catalog.exists(_._1 == n))
               .foreach(n => fail(q, s"unknown measurement '$n'"))
-            p.fromList.distinct
+            p.fromList
           case None => Seq(p.measurement)
         }
         if (sources.isEmpty) fail(q, "EXPLAIN matched no measurements")
@@ -2176,7 +2176,7 @@ object InfluxQL {
           case ExplainExprRe(items) => items.trim.replaceAll("\\s+", " ")
           case _ => fail(q, "EXPLAIN body is not a SELECT")
         }
-        def block(m: String, withSource: Boolean): Seq[(String, String)] = {
+        def blockStats(m: String): Seq[(String, String)] = {
           val src = frame(m)
           val filtered = src.filter(whereFilter(p, None))
           val tags = src.schema.fields
@@ -2191,15 +2191,16 @@ object InfluxQL {
             coalesce(seriesAgg.cast("long"), lit(0L)).as("series"),
             count_distinct(to_date(col("time"))).cast("long").as("shards"))
             .head()
-          (if (withSource) Seq(("SOURCE", m)) else Nil) ++ Seq(
+          Seq(
             ("EXPRESSION", exprText),
             ("NUMBER OF SHARDS", stats.getLong(2).toString),
             ("NUMBER OF SERIES", stats.getLong(1).toString),
             ("NUMBER OF POINTS", stats.getLong(0).toString))
         }
+        val statsByName = sources.distinct.map(m => m -> blockStats(m)).toMap
         (if (p.fromRegex.isEmpty && p.fromList.isEmpty)
-           block(sources.head, withSource = false)
-         else sources.flatMap(m => block(m, withSource = true)))
+           statsByName(sources.head)
+         else sources.flatMap(m => ("SOURCE", m) +: statsByName(m)))
           .toDF("item", "value")
       case ShowTagKeyCardRe(mOpt) =>
         // tag-key cardinality is a SCHEMA property — answered from the

@@ -1570,14 +1570,18 @@ class InfluxQlSpec extends SparkTestBase {
     assert(b("events_clicks")("NUMBER OF POINTS").toLong ==
       f.filter(col("event_type") === "click").count())
     assert(b("events")("EXPRESSION") == "mean(value)")
-    // quoted FROM list resolves in list order; duplicates collapse to one
-    // block; an unknown name fails loudly — EXACTLY the error the query
-    // itself would hit, so EXPLAIN never estimates an unrunnable query
+    // quoted FROM list: execution parity — a duplicated entry gets its
+    // own block (the query unions each entry's scan, so the report must
+    // count the work twice; the aggregate still runs once per distinct
+    // name), and an unknown name fails loudly with EXACTLY the error the
+    // query itself would hit, so EXPLAIN never estimates an unrunnable
+    // query
     val li = InfluxQL.runMeta(spark, cat,
       """EXPLAIN SELECT count(value) FROM "events_clicks", "events_clicks"""")
       .collect().map(r => r.getString(0) -> r.getString(1))
+    assert(li.length == 10 && li.count(_ == ("SOURCE", "events_clicks")) == 2)
     val lb = blocks(li)
-    assert(lb.keySet == Set("events_clicks") && li.length == 5)
+    assert(lb.keySet == Set("events_clicks"))
     assert(lb("events_clicks")("NUMBER OF POINTS").toLong ==
       m.filter(col("event_type") === "click").count())
     intercept[IllegalArgumentException](InfluxQL.runMeta(spark, cat,
