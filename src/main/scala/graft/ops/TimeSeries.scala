@@ -216,9 +216,75 @@ object TimeSeries {
         max(col("event_id")).as("version")))
   }
 
+  /** Query pattern for [[tsPatternMatch]] — a surge shape (ramp up, spike,
+    * ramp down); matching is Z-NORMALIZED, so only the shape matters, not
+    * the series' scale or offset. Length 8 points. */
+  private val PatternQ: Seq[Double] =
+    Seq(0.0, 1.0, 3.0, 6.0, 3.0, 1.0, 0.0, 0.0)
+
+  /** The z-normalized pattern, computed once driver-side and embedded as
+    * double literals in both engines (Double.toString round-trips, so the
+    * oracle parses the identical IEEE values). */
+  private val PatternZ: Seq[Double] = {
+    val mu = PatternQ.sum / PatternQ.size
+    val sd = math.sqrt(PatternQ.map(x => (x - mu) * (x - mu)).sum / PatternQ.size)
+    PatternQ.map(x => (x - mu) / sd)
+  }
+
+  /** Time-series pattern matching — subsequence similarity search (the
+    * UCR-suite / matrix-profile family; EDBT'19 "Time Series Similarity
+    * Search for Streaming Data" is the distributed treatment): find where
+    * each series most resembles a QUERY SHAPE, under z-normalized
+    * euclidean distance so amplitude and baseline don't matter — the
+    * primitive behind anomaly triage ("find surges like this one") and
+    * motif mining. Per series: length-8 sliding windows (collect_list
+    * over an ordered 8-row frame — windows stay inside the series'
+    * partition, one shuffle total), each window z-normalized and scored
+    * against the embedded z-pattern; flat windows (σ≈0) carry no shape
+    * and are skipped; top-3 matches per series by distance. Per-term
+    * squares are 6-dp-rounded and decimal-accumulated (the
+    * [[graft.ops.Text.textEntropy]] convention) so the fold is
+    * engine-stable and the op carries a full DuckDB oracle. At 100 TB
+    * this is embarrassingly parallel in the series key; a long single
+    * series range-partitions by time with an L-row overlap. */
+  def tsPatternMatch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val L = PatternQ.size
+    val wWin = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.currentRow, L - 1)
+    val zq = array(PatternZ.map(lit): _*)
+    val win = col("win")
+    val mu = (aggregate(win, lit(0).cast(DecimalType(38, 6)),
+      (a, x) => a + x.cast(DecimalType(38, 6))).cast(DoubleType) / L).as("mu")
+    val windows = load(spark, dir, "events")
+      .withColumn("win", collect_list(col("value")).over(wWin))
+      .filter(size(col("win")) === L)
+      .select(col("event_type"), col("ts").as("win_start"), col("event_id"),
+        col("win"))
+      .withColumn("mu", mu)
+      .withColumn("sigma", sqrt(aggregate(win, lit(0.0),
+        (a, x) => a + (x - col("mu")) * (x - col("mu"))) / L))
+      .filter(col("sigma") > 1e-9)
+      .withColumn("dist2", aggregate(
+        zip_with(win, zq, (x, q) =>
+          round((q - (x - col("mu")) / col("sigma")) *
+            (q - (x - col("mu")) / col("sigma")), 6)
+            .cast(DecimalType(38, 6))),
+        lit(0).cast(DecimalType(38, 6)), (a, t) => a + t)
+        .cast(DoubleType))
+    val wRank = Window.partitionBy(col("event_type"))
+      .orderBy(col("dist2"), col("win_start"), col("event_id"))
+    totalOrder(windows
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= 3)
+      .select(col("event_type"), col("win_start"), col("rk"), col("dist2")))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_pattern_match" -> tsPatternMatch,
     "win_lag_interval" -> winLagInterval,
     "ts_hot_intake_pipeline" -> tsHotIntakePipeline,
     "win_backfill" -> winBackfill,
@@ -269,6 +335,41 @@ object TimeSeries {
        |  FROM rated)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "ts_pattern_match" -> {
+      val zLit = PatternZ.map(_.toString).mkString("[", ", ", "]")
+      s"""WITH e AS (
+         |  SELECT event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+         |  FROM events),
+         |w AS (
+         |  SELECT event_type, ts AS win_start, event_id,
+         |    list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+         |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS win
+         |  FROM e),
+         |m AS (
+         |  SELECT *, CAST(list_aggregate(list_transform(win,
+         |      v -> CAST(v AS DECIMAL(38,6))), 'sum') AS DOUBLE) / 8 AS mu
+         |  FROM w WHERE len(win) = 8),
+         |s AS (
+         |  SELECT *, sqrt(list_aggregate(list_transform(win,
+         |      v -> (CAST(v AS DOUBLE) - mu) * (CAST(v AS DOUBLE) - mu)),
+         |      'sum') / 8) AS sigma
+         |  FROM m),
+         |d AS (
+         |  SELECT event_type, win_start, event_id,
+         |    CAST(list_aggregate(list_transform(list_zip(win, $zLit),
+         |      p -> CAST(round(
+         |        (CAST(p[2] AS DOUBLE) - (CAST(p[1] AS DOUBLE) - mu) / sigma) *
+         |        (CAST(p[2] AS DOUBLE) - (CAST(p[1] AS DOUBLE) - mu) / sigma),
+         |        6) AS DECIMAL(38,6))), 'sum') AS DOUBLE) AS dist2
+         |  FROM s WHERE sigma > 1e-9)
+         |SELECT event_type, win_start, rk, dist2 FROM (
+         |  SELECT event_type, win_start, dist2,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type
+         |      ORDER BY dist2, win_start, event_id) AS rk
+         |  FROM d)
+         |WHERE rk <= 3
+         |${orderAll("event_type", "win_start", "rk", "dist2")}""".stripMargin
+    },
     "win_lag_interval" ->
       s"""$lagIntervalCoreSql
          |SELECT * FROM filled WHERE rate IS NOT NULL

@@ -36,6 +36,40 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(out(6L) == 2.0)
   }
 
+  test("pattern match: a planted scaled+shifted surge is the rank-1 hit " +
+    "with distance exactly 0 — z-normalization erases scale and offset") {
+    // the op's query shape, affine-transformed (×7.5 + 42): z-normalized
+    // distance must be EXACTLY 0 at the planted offset
+    val shape = Seq(0.0, 1.0, 3.0, 6.0, 3.0, 1.0, 0.0, 0.0)
+    val planted = shape.map(_ * 7.5 + 42.0)
+    // a decoy series whose values wander but never trace the shape
+    val noise = Seq(10.0, 35.0, 12.0, 40.0, 11.0, 38.0, 13.0, 41.0,
+      12.0, 36.0, 14.0, 39.0)
+    val pre = Seq(55.0, 48.0, 61.0, 52.0)
+    def series(name: String, vals: Seq[Double], base: Int) =
+      vals.zipWithIndex.map { case (v, i) =>
+        ((base + i).toLong, ts(f"2024-01-01 00:${i / 60}%02d:${i % 60}%02d"),
+          1L, name, v, "{}")
+      }
+    val rows = (series("surge", pre ++ planted ++ pre.reverse, 100) ++
+      series("decoy", noise, 500))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("patmatch").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = ops.TimeSeries.tsPatternMatch(spark, dir)
+      .select("event_type", "win_start", "rk", "dist2")
+      .as[(String, Timestamp, Int, Double)].collect()
+    val top = out.filter(r => r._1 == "surge" && r._3 == 1).head
+    // planted window starts after the 4 preamble points → second 4
+    assert(top._2 == ts("2024-01-01 00:00:04"), s"top hit at ${top._2}")
+    assert(top._4 == 0.0, s"planted-surge distance ${top._4}")
+    // every other window is strictly worse, and the decoy's best is far off
+    assert(out.filter(r => r._1 == "surge" && r._3 > 1).forall(_._4 > 0.0))
+    val decoyBest = out.filter(r => r._1 == "decoy" && r._3 == 1).head._4
+    assert(decoyBest > 1.0, s"decoy should not resemble the surge: $decoyBest")
+    OpCaches.releaseAll()
+  }
+
   test("backfill: filled is last non-missing reading, never null after one") {
     val df = ops.TimeSeries.winBackfill(spark, sf)
     val w = df.filter(col("reading").isNotNull && col("filled") =!= col("reading"))
