@@ -249,6 +249,48 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("dedup_containment: no cartesian product — candidates come from the " +
+    "inverted-index equi-join, like the jaccard pass") {
+    val plan = planOf(ops.Dedup.dedupContainment(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs shape in containment plan:\n${plan.take(2000)}")
+    OpCaches.releaseAll()
+  }
+
+  test("text_lm_split: tercile window partitions by lang — per-language " +
+    "sorts stay parallel") {
+    val plan = planOf(ops.Text.textLmSplit(spark, sf))
+    // the only SinglePartition allowed is lmScore's one-row corpus-stats
+    // aggregate (bounded by definition); the tercile WINDOW must key by
+    // lang so each language sorts in parallel
+    assert(plan.contains("hashpartitioning(lang"),
+      s"tercile window not partitioned by lang:\n${plan.take(2000)}")
+    OpCaches.releaseAll()
+  }
+
+  test("ts_pattern_match: window frames partition by the series key; " +
+    "scan prunes to the window's columns") {
+    val plan = planOf(ops.TimeSeries.tsPatternMatch(spark, sf))
+    assert(!plan.contains("SinglePartition"),
+      s"global single-partition stage in:\n${plan.take(2000)}")
+    assert(plan.contains("hashpartitioning(event_type"),
+      s"sliding window not partitioned by series:\n${plan.take(2000)}")
+    val read = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!read.contains("props") && !read.contains("user_id"),
+      s"unpruned events scan: $read")
+  }
+
+  test("pipeline_corpus_stats: one partial+final aggregate keyed by " +
+    "source — map-side combine before the shuffle") {
+    val plan = planOf(ops.Pipeline.pipelineCorpusStats(spark, sf))
+    assert(plan.contains("HashAggregate"), plan.take(1500))
+    // partial aggregation exists: two HashAggregate nodes around one
+    // source-keyed exchange
+    assert(plan.contains("hashpartitioning(source"),
+      s"aggregate not keyed by source:\n${plan.take(2000)}")
+  }
+
   test("sim_knn_indexed: probed cells dynamic-partition-prune the on-disk " +
     "lists scan — the storage layer does the list pruning") {
     val plan = ops.Vectors.simKnnIndexed(spark, sf)
