@@ -282,4 +282,79 @@ class PropertySpec extends SparkTestBase {
       check(s"step $step")
     }
   }
+
+  /** Random tiny corpora for the set-similarity laws: a handful of docs
+    * over a 12-word vocabulary (so shingle overlap is common), plus exact
+    * duplicates and subset docs planted by construction. */
+  private val corpusGen: Gen[Seq[(Long, String)]] = {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val doc = Gen.chooseNum(6, 18).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, vocab.size - 1)).map(_.map(vocab).mkString(" ")))
+    Gen.listOfN(5, doc).map { docs =>
+      val base = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }
+      // plant: doc 100 = exact copy of doc 0; doc 101 = doc 1's prefix
+      // embedded in a longer doc (the containment shape)
+      base ++ Seq(
+        (100L, docs.head),
+        (101L, docs(1) + " " + docs(2) + " " + docs(3)))
+    }
+  }
+
+  test("set-similarity laws on random corpora: containment >= jaccard " +
+    "pairwise, exact dups score 1.0 in both, measures stay in [0,1]") {
+    import spark.implicits._
+    for ((corpus, i) <- samples(corpusGen, 4).zipWithIndex) {
+      val dir = java.nio.file.Files.createTempDirectory(s"simlaw$i").toString
+      corpus.map { case (id, text) => (id, text, "en", "gen", text.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(s"$dir/documents.parquet")
+      val jac = ops.Dedup.dedupNgramJaccard(spark, dir)
+        .select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      val con = ops.Dedup.dedupContainment(spark, dir)
+        .select("id_a", "id_b", "containment")
+        .as[(Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      // range law
+      assert(jac.values.forall(v => v >= 0.3 && v <= 1.0))
+      assert(con.values.forall(v => v >= 0.8 && v <= 1.0))
+      // dominance law: containment(A,B) = inter/min >= inter/union =
+      // jaccard(A,B) — any pair BOTH ops emit must respect it
+      for ((k, j) <- jac; c <- con.get(k))
+        assert(c >= j - 1e-12, s"containment $c < jaccard $j for $k")
+      // the exact duplicate (0,100) scores 1.0 in both (identical sets);
+      // guard: only when doc 0 has >= 3 tokens so it shingles at all
+      if (corpus.head._2.split(" ").length >= 3) {
+        assert(jac.get((0L, 100L)).contains(1.0), s"missing exact dup in jaccard: $jac")
+        assert(con.get((0L, 100L)).contains(1.0), s"missing exact dup in containment: $con")
+      }
+      OpCaches.releaseAll()
+    }
+  }
+
+  test("pattern-match z-invariance: any affine transform (a*x+b, a>0) of " +
+    "a series leaves every match distance and rank unchanged") {
+    import spark.implicits._
+    val vals = samples(Gen.listOfN(16, Gen.choose(-50.0, 50.0)), 1).head
+    def mk(scale: Double, off: Double) =
+      vals.zipWithIndex.map { case (v, i) =>
+        ((i + 1).toLong, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:${i}%02d"),
+          1L, "s", v * scale + off, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    def run(df: org.apache.spark.sql.DataFrame): Seq[(Int, Double)] = {
+      val dir = java.nio.file.Files.createTempDirectory("zinv").toString
+      df.coalesce(1).write.parquet(s"$dir/events.parquet")
+      val out = ops.TimeSeries.tsPatternMatch(spark, dir)
+        .select("rk", "dist2").as[(Int, Double)].collect().sorted.toSeq
+      OpCaches.releaseAll(); out
+    }
+    val base = run(mk(1.0, 0.0))
+    assert(base.nonEmpty)
+    // z-normalization must erase scale and offset EXACTLY at 6 dp: the
+    // rounded per-term squares are equal, so the decimal sums are equal
+    assert(run(mk(3.0, 17.0)) == base)
+    assert(run(mk(0.25, -40.0)) == base)
+  }
 }
