@@ -219,13 +219,13 @@ object TimeSeries {
   /** Query pattern for [[tsPatternMatch]] — a surge shape (ramp up, spike,
     * ramp down); matching is Z-NORMALIZED, so only the shape matters, not
     * the series' scale or offset. Length 8 points. */
-  private val PatternQ: Seq[Double] =
+  private[graft] val PatternQ: Seq[Double] =
     Seq(0.0, 1.0, 3.0, 6.0, 3.0, 1.0, 0.0, 0.0)
 
   /** The z-normalized pattern, computed once driver-side and embedded as
     * double literals in both engines (Double.toString round-trips, so the
     * oracle parses the identical IEEE values). */
-  private val PatternZ: Seq[Double] = {
+  private[graft] val PatternZ: Seq[Double] = {
     val mu = PatternQ.sum / PatternQ.size
     val sd = math.sqrt(PatternQ.map(x => (x - mu) * (x - mu)).sum / PatternQ.size)
     PatternQ.map(x => (x - mu) / sd)
@@ -247,6 +247,12 @@ object TimeSeries {
     * engine-stable and the op carries a full DuckDB oracle. At 100 TB
     * this is embarrassingly parallel in the series key; a long single
     * series range-partitions by time with an L-row overlap. */
+  /** Emission threshold for the STREAMING twin (stream_pattern_match,
+    * graft.streaming.StreamingOps): a window at z-distance² ≤ this is a "strong
+    * match" worth alerting on (top batch hits on the fixture land
+    * 0.19–1.2). */
+  private[graft] val MatchThreshold = 1.0
+
   def tsPatternMatch(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val L = PatternQ.size
@@ -334,42 +340,49 @@ object TimeSeries {
        |    END AS rate
        |  FROM rated)""".stripMargin
 
+  /** Shared CTE chain scoring every complete window (DuckDB twin of the
+    * [[tsPatternMatch]] scoring stages, ending at `d` = (event_type,
+    * win_start, event_id, dist2)); the batch op appends its top-3 rank,
+    * the streaming twin its threshold cut. */
+  private[graft] val patternMatchCoreSql: String = {
+    val zLit = PatternZ.map(_.toString).mkString("[", ", ", "]")
+    s"""WITH e AS (
+       |  SELECT event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+       |  FROM events),
+       |w AS (
+       |  SELECT event_type, ts AS win_start, event_id,
+       |    list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+       |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS win
+       |  FROM e),
+       |m AS (
+       |  SELECT *, CAST(list_aggregate(list_transform(win,
+       |      v -> CAST(v AS DECIMAL(38,6))), 'sum') AS DOUBLE) / 8 AS mu
+       |  FROM w WHERE len(win) = 8),
+       |s AS (
+       |  SELECT *, sqrt(list_aggregate(list_transform(win,
+       |      v -> (CAST(v AS DOUBLE) - mu) * (CAST(v AS DOUBLE) - mu)),
+       |      'sum') / 8) AS sigma
+       |  FROM m),
+       |d AS (
+       |  SELECT event_type, win_start, event_id,
+       |    CAST(list_aggregate(list_transform(list_zip(win, $zLit),
+       |      p -> CAST(round(
+       |        (CAST(p[2] AS DOUBLE) - (CAST(p[1] AS DOUBLE) - mu) / sigma) *
+       |        (CAST(p[2] AS DOUBLE) - (CAST(p[1] AS DOUBLE) - mu) / sigma),
+       |        6) AS DECIMAL(38,6))), 'sum') AS DOUBLE) AS dist2
+       |  FROM s WHERE sigma > 1e-9)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
-    "ts_pattern_match" -> {
-      val zLit = PatternZ.map(_.toString).mkString("[", ", ", "]")
-      s"""WITH e AS (
-         |  SELECT event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value
-         |  FROM events),
-         |w AS (
-         |  SELECT event_type, ts AS win_start, event_id,
-         |    list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
-         |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS win
-         |  FROM e),
-         |m AS (
-         |  SELECT *, CAST(list_aggregate(list_transform(win,
-         |      v -> CAST(v AS DECIMAL(38,6))), 'sum') AS DOUBLE) / 8 AS mu
-         |  FROM w WHERE len(win) = 8),
-         |s AS (
-         |  SELECT *, sqrt(list_aggregate(list_transform(win,
-         |      v -> (CAST(v AS DOUBLE) - mu) * (CAST(v AS DOUBLE) - mu)),
-         |      'sum') / 8) AS sigma
-         |  FROM m),
-         |d AS (
-         |  SELECT event_type, win_start, event_id,
-         |    CAST(list_aggregate(list_transform(list_zip(win, $zLit),
-         |      p -> CAST(round(
-         |        (CAST(p[2] AS DOUBLE) - (CAST(p[1] AS DOUBLE) - mu) / sigma) *
-         |        (CAST(p[2] AS DOUBLE) - (CAST(p[1] AS DOUBLE) - mu) / sigma),
-         |        6) AS DECIMAL(38,6))), 'sum') AS DOUBLE) AS dist2
-         |  FROM s WHERE sigma > 1e-9)
+    "ts_pattern_match" ->
+      s"""$patternMatchCoreSql
          |SELECT event_type, win_start, rk, dist2 FROM (
          |  SELECT event_type, win_start, dist2,
          |    ROW_NUMBER() OVER (PARTITION BY event_type
          |      ORDER BY dist2, win_start, event_id) AS rk
          |  FROM d)
          |WHERE rk <= 3
-         |${orderAll("event_type", "win_start", "rk", "dist2")}""".stripMargin
-    },
+         |${orderAll("event_type", "win_start", "rk", "dist2")}""".stripMargin,
     "win_lag_interval" ->
       s"""$lagIntervalCoreSql
          |SELECT * FROM filled WHERE rate IS NOT NULL

@@ -33,12 +33,21 @@ object StreamingOps {
     * read of the SAME file under the SAME session confs — whatever the
     * batch reader infers is by construction what the stream reader can
     * decode — and [[Tables.normalizeTs]] converts by actual type. */
-  private def eventsStream(spark: SparkSession, dir: String): DataFrame =
-    Tables.normalizeTs(spark.readStream
-      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+  private def eventsStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    // `events*.parquet`: the fixture ships one `events.parquet` file, and
+    // multi-batch specs land ordered `events_<n>.parquet` files — the
+    // glob admits both while still excluding the other fixture tables
+    val schema = spark.read.option("pathGlobFilter", "events*.parquet")
+      .parquet(dir).schema
+    val rd = spark.readStream
+      .schema(schema)
       // the file source wants a directory; select just the events table
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir))
+      .option("pathGlobFilter", "events*.parquet")
+    Tables.normalizeTs(
+      maxFilesPerTrigger.fold(rd)(n =>
+        rd.option("maxFilesPerTrigger", n)).parquet(dir))
+  }
 
   /** Run a streaming frame to completion into a memory sink; return the
     * materialized table. */
@@ -409,6 +418,76 @@ object StreamingOps {
       .select(col("time"), col("event_type"), col("mv"), col("n")))
   }
 
+  case class PmEv(event_type: String, event_id: Long, ts: Timestamp,
+    value: Double)
+  case class PmHit(event_type: String, win_start: Timestamp, dist2: Double)
+  /** Per-series carry: the last L−1 points (ts, event_id, value), so a
+    * window spanning a batch boundary still forms — state is O(L) per
+    * series regardless of stream lifetime. */
+  case class PmState(tail: List[(Timestamp, Long, Double)])
+
+  /** Round every term the way Spark's `round(double, 6)` does (HALF_UP on
+    * the decimal rendering), so the streaming fold is digit-identical to
+    * the batch op's decimal-accumulated expression. */
+  private def r6(x: Double): BigDecimal =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+
+  /** Streaming pattern matcher — the motif-DETECTION twin of
+    * [[graft.ops.TimeSeries.tsPatternMatch]] (EDBT'19 "Time Series
+    * Similarity Search for Streaming Data" is the published shape): as
+    * points arrive, every completed L-point window is z-normalized and
+    * scored against the query shape; windows at z-distance² ≤
+    * [[graft.ops.TimeSeries.MatchThreshold]] emit an alert row. The batch
+    * op RANKS matches corpus-wide (a stream can't rank globally), so the
+    * streaming contract is the THRESHOLD cut — exactly what a live
+    * anomaly channel wants. flatMapGroupsWithState keyed by series:
+    * within a batch, event-time order is restored per key (the
+    * [[pulseMachine]] discipline); across batches the state carries only
+    * the last L−1 points, so every window forms exactly once and the
+    * drain equals the batch op filtered to the threshold — which is what
+    * makes the op oracle-able. The per-window arithmetic (6-dp HALF_UP
+    * terms, exact decimal accumulation, one final double conversion)
+    * reproduces the batch expression digit for digit. */
+  def streamPatternMatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val L = graft.ops.TimeSeries.PatternQ.size
+    val zq = graft.ops.TimeSeries.PatternZ
+    // one file per micro-batch: the fixture (one file) drains in one
+    // batch, while multi-file landings exercise the cross-batch state
+    // carry for real — windows spanning a batch boundary must form
+    val evs: Dataset[PmEv] = eventsStream(spark, dir, maxFilesPerTrigger = Some(1))
+      .select(col("event_type"), col("event_id"), col("ts"), col("value"))
+      .as[PmEv]
+    val hits = evs.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (key: String, rows: Iterator[PmEv], state: GroupState[PmState]) => {
+          val tail = state.getOption.map(_.tail).getOrElse(Nil)
+          val fresh = rows.toSeq
+            .map(e => (e.ts, e.event_id, e.value))
+            .sortBy(p => (p._1.getTime, p._1.getNanos, p._2))
+          val combined = (tail ++ fresh).toVector
+          val out = for {
+            end <- tail.size until combined.size // windows ENDING at a new point
+            if end >= L - 1
+            win = combined.slice(end - L + 1, end + 1)
+            vals = win.map(_._3)
+            // decimal-exact sum, ONE double conversion, THEN the IEEE
+            // division — the batch op's cast-then-divide order exactly
+            mu = vals.map(r6).sum.toDouble / L
+            sigma = math.sqrt(vals.map(x => (x - mu) * (x - mu)).sum / L)
+            if sigma > 1e-9
+            dist2 = vals.zip(zq)
+              .map { case (x, q) => r6((q - (x - mu) / sigma) * (q - (x - mu) / sigma)) }
+              .sum.toDouble
+            if dist2 <= graft.ops.TimeSeries.MatchThreshold
+          } yield PmHit(key, win.head._1, dist2)
+          state.update(PmState(combined.takeRight(L - 1).toList))
+          out.iterator
+        })
+    totalOrder(runToTable(hits.toDF(), OutputMode.Append())
+      .select(col("event_type"), col("win_start"), col("dist2")))
+  }
+
   /** Subscription write-forwarding through the CQ-into-store path
     * (round-8 verdict item 6): same CQ as [[continuousQueryIntoStore]],
     * but with a [[graft.influxql.MeasurementCatalog]] carrying a
@@ -597,6 +676,7 @@ object StreamingOps {
     "stream_continuous_query" -> continuousQuery,
     "stream_cq_into_store" -> continuousQueryIntoStore,
     "stream_cq_subscription" -> streamCqSubscription,
+    "stream_pattern_match" -> streamPatternMatch,
     "stream_topk" -> streamTopk)
 
   val oracle: Map[String, String] = Map(
@@ -675,6 +755,13 @@ object StreamingOps {
          |FROM events GROUP BY 1, 2
          |${orderAll("time", "event_type", "mv", "n")}""".stripMargin,
     "stream_pulse_rate" -> graft.ops.TimeSeries.oracle("win_lag_interval"),
+    // streaming motif detection = the batch scoring chain cut at the
+    // alert threshold (a stream cannot rank corpus-wide)
+    "stream_pattern_match" ->
+      s"""${graft.ops.TimeSeries.patternMatchCoreSql}
+         |SELECT event_type, win_start, dist2 FROM d
+         |WHERE dist2 <= ${graft.ops.TimeSeries.MatchThreshold}
+         |${orderAll("event_type", "win_start", "dist2")}""".stripMargin,
     "stream_csv_ingest" -> graft.ops.Ingest.oracle("scan_csv_pulses"),
     "stream_lineproto_ingest" ->
       s"""WITH s AS (

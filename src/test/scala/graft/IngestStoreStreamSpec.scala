@@ -546,6 +546,66 @@ class IngestStoreStreamSpec extends SparkTestBase {
     assert(s == b)
   }
 
+  test("streaming pattern match: equals the batch scoring cut at the " +
+    "threshold, and boundary-spanning windows form across micro-batches") {
+    // drain equality on the fixture: the streaming fold's 6-dp decimal
+    // arithmetic must be digit-identical to the batch expression
+    // drain equality on the fixture: every batch top-3 row under the
+    // threshold must re-appear in the stream with the IDENTICAL distance
+    // (the streaming fold's 6-dp decimal arithmetic mirrors the batch
+    // expression digit for digit)
+    val s = streaming.StreamingOps.streamPatternMatch(spark, sf)
+      .select("event_type", "win_start", "dist2")
+      .as[(String, java.sql.Timestamp, Double)].collect().toSet
+    val batchTop = ops.TimeSeries.tsPatternMatch(spark, sf)
+      .select("event_type", "win_start", "dist2")
+      .as[(String, java.sql.Timestamp, Double)].collect()
+    for (r <- batchTop if r._3 <= 1.0)
+      assert(s.contains(r), s"batch match missing from stream: $r")
+    assert(s.nonEmpty)
+    // cross-batch formation: one series split into two time-ordered file
+    // batches (maxFilesPerTrigger=1 → two micro-batches); windows
+    // spanning the boundary must still form, and the result must not
+    // depend on the split at all
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val shape = Seq(0.0, 1.0, 3.0, 6.0, 3.0, 1.0, 0.0, 0.0)
+    val vals = Seq(50.0, 47.0, 53.0) ++ shape.map(_ * 4.0 + 20.0) ++
+      Seq(49.0, 52.0, 48.0)
+    def rows(r: Range) = r.map { i =>
+      ((i + 1).toLong,
+        java.sql.Timestamp.valueOf(f"2024-01-01 00:00:${i}%02d"),
+        1L, "s", vals(i), "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    def writeSingle(df: org.apache.spark.sql.DataFrame, dest: String,
+        mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("pm_file").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(dest),
+        StandardCopyOption.REPLACE_EXISTING)
+      assert(new java.io.File(dest).setLastModified(mtime))
+    }
+    def drain(dir: String): Set[(String, java.sql.Timestamp, Double)] =
+      streaming.StreamingOps.streamPatternMatch(spark, dir)
+        .select("event_type", "win_start", "dist2")
+        .as[(String, java.sql.Timestamp, Double)].collect().toSet
+    // split INSIDE the planted surge (positions 3..10): file 1 ends
+    // mid-shape, so the distance-0 window only exists across the boundary
+    val t0 = System.currentTimeMillis() - 60000
+    val dir2 = Files.createTempDirectory("pm_split").toString
+    writeSingle(rows(0 until 6), s"$dir2/events_1.parquet", t0)
+    writeSingle(rows(6 until vals.size), s"$dir2/events_2.parquet", t0 + 10000)
+    val dirOne = Files.createTempDirectory("pm_one").toString
+    writeSingle(rows(0 until vals.size), s"$dirOne/events_1.parquet", t0)
+    val split = drain(dir2)
+    val whole = drain(dirOne)
+    assert(split == whole, s"split-dependent result: $split vs $whole")
+    // the planted surge (distance 0) is found even though it spans files
+    assert(whole.exists(r => r._3 == 0.0 &&
+      r._2 == java.sql.Timestamp.valueOf("2024-01-01 00:00:03")), whole)
+  }
+
   test("streaming dedup: replayed source counts once") {
     val n = streaming.StreamingOps.streamDedup(spark, sf)
       .agg(sum("n")).as[Long].head()
