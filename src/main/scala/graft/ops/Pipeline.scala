@@ -66,6 +66,43 @@ object Pipeline {
         col("quality"), col("emb_norm")))
   }
 
+  /** Curation filter funnel — the stage-by-stage survivor ledger every
+    * corpus run logs before shipping (and the first thing an operator
+    * reads when yield drops): how many documents enter, survive exact
+    * dedup, pass the quality gate, pass the length gate, and carry an
+    * embedding. The stages are [[pipelineCurate]]'s OWN predicates — the
+    * funnel audits the real pipeline, not a re-implementation — evaluated
+    * as FLAGS in one pass so the whole report is a single aggregate row:
+    * no per-stage jobs, no corpus re-scans (the 100 TB shape; the only
+    * joins are the same quality/embedding joins curate itself runs).
+    * Stages compose cumulatively, so each count is ≤ its predecessor —
+    * the monotone funnel invariant the spec asserts. */
+  def pipelineFilterFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    val flags = load(spark, dir, "documents")
+      .withColumn("h",
+        sha2(regexp_replace(lower(col("text")), "[^a-z0-9]", ""), 256))
+      .withColumn("is_survivor", row_number().over(w) === 1)
+      .select(col("doc_id"), col("is_survivor"))
+      .join(Text.qualityFrame(spark, dir)
+        .select(col("doc_id"), col("n_tokens"), col("quality")), "doc_id")
+      .join(load(spark, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"), lit(true).as("has_emb")),
+        Seq("doc_id"), "left")
+      .withColumn("s1", col("is_survivor"))
+      .withColumn("s2", col("s1") && col("quality") >= 0.05)
+      .withColumn("s3", col("s2") && col("n_tokens") >= 20)
+      .withColumn("s4", col("s3") && coalesce(col("has_emb"), lit(false)))
+    def n(c: org.apache.spark.sql.Column) =
+      sum(when(c, 1L).otherwise(0L))
+    totalOrder(flags.agg(
+      count(lit(1)).as("n_input"),
+      n(col("s1")).as("n_dedup_survivor"),
+      n(col("s2")).as("n_quality"),
+      n(col("s3")).as("n_length"),
+      n(col("s4")).as("n_final")))
+  }
+
   /** Deterministic train/valid/test split (80/10/10) by a salted
     * multiplicative hash of the id — the split every corpus build needs.
     * Hash-based (not row_number-based) on purpose: assignment is a pure
@@ -326,6 +363,7 @@ object Pipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_corpus_stats" -> pipelineCorpusStats,
+    "pipeline_filter_funnel" -> pipelineFilterFunnel,
     "pipeline_curate" -> pipelineCurate,
     "pipeline_pack_sequences" -> pipelinePackSequences,
     "pipeline_source_mix" -> pipelineSourceMix,
@@ -435,6 +473,39 @@ object Pipeline {
          |        ELSE 0.0 END) <= 0.2 AS keep
          |FROM m
          |${orderAll("doc_id", "n_grams", "n_distinct", "rep_ratio", "keep")}""".stripMargin,
+    "pipeline_filter_funnel" ->
+      s"""WITH flags AS (
+         |  SELECT doc_id,
+         |    ROW_NUMBER() OVER (
+         |      PARTITION BY sha256(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+         |      ORDER BY doc_id) = 1 AS is_survivor,
+         |    CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+         |        x -> x <> '')) AS DOUBLE) AS n_tokens,
+         |    CAST(len(regexp_extract_all(lower(text),
+         |        '\\b(the|a|and|of|to|in|is|for|on|it)\\b')) AS DOUBLE) AS n_stop,
+         |    CAST(len(regexp_extract_all(text, '[^a-z0-9\\s'']')) AS DOUBLE) AS n_punct,
+         |    n_chars
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, is_survivor, n_tokens,
+         |    (n_stop / n_tokens) * 0.5 - (n_punct / n_chars) * 0.3
+         |      + (CASE WHEN n_tokens >= 20.0 THEN 0.2 ELSE 0.0 END) AS quality
+         |  FROM flags),
+         |st AS (
+         |  SELECT s.doc_id, s.is_survivor AS s1,
+         |    s.is_survivor AND s.quality >= 0.05 AS s2,
+         |    s.is_survivor AND s.quality >= 0.05 AND s.n_tokens >= 20 AS s3,
+         |    s.is_survivor AND s.quality >= 0.05 AND s.n_tokens >= 20
+         |      AND e.vec_id IS NOT NULL AS s4
+         |  FROM scored s LEFT JOIN embeddings e ON e.vec_id = s.doc_id)
+         |SELECT COUNT(*) AS n_input,
+         |  CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup_survivor,
+         |  CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |  CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n_length,
+         |  CAST(SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+         |FROM st
+         |${orderAll("n_input", "n_dedup_survivor", "n_quality", "n_length",
+              "n_final")}""".stripMargin,
     "pipeline_curate" ->
       s"""WITH survivors AS (
          |  SELECT doc_id, lang, source FROM (

@@ -716,6 +716,40 @@ class ExtensionSpec extends SparkTestBase {
     OpCaches.releaseAll()
   }
 
+  test("filter funnel: monotone stage counts that reconcile with the real " +
+    "pipeline — n_final IS pipeline_curate's row count") {
+    val f = ops.Pipeline.pipelineFilterFunnel(spark, sf).head()
+    val (nIn, s1, s2, s3, s4) =
+      (f.getLong(0), f.getLong(1), f.getLong(2), f.getLong(3), f.getLong(4))
+    // cumulative stages can only shrink, and every stage drops something
+    // on the fixture (exact dups, low quality, short docs all planted)
+    assert(nIn >= s1 && s1 >= s2 && s2 >= s3 && s3 >= s4)
+    assert(nIn == Tables.load(spark, sf, "documents").count())
+    // the funnel audits the REAL pipeline: its final count is exactly the
+    // curated output's cardinality
+    assert(s4 == ops.Pipeline.pipelineCurate(spark, sf).count())
+    // dedup-stage drop on a constructed corpus (sf0.001 has no exact
+    // dups): two identical docs → one survivor
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("funnel").toString
+    val body = "the quick brown fox jumps over the lazy dog again and " +
+      "again for a story of at least twenty tokens in total here"
+    Seq((1L, body, "en", "a", body.length.toLong),
+      (2L, body, "en", "a", body.length.toLong),
+      (3L, "short text", "en", "a", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$tmp/documents.parquet")
+    Seq((1L, Array.fill(4)(0.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$tmp/embeddings.parquet")
+    val g = ops.Pipeline.pipelineFilterFunnel(spark, tmp).head()
+    // 3 in; dedup drops the copy (2 survive); "short text" fails quality/
+    // length; only doc 1 carries an embedding
+    assert(g.getLong(0) == 3L && g.getLong(1) == 2L)
+    assert(g.getLong(3) == 1L && g.getLong(4) == 1L)
+    OpCaches.releaseAll()
+  }
+
   test("corpus stats: per-source datasheet reconciles with doc counts and " +
     "the token-count table") {
     val st = ops.Pipeline.pipelineCorpusStats(spark, sf).collect()
