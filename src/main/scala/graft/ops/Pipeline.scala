@@ -37,6 +37,15 @@ object Pipeline {
         sum(when(col("n_tok") < 50, 1L).otherwise(0L)).as("short_docs")))
   }
 
+  /** The curation gate constants and the exact-dedup content hash —
+    * shared by [[pipelineCurate]] and its audit twin
+    * [[pipelineFilterFunnel]] (and interpolated into both oracles), so
+    * the funnel can never drift from the pipeline it reports on. */
+  private[ops] val QualityMin = 0.05
+  private[ops] val MinCurateTokens = 20
+  private[ops] def contentHash: org.apache.spark.sql.Column =
+    sha2(regexp_replace(lower(col("text")), "[^a-z0-9]", ""), 256)
+
   /** End-to-end corpus curation as ONE Catalyst plan — the standard
     * pre-training filter chain: exact-dedup survivor selection (lowest
     * doc_id per normalized content hash) → quality gate → minimum-length
@@ -48,8 +57,7 @@ object Pipeline {
     import graft.functions.GraftFunctions.vecDot
     val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
     val survivors = load(spark, dir, "documents")
-      .withColumn("h",
-        sha2(regexp_replace(lower(col("text")), "[^a-z0-9]", ""), 256))
+      .withColumn("h", contentHash)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("lang"), col("source"))
@@ -60,7 +68,7 @@ object Pipeline {
         sqrt(vecDot(spark, col("embedding"), col("embedding"))).as("emb_norm"))
     totalOrder(survivors
       .join(quality, "doc_id")
-      .filter(col("quality") >= 0.05 && col("n_tokens") >= 20)
+      .filter(col("quality") >= QualityMin && col("n_tokens") >= MinCurateTokens)
       .join(emb, "doc_id")
       .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
         col("quality"), col("emb_norm")))
@@ -80,8 +88,7 @@ object Pipeline {
   def pipelineFilterFunnel(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
     val flags = load(spark, dir, "documents")
-      .withColumn("h",
-        sha2(regexp_replace(lower(col("text")), "[^a-z0-9]", ""), 256))
+      .withColumn("h", contentHash)
       .withColumn("is_survivor", row_number().over(w) === 1)
       .select(col("doc_id"), col("is_survivor"))
       .join(Text.qualityFrame(spark, dir)
@@ -90,8 +97,8 @@ object Pipeline {
         .select(col("vec_id").as("doc_id"), lit(true).as("has_emb")),
         Seq("doc_id"), "left")
       .withColumn("s1", col("is_survivor"))
-      .withColumn("s2", col("s1") && col("quality") >= 0.05)
-      .withColumn("s3", col("s2") && col("n_tokens") >= 20)
+      .withColumn("s2", col("s1") && col("quality") >= QualityMin)
+      .withColumn("s3", col("s2") && col("n_tokens") >= MinCurateTokens)
       .withColumn("s4", col("s3") && coalesce(col("has_emb"), lit(false)))
     def n(c: org.apache.spark.sql.Column) =
       sum(when(c, 1L).otherwise(0L))
@@ -493,9 +500,11 @@ object Pipeline {
          |  FROM flags),
          |st AS (
          |  SELECT s.doc_id, s.is_survivor AS s1,
-         |    s.is_survivor AND s.quality >= 0.05 AS s2,
-         |    s.is_survivor AND s.quality >= 0.05 AND s.n_tokens >= 20 AS s3,
-         |    s.is_survivor AND s.quality >= 0.05 AND s.n_tokens >= 20
+         |    s.is_survivor AND s.quality >= $QualityMin AS s2,
+         |    s.is_survivor AND s.quality >= $QualityMin
+         |      AND s.n_tokens >= $MinCurateTokens AS s3,
+         |    s.is_survivor AND s.quality >= $QualityMin
+         |      AND s.n_tokens >= $MinCurateTokens
          |      AND e.vec_id IS NOT NULL AS s4
          |  FROM scored s LEFT JOIN embeddings e ON e.vec_id = s.doc_id)
          |SELECT COUNT(*) AS n_input,
@@ -538,7 +547,7 @@ object Pipeline {
          |  FROM survivors s
          |  JOIN qs ON qs.doc_id = s.doc_id
          |  JOIN e ON e.doc_id = s.doc_id
-         |  WHERE qs.quality >= 0.05 AND qs.n_tokens >= 20)
+         |  WHERE qs.quality >= $QualityMin AND qs.n_tokens >= $MinCurateTokens)
          |${orderAll("doc_id", "lang", "source", "n_tokens", "quality", "emb_norm")}""".stripMargin,
     "pipeline_pack_sequences" ->
       s"""WITH t AS (

@@ -231,6 +231,12 @@ object TimeSeries {
     PatternQ.map(x => (x - mu) / sd)
   }
 
+  /** Emission threshold for the STREAMING twin (stream_pattern_match,
+    * graft.streaming.StreamingOps): a window at z-distance² ≤ this is a "strong
+    * match" worth alerting on (top batch hits on the fixture land
+    * 0.19–1.2). */
+  private[graft] val MatchThreshold = 1.0
+
   /** Time-series pattern matching — subsequence similarity search (the
     * UCR-suite / matrix-profile family; EDBT'19 "Time Series Similarity
     * Search for Streaming Data" is the distributed treatment): find where
@@ -247,12 +253,6 @@ object TimeSeries {
     * engine-stable and the op carries a full DuckDB oracle. At 100 TB
     * this is embarrassingly parallel in the series key; a long single
     * series range-partitions by time with an L-row overlap. */
-  /** Emission threshold for the STREAMING twin (stream_pattern_match,
-    * graft.streaming.StreamingOps): a window at z-distance² ≤ this is a "strong
-    * match" worth alerting on (top batch hits on the fixture land
-    * 0.19–1.2). */
-  private[graft] val MatchThreshold = 1.0
-
   def tsPatternMatch(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val L = PatternQ.size

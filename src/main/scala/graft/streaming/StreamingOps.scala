@@ -443,9 +443,13 @@ object StreamingOps {
     * anomaly channel wants. flatMapGroupsWithState keyed by series:
     * within a batch, event-time order is restored per key (the
     * [[pulseMachine]] discipline); across batches the state carries only
-    * the last L−1 points, so every window forms exactly once and the
-    * drain equals the batch op filtered to the threshold — which is what
-    * makes the op oracle-able. The per-window arithmetic (6-dp HALF_UP
+    * the last L−1 points, so every window forms exactly once, and a
+    * point arriving BEHIND the carried frontier is dropped as late (the
+    * watermark discipline — splicing history back in would corrupt the
+    * carry). On time-ordered landings — the file-source fixture and any
+    * mtime-ordered drain — nothing is late, so the drain equals the
+    * batch op filtered to the threshold, which is what makes the op
+    * oracle-able. The per-window arithmetic (6-dp HALF_UP
     * terms, exact decimal accumulation, one final double conversion)
     * reproduces the batch expression digit for digit. */
   def streamPatternMatch(spark: SparkSession, dir: String): DataFrame = {
@@ -462,9 +466,21 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
         (key: String, rows: Iterator[PmEv], state: GroupState[PmState]) => {
           val tail = state.getOption.map(_.tail).getOrElse(Nil)
+          def k(p: (Timestamp, Long, Double)) =
+            (p._1.getTime, p._1.getNanos.toLong, p._2)
+          // LATE points — older than the carried tail's newest — are
+          // DROPPED, the watermark discipline: windows over that span
+          // were already emitted, and splicing history back in would
+          // re-order the carry and corrupt every later window. The
+          // fixture (and any time-ordered landing) loses nothing; a
+          // deployment with genuine lateness fronts this with the same
+          // watermarked reorder buffer the CQ path uses.
+          val frontier = tail.lastOption.map(k)
           val fresh = rows.toSeq
             .map(e => (e.ts, e.event_id, e.value))
-            .sortBy(p => (p._1.getTime, p._1.getNanos, p._2))
+            .filter(p => frontier.forall(f =>
+              implicitly[Ordering[(Long, Long, Long)]].gt(k(p), f)))
+            .sortBy(k)
           val combined = (tail ++ fresh).toVector
           val out = for {
             end <- tail.size until combined.size // windows ENDING at a new point

@@ -548,8 +548,6 @@ class IngestStoreStreamSpec extends SparkTestBase {
 
   test("streaming pattern match: equals the batch scoring cut at the " +
     "threshold, and boundary-spanning windows form across micro-batches") {
-    // drain equality on the fixture: the streaming fold's 6-dp decimal
-    // arithmetic must be digit-identical to the batch expression
     // drain equality on the fixture: every batch top-3 row under the
     // threshold must re-appear in the stream with the IDENTICAL distance
     // (the streaming fold's 6-dp decimal arithmetic mirrors the batch
@@ -560,7 +558,7 @@ class IngestStoreStreamSpec extends SparkTestBase {
     val batchTop = ops.TimeSeries.tsPatternMatch(spark, sf)
       .select("event_type", "win_start", "dist2")
       .as[(String, java.sql.Timestamp, Double)].collect()
-    for (r <- batchTop if r._3 <= 1.0)
+    for (r <- batchTop if r._3 <= ops.TimeSeries.MatchThreshold)
       assert(s.contains(r), s"batch match missing from stream: $r")
     assert(s.nonEmpty)
     // cross-batch formation: one series split into two time-ordered file

@@ -279,6 +279,7 @@ class PlanSpec extends SparkTestBase {
     val read = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
     assert(!read.contains("props") && !read.contains("user_id"),
       s"unpruned events scan: $read")
+    OpCaches.releaseAll()
   }
 
   test("pipeline_corpus_stats: one partial+final aggregate keyed by " +
@@ -289,6 +290,7 @@ class PlanSpec extends SparkTestBase {
     // source-keyed exchange
     assert(plan.contains("hashpartitioning(source"),
       s"aggregate not keyed by source:\n${plan.take(2000)}")
+    OpCaches.releaseAll()
   }
 
   test("sim_knn_indexed: probed cells dynamic-partition-prune the on-disk " +
