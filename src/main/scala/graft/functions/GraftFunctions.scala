@@ -84,6 +84,51 @@ object GraftFunctions {
     * quantization as Tables.dsum), so the sum is an order-independent
     * integer and the result matches the posexplode+decimal formulation
     * bit-for-bit regardless of partitioning. */
+  /** Misra–Gries heavy-hitter sketch (Misra & Gries 1982; the "frequent"
+    * algorithm) as a typed partial Aggregator — the SURVEY §2.9 UDAF
+    * surface applied to frequency estimation. Buffer = at most `k`
+    * (item, counter) pairs; `reduce` is the classic decrement-all step,
+    * `merge` sums two sketches then subtracts the (k+1)-th largest
+    * counter and drops the non-positive (the standard mergeable-summary
+    * rule, Agarwal et al. 2012), which preserves THE guarantee: any item
+    * with global count > N/k survives in the merged sketch (by the
+    * pigeonhole/averaging argument over partitions). The sketch is a
+    * CANDIDATE GENERATOR — counters are not exact counts — so the
+    * consuming op pairs it with an exact verify pass over just the ≤ k
+    * candidates; see [[graft.ops.Aggregates]] agg_heavy_hitters. */
+  class MisraGries(k: Int)
+    extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+
+    override def zero: Map[String, Long] = Map.empty
+
+    override def reduce(b: Map[String, Long], v: String): Map[String, Long] =
+      b.get(v) match {
+        case Some(c) => b.updated(v, c + 1)
+        case None if b.size < k => b.updated(v, 1L)
+        case None => // decrement every counter; evict the zeroed
+          b.flatMap { case (t, c) => if (c > 1) Some(t -> (c - 1)) else None }
+      }
+
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val sum = b.foldLeft(a) { case (m, (t, c)) =>
+        m.updated(t, m.getOrElse(t, 0L) + c)
+      }
+      if (sum.size <= k) sum
+      else {
+        val d = sum.values.toSeq.sorted(Ordering[Long].reverse)(k)
+        sum.flatMap { case (t, c) => if (c > d) Some(t -> (c - d)) else None }
+      }
+    }
+
+    override def finish(r: Map[String, Long]): Map[String, Long] = r
+
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+
+    override def outputEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
+
   class VecCentroid(dim: Int)
     extends Aggregator[Array[Float], (Array[Long], Long), Array[Double]] {
 

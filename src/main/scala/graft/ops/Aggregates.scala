@@ -133,7 +133,50 @@ object Aggregates {
       .agg(count(lit(1))))
   }
 
+  /** Sketch capacity for [[aggHeavyHitters]]: items with global count >
+    * N/[[HhK]] are heavy hitters; the Misra–Gries candidate set is ≤ HhK
+    * entries per merged sketch. 32 sits just under the fixture's
+    * ~1/29-uniform token shares so the gated output is non-trivial;
+    * eviction and the recall guarantee under vocab ≫ k are exercised on
+    * a constructed corpus in the spec. */
+  private[ops] val HhK = 32
+
+  /** Heavy hitters over the corpus token stream — sketch-then-verify, the
+    * deterministic two-pass every large-scale frequency query runs:
+    * stage 1 folds the tokens through the [[graft.functions
+    * .GraftFunctions.MisraGries]] Aggregator (partial-aggregated: each
+    * map task reduces its slice to a ≤ k-entry sketch before ONE tiny
+    * merge — no full frequency table is ever built or shuffled), whose
+    * merge rule GUARANTEES every item with count > N/k survives as a
+    * candidate; stage 2 exact-counts ONLY the ≤ k candidates via a
+    * broadcast semi-join and keeps those with k·count > N (integer
+    * compare, no division). The output is therefore the EXACT heavy-
+    * hitter set with exact counts — deterministic under any partitioning,
+    * which is what lets a sketch-based op carry a full DuckDB oracle. At
+    * 100 TB the full groupBy this replaces would shuffle every distinct
+    * token; here the shuffle is k rows of sketch plus the candidate
+    * counts. */
+  def aggHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val toks = load(spark, dir, "documents")
+      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      .transform(graft.OpCaches.cached)
+      .select(explode(col("t")).as("token"))
+    val sketch = org.apache.spark.sql.functions.udaf(
+      new graft.functions.GraftFunctions.MisraGries(HhK),
+      org.apache.spark.sql.Encoders.STRING)
+    val candidates = toks.agg(sketch(col("token")).as("s"))
+      .select(explode(map_keys(col("s"))).as("token"))
+    val total = toks.agg(count(lit(1)).as("n"))
+    totalOrder(toks
+      .join(broadcast(candidates), "token")
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * HhK > col("n"))
+      .select(col("token"), col("cnt"), col("n")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_heavy_hitters" -> aggHeavyHitters,
     "agg_pivot" -> aggPivot,
     "agg_salted_skew" -> aggSaltedSkew,
     "agg_hash_groupby" -> aggHashGroupby,
@@ -146,6 +189,19 @@ object Aggregates {
     "agg_approx_percentile" -> aggApproxPercentile)
 
   val oracle: Map[String, String] = Map(
+    // the sketch is a candidate generator with guaranteed recall; the
+    // exact-verify pass makes the OUTPUT the plain heavy-hitter set, so
+    // the oracle needs no sketch at all
+    "agg_heavy_hitters" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+         |    '[^a-z0-9'']+'), x -> x <> '')) AS token
+         |  FROM documents),
+         |c AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+         |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c)
+         |SELECT token, CAST(cnt AS BIGINT) AS cnt, n
+         |FROM c CROSS JOIN t WHERE cnt * $HhK > n
+         |${orderAll("token", "cnt", "n")}""".stripMargin,
     "agg_pivot" ->
       s"""SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
          |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,

@@ -66,4 +66,40 @@ class JoinsAggSpec extends SparkTestBase {
     val g1 = o.select("o_orderstatus").distinct.count()
     assert(ops.Aggregates.aggRollup(spark, sf).count() == g2 + g1 + 1)
   }
+
+  test("heavy hitters: sketch-then-verify equals the exact heavy-hitter " +
+    "set under vocab >> k, sketch stays bounded, recall guarantee holds") {
+    import spark.implicits._
+    // constructed corpus: 3 planted heavy tokens drowned in a 500-word
+    // rare vocabulary — |vocab| = 503 >> k = 32, so the sketch must evict
+    // constantly and still never lose a true heavy hitter
+    val heavy = Seq.fill(400)("alpha") ++ Seq.fill(300)("beta") ++
+      Seq.fill(200)("gamma")
+    val rare = (0 until 2000).map(i => s"rare${i % 500}")
+    val words = new scala.util.Random(7).shuffle(heavy ++ rare)
+    val docs = words.grouped(25).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" "), "en", "gen", 1L) }
+      .toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("hh").toString
+    docs.coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val out = ops.Aggregates.aggHeavyHitters(spark, dir)
+      .select("token", "cnt").as[(String, Long)].collect().toMap
+    val n = words.size
+    // exact heavy hitters computed driver-side: count * 32 > N
+    val exact = words.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case (_, c) => c * 32 > n }.toMap
+    assert(out == exact, s"got $out, want $exact")
+    assert(out.keySet == Set("alpha", "beta", "gamma"))
+    // the raw sketch respects its capacity AND the recall guarantee even
+    // under adversarial merge order (many small partial sketches)
+    val mg = new functions.GraftFunctions.MisraGries(32)
+    val partials = words.grouped(40)
+      .map(_.foldLeft(mg.zero)(mg.reduce)).toSeq
+    partials.foreach(p => assert(p.size <= 32))
+    val merged = partials.reduce(mg.merge)
+    assert(merged.size <= 32)
+    for ((t, _) <- exact)
+      assert(merged.contains(t), s"guarantee violated: $t evicted")
+    OpCaches.releaseAll()
+  }
 }
