@@ -144,6 +144,37 @@ object Joins {
       .select(col("event_id"), col("user_id"), col("ts"), col("last_view_ts")))
   }
 
+  /** Tolerance for [[joinAsofTolerance]]: 30 minutes in µs. */
+  private val AsofToleranceUs = 1800L * 1000000L
+
+  /** [[joinAsof]] with a MATCH TOLERANCE — the pandas
+    * `merge_asof(tolerance=Δ)` / QuestDB `ASOF JOIN ... TOLERANCE`
+    * surface: a click attributes to the latest prior view ONLY if it
+    * happened within 30 minutes; a staler match becomes NULL, because in
+    * attribution windows and sensor-freshness joins a stale match is
+    * worse than none. The tolerance is a pure per-row predicate applied
+    * AFTER the same single per-key as-of window — plan shape, shuffle
+    * count, and the 100 TB story are identical to the base op. */
+  def joinAsofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_type") === "view", lit(0)).otherwise(lit(1)).as("kind"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    totalOrder(ev
+      .withColumn("lv",
+        last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .withColumn("matched_view_ts",
+        when(unix_micros(col("ts")) - unix_micros(col("lv")) <= AsofToleranceUs,
+          col("lv")))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("matched_view_ts"),
+        col("matched_view_ts").isNotNull.as("within_tolerance")))
+  }
+
   /** Last (session-scoped) bucketed-table source dir, so repeat calls reuse
     * the layout instead of rebuilding it — bucketing is write-once. */
   private var bucketedDir: Option[String] = None
@@ -206,7 +237,8 @@ object Joins {
     "join_left_anti" -> joinLeftAnti,
     "join_theta_range" -> joinThetaRange,
     "join_range_bucket" -> joinRangeBucket,
-    "join_asof" -> joinAsof)
+    "join_asof" -> joinAsof,
+    "join_asof_tolerance" -> joinAsofTolerance)
 
   val oracle: Map[String, String] = Map(
     "join_bucketed" ->
@@ -278,5 +310,20 @@ object Joins {
          |   WHERE v.event_type = 'view' AND v.user_id = c.user_id
          |     AND v.ts <= c.ts) AS last_view_ts
          |FROM events c WHERE c.event_type = 'click'
-         |${orderAll("event_id", "user_id", "ts", "last_view_ts")}""".stripMargin)
+         |${orderAll("event_id", "user_id", "ts", "last_view_ts")}""".stripMargin,
+    "join_asof_tolerance" ->
+      s"""WITH m AS (
+         |  SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS ts,
+         |    (SELECT MAX(CAST(v.ts AS TIMESTAMP)) FROM events v
+         |     WHERE v.event_type = 'view' AND v.user_id = c.user_id
+         |       AND v.ts <= c.ts) AS lv
+         |  FROM events c WHERE c.event_type = 'click')
+         |SELECT event_id, user_id, ts,
+         |  CASE WHEN epoch_us(ts) - epoch_us(lv) <= 1800000000
+         |    THEN lv END AS matched_view_ts,
+         |  (lv IS NOT NULL AND epoch_us(ts) - epoch_us(lv) <= 1800000000)
+         |    AS within_tolerance
+         |FROM m
+         |${orderAll("event_id", "user_id", "ts", "matched_view_ts",
+              "within_tolerance")}""".stripMargin)
 }
