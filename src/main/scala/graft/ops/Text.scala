@@ -439,6 +439,60 @@ object Text {
           .otherwise("tail").as("bucket")))
   }
 
+  /** Winnowing window width for [[textWinnowing]]: any shared token run
+    * of length ≥ `WinnowW + 3 − 1 = 6` is GUARANTEED to share a selected
+    * fingerprint (the Schleimer et al. 2003 coverage bound for window w
+    * over k-grams, here 3-token shingles). */
+  private val WinnowW = 4
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003 —
+    * the MOSS algorithm): from each sliding window of [[WinnowW]]
+    * consecutive shingle hashes, select the RIGHTMOST minimal hash; the
+    * distinct (position, hash) selections are the document's
+    * fingerprints. Unlike a plain per-doc rolling hash, winnowing has the
+    * local-fingerprint GUARANTEE: any match of at least w+k−1 tokens
+    * between two documents shares at least one selected fingerprint, and
+    * the density is bounded (~2/(w+1)) — which is why every
+    * plagiarism/code-dup system builds its index on winnowed prints, not
+    * raw shingles. All pure array expressions per row (shingle → md5-
+    * derived 32-bit int, the cross-engine hash idiom of
+    * pipeline_shuffle_order; window min + rightmost-index fold), so the
+    * op is embarrassingly parallel, shuffles nothing but its output, and
+    * carries a full DuckDB oracle. At 100 TB the selected prints (a
+    * ~2/(w+1) fraction of shingles) are what a dedup index stores. */
+  def textWinnowing(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val toks = tokens(col("text"))
+    val sh = transform(
+      sequence(lit(0), size(col("t")) - 3),
+      i => concat_ws(" ",
+        element_at(col("t"), i + 1),
+        element_at(col("t"), i + 2),
+        element_at(col("t"), i + 3)))
+    val hs = transform(col("s"),
+      x => conv(substring(md5(x), 1, 8), 16, 10).cast(LongType))
+    val sel = transform(
+      sequence(lit(0), size(col("h")) - WinnowW),
+      w0 => {
+        val win = slice(col("h"), w0 + 1, lit(WinnowW))
+        val mn = array_min(win)
+        // rightmost occurrence of the window minimum (the winnowing
+        // tie rule): max index j where win(j) == mn
+        val idx = aggregate(sequence(lit(1), lit(WinnowW)), lit(0),
+          (acc, j) => greatest(acc,
+            when(element_at(win, j) === mn, j).otherwise(lit(0))))
+        struct((w0 + idx).as("pos"), mn.as("fp"))
+      })
+    totalOrder(load(spark, dir, "documents")
+      .withColumn("t", toks)
+      .filter(size(col("t")) >= WinnowW + 2) // >= w windows of 3-shingles
+      .withColumn("s", sh)
+      .withColumn("h", hs)
+      .select(col("doc_id"), explode(sel).as("p"))
+      .select(col("doc_id"), col("p.pos").as("pos"), col("p.fp").as("fp"))
+      .distinct())
+  }
+
   /** BM25 query terms / parameters for [[textBm25]] — a fixed demo query
     * with the standard Robertson k1/b constants. */
   private val Bm25Query = Seq("spark", "window", "merge")
@@ -502,7 +556,8 @@ object Text {
     "text_entropy" -> textEntropy,
     "text_lang_id" -> textLangId,
     "text_lang_topk" -> textLangTopk,
-    "text_fingerprint" -> textFingerprint)
+    "text_fingerprint" -> textFingerprint,
+    "text_winnowing" -> textWinnowing)
 
   /** DuckDB BM25 term score — the exact double expression of
     * [[textBm25]]'s `term`, tf/df names parameterized. Decimal literals
@@ -588,6 +643,34 @@ object Text {
          |  CROSS JOIN st
          |GROUP BY doc_id
          |${orderAll("doc_id", "n_bigrams", "avg_logp2")}""".stripMargin,
+    "text_winnowing" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_filter(
+         |    regexp_split_to_array(lower(text), '[^a-z0-9'']+'), t -> t <> '') AS t
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, list_transform(
+         |    range(1, len(t) - 2 + 1),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS s
+         |  FROM tok WHERE len(t) >= $WinnowW + 2),
+         |hs AS (
+         |  SELECT doc_id, list_transform(s,
+         |    x -> CAST(('0x' || substring(md5(x), 1, 8))::UBIGINT AS BIGINT))
+         |    AS h
+         |  FROM sh),
+         |w AS (
+         |  SELECT doc_id, h, unnest(range(0, len(h) - $WinnowW + 1)) AS w0
+         |  FROM hs),
+         |sel AS (
+         |  SELECT doc_id,
+         |    w0 + list_aggregate(list_transform(range(1, $WinnowW + 1),
+         |      j -> CASE WHEN h[w0 + j] =
+         |        list_aggregate(h[(w0+1):(w0+$WinnowW)], 'min')
+         |        THEN j ELSE 0 END), 'max') AS pos,
+         |    list_aggregate(h[(w0+1):(w0+$WinnowW)], 'min') AS fp
+         |  FROM w)
+         |SELECT DISTINCT doc_id, pos, fp FROM sel
+         |${orderAll("doc_id", "pos", "fp")}""".stripMargin,
     "text_lm_split" ->
       s"""WITH toks AS (
          |  SELECT doc_id, token

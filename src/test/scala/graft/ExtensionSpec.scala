@@ -716,6 +716,43 @@ class ExtensionSpec extends SparkTestBase {
     OpCaches.releaseAll()
   }
 
+  test("winnowing: the coverage guarantee — docs sharing a >= w+k-1 token " +
+    "run share a fingerprint; density stays near 2/(w+1)") {
+    import spark.implicits._
+    // two documents embedding the SAME 12-token run at different offsets,
+    // surrounded by disjoint text; guarantee: any shared run of
+    // w+k-1 = 6 tokens yields at least one shared fingerprint VALUE
+    val run = "rose tulip daisy orchid lily fern moss ivy oak elm birch pine"
+    val docs = Seq(
+      (1L, s"aa bb cc dd ee $run ff gg hh", "en", "x", 1L),
+      (2L, s"zz yy $run xx ww vv uu tt ss rr qq pp", "en", "y", 1L),
+      (3L, "totally different words about nothing shared at all here okay then",
+        "en", "z", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("winnow").toString
+    docs.coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val fp = ops.Text.textWinnowing(spark, dir)
+      .select("doc_id", "fp").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(fp(1L).intersect(fp(2L)).nonEmpty,
+      "shared 12-token run produced no shared fingerprint")
+    assert(fp(1L).intersect(fp(3L)).isEmpty &&
+      fp(2L).intersect(fp(3L)).isEmpty,
+      "disjoint doc shares a fingerprint (hash collision or bug)")
+    // density on the fixture corpus: selected prints per window position
+    // land near the 2/(w+1) winnowing bound — well under 1 per shingle
+    val corpus = ops.Text.textWinnowing(spark, sf)
+    val nPrints = corpus.count().toDouble
+    val nWindows = Tables.load(spark, sf, "documents")
+      .select(size(filter(split(lower(col("text")), "[^a-z0-9']+"),
+        t => t =!= "")).as("n"))
+      .filter(col("n") >= 6)
+      .agg(sum(col("n") - 5)).as[Long].head().toDouble
+    val density = nPrints / nWindows
+    assert(density > 0.2 && density < 0.8, s"density $density")
+    OpCaches.releaseAll()
+  }
+
   test("filter funnel: monotone stage counts that reconcile with the real " +
     "pipeline — n_final IS pipeline_curate's row count") {
     val f = ops.Pipeline.pipelineFilterFunnel(spark, sf).head()
