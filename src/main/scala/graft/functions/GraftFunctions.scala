@@ -97,33 +97,65 @@ object GraftFunctions {
     * consuming op pairs it with an exact verify pass over just the ≤ k
     * candidates; see [[graft.ops.Aggregates]] agg_heavy_hitters. */
   class MisraGries(k: Int)
-    extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    extends Aggregator[String, (Array[String], Array[Long]), Map[String, Long]] {
+    // buffer = parallel (item, counter) arrays of length <= k, MUTATED in
+    // place between rows (the VecCentroid discipline — Aggregator buffers
+    // are live JVM objects until an exchange serializes them): the per-row
+    // hot path is one linear scan over <= k entries with no allocation;
+    // the only copies happen on the rare grow/evict events
 
-    override def zero: Map[String, Long] = Map.empty
+    override def zero: (Array[String], Array[Long]) =
+      (Array.empty[String], Array.empty[Long])
 
-    override def reduce(b: Map[String, Long], v: String): Map[String, Long] =
-      b.get(v) match {
-        case Some(c) => b.updated(v, c + 1)
-        case None if b.size < k => b.updated(v, 1L)
-        case None => // decrement every counter; evict the zeroed
-          b.flatMap { case (t, c) => if (c > 1) Some(t -> (c - 1)) else None }
+    override def reduce(b: (Array[String], Array[Long]),
+        v: String): (Array[String], Array[Long]) = {
+      val (ts, cs) = b
+      var i = 0
+      while (i < ts.length) {
+        if (ts(i) == v) { cs(i) += 1; return b }
+        i += 1
       }
-
-    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
-      val sum = b.foldLeft(a) { case (m, (t, c)) =>
-        m.updated(t, m.getOrElse(t, 0L) + c)
-      }
-      if (sum.size <= k) sum
-      else {
-        val d = sum.values.toSeq.sorted(Ordering[Long].reverse)(k)
-        sum.flatMap { case (t, c) => if (c > d) Some(t -> (c - d)) else None }
+      if (ts.length < k) (ts :+ v, cs :+ 1L)
+      else { // decrement every counter; compact out the zeroed
+        var kept = 0
+        i = 0
+        while (i < cs.length) { cs(i) -= 1; if (cs(i) > 0) kept += 1; i += 1 }
+        if (kept == cs.length) b
+        else {
+          val nt = new Array[String](kept); val nc = new Array[Long](kept)
+          var j = 0; i = 0
+          while (i < cs.length) {
+            if (cs(i) > 0) { nt(j) = ts(i); nc(j) = cs(i); j += 1 }
+            i += 1
+          }
+          (nt, nc)
+        }
       }
     }
 
-    override def finish(r: Map[String, Long]): Map[String, Long] = r
+    override def merge(a: (Array[String], Array[Long]),
+        b: (Array[String], Array[Long])): (Array[String], Array[Long]) = {
+      val sum = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      var i = 0
+      while (i < a._1.length) { sum(a._1(i)) = a._2(i); i += 1 }
+      i = 0
+      while (i < b._1.length) {
+        sum(b._1(i)) = sum.getOrElse(b._1(i), 0L) + b._2(i); i += 1
+      }
+      val trimmed =
+        if (sum.size <= k) sum.toSeq
+        else { // subtract the (k+1)-th largest counter; drop non-positive
+          val d = sum.values.toSeq.sorted(Ordering[Long].reverse)(k)
+          sum.toSeq.collect { case (t, c) if c > d => t -> (c - d) }
+        }
+      (trimmed.map(_._1).toArray, trimmed.map(_._2).toArray)
+    }
 
-    override def bufferEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    override def finish(r: (Array[String], Array[Long])): Map[String, Long] =
+      r._1.zip(r._2).toMap
+
+    override def bufferEncoder: org.apache.spark.sql.Encoder[(Array[String], Array[Long])] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[String], Array[Long])]()
 
     override def outputEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()

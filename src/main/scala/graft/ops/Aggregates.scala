@@ -139,7 +139,7 @@ object Aggregates {
     * ~1/29-uniform token shares so the gated output is non-trivial;
     * eviction and the recall guarantee under vocab ≫ k are exercised on
     * a constructed corpus in the spec. */
-  private[ops] val HhK = 32
+  private[graft] val HhK = 32
 
   /** Heavy hitters over the corpus token stream — sketch-then-verify, the
     * deterministic two-pass every large-scale frequency query runs:

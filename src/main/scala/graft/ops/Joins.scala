@@ -129,7 +129,16 @@ object Joins {
     * that explodes. Ordering (ts, kind, event_id) makes equal-ts view-before-
     * click deterministic; InfluxDB's implicit "last value at t" semantics
     * (SURVEY.md §2.3 join_asof). */
-  def joinAsof(spark: SparkSession, dir: String): DataFrame = {
+  def joinAsof(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(asofMatched(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("last_view_ts")))
+
+  /** The matched as-of frame shared by [[joinAsof]] and
+    * [[joinAsofTolerance]]: one click row each with the latest
+    * at-or-before view timestamp — the union→window machinery lives ONCE
+    * so the tie-break and view-filter logic cannot diverge between the
+    * base and tolerance variants. */
+  private def asofMatched(spark: SparkSession, dir: String): DataFrame = {
     val ev = load(spark, dir, "events")
       .filter(col("event_type").isin("click", "view"))
       .select(col("event_id"), col("user_id"), col("ts"),
@@ -137,11 +146,9 @@ object Joins {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("kind"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    totalOrder(ev
-      .withColumn("last_view_ts",
+    ev.withColumn("last_view_ts",
         last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
       .filter(col("kind") === 1)
-      .select(col("event_id"), col("user_id"), col("ts"), col("last_view_ts")))
   }
 
   /** Tolerance for [[joinAsofTolerance]]: 30 minutes in µs. */
@@ -155,25 +162,14 @@ object Joins {
     * worse than none. The tolerance is a pure per-row predicate applied
     * AFTER the same single per-key as-of window — plan shape, shuffle
     * count, and the 100 TB story are identical to the base op. */
-  def joinAsofTolerance(spark: SparkSession, dir: String): DataFrame = {
-    val ev = load(spark, dir, "events")
-      .filter(col("event_type").isin("click", "view"))
-      .select(col("event_id"), col("user_id"), col("ts"),
-        when(col("event_type") === "view", lit(0)).otherwise(lit(1)).as("kind"))
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("kind"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    totalOrder(ev
-      .withColumn("lv",
-        last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
-      .filter(col("kind") === 1)
+  def joinAsofTolerance(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(asofMatched(spark, dir)
       .withColumn("matched_view_ts",
-        when(unix_micros(col("ts")) - unix_micros(col("lv")) <= AsofToleranceUs,
-          col("lv")))
+        when(unix_micros(col("ts")) - unix_micros(col("last_view_ts"))
+          <= AsofToleranceUs, col("last_view_ts")))
       .select(col("event_id"), col("user_id"), col("ts"),
         col("matched_view_ts"),
         col("matched_view_ts").isNotNull.as("within_tolerance")))
-  }
 
   /** Last (session-scoped) bucketed-table source dir, so repeat calls reuse
     * the layout instead of rebuilding it — bucketing is write-once. */

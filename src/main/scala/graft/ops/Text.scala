@@ -474,14 +474,21 @@ object Text {
     val sel = transform(
       sequence(lit(0), size(col("h")) - WinnowW),
       w0 => {
-        val win = slice(col("h"), w0 + 1, lit(WinnowW))
-        val mn = array_min(win)
-        // rightmost occurrence of the window minimum (the winnowing
-        // tie rule): max index j where win(j) == mn
-        val idx = aggregate(sequence(lit(1), lit(WinnowW)), lit(0),
-          (acc, j) => greatest(acc,
-            when(element_at(win, j) === mn, j).otherwise(lit(0))))
-        struct((w0 + idx).as("pos"), mn.as("fp"))
+        // ONE pass per window, indexing the hash array directly (no slice
+        // copies, no separate min scan): fold (fp, idx) over positions
+        // 2..w, `<=` so a tie moves the selection RIGHT — exactly the
+        // winnowing rightmost-minimum rule
+        val first = struct(
+          element_at(col("h"), (w0 + 1).cast("int")).as("fp"),
+          lit(1).as("idx"))
+        val best = aggregate(sequence(lit(2), lit(WinnowW)), first,
+          (a, j) => {
+            val hj = element_at(col("h"), (w0 + j).cast("int"))
+            when(hj <= a.getField("fp"),
+              struct(hj.as("fp"), j.as("idx"))).otherwise(a)
+          })
+        struct((w0 + best.getField("idx")).as("pos"),
+          best.getField("fp").as("fp"))
       })
     totalOrder(load(spark, dir, "documents")
       .withColumn("t", toks)

@@ -85,21 +85,23 @@ class JoinsAggSpec extends SparkTestBase {
     val out = ops.Aggregates.aggHeavyHitters(spark, dir)
       .select("token", "cnt").as[(String, Long)].collect().toMap
     val n = words.size
-    // exact heavy hitters computed driver-side: count * 32 > N
+    val k = ops.Aggregates.HhK
+    // exact heavy hitters computed driver-side: count * k > N
     val exact = words.groupBy(identity).view.mapValues(_.size.toLong)
-      .filter { case (_, c) => c * 32 > n }.toMap
+      .filter { case (_, c) => c * k > n }.toMap
     assert(out == exact, s"got $out, want $exact")
     assert(out.keySet == Set("alpha", "beta", "gamma"))
     // the raw sketch respects its capacity AND the recall guarantee even
     // under adversarial merge order (many small partial sketches)
-    val mg = new functions.GraftFunctions.MisraGries(32)
+    val mg = new functions.GraftFunctions.MisraGries(k)
     val partials = words.grouped(40)
       .map(_.foldLeft(mg.zero)(mg.reduce)).toSeq
-    partials.foreach(p => assert(p.size <= 32))
+    partials.foreach(p => assert(p._1.length <= k))
     val merged = partials.reduce(mg.merge)
-    assert(merged.size <= 32)
+    assert(merged._1.length <= k)
+    val mergedKeys = merged._1.toSet
     for ((t, _) <- exact)
-      assert(merged.contains(t), s"guarantee violated: $t evicted")
+      assert(mergedKeys.contains(t), s"guarantee violated: $t evicted")
     OpCaches.releaseAll()
   }
 }
