@@ -237,6 +237,95 @@ object TimeSeries {
     * 0.19–1.2). */
   private[graft] val MatchThreshold = 1.0
 
+  /** Round a term the way Spark's `round(double, 6)` and DuckDB's
+    * `CAST(... AS DECIMAL(38,6))` do (HALF_UP on the decimal rendering), so
+    * driver-side Scala folds are digit-identical to both engines'
+    * expressions — the streaming/oracle convention proven by the
+    * stream_pattern_match and stream_pulse_rate gates. */
+  private[graft] def r6(x: Double): BigDecimal =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+
+  /** (mu, sigma) of one candidate window under the engine-stable
+    * convention shared by the batch expression, the streaming fold, and
+    * the DuckDB oracle: mu is the exact 6-dp-decimal sum converted to
+    * double ONCE and then IEEE-divided (cast-then-divide); sigma is the
+    * plain left-to-right double fold of squared deviations. */
+  private[graft] def zStats(vals: Seq[Double]): (Double, Double) = {
+    val l = vals.size
+    val mu = vals.map(r6).sum.toDouble / l
+    (mu, math.sqrt(vals.map(x => (x - mu) * (x - mu)).sum / l))
+  }
+
+  /** How far into the series the exemplar search looks (points, not
+    * windows). A fixed cap keeps the driver-side peek O(1) regardless of
+    * corpus size — at any density the first non-flat window appears well
+    * inside it (a window is flat only while every point in it carries the
+    * same value). */
+  private[graft] val ExemplarScan = 256
+
+  /** Query-by-example pattern selection — the scale-invariant half of the
+    * streaming matcher's pattern library (round-9 verdict: a FIXED
+    * threshold+shape matches nothing above the density it was calibrated
+    * at, making the sf1/sf3 proof vacuous). The exemplar is drawn from
+    * the series' OWN history by a deterministic rule both engines can
+    * express: the first non-flat (σ > 1e-9) L-point window — in
+    * (ts, event_id) order — among the first [[ExemplarScan]] points of
+    * the lexicographically first event_type. Its z-shape becomes a query
+    * pattern, so the matcher provably emits at least its own window
+    * (z-distance² exactly 0) at EVERY scale factor: the non-vacuity
+    * guarantee. Cost: one `min` aggregate and one top-256
+    * TakeOrderedAndProject — O(1) driver memory at any corpus size. */
+  private[graft] def exemplarZ(spark: SparkSession, dir: String): Seq[Double] = {
+    val l = PatternQ.size
+    // glob read, not Tables.load: the streaming twin's landing dirs hold
+    // ordered events_<n>.parquet files — the exemplar must see exactly
+    // the data the stream will drain
+    val ev = graft.Tables.normalizeTs(
+      spark.read.option("pathGlobFilter", "events*.parquet").parquet(dir))
+    val minType = ev.agg(min(col("event_type"))).head().getString(0)
+    val head = ev.filter(col("event_type") === minType)
+      .select(col("ts"), col("event_id"), col("value"))
+      .orderBy(col("ts"), col("event_id"))
+      .limit(ExemplarScan)
+      .collect()
+      .sortBy(r => (r.getTimestamp(0).getTime, r.getTimestamp(0).getNanos.toLong,
+        r.getLong(1)))
+      .map(_.getDouble(2)).toSeq
+    (0 to head.size - l).iterator
+      .map(i => head.slice(i, i + l))
+      .map(w => (w, zStats(w)))
+      .collectFirst { case (w, (mu, sigma)) if sigma > 1e-9 =>
+        w.map(x => (x - mu) / sigma) }
+      .getOrElse(throw new IllegalStateException(
+        s"no non-flat $l-point window in the first $ExemplarScan points of '$minType'"))
+  }
+
+  /** DuckDB twin of [[exemplarZ]]: CTEs (appended after the shared `e`)
+    * deriving the exemplar's z-shape with the identical rule and
+    * arithmetic; `xq` is the one-row list the scoring pass zips against. */
+  private[graft] val exemplarSqlCtes: String =
+    s"""x0 AS (
+       |  SELECT value, rn FROM (
+       |    SELECT value, ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn
+       |    FROM e WHERE event_type = (SELECT min(event_type) FROM e))
+       |  WHERE rn <= $ExemplarScan),
+       |xw AS (
+       |  SELECT rn, list(value) OVER (ORDER BY rn
+       |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS win
+       |  FROM x0),
+       |xm AS (
+       |  SELECT rn, win, CAST(list_aggregate(list_transform(win,
+       |      v -> CAST(v AS DECIMAL(38,6))), 'sum') AS DOUBLE) / 8 AS mu
+       |  FROM xw WHERE len(win) = 8),
+       |xs AS (
+       |  SELECT rn, win, mu, sqrt(list_aggregate(list_transform(win,
+       |      v -> (CAST(v AS DOUBLE) - mu) * (CAST(v AS DOUBLE) - mu)),
+       |      'sum') / 8) AS sigma
+       |  FROM xm),
+       |xq AS (
+       |  SELECT list_transform(win, v -> (CAST(v AS DOUBLE) - mu) / sigma) AS zq
+       |  FROM xs WHERE sigma > 1e-9 ORDER BY rn LIMIT 1)""".stripMargin
+
   /** Time-series pattern matching — subsequence similarity search (the
     * UCR-suite / matrix-profile family; EDBT'19 "Time Series Similarity
     * Search for Streaming Data" is the distributed treatment): find where
@@ -344,8 +433,10 @@ object TimeSeries {
     * [[tsPatternMatch]] scoring stages, ending at `d` = (event_type,
     * win_start, event_id, dist2)); the batch op appends its top-3 rank,
     * the streaming twin its threshold cut. */
-  private[graft] val patternMatchCoreSql: String = {
-    val zLit = PatternZ.map(_.toString).mkString("[", ", ", "]")
+  /** Shared window-construction CTEs (e → w → m → s): per-series 8-point
+    * sliding windows with their engine-stable mu/sigma, ready for any
+    * scoring pass to consume. */
+  private[graft] val patternWindowsSql: String =
     s"""WITH e AS (
        |  SELECT event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value
        |  FROM events),
@@ -362,16 +453,28 @@ object TimeSeries {
        |  SELECT *, sqrt(list_aggregate(list_transform(win,
        |      v -> (CAST(v AS DOUBLE) - mu) * (CAST(v AS DOUBLE) - mu)),
        |      'sum') / 8) AS sigma
-       |  FROM m),
-       |d AS (
+       |  FROM m)""".stripMargin
+
+  /** One scoring pass as a CTE named `cte`: 6-dp-rounded decimal-summed
+    * z-distance² of every non-flat window against the z-pattern list
+    * expression `zqExpr` (a literal list or a one-row scalar subquery). */
+  private[graft] def patternScoreSql(cte: String, zqExpr: String): String =
+    s"""$cte AS (
        |  SELECT event_type, win_start, event_id,
-       |    CAST(list_aggregate(list_transform(list_zip(win, $zLit),
+       |    CAST(list_aggregate(list_transform(list_zip(win, $zqExpr),
        |      p -> CAST(round(
        |        (CAST(p[2] AS DOUBLE) - (CAST(p[1] AS DOUBLE) - mu) / sigma) *
        |        (CAST(p[2] AS DOUBLE) - (CAST(p[1] AS DOUBLE) - mu) / sigma),
        |        6) AS DECIMAL(38,6))), 'sum') AS DOUBLE) AS dist2
        |  FROM s WHERE sigma > 1e-9)""".stripMargin
-  }
+
+  /** The surge-pattern literal, embedded identically in both engines
+    * (Double.toString round-trips IEEE exactly). */
+  private[graft] val surgeZLit: String =
+    PatternZ.map(_.toString).mkString("[", ", ", "]")
+
+  private[graft] val patternMatchCoreSql: String =
+    patternWindowsSql + ",\n" + patternScoreSql("d", surgeZLit)
 
   val oracle: Map[String, String] = Map(
     "ts_pattern_match" ->

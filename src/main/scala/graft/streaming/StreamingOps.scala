@@ -420,42 +420,64 @@ object StreamingOps {
 
   case class PmEv(event_type: String, event_id: Long, ts: Timestamp,
     value: Double)
-  case class PmHit(event_type: String, win_start: Timestamp, dist2: Double)
+  case class PmHit(event_type: String, win_start: Timestamp, pattern: String,
+    dist2: Double)
   /** Per-series carry: the last L−1 points (ts, event_id, value), so a
     * window spanning a batch boundary still forms — state is O(L) per
     * series regardless of stream lifetime. */
   case class PmState(tail: List[(Timestamp, Long, Double)])
 
-  /** Round every term the way Spark's `round(double, 6)` does (HALF_UP on
-    * the decimal rendering), so the streaming fold is digit-identical to
-    * the batch op's decimal-accumulated expression. */
-  private def r6(x: Double): BigDecimal =
-    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+  /** Dropped-late counter of the most recent [[streamPatternMatch]] drain
+    * (the repo's no-silent-caps rule applied to the matcher's watermark
+    * discipline): every point discarded for arriving behind a series'
+    * carried frontier is counted here, so an out-of-order landing — e.g.
+    * two files within the filesystem's mtime resolution drained in the
+    * wrong order — is observable instead of a silent result difference
+    * from the batch op. */
+  @volatile private var pmLateAcc:
+    Option[org.apache.spark.util.LongAccumulator] = None
+  def patternMatchLateDrops: Long =
+    pmLateAcc.map(_.value.longValue).getOrElse(0L)
 
-  /** Streaming pattern matcher — the motif-DETECTION twin of
-    * [[graft.ops.TimeSeries.tsPatternMatch]] (EDBT'19 "Time Series
-    * Similarity Search for Streaming Data" is the published shape): as
-    * points arrive, every completed L-point window is z-normalized and
-    * scored against the query shape; windows at z-distance² ≤
-    * [[graft.ops.TimeSeries.MatchThreshold]] emit an alert row. The batch
-    * op RANKS matches corpus-wide (a stream can't rank globally), so the
-    * streaming contract is the THRESHOLD cut — exactly what a live
-    * anomaly channel wants. flatMapGroupsWithState keyed by series:
-    * within a batch, event-time order is restored per key (the
-    * [[pulseMachine]] discipline); across batches the state carries only
-    * the last L−1 points, so every window forms exactly once, and a
-    * point arriving BEHIND the carried frontier is dropped as late (the
-    * watermark discipline — splicing history back in would corrupt the
-    * carry). On time-ordered landings — the file-source fixture and any
-    * mtime-ordered drain — nothing is late, so the drain equals the
-    * batch op filtered to the threshold, which is what makes the op
-    * oracle-able. The per-window arithmetic (6-dp HALF_UP
-    * terms, exact decimal accumulation, one final double conversion)
-    * reproduces the batch expression digit for digit. */
+  /** Streaming pattern matcher — motif DETECTION over a pattern LIBRARY
+    * (EDBT'19 "Time Series Similarity Search for Streaming Data" is the
+    * published shape): as points arrive, every completed L-point window
+    * is z-normalized and scored against each library pattern; windows at
+    * z-distance² ≤ [[graft.ops.TimeSeries.MatchThreshold]] emit an alert
+    * row tagged with the pattern that fired. The batch twin
+    * [[graft.ops.TimeSeries.tsPatternMatch]] RANKS matches corpus-wide (a
+    * stream can't rank globally), so the streaming contract is the
+    * THRESHOLD cut — exactly what a live anomaly channel wants. The
+    * library holds two entries: the fixed `surge` shape the batch op
+    * ranks against, and an `exemplar` drawn from the stream's own history
+    * ([[graft.ops.TimeSeries.exemplarZ]] — query-by-example, "alert on
+    * recurrences of this one"). The exemplar guarantees the op is
+    * NON-VACUOUS at every density: its own source window scores exactly
+    * 0, so the drain emits rows at any scale factor, where a fixed
+    * threshold+shape alone stops matching above the density it was
+    * calibrated at (the round-9 sf1/sf3 0-row finding).
+    * flatMapGroupsWithState keyed by series: within a batch, event-time
+    * order is restored per key (the [[pulseMachine]] discipline); across
+    * batches the state carries only the last L−1 points, so every window
+    * forms exactly once, and a point arriving BEHIND the carried frontier
+    * is dropped as late (the watermark discipline — splicing history back
+    * in would corrupt the carry) and COUNTED in
+    * [[patternMatchLateDrops]]. On time-ordered landings — the
+    * file-source fixture and any mtime-ordered drain — nothing is late,
+    * so the drain equals the batch scoring filtered to the threshold,
+    * which is what makes the op oracle-able. The per-window arithmetic
+    * (6-dp HALF_UP terms, exact decimal accumulation, one final double
+    * conversion) reproduces the batch expression digit for digit. */
   def streamPatternMatch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val L = graft.ops.TimeSeries.PatternQ.size
-    val zq = graft.ops.TimeSeries.PatternZ
+    // the pattern library: the fixed surge shape + the history-drawn
+    // exemplar (two tiny driver-side jobs, O(1) at any corpus size)
+    val patterns: Seq[(String, Seq[Double])] = Seq(
+      "surge" -> graft.ops.TimeSeries.PatternZ,
+      "exemplar" -> graft.ops.TimeSeries.exemplarZ(spark, dir))
+    val lateAcc = spark.sparkContext.longAccumulator("graft.pm_late_drops")
+    pmLateAcc = Some(lateAcc)
     // one file per micro-batch: the fixture (one file) drains in one
     // batch, while multi-file landings exercise the cross-batch state
     // carry for real — windows spanning a batch boundary must form
@@ -474,13 +496,15 @@ object StreamingOps {
           // re-order the carry and corrupt every later window. The
           // fixture (and any time-ordered landing) loses nothing; a
           // deployment with genuine lateness fronts this with the same
-          // watermarked reorder buffer the CQ path uses.
+          // watermarked reorder buffer the CQ path uses. Every drop is
+          // counted (accumulator), never silent.
           val frontier = tail.lastOption.map(k)
-          val fresh = rows.toSeq
+          val (inOrder, late) = rows.toSeq
             .map(e => (e.ts, e.event_id, e.value))
-            .filter(p => frontier.forall(f =>
+            .partition(p => frontier.forall(f =>
               implicitly[Ordering[(Long, Long, Long)]].gt(k(p), f)))
-            .sortBy(k)
+          if (late.nonEmpty) lateAcc.add(late.size.toLong)
+          val fresh = inOrder.sortBy(k)
           val combined = (tail ++ fresh).toVector
           val out = for {
             end <- tail.size until combined.size // windows ENDING at a new point
@@ -489,19 +513,20 @@ object StreamingOps {
             vals = win.map(_._3)
             // decimal-exact sum, ONE double conversion, THEN the IEEE
             // division — the batch op's cast-then-divide order exactly
-            mu = vals.map(r6).sum.toDouble / L
-            sigma = math.sqrt(vals.map(x => (x - mu) * (x - mu)).sum / L)
+            (mu, sigma) = graft.ops.TimeSeries.zStats(vals)
             if sigma > 1e-9
+            (label, zq) <- patterns
             dist2 = vals.zip(zq)
-              .map { case (x, q) => r6((q - (x - mu) / sigma) * (q - (x - mu) / sigma)) }
+              .map { case (x, q) => graft.ops.TimeSeries.r6(
+                (q - (x - mu) / sigma) * (q - (x - mu) / sigma)) }
               .sum.toDouble
             if dist2 <= graft.ops.TimeSeries.MatchThreshold
-          } yield PmHit(key, win.head._1, dist2)
+          } yield PmHit(key, win.head._1, label, dist2)
           state.update(PmState(combined.takeRight(L - 1).toList))
           out.iterator
         })
     totalOrder(runToTable(hits.toDF(), OutputMode.Append())
-      .select(col("event_type"), col("win_start"), col("dist2")))
+      .select(col("event_type"), col("win_start"), col("pattern"), col("dist2")))
   }
 
   /** Subscription write-forwarding through the CQ-into-store path
@@ -772,12 +797,20 @@ object StreamingOps {
          |${orderAll("time", "event_type", "mv", "n")}""".stripMargin,
     "stream_pulse_rate" -> graft.ops.TimeSeries.oracle("win_lag_interval"),
     // streaming motif detection = the batch scoring chain cut at the
-    // alert threshold (a stream cannot rank corpus-wide)
+    // alert threshold (a stream cannot rank corpus-wide), run once per
+    // library pattern: the fixed surge literal and the history-drawn
+    // exemplar the xq CTE re-derives with the identical rule
     "stream_pattern_match" ->
-      s"""${graft.ops.TimeSeries.patternMatchCoreSql}
-         |SELECT event_type, win_start, dist2 FROM d
+      s"""${graft.ops.TimeSeries.patternWindowsSql},
+         |${graft.ops.TimeSeries.exemplarSqlCtes},
+         |${graft.ops.TimeSeries.patternScoreSql("d", graft.ops.TimeSeries.surgeZLit)},
+         |${graft.ops.TimeSeries.patternScoreSql("d2", "(SELECT zq FROM xq)")}
+         |SELECT event_type, win_start, 'surge' AS pattern, dist2 FROM d
          |WHERE dist2 <= ${graft.ops.TimeSeries.MatchThreshold}
-         |${orderAll("event_type", "win_start", "dist2")}""".stripMargin,
+         |UNION ALL
+         |SELECT event_type, win_start, 'exemplar' AS pattern, dist2 FROM d2
+         |WHERE dist2 <= ${graft.ops.TimeSeries.MatchThreshold}
+         |${orderAll("event_type", "win_start", "pattern", "dist2")}""".stripMargin,
     "stream_csv_ingest" -> graft.ops.Ingest.oracle("scan_csv_pulses"),
     "stream_lineproto_ingest" ->
       s"""WITH s AS (

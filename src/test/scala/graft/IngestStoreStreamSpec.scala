@@ -549,18 +549,24 @@ class IngestStoreStreamSpec extends SparkTestBase {
   test("streaming pattern match: equals the batch scoring cut at the " +
     "threshold, and boundary-spanning windows form across micro-batches") {
     // drain equality on the fixture: every batch top-3 row under the
-    // threshold must re-appear in the stream with the IDENTICAL distance
-    // (the streaming fold's 6-dp decimal arithmetic mirrors the batch
-    // expression digit for digit)
-    val s = streaming.StreamingOps.streamPatternMatch(spark, sf)
-      .select("event_type", "win_start", "dist2")
-      .as[(String, java.sql.Timestamp, Double)].collect().toSet
+    // threshold must re-appear in the stream's surge channel with the
+    // IDENTICAL distance (the streaming fold's 6-dp decimal arithmetic
+    // mirrors the batch expression digit for digit)
+    val all = streaming.StreamingOps.streamPatternMatch(spark, sf)
+      .select("event_type", "win_start", "pattern", "dist2")
+      .as[(String, java.sql.Timestamp, String, Double)].collect()
+    val s = all.collect { case (t, w, "surge", d) => (t, w, d) }.toSet
     val batchTop = ops.TimeSeries.tsPatternMatch(spark, sf)
       .select("event_type", "win_start", "dist2")
       .as[(String, java.sql.Timestamp, Double)].collect()
     for (r <- batchTop if r._3 <= ops.TimeSeries.MatchThreshold)
       assert(s.contains(r), s"batch match missing from stream: $r")
-    assert(s.nonEmpty)
+    // the exemplar channel is the non-vacuity guarantee: its own source
+    // window must score EXACTLY 0 at any density (round-9 verdict: a
+    // fixed shape+threshold alone passes vacuously above fixture density)
+    assert(all.exists(r => r._3 == "exemplar" && r._4 == 0.0), all.toSeq)
+    // an ordered drain drops nothing
+    assert(streaming.StreamingOps.patternMatchLateDrops == 0L)
     // cross-batch formation: one series split into two time-ordered file
     // batches (maxFilesPerTrigger=1 → two micro-batches); windows
     // spanning the boundary must still form, and the result must not
@@ -584,10 +590,10 @@ class IngestStoreStreamSpec extends SparkTestBase {
         StandardCopyOption.REPLACE_EXISTING)
       assert(new java.io.File(dest).setLastModified(mtime))
     }
-    def drain(dir: String): Set[(String, java.sql.Timestamp, Double)] =
+    def drain(dir: String): Set[(String, java.sql.Timestamp, String, Double)] =
       streaming.StreamingOps.streamPatternMatch(spark, dir)
-        .select("event_type", "win_start", "dist2")
-        .as[(String, java.sql.Timestamp, Double)].collect().toSet
+        .select("event_type", "win_start", "pattern", "dist2")
+        .as[(String, java.sql.Timestamp, String, Double)].collect().toSet
     // split INSIDE the planted surge (positions 3..10): file 1 ends
     // mid-shape, so the distance-0 window only exists across the boundary
     val t0 = System.currentTimeMillis() - 60000
@@ -600,8 +606,25 @@ class IngestStoreStreamSpec extends SparkTestBase {
     val whole = drain(dirOne)
     assert(split == whole, s"split-dependent result: $split vs $whole")
     // the planted surge (distance 0) is found even though it spans files
-    assert(whole.exists(r => r._3 == 0.0 &&
+    assert(whole.exists(r => r._3 == "surge" && r._4 == 0.0 &&
       r._2 == java.sql.Timestamp.valueOf("2024-01-01 00:00:03")), whole)
+    // late landing: a second file whose points all precede the first
+    // file's frontier (out-of-order mtimes — e.g. two files within the
+    // filesystem's mtime resolution). Every late point must be COUNTED,
+    // not silently vanish, and the result must equal draining the
+    // in-order file alone.
+    val dirLate = Files.createTempDirectory("pm_late").toString
+    writeSingle(rows(6 until vals.size), s"$dirLate/events_1.parquet", t0)
+    writeSingle(rows(0 until 6), s"$dirLate/events_2.parquet", t0 + 10000)
+    val dirHead = Files.createTempDirectory("pm_head").toString
+    writeSingle(rows(6 until vals.size), s"$dirHead/events_1.parquet", t0)
+    // surge channel only: the exemplar is drawn from a BATCH read of the
+    // dir, so the two dirs derive different exemplars by construction
+    val lateDrained = drain(dirLate).filter(_._3 == "surge")
+    assert(streaming.StreamingOps.patternMatchLateDrops == 6L,
+      s"late drops: ${streaming.StreamingOps.patternMatchLateDrops}")
+    assert(lateDrained == drain(dirHead).filter(_._3 == "surge"),
+      s"late landing changed the emitted set: $lateDrained")
   }
 
   test("streaming dedup: replayed source counts once") {

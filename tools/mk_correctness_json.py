@@ -1,20 +1,37 @@
 #!/usr/bin/env python3
 """Convert a selfcheck.py transcript into a CORRECTNESS-style JSON ledger.
 
-Usage: python3 tools/mk_correctness_json.py <selfcheck.log> <out.json> [sf]
+Usage: python3 tools/mk_correctness_json.py <selfcheck.log> <out.json> \
+           [sf] [ref.json]
 
 Each `[ ok ]` line becomes {"status": "pass"}, `[rows]` becomes
 {"status": "rows_only"}, `[FAIL]`/`[EMPTY]` become {"status": "fail"}
 with the message. Dev tool only — mirrors the driver's artifact shape
 closely enough for a human/judge diff, not byte-for-byte.
+
+With a reference ledger (4th arg — normally the committed sf0.01
+CORRECTNESS_r*.json), any 0-row pass on a query that was NON-EMPTY in
+the reference is flagged `"vacuous": true`, counted in `n_vacuous`,
+and warned to stderr: a 0 = 0 hash match proves nothing about an op's
+behavior at scale (round-9 verdict — stream_pattern_match passed sf1
+and sf3 with 0 rows because its fixed threshold matched nothing above
+the density it was calibrated at).
 """
 import sys, json, re
 
 def main():
     log, out = sys.argv[1], sys.argv[2]
     sf = sys.argv[3] if len(sys.argv) > 3 else None
+    ref_rows = {}
+    if len(sys.argv) > 4:
+        ref = json.load(open(sys.argv[4]))
+        for name, entry in ref.get("queries", ref).items():
+            if isinstance(entry, dict):
+                r = entry.get("rows", entry.get("spark_rows"))
+                if r is not None:
+                    ref_rows[name] = r
     queries = {}
-    n_pass = n_rows = n_fail = 0
+    n_pass = n_rows = n_fail = n_vacuous = 0
     for line in open(log):
         m = re.match(r"\[ ok \] (\S+) \((\d+) rows\)", line)
         if m:
@@ -32,10 +49,20 @@ def main():
             queries[m.group(2).rstrip(':')] = {"status": "fail",
                                                "detail": m.group(3).strip()}
             n_fail += 1
+    for name, entry in queries.items():
+        if entry.get("rows") == 0 and ref_rows.get(name, 0) > 0:
+            entry["vacuous"] = True
+            n_vacuous += 1
+            print(f"[VACUOUS] {name}: 0 rows here but {ref_rows[name]} in "
+                  "the reference ledger - a 0=0 match proves nothing",
+                  file=sys.stderr)
     doc = {"sf": sf, "n_pass": n_pass, "n_rows_only": n_rows,
            "n_fail": n_fail, "queries": dict(sorted(queries.items()))}
+    if ref_rows:
+        doc["n_vacuous"] = n_vacuous
     json.dump(doc, open(out, "w"), indent=1)
-    print(f"{out}: {n_pass} pass, {n_rows} rows-only, {n_fail} fail")
+    print(f"{out}: {n_pass} pass, {n_rows} rows-only, {n_fail} fail"
+          + (f", {n_vacuous} VACUOUS" if n_vacuous else ""))
 
 if __name__ == "__main__":
     main()
