@@ -57,18 +57,29 @@ object Bench {
     // mm_phash_pairs ×2.19 "regression" was exactly this); the explicit
     // watch set keeps the round-8 flagged pair on min-of-3 either way
     val DriftFactor = 1.5
-    val watch = Set("mm_phash_pairs", "dedup_span_stats")
+    // round-9/10 single-run drift scares under min-of-3 watch until two
+    // clean rounds (the mm_phash_pairs discipline)
+    val watch = Set("mm_phash_pairs", "dedup_span_stats",
+      "dedup_paragraph", "text_lm_bigram")
+    val prevPath = Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "BENCH_LOCAL.json"))
     val prev: Map[String, Double] = scala.util.Try {
-      val txt = Files.readString(Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "BENCH_LOCAL.json")))
+      val txt = Files.readString(prevPath)
       // parse ONLY the "queries" object — the trailing min_of_3 map uses
       // the same key names and would otherwise overwrite the medians,
       // making drift be judged against the min-of-3 floor instead
       val qobj = """"queries":\{([^}]*)\}""".r
         .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-      val m = """"([a-z0-9_]+)":([0-9.]+)""".r
+      // values may be scientific-notation if the writer ever changes
+      val m = """"([a-z0-9_]+)":\s*([0-9.eE+-]+)""".r
       m.findAllMatchIn(qobj).map(x => x.group(1) -> x.group(2).toDouble).toMap
     }.getOrElse(Map.empty)
+    // an existing ledger that parses EMPTY means the format drifted and
+    // drift detection would silently turn off — fail loudly instead
+    if (prev.isEmpty && Files.exists(prevPath) && prevPath.toString != "/dev/null")
+      System.err.println(s"[bench] WARNING: previous ledger $prevPath " +
+        "exists but parsed to an empty queries map - drift detection is " +
+        "OFF this run; check the ledger format")
     val drifted = firstPass.collect {
       case (n, t) if prev.get(n).exists(p => p > 0 && t > p * DriftFactor) => n
     }.toSet
@@ -110,6 +121,8 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     Files.writeString(Paths.get(outPath), full + "\n")
     println(line)
+    // session-end cleanup of build-once artifacts (persisted ANN indexes)
+    ops.Vectors.releaseIndexes()
     spark.stop()
   }
 }

@@ -56,6 +56,10 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     Files.writeString(Paths.get(s"$outDir/_errors.json"),
       errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    // session-scoped build-once artifacts (persisted ANN indexes) are
+    // released at session end, not per query — reuse across the ops that
+    // share them is their whole point
+    ops.Vectors.releaseIndexes()
     spark.stop()
     // exit 0 even on per-query failure: the driver must still run its
     // DuckDB compare over the queries that DID dump; the .error.txt /

@@ -321,6 +321,43 @@ object Vectors {
     lists.write.mode("overwrite").partitionBy("cid").parquet(s"$out/lists")
   }
 
+  /** Session-scoped persisted-index registry, making build-once/query-many
+    * actually ONCE per session (round-9 verdict: each of the two index ops
+    * trained and wrote its own copy per invocation and never deleted it —
+    * repeated bench/verify runs leaked parquet under /tmp, and the
+    * query-many op's measured time was dominated by the build it claims to
+    * amortize). Same discipline as [[Joins.ensureBucketedTables]]: the
+    * index is a write-once storage decision keyed by the source dir;
+    * [[releaseIndexes]] deletes every registered copy (Verify/Bench call it
+    * at session end; a JVM shutdown hook backstops abnormal exits). */
+  private val ivfIndexDirs = scala.collection.mutable.Map.empty[String, String]
+  /** Builds actually performed — the reuse spec's observable. */
+  private[graft] var ivfBuildCount = 0
+  private lazy val ivfShutdownHook: Unit =
+    sys.addShutdownHook { releaseIndexes() }
+
+  private[graft] def ensureIvfIndex(spark: SparkSession, dir: String,
+      base: => DataFrame): String = synchronized {
+    ivfShutdownHook
+    ivfIndexDirs.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files.createTempDirectory("ivf_index").toString
+      ivfIndexWrite(spark, base, out)
+      ivfBuildCount += 1
+      out
+    })
+  }
+
+  /** Delete every persisted index and empty the registry (blocking file
+    * deletes — the disk is really back before the caller proceeds). */
+  def releaseIndexes(): Unit = synchronized {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    ivfIndexDirs.values.foreach(d => rm(new java.io.File(d)))
+    ivfIndexDirs.clear()
+  }
+
   /** Index build + audit read-back: train, persist via [[ivfIndexWrite]],
     * then report each cell AS READ FROM DISK — (cid, n_vecs, cnrm). The
     * gate proves the on-disk index equals the training chain (DuckDB
@@ -328,11 +365,10 @@ object Vectors {
     * invariant every downstream indexed search depends on. */
   def simIndexBuild(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.GraftFunctions.vecDot
-    val out = java.nio.file.Files.createTempDirectory("ivf_index").toString
     val base = load(spark, dir, "embeddings")
       .withColumn("nrm", sqrt(vecDot(spark, col("embedding"), col("embedding"))))
       .transform(graft.OpCaches.cached)
-    ivfIndexWrite(spark, base, out)
+    val out = ensureIvfIndex(spark, dir, base)
     // cid is a directory-partition column on read-back: pin it to long
     // (partition-value inference would narrow small ids to int and drift
     // the audit schema from the oracle's BIGINT)
@@ -356,11 +392,10 @@ object Vectors {
     * and amortized across every query batch thereafter. */
   def simKnnIndexed(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.GraftFunctions.vecDot
-    val out = java.nio.file.Files.createTempDirectory("ivf_index").toString
     val base = load(spark, dir, "embeddings")
       .withColumn("nrm", sqrt(vecDot(spark, col("embedding"), col("embedding"))))
       .transform(graft.OpCaches.cached)
-    ivfIndexWrite(spark, base, out)
+    val out = ensureIvfIndex(spark, dir, base)
     val cents = spark.read.parquet(s"$out/centroids")
     val lists = spark.read.parquet(s"$out/lists")
       .withColumn("cid", col("cid").cast("long"))

@@ -174,6 +174,25 @@ class ExtensionSpec extends SparkTestBase {
     OpCaches.releaseAll()
   }
 
+  test("ivf index lifecycle: one build per session for both index ops, " +
+    "release deletes the persisted copy") {
+    // start from a clean registry so the count observes THIS pair
+    ops.Vectors.releaseIndexes()
+    val before = ops.Vectors.ivfBuildCount
+    ops.Vectors.simIndexBuild(spark, sf).collect()
+    val dir = ops.Vectors.ensureIvfIndex(spark, sf,
+      fail("reuse path must not re-evaluate the training frame"))
+    ops.Vectors.simKnnIndexed(spark, sf).collect()
+    // build-once/query-many for real: the second op (and the probe above)
+    // reused the first op's persisted index instead of retraining
+    assert(ops.Vectors.ivfBuildCount == before + 1)
+    assert(new java.io.File(s"$dir/lists").isDirectory)
+    ops.Vectors.releaseIndexes()
+    assert(!new java.io.File(dir).exists(),
+      s"release left the persisted index behind: $dir")
+    OpCaches.releaseAll()
+  }
+
   test("knn self-join: co-celled pairs only, contiguous ranks, " +
     "nontrivial recall vs exact all-pairs top-3") {
     val kj = ops.Vectors.simKnnJoin(spark, sf)
