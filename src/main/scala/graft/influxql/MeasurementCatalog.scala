@@ -156,8 +156,12 @@ class MeasurementCatalog(spark: SparkSession) {
     * target dirs written (empty when nothing subscribes — the write path
     * pays nothing). */
   def forwardWrite(db: String, rp: String, measurement: String,
-    batch: DataFrame): Seq[String] = {
-    val dests = subscriptionFileTargets(db, rp)
+    batch: DataFrame, resolved: Option[Seq[String]] = None): Seq[String] = {
+    // callers that already sampled the target list (e.g. the CQ tee's
+    // persist decision) pass it through, so one micro-batch sees ONE
+    // consistent snapshot — a subscription created between two samples
+    // can't make the persist decision and the forward loop disagree
+    val dests = resolved.getOrElse(subscriptionFileTargets(db, rp))
     dests.map { d =>
       val dir = d.stripPrefix("file://").stripSuffix("/") + "/" + measurement
       batch.write.mode("append").parquet(dir)

@@ -217,13 +217,15 @@ class CqRegistry(spark: SparkSession, root: String,
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val versioned = batch.withColumn("__cq_version",
           org.apache.spark.sql.functions.lit(batchId))
+        // resolve the subscription targets ONCE per micro-batch: the
+        // persist decision and the forward loop must see the same
+        // snapshot, or a subscription registered between two samples
+        // makes the tee recompute an unpersisted delta
+        val dests = subscriptions
+          .map(_.subscriptionFileTargets(db, rp)).getOrElse(Nil)
         // cache the delta once: the store MERGE and each subscription tee
         // all consume the same micro-batch
-        val shared =
-          if (subscriptions.exists(c =>
-              c.subscriptionFileTargets(db, rp).nonEmpty))
-            versioned.persist()
-          else versioned
+        val shared = if (dests.nonEmpty) versioned.persist() else versioned
         try {
           store.upsert(target, shared, keys, "__cq_version",
             dropVersion = true)
@@ -231,7 +233,8 @@ class CqRegistry(spark: SparkSession, root: String,
           // INCLUDED, appends to each registered file destination — the
           // subscriber's last-write-wins collapse key (raw write stream,
           // not merged store state: the Kapacitor contract)
-          subscriptions.foreach(_.forwardWrite(db, rp, target, shared))
+          subscriptions.foreach(
+            _.forwardWrite(db, rp, target, shared, Some(dests)))
         } finally if (shared ne versioned) { shared.unpersist(); () }
         ()
       }

@@ -1558,10 +1558,22 @@ class InfluxQlSpec extends SparkTestBase {
       idx.zip(idx.drop(1) :+ rows.length).map { case (s, e) =>
         rows(s)._2 -> rows.slice(s + 1, e).toMap }.toMap
     }
-    val re = InfluxQL.runMeta(spark, cat,
+    // the whole multi-source report runs as ONE distributed aggregate
+    // over a union with a source column — the job count must stay a small
+    // constant, not scale with the number of resolved measurements (it
+    // used to be one sequential .head() job per source)
+    spark.sparkContext.setJobGroup("explain_multi_gate", "gate")
+    val re = try InfluxQL.runMeta(spark, cat,
       "EXPLAIN SELECT mean(value) FROM /events/ " +
         "WHERE time >= '2024-01-02 00:00:00' AND time < '2024-01-04 00:00:00'")
       .collect().map(r => r.getString(0) -> r.getString(1))
+    finally spark.sparkContext.clearJobGroup()
+    // status updates flow through an async bus; settle before reading
+    Thread.sleep(1000)
+    val nJobs = spark.sparkContext.statusTracker
+      .getJobIdsForGroup("explain_multi_gate").length
+    assert(nJobs <= 3, s"multi-source EXPLAIN ran $nJobs jobs - " +
+      "the report must be one aggregate, not one job per source")
     val b = blocks(re)
     assert(b.keySet == Set("events", "events_clicks"))
     val f = m.filter(col("time") >= "2024-01-02 00:00:00" &&
