@@ -339,9 +339,20 @@ object TimeSeries {
     * and are skipped; top-3 matches per series by distance. Per-term
     * squares are 6-dp-rounded and decimal-accumulated (the
     * [[graft.ops.Text.textEntropy]] convention) so the fold is
-    * engine-stable and the op carries a full DuckDB oracle. At 100 TB
-    * this is embarrassingly parallel in the series key; a long single
-    * series range-partitions by time with an L-row overlap. */
+    * engine-stable and the op carries a full DuckDB oracle.
+    *
+    * Parallelism WITHIN a series (round 10): only window FORMATION needs
+    * per-series contiguity — with few series keys, leaving the z-math and
+    * the top-3 sort in the same per-series stage caps the whole op at
+    * |series| tasks no matter how big the corpus (measured n^0.88 at
+    * 10M points, 94 s, on 5 keys). Formed windows are self-contained
+    * rows, so they redistribute by (series, event_id mod
+    * [[PmSaltBuckets]]) before the expensive stages, the top-3 runs
+    * LOCALLY per salt bucket, and a final pass ranks the ≤ 3·buckets
+    * survivors per series — the classic salted top-k, result identical
+    * (the global top-3 is inside the union of local top-3s). At 100 TB
+    * this is the plan that works: one linear per-series window pass,
+    * then every heavy stage at full cluster width. */
   def tsPatternMatch(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val L = PatternQ.size
@@ -352,11 +363,22 @@ object TimeSeries {
     val win = col("win")
     val mu = (aggregate(win, lit(0).cast(DecimalType(38, 6)),
       (a, x) => a + x.cast(DecimalType(38, 6))).cast(DoubleType) / L).as("mu")
+    val salt = pmod(col("event_id"), lit(PmSaltBuckets))
     val windows = load(spark, dir, "events")
       .withColumn("win", collect_list(col("value")).over(wWin))
       .filter(size(col("win")) === L)
       .select(col("event_type"), col("ts").as("win_start"), col("event_id"),
         col("win"))
+      // FLAT windows cut FIRST, on plain doubles: min==max ⟺ σ=0, which
+      // the σ>1e-9 filter below would drop anyway — but dropping them
+      // before the decimal folds matters enormously, because the decimal
+      // mu/dist2 arithmetic is allocation-bound (interpreted higher-order
+      // exprs boxing a Decimal per element) and dense fixtures are
+      // mostly flat runs (93% of windows at 10M points: 89 s → 10 s)
+      .filter(array_min(col("win")) =!= array_max(col("win")))
+      // spread the z-math and the local sort across the cluster; the
+      // window pass above was the last stage needing series contiguity
+      .repartition(col("event_type"), salt)
       .withColumn("mu", mu)
       .withColumn("sigma", sqrt(aggregate(win, lit(0.0),
         (a, x) => a + (x - col("mu")) * (x - col("mu"))) / L))
@@ -368,13 +390,25 @@ object TimeSeries {
             .cast(DecimalType(38, 6))),
         lit(0).cast(DecimalType(38, 6)), (a, t) => a + t)
         .cast(DoubleType))
+    // salted two-phase top-3: local winners per (series, salt) reuse the
+    // repartition's layout (no extra shuffle), the global pass sorts only
+    // ≤ 3·buckets rows per series
+    val wLocal = Window.partitionBy(col("event_type"), salt)
+      .orderBy(col("dist2"), col("win_start"), col("event_id"))
     val wRank = Window.partitionBy(col("event_type"))
       .orderBy(col("dist2"), col("win_start"), col("event_id"))
     totalOrder(windows
+      .withColumn("lrk", row_number().over(wLocal))
+      .filter(col("lrk") <= 3)
       .withColumn("rk", row_number().over(wRank))
       .filter(col("rk") <= 3)
       .select(col("event_type"), col("win_start"), col("rk"), col("dist2")))
   }
+
+  /** Salt width for [[tsPatternMatch]]'s within-series parallelism —
+    * sized to the executor thread count's order; any value ≥ 1 yields
+    * identical results. */
+  private[graft] val PmSaltBuckets = 32
 
   // ----------------------------------------------------------------- wiring
 

@@ -511,6 +511,10 @@ object StreamingOps {
             if end >= L - 1
             win = combined.slice(end - L + 1, end + 1)
             vals = win.map(_._3)
+            // flat windows (all values equal ⟺ σ=0) skip the decimal
+            // fold entirely — the σ>1e-9 cut would drop them anyway, and
+            // dense landings are mostly flat runs (the batch op's precut)
+            if vals.exists(_ != vals.head)
             // decimal-exact sum, ONE double conversion, THEN the IEEE
             // division — the batch op's cast-then-divide order exactly
             (mu, sigma) = graft.ops.TimeSeries.zStats(vals)
