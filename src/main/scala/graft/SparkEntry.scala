@@ -18,7 +18,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Joins.queries ++ ops.Aggregates.queries ++
-      ops.Windows.queries ++ ops.TimeSeries.queries ++ ops.Scalars.queries ++
+      ops.Windows.queries ++ ops.TimeSeries.queries ++ ops.Analytics.queries ++
+      ops.Scalars.queries ++
       ops.Text.queries ++ ops.Dedup.queries ++ ops.Vectors.queries ++
       ops.Multimodal.queries ++ ops.Ingest.queries ++ ops.Store.queries ++
       ops.Pipeline.queries ++ ops.InfluxQlOps.queries ++ ops.Admin.queries ++
@@ -28,7 +29,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++ ops.Joins.oracle ++ ops.Aggregates.oracle ++
-      ops.Windows.oracle ++ ops.TimeSeries.oracle ++ ops.Scalars.oracle ++
+      ops.Windows.oracle ++ ops.TimeSeries.oracle ++ ops.Analytics.oracle ++
+      ops.Scalars.oracle ++
       ops.Text.oracle ++ ops.Dedup.oracle ++ ops.Vectors.oracle ++
       ops.Multimodal.oracle ++ ops.Ingest.oracle ++ ops.Store.oracle ++
       ops.Pipeline.oracle ++ ops.InfluxQlOps.oracle ++ ops.Admin.oracle ++

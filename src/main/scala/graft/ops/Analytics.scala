@@ -1,0 +1,344 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Statistical time-series analytics (SURVEY §2.5/§2.10 extension) — the
+  * monitoring-side computations a tsdb user layers on top of the raw query
+  * surface: robust anomaly detection, autocorrelation, changepoint
+  * location, candlestick downsampling, correlation, and the fixed-bin
+  * histogram InfluxQL reserved (`histogram()`) but never implemented
+  * (listed in the 1.x spec, returns "not yet implemented" — this engine
+  * ships it).
+  *
+  * Every op here is one-or-two-shuffle window/agg work keyed by the series
+  * tag — per-key state never crosses partitions, so tag cardinality is the
+  * parallelism axis and the plans hold at 100 TB. All float folds follow
+  * the repo's engine-stable conventions: order statistics are RANK-based
+  * (never interpolated), means are exact-decimal-sum-then-one-IEEE-divide
+  * ([[graft.Tables.davg]]), and product sums are 6-dp-rounded
+  * decimal accumulations, so each op carries a full DuckDB oracle.
+  */
+object Analytics {
+  import Relational.{totalOrder, orderAll}
+
+  private val dec = DecimalType(38, 6)
+
+  /** Full-partition mean of `value` under the davg convention, as a window
+    * expression: exact decimal sum cast to double ONCE, then one IEEE
+    * division by the partition count (cast-then-divide — the order both
+    * engines reproduce bit-exactly). */
+  private def muOver(wp: org.apache.spark.sql.expressions.WindowSpec): Column =
+    sum(col("value").cast(dec)).over(wp).cast(DoubleType) /
+      count(lit(1)).over(wp)
+
+  /** The SQL twin of [[muOver]]. */
+  private val sqlMuOver =
+    "CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (PARTITION BY event_type) " +
+      "AS DOUBLE) / COUNT(*) OVER (PARTITION BY event_type)"
+
+  /** Robust anomaly detection per series: |x − median| > 4·MAD (the
+    * Hampel identifier, Pearson '02 "Outliers in process modeling" /
+    * the classic 1.4826-free form) — median and MAD are breakdown-50%
+    * robust where mean/stddev are dragged by the very outliers being
+    * hunted. Both order statistics are RANK-based lower medians (the value
+    * at rank ⌈n/2⌉ under a unique (value, event_id) sort), never
+    * interpolated — rank selection is ulp-safe across engines where
+    * percentile interpolation is not ([[graft.ops.Text]] tercile
+    * precedent). Two window passes over the same series key (value-order
+    * and deviation-order), each a single shuffle on event_type; the
+    * deviations and the 4·MAD cut are single IEEE ops, so the op is fully
+    * oracled. At 100 TB: per-series sorts parallelize across the tag
+    * space; a hot series is one partition's sort, not a global one. */
+  def tsAnomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    val wp = Window.partitionBy(col("event_type"))
+    val half = floor((col("n") + lit(1)) / lit(2.0))
+    val ranked = load(spark, dir, "events")
+      .withColumn("n", count(lit(1)).over(wp))
+      .withColumn("rn",
+        row_number().over(wp.orderBy(col("value"), col("event_id"))))
+      .withColumn("med", max(when(col("rn") <= half, col("value"))).over(wp))
+      .withColumn("dev", abs(col("value") - col("med")))
+    totalOrder(ranked
+      .withColumn("rn2",
+        row_number().over(wp.orderBy(col("dev"), col("event_id"))))
+      .withColumn("mad", max(when(col("rn2") <= half, col("dev"))).over(wp))
+      .filter(col("dev") > lit(4.0) * col("mad"))
+      .select(col("event_type"), col("event_id"), col("ts"), col("value"),
+        col("med"), col("mad"), col("dev")))
+  }
+
+  /** Lag-k autocorrelation (k = 1..3) per series — the ACF head, the
+    * seasonality/memory fingerprint (Box–Jenkins identification step):
+    * r_k = Σ_{t>k}(x_t−μ)(x_{t−k}−μ) / Σ_t(x_t−μ)². One shuffle: μ (full
+    * partition frame) and the three lags (ordered frame) share the
+    * event_type exchange, then the products fold per-term-rounded into
+    * decimal sums and each r_k is ONE double division. sum() skipping
+    * nulls is exactly the t>k bound — the first k rows have no lag. */
+  def tsAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    val wp = Window.partitionBy(col("event_type"))
+    val wo = wp.orderBy(col("ts"), col("event_id"))
+    val d = col("value") - col("mu")
+    def numTerm(l: Column): Column = round(d * (l - col("mu")), 6)
+    val acc = load(spark, dir, "events")
+      .withColumn("mu", muOver(wp))
+      .withColumn("l1", lag(col("value"), 1).over(wo))
+      .withColumn("l2", lag(col("value"), 2).over(wo))
+      .withColumn("l3", lag(col("value"), 3).over(wo))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        dsum(round(d * d, 6)).as("den"),
+        dsum(numTerm(col("l1"))).as("num1"),
+        dsum(numTerm(col("l2"))).as("num2"),
+        dsum(numTerm(col("l3"))).as("num3"))
+    totalOrder(acc.select(col("event_type"), col("n"),
+      (col("num1") / col("den")).as("r1"),
+      (col("num2") / col("den")).as("r2"),
+      (col("num3") / col("den")).as("r3")))
+  }
+
+  /** CUSUM changepoint location per series (Page '54; the offline argmax
+    * form): S_t = Σ_{i≤t}(x_i − μ) and the changepoint estimate is
+    * argmax_t |S_t| — where the cumulative deviation peaks is where the
+    * mean shifts. Deviations are 6-dp-rounded and decimal-cumsummed (the
+    * win_running_sum idiom) so every prefix is exact; the argmax is a
+    * deterministic (|S| desc, ts, event_id) rank. Two window passes on one
+    * event_type shuffle. Emits one row per series: the located shift, its
+    * peak deviation, and the series size. */
+  def tsCusum(spark: SparkSession, dir: String): DataFrame = {
+    val wp = Window.partitionBy(col("event_type"))
+    val wCum = wp.orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = load(spark, dir, "events")
+      .withColumn("mu", muOver(wp))
+      .withColumn("n", count(lit(1)).over(wp))
+      .withColumn("s",
+        sum(round(col("value") - col("mu"), 6).cast(dec)).over(wCum)
+          .cast(DoubleType))
+    totalOrder(scored
+      .withColumn("rk", row_number().over(
+        wp.orderBy(abs(col("s")).desc, col("ts"), col("event_id"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("ts").as("cp_ts"),
+        col("event_id").as("cp_event_id"), col("s").as("s_at_cp"),
+        abs(col("s")).as("s_abs"), col("n")))
+  }
+
+  /** OHLC candlestick downsampling per (series, hour) — the
+    * finance/Grafana render reduction: open/close are the FIRST/LAST
+    * points of the bucket under the deterministic (ts, event_id) order,
+    * high/low the extremes, plus count and exact-decimal volume. First/
+    * last via forward and reverse row_number over one bucket-partitioned
+    * window (rank-based, so ties are impossible), then a hash agg on the
+    * identical keys — AQE reuses the window's exchange. Unlike
+    * win_time_bucket's commutative aggregates this op is ORDER-sensitive
+    * inside the bucket, which is exactly what makes it the candlestick. */
+  def tsOhlc(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+      .withColumn("bucket", date_trunc("HOUR", col("ts")))
+    val wb = Window.partitionBy(col("event_type"), col("bucket"))
+    totalOrder(ev
+      .withColumn("rn", row_number().over(
+        wb.orderBy(col("ts"), col("event_id"))))
+      .withColumn("rnd", row_number().over(
+        wb.orderBy(col("ts").desc, col("event_id").desc)))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(when(col("rn") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rnd") === 1, col("value"))).as("close"),
+        count(lit(1)).as("n"),
+        dsum(col("value")).as("volume")))
+  }
+
+  /** Exact Pearson correlation + population covariance per group over the
+    * five power sums (n, Σx, Σy, Σxy, Σx², Σy²) — the one-pass textbook
+    * reduction, but with each product 6-dp-rounded and decimal-accumulated
+    * so the sums are associative and engine-exact, then the covariance and
+    * correlation assembled by the IDENTICAL double expression in both
+    * engines (every multiply/subtract/divide/sqrt is a single determinate
+    * IEEE op on equal inputs). Spark's built-in `corr` is a float-ordered
+    * fold — correct numerically but hash-unstable; this formulation is
+    * what a differential gate can actually prove. One map-side-combined
+    * hash agg; 100 TB cost is the scan.
+    *
+    * The price axis is rescaled to k$ (× 0.001, one IEEE multiply both
+    * engines perform identically) before the sums: y² at raw magnitude
+    * ~1e10 with 6 decimals sits at the edge of double's exact decimal
+    * rendering, where the engines' rounding ties diverge by an ulp —
+    * correlation is scale-invariant, so the k$ units change nothing but
+    * keep every rounded product deep inside the exact range. */
+  def aggCorr(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity")
+    val y = col("l_extendedprice") * lit(0.001)
+    val acc = load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        dsum(x).as("sx"), dsum(y).as("sy"),
+        dsum(round(x * y, 6)).as("sxy"),
+        dsum(round(x * x, 6)).as("sxx"),
+        dsum(round(y * y, 6)).as("syy"))
+    val nd = col("n").cast(DoubleType)
+    val covNum = nd * col("sxy") - col("sx") * col("sy")
+    totalOrder(acc.select(col("l_returnflag"), col("n"),
+      (covNum / (nd * nd)).as("cov_pop"),
+      (covNum / (sqrt(nd * col("sxx") - col("sx") * col("sx")) *
+        sqrt(nd * col("syy") - col("sy") * col("sy")))).as("corr")))
+  }
+
+  /** Fixed-bin histogram of events.value — 20 bins of width 10 over
+    * [0, 200), out-of-range values CLAMPED into the edge bins so the bin
+    * counts partition the input exactly (Σn = |events|, spec-gated; no
+    * silent drops — the repo rule). This is InfluxQL's reserved-but-never-
+    * implemented `histogram()` (the 1.x docs list it as "not yet
+    * functional"), shipped here as the graft-native aggregation it should
+    * have been: bin assignment is one floor+clamp row expression, then a
+    * 20-row map-side-combined hash agg — the cheapest possible
+    * distribution sketch at 100 TB, and exact. */
+  def aggHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val bin = least(greatest(floor(col("value") / lit(10.0)), lit(0)), lit(19))
+      .cast("int")
+    totalOrder(load(spark, dir, "events")
+      .withColumn("bin", bin)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .withColumn("bin_lo", (col("bin") * 10).cast(DoubleType))
+      .select(col("bin"), col("bin_lo"), col("n"), col("sum_value")))
+  }
+
+  // ----------------------------------------------------------------- wiring
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_anomaly_mad" -> tsAnomalyMad,
+    "ts_autocorr" -> tsAutocorr,
+    "ts_cusum" -> tsCusum,
+    "ts_ohlc" -> tsOhlc,
+    "agg_corr" -> aggCorr,
+    "agg_histogram" -> aggHistogram)
+
+  val oracle: Map[String, String] = Map(
+    "ts_anomaly_mad" ->
+      s"""WITH e AS (
+         |  SELECT event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+         |  FROM events),
+         |st AS (
+         |  SELECT *, COUNT(*) OVER (PARTITION BY event_type) AS n,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type
+         |      ORDER BY value, event_id) AS rn
+         |  FROM e),
+         |md AS (
+         |  SELECT *, MAX(CASE WHEN rn <= FLOOR((n+1)/2.0) THEN value END)
+         |    OVER (PARTITION BY event_type) AS med
+         |  FROM st),
+         |dv AS (SELECT *, ABS(value - med) AS dev FROM md),
+         |dr AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+         |    ORDER BY dev, event_id) AS rn2
+         |  FROM dv),
+         |mf AS (
+         |  SELECT *, MAX(CASE WHEN rn2 <= FLOOR((n+1)/2.0) THEN dev END)
+         |    OVER (PARTITION BY event_type) AS mad
+         |  FROM dr)
+         |SELECT event_type, event_id, ts, value, med, mad, dev
+         |FROM mf WHERE dev > 4.0 * mad
+         |${orderAll("event_type", "event_id", "ts", "value", "med", "mad",
+             "dev")}""".stripMargin,
+    "ts_autocorr" ->
+      s"""WITH e AS (
+         |  SELECT event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+         |  FROM events),
+         |m AS (
+         |  SELECT *, $sqlMuOver AS mu,
+         |    LAG(value, 1) OVER w AS l1,
+         |    LAG(value, 2) OVER w AS l2,
+         |    LAG(value, 3) OVER w AS l3
+         |  FROM e
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+         |acc AS (
+         |  SELECT event_type, COUNT(*) AS n,
+         |    ${sqlDsum("round((value - mu) * (value - mu), 6)")} AS den,
+         |    ${sqlDsum("round((value - mu) * (l1 - mu), 6)")} AS num1,
+         |    ${sqlDsum("round((value - mu) * (l2 - mu), 6)")} AS num2,
+         |    ${sqlDsum("round((value - mu) * (l3 - mu), 6)")} AS num3
+         |  FROM m GROUP BY event_type)
+         |SELECT event_type, n, num1 / den AS r1, num2 / den AS r2,
+         |  num3 / den AS r3
+         |FROM acc
+         |${orderAll("event_type", "n", "r1", "r2", "r3")}""".stripMargin,
+    "ts_cusum" ->
+      s"""WITH e AS (
+         |  SELECT event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+         |  FROM events),
+         |m AS (
+         |  SELECT *, $sqlMuOver AS mu,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS n
+         |  FROM e),
+         |cs AS (
+         |  SELECT *, CAST(SUM(CAST(round(value - mu, 6) AS DECIMAL(38,6)))
+         |    OVER (PARTITION BY event_type ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS DOUBLE) AS s
+         |  FROM m),
+         |rk AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+         |    ORDER BY ABS(s) DESC, ts, event_id) AS rk
+         |  FROM cs)
+         |SELECT event_type, ts AS cp_ts, event_id AS cp_event_id,
+         |  s AS s_at_cp, ABS(s) AS s_abs, n
+         |FROM rk WHERE rk = 1
+         |${orderAll("event_type", "cp_ts", "cp_event_id", "s_at_cp",
+             "s_abs", "n")}""".stripMargin,
+    "ts_ohlc" ->
+      s"""WITH e AS (
+         |  SELECT event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket
+         |  FROM events),
+         |r AS (
+         |  SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+         |      ORDER BY ts, event_id) AS rn,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+         |      ORDER BY ts DESC, event_id DESC) AS rnd
+         |  FROM e)
+         |SELECT event_type, bucket,
+         |  MAX(CASE WHEN rn = 1 THEN value END) AS open,
+         |  MAX(value) AS high, MIN(value) AS low,
+         |  MAX(CASE WHEN rnd = 1 THEN value END) AS close,
+         |  COUNT(*) AS n, ${sqlDsum("value")} AS volume
+         |FROM r GROUP BY event_type, bucket
+         |${orderAll("event_type", "bucket", "open", "high", "low", "close",
+             "n", "volume")}""".stripMargin,
+    "agg_corr" ->
+      s"""WITH li AS (
+         |  SELECT l_returnflag, l_quantity AS x,
+         |    l_extendedprice * CAST(0.001 AS DOUBLE) AS y
+         |  FROM lineitem),
+         |acc AS (
+         |  SELECT l_returnflag, COUNT(*) AS n,
+         |    ${sqlDsum("x")} AS sx,
+         |    ${sqlDsum("y")} AS sy,
+         |    ${sqlDsum("round(x * y, 6)")} AS sxy,
+         |    ${sqlDsum("round(x * x, 6)")} AS sxx,
+         |    ${sqlDsum("round(y * y, 6)")} AS syy
+         |  FROM li GROUP BY l_returnflag)
+         |SELECT l_returnflag, n,
+         |  (CAST(n AS DOUBLE) * sxy - sx * sy)
+         |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS cov_pop,
+         |  (CAST(n AS DOUBLE) * sxy - sx * sy)
+         |    / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+         |       * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr
+         |FROM acc
+         |${orderAll("l_returnflag", "n", "cov_pop", "corr")}""".stripMargin,
+    "agg_histogram" ->
+      s"""SELECT CAST(LEAST(GREATEST(FLOOR(value / 10.0), 0), 19) AS INTEGER)
+         |    AS bin,
+         |  CAST(LEAST(GREATEST(FLOOR(value / 10.0), 0), 19) * 10 AS DOUBLE)
+         |    AS bin_lo,
+         |  COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+         |FROM events
+         |GROUP BY 1, 2
+         |${orderAll("bin", "bin_lo", "n", "sum_value")}""".stripMargin)
+}

@@ -366,9 +366,43 @@ object Pipeline {
         md5(col("scrubbed")).as("scrubbed_hash")))
   }
 
+  /** Model-based quality gating — the linear-classifier corpus filter
+    * (the fastText/CCNet "quality classifier" stage of every published
+    * pretraining pipeline, e.g. GPT-3's LR-over-features filter): a fixed,
+    * documented weight vector over the interpretable [[Text.qualityFrame]]
+    * features (stopword density up-weights prose, punctuation noise and
+    * run-on tokens down-weight, a capped length prior), thresholded into
+    * keep / review / drop routing classes. The logistic's sigmoid is
+    * monotone, so classifying on the LINEAR score with shifted thresholds
+    * is the identical decision rule without the libm exp() whose last ulp
+    * differs across engines — each term is 6-dp-rounded and
+    * decimal-summed, making the score hash-exact. Pure per-row
+    * expressions after the feature scan: embarrassingly parallel, no
+    * shuffle, the cheapest possible 100 TB pass. Inference-only by
+    * design — training the weights is an offline regression; SERVING the
+    * frozen model inside the scan is the engine's job. */
+  def pipelineQualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    def term(c: org.apache.spark.sql.Column) = round(c, 6).cast(dec)
+    val score = (term(col("stop_ratio") * lit(1.5)) +
+      term(col("punct_ratio") * lit(-2.0)) +
+      term(col("chars_per_token") * lit(-0.05)) +
+      term(least(col("n_tokens"), lit(400.0)) * lit(0.002)) +
+      lit(BigDecimal("-0.1")).cast(dec))
+      .cast(org.apache.spark.sql.types.DoubleType)
+    totalOrder(Text.qualityFrame(spark, dir)
+      .withColumn("score", score)
+      .withColumn("label",
+        when(col("score") >= 0.3, "keep")
+          .when(col("score") >= 0.0, "review")
+          .otherwise("drop"))
+      .select(col("doc_id"), col("score"), col("label")))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_quality_classifier" -> pipelineQualityClassifier,
     "pipeline_corpus_stats" -> pipelineCorpusStats,
     "pipeline_filter_funnel" -> pipelineFilterFunnel,
     "pipeline_curate" -> pipelineCurate,
@@ -383,6 +417,34 @@ object Pipeline {
     "text_pii_scrub" -> textPiiScrub)
 
   val oracle: Map[String, String] = Map(
+    "pipeline_quality_classifier" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(len(list_filter(regexp_split_to_array(lower(text),
+         |        '[^a-z0-9'']+'), x -> x <> '')) AS DOUBLE) AS n_tokens,
+         |    CAST(len(regexp_extract_all(lower(text),
+         |        '\\b(the|a|and|of|to|in|is|for|on|it)\\b')) AS DOUBLE) AS n_stop,
+         |    CAST(len(regexp_extract_all(text, '[^a-z0-9\\s'']')) AS DOUBLE)
+         |      AS n_punct
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, CAST(
+         |    CAST(round((n_stop / n_tokens) * CAST(1.5 AS DOUBLE), 6)
+         |      AS DECIMAL(38,6))
+         |    + CAST(round((n_punct / n_chars) * CAST(-2.0 AS DOUBLE), 6)
+         |      AS DECIMAL(38,6))
+         |    + CAST(round((n_chars / n_tokens) * CAST(-0.05 AS DOUBLE), 6)
+         |      AS DECIMAL(38,6))
+         |    + CAST(round(LEAST(n_tokens, CAST(400.0 AS DOUBLE))
+         |        * CAST(0.002 AS DOUBLE), 6) AS DECIMAL(38,6))
+         |    + CAST(-0.1 AS DECIMAL(38,6)) AS DOUBLE) AS score
+         |  FROM t)
+         |SELECT doc_id, score,
+         |  CASE WHEN score >= 0.3 THEN 'keep'
+         |       WHEN score >= 0.0 THEN 'review'
+         |       ELSE 'drop' END AS label
+         |FROM f
+         |${orderAll("doc_id", "score", "label")}""".stripMargin,
     "pipeline_corpus_stats" ->
       s"""WITH t AS (
          |  SELECT source, lang, n_chars,

@@ -682,9 +682,72 @@ object Vectors {
         col("max_abs_err"), col("mse")))
   }
 
+  /** Cosine RANGE search (radius query): every corpus vector within a
+    * similarity radius of each query — the "give me everything at least
+    * this similar" retrieval shape (dedup candidates for one document,
+    * all plausible paraphrases of a seed), where top-k's fixed cutoff is
+    * wrong because the answer SIZE is the signal. Same pinned-|Q|
+    * broadcast discipline as the kNN tiers (the corpus is never
+    * shuffled; the scan streams once past the ≤20 broadcast queries),
+    * same fused [[graft.functions.VecDot]] arithmetic, so the IEEE
+    * threshold compare is engine-exact and the op carries a full oracle.
+    * The banded sign-LSH tier ([[simCosineLsh]]/[[SignLsh]]) is the
+    * candidate generator that replaces the linear scan when |Q| itself
+    * scales. */
+  def simRangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.vecDot
+    val base = load(spark, dir, "embeddings")
+      .withColumn("nrm", sqrt(vecDot(spark, col("embedding"), col("embedding"))))
+    val queries = base.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    totalOrder(base.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine",
+        vecDot(spark, col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+      .filter(col("cosine") >= RangeTau)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cosine")))
+  }
+
+  /** Similarity radius for [[simRangeSearch]] — calibrated to the fixture's
+    * near-orthogonal embedding cloud (max query cosine ≈ 0.45); matches
+    * grow ∝ corpus size under the pinned query set, so the scale ledgers
+    * stay non-vacuous. */
+  private val RangeTau = 0.25
+
+  /** Maximum-inner-product search (MIPS) — the retrieval objective
+    * recommender/two-tower models actually train for, where cosine's
+    * norm-division throws away the magnitude the model learned
+    * (Bachrach et al. RecSys'14). Exact top-5 by raw ⟨q, x⟩ per pinned
+    * query, fused-VecDot scored, (ip desc, vec_id) tie-broken. The scale
+    * path is the order-preserving REDUCTION to cosine, not a new index:
+    * augment each corpus vector with sqrt(M² − ‖x‖²) (M = max norm, one
+    * broadcast agg row) and each query with 0 — augmented norms are all
+    * M, so augmented-cosine order equals inner-product order and every
+    * cosine tier (sign-LSH bands, IVF lists, the persisted index) serves
+    * MIPS unchanged; the ordering equivalence is spec-proven against this
+    * op's exact ranking. */
+  def simMips(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.vecDot
+    val base = load(spark, dir, "embeddings")
+    val queries = base.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("ip").desc, col("vec_id"))
+    totalOrder(base.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("ip", vecDot(spark, col("embedding"), col("q_emb")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("rk"), col("ip")))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_range_search" -> simRangeSearch,
+    "sim_mips" -> simMips,
     "vec_quantize_int8" -> vecQuantizeInt8,
     "sim_knn_pq" -> simKnnPq,
     "sim_knn_bruteforce" -> simKnnBruteforce,
@@ -1064,6 +1127,34 @@ object Vectors {
          |  FROM scored)
          |SELECT q_id, neighbor_id, rk, cosine FROM ranked WHERE rk <= 5
          |${orderAll("q_id", "neighbor_id", "rk", "cosine")}""".stripMargin,
+    "sim_range_search" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding, ${sqlNorm.format("embedding")} AS nrm
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+         |      FROM base WHERE $sqlIsQuery)
+         |SELECT q.q_id, b.vec_id AS neighbor_id,
+         |  ${sqlDot.format("b.embedding", "q.q_emb")} / (b.nrm * q.q_nrm) AS cosine
+         |FROM base b CROSS JOIN q
+         |WHERE b.vec_id <> q.q_id
+         |  AND ${sqlDot.format("b.embedding", "q.q_emb")} / (b.nrm * q.q_nrm)
+         |      >= $RangeTau
+         |${orderAll("q_id", "neighbor_id", "cosine")}""".stripMargin,
+    "sim_mips" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb
+         |  FROM embeddings WHERE $sqlIsQuery),
+         |scored AS (
+         |  SELECT q.q_id, b.vec_id,
+         |    ${sqlDot.format("b.embedding", "q.q_emb")} AS ip
+         |  FROM embeddings b CROSS JOIN q WHERE b.vec_id <> q.q_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id AS neighbor_id, ip,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY ip DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT q_id, neighbor_id, rk, ip FROM ranked WHERE rk <= 5
+         |${orderAll("q_id", "neighbor_id", "rk", "ip")}""".stripMargin,
     "sim_knn_rp" -> {
       // the identical ±1 plane bank, inlined as literal lists per plane
       val sqlRp = (0 until RpDims).map { j =>

@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Laws for the statistical analytics ops ([[graft.ops.Analytics]]) and the
+  * new vector/pipeline round: constructed-series ground truths (an injected
+  * outlier, a known level shift, an alternating signal), the histogram's
+  * no-silent-drops partition law, and the MIPS norm-augmentation ordering
+  * equivalence that justifies serving MIPS through the cosine tiers.
+  */
+class AnalyticsSpec extends SparkTestBase {
+
+  /** Write a minimal events.parquet fixture (ts = epoch + n minutes) so a
+    * constructed series can be fed through the real operator path. */
+  private def eventsDir(rows: Seq[(Long, Long, String, Double)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("analytics_fx").toString
+    rows.toDF("event_id", "mins", "event_type", "value")
+      .withColumn("ts", timestamp_seconds(col("mins") * 60))
+      .withColumn("user_id", lit(1L))
+      .withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("ts_anomaly_mad: injected outlier is the ONLY flagged point") {
+    // values 9/10/11 (median 10, MAD 1) plus one 50: dev=40 > 4·MAD=4
+    val vals = Seq(10.0, 11.0, 9.0, 10.0, 11.0, 9.0, 10.0, 50.0)
+    val dir = eventsDir(vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong + 1, i.toLong, "a", v) })
+    val out = ops.Analytics.tsAnomalyMad(spark, dir).collect()
+    assert(out.length === 1, s"expected 1 anomaly, got ${out.length}")
+    val r = out.head
+    assert(r.getAs[Double]("value") === 50.0)
+    assert(r.getAs[Double]("med") === 10.0)
+    assert(r.getAs[Double]("mad") === 1.0)
+  }
+
+  test("ts_anomaly_mad: MAD is robust — a clean shifted series flags nothing") {
+    // same shape, no outlier; and a second series at 1000× scale proves
+    // the threshold is scale-relative, not absolute
+    val a = Seq(10.0, 11.0, 9.0, 10.0, 11.0, 9.0, 10.0, 11.0)
+    val b = a.map(_ * 1000)
+    val dir = eventsDir(
+      a.zipWithIndex.map { case (v, i) => (i.toLong + 1, i.toLong, "a", v) } ++
+      b.zipWithIndex.map { case (v, i) => (i.toLong + 100, i.toLong, "b", v) })
+    assert(ops.Analytics.tsAnomalyMad(spark, dir).count() === 0)
+  }
+
+  test("ts_cusum: locates a constructed level shift exactly") {
+    // 10 points at 0 then 10 at 10: mu=5, S_t bottoms at -50 on the last
+    // pre-shift point (event_id 10)
+    val vals = Seq.fill(10)(0.0) ++ Seq.fill(10)(10.0)
+    val dir = eventsDir(vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong + 1, i.toLong, "a", v) })
+    val r = ops.Analytics.tsCusum(spark, dir).collect().head
+    assert(r.getAs[Long]("cp_event_id") === 10L)
+    assert(math.abs(r.getAs[Double]("s_at_cp") + 50.0) < 1e-9)
+  }
+
+  test("ts_autocorr: alternating series has r1=-19/20, r2=+18/20, r3=-17/20") {
+    val vals = (0 until 20).map(i => if (i % 2 == 0) 1.0 else -1.0)
+    val dir = eventsDir(vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong + 1, i.toLong, "a", v) })
+    val r = ops.Analytics.tsAutocorr(spark, dir).collect().head
+    assert(math.abs(r.getAs[Double]("r1") - (-19.0 / 20)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("r2") - (18.0 / 20)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("r3") - (-17.0 / 20)) < 1e-9)
+  }
+
+  test("ts_autocorr: fixture r_k bounded by Cauchy-Schwarz (|r| <= 1 + eps)") {
+    val rows = ops.Analytics.tsAutocorr(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq("r1", "r2", "r3").foreach { c =>
+        assert(math.abs(r.getAs[Double](c)) <= 1.0 + 1e-6,
+          s"$c out of bounds for ${r.getAs[String]("event_type")}") }
+    }
+  }
+
+  test("agg_histogram: clamped bins PARTITION the input - sum(n) = |events|") {
+    val hist = ops.Analytics.aggHistogram(spark, sf)
+    val total = hist.agg(sum(col("n"))).head.getLong(0)
+    val rows = Tables.load(spark, sf, "events").count()
+    assert(total === rows, s"histogram dropped rows: $total vs $rows")
+    // and bins stay inside the clamp range
+    val bins = hist.select("bin").collect().map(_.getInt(0))
+    assert(bins.forall(b => b >= 0 && b <= 19))
+  }
+
+  test("agg_corr: correlation within [-1, 1] on the fixture") {
+    val rows = ops.Analytics.aggCorr(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("corr")) <= 1.0 + 1e-9) }
+  }
+
+  test("ts_ohlc: open/close equal the first/last point of each bucket") {
+    val got = ops.Analytics.tsOhlc(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Timestamp]("bucket")) ->
+        (r.getAs[Double]("open"), r.getAs[Double]("close"))).toMap
+    val raw = Tables.load(spark, sf, "events")
+      .select(col("event_type"), date_trunc("HOUR", col("ts")).as("bucket"),
+        col("ts"), col("event_id"), col("value")).collect()
+      .map(r => (r.getAs[String](0), r.getAs[java.sql.Timestamp](1),
+        r.getAs[java.sql.Timestamp](2), r.getAs[Long](3), r.getAs[Double](4)))
+      .groupBy(t => (t._1, t._2))
+    raw.foreach { case (k, pts) =>
+      val sorted = pts.sortBy(t => (t._3.getTime, t._4))
+      val (o, c) = got(k)
+      assert(o === sorted.head._5, s"open mismatch at $k")
+      assert(c === sorted.last._5, s"close mismatch at $k")
+    }
+    assert(got.size === raw.size)
+  }
+
+  test("sim_mips: norm-augmented cosine order equals inner-product order") {
+    import graft.functions.GraftFunctions.vecDot
+    val base = Tables.load(spark, sf, "embeddings")
+      .withColumn("nrm", sqrt(vecDot(spark, col("embedding"), col("embedding"))))
+    val maxN = base.agg(max(col("nrm"))).head.getDouble(0)
+    // augmented corpus vector: [x, sqrt(M^2 - |x|^2)]; query: [q, 0] —
+    // augmented dot = <q,x>, augmented corpus norm = M for every row, so
+    // cosine ranking under the augmentation IS inner-product ranking
+    val aug = base.withColumn("aug_last",
+      sqrt(lit(maxN * maxN) - col("nrm") * col("nrm")))
+    val q = aug.filter(col("vec_id") % 100 === 0 && col("vec_id") < 2000)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+      .orderBy(col("aug_cos").desc, col("vec_id"))
+    val augTop = aug.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      // augmented cosine: (<q,x> + 0*aug_last) / (q_aug_nrm * M); the
+      // query-side norm is constant per q, so it can't change the order
+      .withColumn("aug_cos",
+        vecDot(spark, col("embedding"), col("q_emb")) / lit(maxN))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id"), col("rk")).collect()
+      .map(r => (r.getLong(0), r.getInt(2).toLong) -> r.getLong(1)).toMap
+    val mips = ops.Vectors.simMips(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rk").toLong) ->
+        r.getAs[Long]("neighbor_id")).toMap
+    assert(mips.nonEmpty)
+    assert(mips === augTop, "augmented-cosine ranking diverged from MIPS")
+  }
+
+  test("sim_range_search / sim_mips: queries broadcast, corpus never shuffles") {
+    Seq(ops.Vectors.simRangeSearch(spark, sf),
+      ops.Vectors.simMips(spark, sf)).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(plan.contains("BroadcastNestedLoopJoin"),
+        "expected a broadcast join for the pinned query set")
+      assert(!plan.contains("CartesianProduct"),
+        "unbroadcast cartesian product in the query fan-out")
+    }
+  }
+
+  test("ts_anomaly_mad: both ranking passes share one series-key exchange") {
+    val plan = ops.Analytics.tsAnomalyMad(spark, sf)
+      .queryExecution.executedPlan.toString()
+    val exchanges = "Exchange hashpartitioning\\(event_type".r
+      .findAllMatchIn(plan).size
+    assert(exchanges <= 1,
+      s"median and MAD passes re-shuffled the series key ($exchanges exchanges)")
+  }
+}
