@@ -165,28 +165,36 @@ object Analytics {
     * what a differential gate can actually prove. One map-side-combined
     * hash agg; 100 TB cost is the scan.
     *
-    * The price axis is rescaled to k$ (× 0.001, one IEEE multiply both
-    * engines perform identically) before the sums: y² at raw magnitude
-    * ~1e10 with 6 decimals sits at the edge of double's exact decimal
-    * rendering, where the engines' rounding ties diverge by an ulp —
-    * correlation is scale-invariant, so the k$ units change nothing but
-    * keep every rounded product deep inside the exact range. */
+    * Two stability measures tuned by the sf3 ledger: (1) the price axis
+    * is rescaled to k$ (one IEEE multiply both engines perform
+    * identically) so every 6-dp-rounded product stays deep inside
+    * double's exact decimal range; (2) the sums accumulate as MICRO-UNIT
+    * BIGINTs (round(v·10⁶) per term) rather than decimals — an exact
+    * int64 sum whose one int64→double conversion is the same correctly-
+    * rounded IEEE operation in every engine, where a large
+    * DECIMAL→DOUBLE cast is implementation-defined in its last ulp (the
+    * sf3 finding: Σy² past 2⁵³ µ-units diverged by 1 ulp between Spark
+    * and DuckDB). Headroom: Σ|v|·10⁶ < 2⁶³ holds to ~10⁶× the shipped
+    * fixtures. The final formula multiplies the single-sum terms by 10⁶
+    * so both numerator products sit in (µ-unit)² space — identical
+    * expression text in both engines, so every double op is determinate. */
   def aggCorr(spark: SparkSession, dir: String): DataFrame = {
     val x = col("l_quantity")
     val y = col("l_extendedprice") * lit(0.001)
+    def usum(c: Column): Column = sum(round(c * lit(1000000.0)).cast("long"))
     val acc = load(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
-        dsum(x).as("sx"), dsum(y).as("sy"),
-        dsum(round(x * y, 6)).as("sxy"),
-        dsum(round(x * x, 6)).as("sxx"),
-        dsum(round(y * y, 6)).as("syy"))
+        usum(x).as("sx"), usum(y).as("sy"),
+        usum(x * y).as("sxy"), usum(x * x).as("sxx"), usum(y * y).as("syy"))
     val nd = col("n").cast(DoubleType)
-    val covNum = nd * col("sxy") - col("sx") * col("sy")
+    def d(name: String): Column = col(name).cast(DoubleType)
+    val m = lit(1000000.0)
+    val covNum = nd * d("sxy") * m - d("sx") * d("sy")
     totalOrder(acc.select(col("l_returnflag"), col("n"),
-      (covNum / (nd * nd)).as("cov_pop"),
-      (covNum / (sqrt(nd * col("sxx") - col("sx") * col("sx")) *
-        sqrt(nd * col("syy") - col("sy") * col("sy")))).as("corr")))
+      (covNum / (nd * nd) / (m * m)).as("cov_pop"),
+      (covNum / (sqrt(nd * d("sxx") * m - d("sx") * d("sx")) *
+        sqrt(nd * d("syy") * m - d("sy") * d("sy")))).as("corr")))
   }
 
   /** Fixed-bin histogram of events.value — 20 bins of width 10 over
@@ -318,19 +326,25 @@ object Analytics {
          |  FROM lineitem),
          |acc AS (
          |  SELECT l_returnflag, COUNT(*) AS n,
-         |    ${sqlDsum("x")} AS sx,
-         |    ${sqlDsum("y")} AS sy,
-         |    ${sqlDsum("round(x * y, 6)")} AS sxy,
-         |    ${sqlDsum("round(x * x, 6)")} AS sxx,
-         |    ${sqlDsum("round(y * y, 6)")} AS syy
-         |  FROM li GROUP BY l_returnflag)
+         |    SUM(CAST(round(x * 1000000.0) AS BIGINT)) AS sxu,
+         |    SUM(CAST(round(y * 1000000.0) AS BIGINT)) AS syu,
+         |    SUM(CAST(round(x * y * 1000000.0) AS BIGINT)) AS sxyu,
+         |    SUM(CAST(round(x * x * 1000000.0) AS BIGINT)) AS sxxu,
+         |    SUM(CAST(round(y * y * 1000000.0) AS BIGINT)) AS syyu
+         |  FROM li GROUP BY l_returnflag),
+         |dbl AS (
+         |  SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+         |    CAST(sxu AS DOUBLE) AS sx, CAST(syu AS DOUBLE) AS sy,
+         |    CAST(sxyu AS DOUBLE) AS sxy, CAST(sxxu AS DOUBLE) AS sxx,
+         |    CAST(syyu AS DOUBLE) AS syy
+         |  FROM acc)
          |SELECT l_returnflag, n,
-         |  (CAST(n AS DOUBLE) * sxy - sx * sy)
-         |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS cov_pop,
-         |  (CAST(n AS DOUBLE) * sxy - sx * sy)
-         |    / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
-         |       * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr
-         |FROM acc
+         |  (nd * sxy * 1000000.0 - sx * sy) / (nd * nd)
+         |    / (1000000.0 * 1000000.0) AS cov_pop,
+         |  (nd * sxy * 1000000.0 - sx * sy)
+         |    / (sqrt(nd * sxx * 1000000.0 - sx * sx)
+         |       * sqrt(nd * syy * 1000000.0 - sy * sy)) AS corr
+         |FROM dbl
          |${orderAll("l_returnflag", "n", "cov_pop", "corr")}""".stripMargin,
     "agg_histogram" ->
       s"""SELECT CAST(LEAST(GREATEST(FLOOR(value / 10.0), 0), 19) AS INTEGER)
