@@ -119,6 +119,15 @@ object InfluxQL {
     * sin/cos precedent). */
   final case class Atan2(y: Field, x: Field,
     alias: Option[String]) extends Field
+  /** histogram(f, lo, hi, nbins) — InfluxQL RESERVED this function and
+    * never shipped it (the 1.x docs list histogram() as not yet
+    * functional); graft defines the semantics it should have had:
+    * per GROUP BY time() bucket (or the whole range) and tag set,
+    * equal-width bins over [lo, hi) with out-of-range points CLAMPED into
+    * the edge bins, one row per non-empty bin. A multi-row select item
+    * like distinct()/mode(), so it must stand alone. */
+  final case class Histogram(field: String, lo: Double, hi: Double,
+    nbins: Int, alias: Option[String]) extends Field
 
   /** One `col op literal` conjunct; value is a quoted string or a number.
     * `nowOffset` marks a relative time bound (`now()` or `now() ± <dur>`,
@@ -165,6 +174,9 @@ object InfluxQL {
     """(?i)^count\(\s*distinct\(\s*"?(\w+)"?\s*\)\s*\)(?:\s+AS\s+(\w+))?$""".r
   private val PercRe =
     """(?i)^percentile\(\s*"?(\w+)"?\s*,\s*([0-9.]+)\s*\)(?:\s+AS\s+(\w+))?$""".r
+  private val HistRe =
+    ("""(?i)^histogram\(\s*"?(\w+)"?\s*,\s*(-?[0-9.]+)\s*,\s*(-?[0-9.]+)""" +
+      """\s*,\s*(\d+)\s*\)(?:\s+AS\s+(\w+))?$""").r
   private val SelRe =
     """(?i)^(top|bottom|sample)\(\s*"?(\w+)"?\s*,\s*(\d+)\s*\)(?:\s+AS\s+(\w+))?$""".r
   // 3-arg form: top(field, tag, n) — the tag segment must start with a
@@ -324,6 +336,7 @@ object InfluxQL {
     case x: Atan2 => x.copy(alias = None)
     case x: HoltWinters => x.copy(alias = None)
     case x: TechAnalysis => x.copy(alias = None)
+    case x: Histogram => x.copy(alias = None)
   }
 
   private def withAlias(fl: Field, a: String): Field = fl match {
@@ -339,6 +352,7 @@ object InfluxQL {
     case x: Atan2 => x.copy(alias = Some(a))
     case x: HoltWinters => x.copy(alias = Some(a))
     case x: TechAnalysis => x.copy(alias = Some(a))
+    case x: Histogram => x.copy(alias = Some(a))
   }
 
   /** Grafana's query editor emits `::field` / `::tag` type disambiguators
@@ -408,6 +422,8 @@ object InfluxQL {
     case CountDistinctRe(f, al) => Agg("count_distinct", f, Option(al))
     case AggRe(fn, f, al) => Agg(fn.toLowerCase, f, Option(al))
     case PercRe(f, p, al) => Agg("percentile", f, Option(al), Some(p.toDouble))
+    case HistRe(f, lo, hi, nb, al) =>
+      Histogram(f, lo.toDouble, hi.toDouble, nb.toInt, Option(al))
     case SelRe(fn, f, n, al) => Selector(fn.toLowerCase, f, n.toInt, Option(al))
     case Sel3Re(fn, f, tag, n, al) =>
       Selector(fn.toLowerCase, f, n.toInt, Option(al), Some(tag))
@@ -691,6 +707,8 @@ object InfluxQL {
       case TechAnalysis(fn, inner, n, _) => s"$fn(${f(noAlias(inner))}, $n)"
       case Atan2(y, x, _) =>
         s"atan2(${f(noAlias(y))}, ${f(noAlias(x))})"
+      case Histogram(n, lo, hi, nb, _) =>
+        s"histogram($n, ${num(lo)}, ${num(hi)}, $nb)"
     }) + fl.alias.map(" AS " + _).getOrElse("")
     def renderCond(c: Cond): String = {
       val rhs = c.nowOffset match {
@@ -1550,21 +1568,7 @@ object InfluxQL {
       fail("", s"fill($f) is not supported with ${a.fn}()"))
     val out = a.alias.getOrElse(a.fn)
     val v = col(a.field)
-    val withT = p.timeBucket match {
-      case Some((n, u)) =>
-        // the same epoch-floor alignment window() uses, as a plain
-        // projection expression (usable outside groupBy). FLOOR division
-        // via the sign-safe `x - ((x % s + s) % s)` form — Spark's DIV
-        // truncates toward zero, which would bucket pre-1970 timestamps
-        // one step late relative to every other aggregate path
-        val stepUs = durUs(s"$n$u")
-        val offUs = bucketOffsetUs(p)
-        val x = s"(unix_micros(time) - $offUs)"
-        base.withColumn("__t", expr(
-          s"timestamp_micros(${floorAlignUs(x, stepUs)} + $offUs)"))
-      case None =>
-        base.withColumn("__t", to_timestamp(lit("1970-01-01 00:00:00")))
-    }
+    val withT = withBucketTime(base, p)
     val keys = (col("__t").as("time") +: p.groupTags.map(col)) :+ v.as(out)
     a.fn match {
       case "distinct" => withT.select(keys: _*).distinct()
@@ -1578,6 +1582,58 @@ object InfluxQL {
           .filter(col("__rn") === 1)
           .select(keys: _*)
     }
+  }
+
+  /** `time` floored to the GROUP BY time() bucket (whole range → epoch) as
+    * a plain projection column `__t` — the same epoch-floor alignment
+    * window() uses, usable outside groupBy; shared by the multi-row
+    * select items (distinct/mode/histogram). FLOOR division via the
+    * sign-safe `x - ((x % s + s) % s)` form — Spark's DIV truncates toward
+    * zero, which would bucket pre-1970 timestamps one step late relative
+    * to every other aggregate path. */
+  private def withBucketTime(base: DataFrame, p: Query): DataFrame =
+    p.timeBucket match {
+      case Some((n, u)) =>
+        val stepUs = durUs(s"$n$u")
+        val offUs = bucketOffsetUs(p)
+        val x = s"(unix_micros(time) - $offUs)"
+        base.withColumn("__t", expr(
+          s"timestamp_micros(${floorAlignUs(x, stepUs)} + $offUs)"))
+      case None =>
+        base.withColumn("__t", to_timestamp(lit("1970-01-01 00:00:00")))
+    }
+
+  /** histogram(f, lo, hi, nbins) execution (see [[Histogram]]): bin
+    * assignment is one floor+clamp row expression, then ONE hash
+    * aggregation keyed by (bucket, tags, bin) with map-side combine — the
+    * cheapest exact distribution sketch at any scale, and the shape
+    * InfluxDB would have needed had it ever shipped the function. Clamped
+    * edge bins mean the per-bucket counts partition the bucket's points
+    * exactly (no silent drops — the repo rule); empty bins simply don't
+    * appear, the convention of every sparse InfluxQL result, and fill()
+    * is rejected loudly like distinct()/mode(). */
+  private def runHistogram(base: DataFrame, p: Query, h: Histogram,
+    q: String): DataFrame = {
+    p.fill.filter(_ != "none").foreach(f =>
+      fail(q, s"fill($f) is not supported with histogram()"))
+    if (h.nbins < 1 || !(h.hi > h.lo))
+      fail(q, "histogram(f, lo, hi, nbins) needs hi > lo and nbins >= 1")
+    // width/edges computed with the IDENTICAL double expressions the
+    // DuckDB oracle uses: (hi-lo)/nbins, lo + bin*width — single IEEE ops
+    val width = (h.hi - h.lo) / h.nbins
+    val out = h.alias.getOrElse("count")
+    val bin = least(greatest(
+      floor((col(h.field) - lit(h.lo)) / lit(width)), lit(0)),
+      lit(h.nbins - 1)).cast("int")
+    val keys = col("__t") +: p.groupTags.map(col) :+ col("__bin")
+    withBucketTime(base, p)
+      .withColumn("__bin", bin)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as(out))
+      .select((col("__t").as("time") +: p.groupTags.map(col)) ++ Seq(
+        (lit(h.lo) + col("__bin") * lit(width)).as("bin_lo"),
+        (lit(h.lo) + (col("__bin") + 1) * lit(width)).as("bin_hi"),
+        col(out)): _*)
   }
 
   /** Translate and run `q` against `source` — a measurement frame whose
@@ -1693,6 +1749,11 @@ object InfluxQL {
     }.foreach { a =>
       if (p.fields.size != 1) fail(q, s"${a.fn} must be the only select item")
       return applyLimit(runDistinctMode(base, p, a), p)
+    }
+    p.fields.collectFirst { case hg: Histogram => hg }.foreach { hg =>
+      if (p.fields.size != 1)
+        fail(q, "histogram must be the only select item")
+      return applyLimit(runHistogram(base, p, hg, q), p)
     }
     if (sels.nonEmpty) {
       if (p.fields.size != 1) fail(q, "top/bottom must be the only select item")

@@ -217,9 +217,138 @@ object Analytics {
       .select(col("bin"), col("bin_lo"), col("n"), col("sum_value")))
   }
 
+  /** Regular-grid resampling with linear interpolation — the alignment
+    * primitive under every multi-series join/correlation (two sensors
+    * never sample at the same instants; InfluxQL's fill(linear) only
+    * interpolates AGGREGATED buckets, losing sub-bucket shape — this op
+    * interpolates the raw points at true grid instants). Per series: a
+    * 10-minute grid spans [floor(min ts), max ts]; each grid instant
+    * takes prev + (next − prev) · (g − t_prev)/(t_next − t_prev) between
+    * its straddling points (exact at a coincident point since the
+    * fraction is 0; edge grid points without both neighbors drop).
+    * Mechanics: grid rows union with the real points and ONE series-key
+    * window pass computes the LOCF neighbors in both directions — the
+    * classic spine-merge, linear in points + grid with no per-grid-point
+    * join. Duplicate-timestamp points are disambiguated by the total
+    * (ts, is_grid, event_id) order, so "the last point before g" is
+    * deterministic and the op carries a full oracle (integer epoch
+    * differences; the fraction and the lerp are single IEEE ops). */
+  def tsResampleLinear(spark: SparkSession, dir: String): DataFrame = {
+    val step = 600L // 10-minute grid
+    val ev = load(spark, dir, "events")
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+    val grid = ev.groupBy(col("event_type"))
+      .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+      .select(col("event_type"), explode(sequence(
+        timestamp_seconds((unix_timestamp(col("t0")) / step).cast("long") * step),
+        col("t1"), expr(s"INTERVAL $step SECONDS"))).as("ts"))
+      .withColumn("is_grid", lit(1))
+      .withColumn("event_id", lit(Long.MaxValue))
+      .withColumn("value", lit(null).cast(DoubleType))
+    val unioned = ev.withColumn("is_grid", lit(0))
+      .select(col("event_type"), col("ts"), col("is_grid"), col("event_id"),
+        col("value"))
+      .unionByName(grid.select(col("event_type"), col("ts"), col("is_grid"),
+        col("event_id"), col("value")))
+    val wPrev = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("is_grid"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the NEXT neighbor via a running frame over the REVERSED sort —
+    // "last real seen so far, descending" ≡ "first real at-or-after,
+    // ascending". Spark evaluates UnboundedPreceding running frames
+    // incrementally (O(n) per partition) but re-scans the remainder of
+    // the partition per row for UnboundedFollowing ones (O(n²)) — with
+    // few series keys that quadratic is a scale-killer: the forward
+    // formulation HUNG at sf1 (5 series × 200k rows each) where this one
+    // is instant. Same rows, same values.
+    val wNextRev = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts").desc, col("is_grid").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val real = col("is_grid") === 0
+    val marked = unioned
+      .withColumn("pv", last(when(real, col("value")), ignoreNulls = true).over(wPrev))
+      .withColumn("pt", last(when(real, col("ts")), ignoreNulls = true).over(wPrev))
+      .withColumn("nv", last(when(real, col("value")), ignoreNulls = true).over(wNextRev))
+      .withColumn("nt", last(when(real, col("ts")), ignoreNulls = true).over(wNextRev))
+    // a grid instant COINCIDING with a real point (pt == ts — real rows
+    // sort before the grid row, so pv is that point) is an exact hit and
+    // emits even at the series end where no later neighbor exists
+    totalOrder(marked
+      .filter(col("is_grid") === 1 && col("pv").isNotNull &&
+        (col("nv").isNotNull || col("pt") === col("ts")))
+      .withColumn("interp",
+        when(col("pt") === col("ts"), col("pv"))
+          .when(unix_timestamp(col("nt")) === unix_timestamp(col("pt")), col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            ((unix_timestamp(col("ts")) - unix_timestamp(col("pt"))).cast(DoubleType) /
+             (unix_timestamp(col("nt")) - unix_timestamp(col("pt"))).cast(DoubleType))))
+      .select(col("event_type"), col("ts"), col("interp")))
+  }
+
+  /** Classical additive seasonal decomposition y = trend + seasonal +
+    * residual (the moving-average decomposition STL refines; period = 24
+    * hourly buckets, the daily cycle) of the hourly series total: trend
+    * is a centered 25-point moving mean (complete windows only), seasonal
+    * the per-hour-of-day mean of the detrended series centered by the
+    * count-weighted global detrended mean, residual what remains — the
+    * triage behind "is this spike load growth, time-of-day, or an
+    * anomaly?".
+    *
+    * Stability design (this op FOUND the limit of the round-6dp
+    * convention): d = y − trend is a division-result double whose 6-dp
+    * decimal cast can tie-break differently across engines (Spark rounds
+    * the shortest decimal rendering, DuckDB the binary value — divergent
+    * exactly when they straddle a .5). So no derived double is ever
+    * rounded here: the hourly total y is an EXACT decimal, the trend
+    * window sum C stays decimal, and by LINEARITY of the mean every
+    * seasonal mean decomposes into exact-decimal sums of y and C with one
+    * IEEE division each — mean(d) = Σy/N − ΣC/(25N). Subtractions are
+    * single ops, so all four outputs hash-match DuckDB with no rounding
+    * anywhere. Shuffle plan: one hourly hash agg, one series-key window,
+    * a ≤24-row-per-series seasonal table broadcast back — linear in
+    * buckets, parallel in the series key. */
+  def tsStlDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val half = 12
+    val hourly = load(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("HOUR", col("ts")).as("bucket"))
+      .agg(sum(col("value").cast(dec)).as("ydec"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(-half, half)
+    val trended = hourly
+      .withColumn("wn", count(lit(1)).over(w))
+      .withColumn("cdec", sum(col("ydec")).over(w))
+      .filter(col("wn") === 2 * half + 1)
+      .withColumn("y", col("ydec").cast(DoubleType))
+      .withColumn("trend", col("cdec").cast(DoubleType) / lit(25.0))
+      .withColumn("phase", hour(col("bucket")))
+    // mean(d) per phase and globally via linearity: exact decimal sums of
+    // ydec and cdec, ONE division each — never a rounded derived double
+    def meanD(g: DataFrame): DataFrame = g
+      .withColumn("s_raw",
+        col("sy").cast(DoubleType) / col("np") -
+          col("sc").cast(DoubleType) / (lit(25.0) * col("np")))
+    val seas = meanD(trended.groupBy(col("event_type"), col("phase"))
+      .agg(sum(col("ydec")).as("sy"), sum(col("cdec")).as("sc"),
+        count(lit(1)).as("np")))
+    val sMean = meanD(trended.groupBy(col("event_type"))
+      .agg(sum(col("ydec")).as("sy"), sum(col("cdec")).as("sc"),
+        count(lit(1)).as("np")))
+      .select(col("event_type"), col("s_raw").as("s_mean"))
+    val seasonal = seas.join(broadcast(sMean), "event_type")
+      .select(col("event_type"), col("phase"),
+        (col("s_raw") - col("s_mean")).as("seasonal"))
+    totalOrder(trended
+      .join(broadcast(seasonal), Seq("event_type", "phase"))
+      .withColumn("resid", col("y") - col("trend") - col("seasonal"))
+      .select(col("event_type"), col("bucket"), col("y"), col("trend"),
+        col("seasonal"), col("resid")))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_resample_linear" -> tsResampleLinear,
+    "ts_stl_decompose" -> tsStlDecompose,
     "ts_anomaly_mad" -> tsAnomalyMad,
     "ts_autocorr" -> tsAutocorr,
     "ts_cusum" -> tsCusum,
@@ -228,6 +357,94 @@ object Analytics {
     "agg_histogram" -> aggHistogram)
 
   val oracle: Map[String, String] = Map(
+    "ts_stl_decompose" ->
+      s"""WITH e AS (
+         |  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+         |hourly AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         |    SUM(CAST(value AS DECIMAL(38,6))) AS ydec
+         |  FROM e GROUP BY 1, 2),
+         |tr0 AS (
+         |  SELECT *, COUNT(*) OVER w AS wn, SUM(ydec) OVER w AS cdec
+         |  FROM hourly
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+         |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+         |td AS (
+         |  SELECT event_type, bucket, ydec, cdec,
+         |    CAST(ydec AS DOUBLE) AS y,
+         |    CAST(cdec AS DOUBLE) / 25.0 AS trend,
+         |    hour(bucket) AS phase
+         |  FROM tr0 WHERE wn = 25),
+         |seas AS (
+         |  SELECT event_type, phase,
+         |    CAST(SUM(ydec) AS DOUBLE) / COUNT(*)
+         |      - CAST(SUM(cdec) AS DOUBLE) / (25.0 * COUNT(*)) AS s_raw
+         |  FROM td GROUP BY 1, 2),
+         |sm AS (
+         |  SELECT event_type,
+         |    CAST(SUM(ydec) AS DOUBLE) / COUNT(*)
+         |      - CAST(SUM(cdec) AS DOUBLE) / (25.0 * COUNT(*)) AS s_mean
+         |  FROM td GROUP BY 1),
+         |sc AS (
+         |  SELECT s.event_type, s.phase, s.s_raw - m.s_mean AS seasonal
+         |  FROM seas s JOIN sm m USING (event_type))
+         |SELECT * FROM (
+         |  SELECT t.event_type AS event_type, t.bucket, t.y, t.trend,
+         |    c.seasonal, t.y - t.trend - c.seasonal AS resid
+         |  FROM td t JOIN sc c
+         |    ON t.event_type = c.event_type AND t.phase = c.phase)
+         |${orderAll("event_type", "bucket", "y", "trend", "seasonal",
+             "resid")}""".stripMargin,
+    "ts_resample_linear" ->
+      s"""WITH e AS (
+         |  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+         |  FROM events),
+         |bounds AS (
+         |  SELECT event_type,
+         |    TIMESTAMP '1970-01-01 00:00:00' +
+         |      ((CAST(floor(epoch(MIN(ts))) AS BIGINT) // 600) * 600)
+         |      * INTERVAL 1 SECOND AS t0,
+         |    MAX(ts) AS t1
+         |  FROM e GROUP BY event_type),
+         |g AS (
+         |  SELECT event_type,
+         |    unnest(generate_series(t0, t1, INTERVAL 600 SECOND)) AS ts,
+         |    1 AS is_grid, 9223372036854775807 AS event_id,
+         |    CAST(NULL AS DOUBLE) AS value
+         |  FROM bounds),
+         |u AS (
+         |  SELECT event_type, ts, 0 AS is_grid, event_id, value FROM e
+         |  UNION ALL
+         |  SELECT event_type, ts, is_grid, event_id, value FROM g),
+         |w AS (
+         |  SELECT *,
+         |    LAST_VALUE(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS)
+         |      OVER wp AS pv,
+         |    LAST_VALUE(CASE WHEN is_grid = 0 THEN ts END IGNORE NULLS)
+         |      OVER wp AS pt,
+         |    FIRST_VALUE(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS)
+         |      OVER wn AS nv,
+         |    FIRST_VALUE(CASE WHEN is_grid = 0 THEN ts END IGNORE NULLS)
+         |      OVER wn AS nt
+         |  FROM u
+         |  WINDOW wp AS (PARTITION BY event_type ORDER BY ts, is_grid, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |  wn AS (PARTITION BY event_type ORDER BY ts, is_grid, event_id
+         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT event_type, ts,
+         |  CASE WHEN pt = ts THEN pv
+         |    WHEN CAST(floor(epoch(nt)) AS BIGINT)
+         |           = CAST(floor(epoch(pt)) AS BIGINT) THEN pv
+         |    ELSE pv + (nv - pv) *
+         |      (CAST(CAST(floor(epoch(ts)) AS BIGINT)
+         |         - CAST(floor(epoch(pt)) AS BIGINT) AS DOUBLE)
+         |       / CAST(CAST(floor(epoch(nt)) AS BIGINT)
+         |         - CAST(floor(epoch(pt)) AS BIGINT) AS DOUBLE))
+         |  END AS interp
+         |FROM w
+         |WHERE is_grid = 1 AND pv IS NOT NULL
+         |  AND (nv IS NOT NULL OR pt = ts)
+         |${orderAll("event_type", "ts", "interp")}""".stripMargin,
     "ts_anomaly_mad" ->
       s"""WITH e AS (
          |  SELECT event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value

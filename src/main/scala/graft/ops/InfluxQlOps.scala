@@ -344,6 +344,14 @@ object InfluxQlOps {
   private val ModeQ =
     "SELECT mode(user_id) AS m FROM events GROUP BY time(1d)"
 
+  // histogram(): RESERVED by InfluxQL 1.x, never implemented by InfluxDB —
+  // graft ships it (see InfluxQL.Histogram). Daily per-type value
+  // distribution in 20 clamped-width-10 bins.
+  private val HistogramQ =
+    "SELECT histogram(\"value\", 0, 200, 20) AS n FROM events " +
+      "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-08 00:00:00' " +
+      "GROUP BY time(1d), event_type"
+
   // fill(<number>): empty buckets take a constant (the sentinel-value
   // dashboard convention)
   private val FillValueQ =
@@ -573,6 +581,7 @@ object InfluxQlOps {
     "influxql_raw_series" -> run(RawSeriesQ) _,
     "influxql_distinct" -> run(DistinctQ) _,
     "influxql_mode" -> run(ModeQ) _,
+    "influxql_histogram" -> run(HistogramQ) _,
     "influxql_fill_value" -> run(FillValueQ) _,
     "influxql_time_offset" -> run(TimeOffsetQ) _,
     "influxql_from_regex" -> runCat(FromRegexQ) _,
@@ -1685,6 +1694,22 @@ object InfluxQlOps {
          |  FROM c)
          |SELECT time, user_id AS m FROM r WHERE rn = 1
          |${orderAll("time", "m")}""".stripMargin,
+    "influxql_histogram" ->
+      s"""WITH f AS (
+         |  SELECT CAST(ts AS TIMESTAMP) AS t, event_type, value FROM events
+         |  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01 00:00:00'
+         |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-08 00:00:00'),
+         |b AS (
+         |  SELECT ${sqlBucket("t", 86400)} AS time, event_type,
+         |    CAST(LEAST(GREATEST(FLOOR((value - 0.0) / ((200.0 - 0.0) / 20)),
+         |      0), 19) AS INTEGER) AS bin
+         |  FROM f)
+         |SELECT time, event_type,
+         |  0.0 + bin * ((200.0 - 0.0) / 20) AS bin_lo,
+         |  0.0 + (bin + 1) * ((200.0 - 0.0) / 20) AS bin_hi,
+         |  COUNT(*) AS n
+         |FROM b GROUP BY time, event_type, bin
+         |${orderAll("time", "event_type", "bin_lo", "bin_hi", "n")}""".stripMargin,
     "influxql_fill_value" ->
       s"""WITH f AS (
          |  SELECT CAST(ts AS TIMESTAMP) AS t, event_type, value FROM events

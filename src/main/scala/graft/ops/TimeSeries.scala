@@ -52,7 +52,15 @@ object TimeSeries {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
     val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wNext = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // "next pulse's rate" via a running frame over the REVERSED sort:
+    // Spark evaluates UnboundedFollowing frames by re-scanning the rest of
+    // the partition per row (O(rows² ) per user — a scale-killer once a
+    // hot user holds millions of points), where an UnboundedPreceding
+    // running frame is incremental O(rows). last(...) over the reversed
+    // order selects the identical row the forward first(...) did.
+    val wNextRev = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ev = load(spark, dir, "events")
       .withColumn("is_pulse", col("value") >= PulseThreshold)
       .withColumn("prev_is_pulse", lag(col("is_pulse"), 1).over(w))
@@ -69,7 +77,7 @@ object TimeSeries {
       .withColumn("rate",
         when(col("is_pulse"), col("own_rate"))
           .otherwise(when(col("pulse_seq") >= 1,
-            first(col("own_rate"), ignoreNulls = true).over(wNext))))
+            last(col("own_rate"), ignoreNulls = true).over(wNextRev))))
       .filter(col("rate").isNotNull)
       .select(col("user_id"), col("event_id"), col("ts"), col("rate"))
   }

@@ -709,7 +709,34 @@ object StreamingOps {
 
   // ----------------------------------------------------------------- wiring
 
+  /** Streaming OHLC candlesticks — [[graft.ops.Analytics.tsOhlc]] as an
+    * unbounded query. Open/close are ORDER-sensitive (first/last point of
+    * the bucket), which a streaming aggregate cannot express with ranks —
+    * but min_by/max_by over the unique (ts, event_id) struct key ARE the
+    * first/last points, and select-by-extremum is associative and
+    * commutative, so partial merges across micro-batches converge to the
+    * batch answer under ANY arrival order: the property that makes a
+    * streaming candlestick oracle-able (same column set as the batch op,
+    * same DuckDB oracle verbatim). Watermark + update mode, each
+    * micro-batch MERGEing only its changed buckets; state bounded by open
+    * windows × series. */
+  def streamOhlc(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.sizedSession(spark, 4)
+    val key = struct(col("ts"), col("event_id"))
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts", BackfillLag)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(min_by(col("value"), key).as("open"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        max_by(col("value"), key).as("close"),
+        count(lit(1)).as("n"), Tables.dsum(col("value")).as("volume"))
+      .select(col("event_type"), col("w.start").as("bucket"), col("open"),
+        col("high"), col("low"), col("close"), col("n"), col("volume"))
+    totalOrder(mergeDrain(agg, Seq("bucket", "event_type")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_ohlc" -> streamOhlc,
     "stream_doc_curate" -> streamDocCurate,
     "stream_time_bucket" -> streamTimeBucket,
     "stream_dedup" -> streamDedup,
@@ -725,6 +752,10 @@ object StreamingOps {
     "stream_topk" -> streamTopk)
 
   val oracle: Map[String, String] = Map(
+    // identical column set and semantics to the batch candlestick — the
+    // min_by/max_by streaming formulation converges to the same rows, so
+    // the op shares the batch oracle verbatim
+    "stream_ohlc" -> graft.ops.Analytics.oracle("ts_ohlc"),
     "stream_doc_curate" ->
       s"""WITH g AS (
          |  SELECT doc_id, source,

@@ -116,6 +116,50 @@ class AnalyticsSpec extends SparkTestBase {
     assert(got.size === raw.size)
   }
 
+  test("ts_resample_linear: exact midpoints and coincident grid points") {
+    // points at :00 (0.0) and :20 (60.0): the :10 grid instant is the
+    // exact midpoint 30.0; :00 and :20 coincide with real points
+    val dir = eventsDir(Seq(
+      (1L, 0L, "a", 0.0), (2L, 20L, "a", 60.0)))
+    val got = ops.Analytics.tsResampleLinear(spark, dir).collect()
+      .map(r => r.getAs[java.sql.Timestamp]("ts").toString ->
+        r.getAs[Double]("interp")).toMap
+    assert(got("1970-01-01 00:00:00.0") === 0.0)
+    assert(got("1970-01-01 00:10:00.0") === 30.0)
+    assert(got("1970-01-01 00:20:00.0") === 60.0)
+    assert(got.size === 3)
+  }
+
+  test("ts_stl_decompose: a pure linear series decomposes exactly " +
+    "(trend = y, seasonal = 0, resid = 0)") {
+    // one point per hour, value = t: the centered 25-point MA of a linear
+    // series IS the center value, exactly in decimal/double arithmetic
+    val dir = eventsDir((0 until 72).map(t =>
+      (t.toLong + 1, t.toLong * 60, "a", t.toDouble)))
+    val rows = ops.Analytics.tsStlDecompose(spark, dir).collect()
+    assert(rows.length === 72 - 24) // complete 25-windows only
+    rows.foreach { r =>
+      assert(r.getAs[Double]("trend") === r.getAs[Double]("y"))
+      assert(r.getAs[Double]("seasonal") === 0.0)
+      assert(r.getAs[Double]("resid") === 0.0)
+    }
+  }
+
+  test("ts_stl_decompose: reconstruction identity and weighted centering " +
+    "on the fixture") {
+    val rows = ops.Analytics.tsStlDecompose(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val diff = r.getAs[Double]("y") - (r.getAs[Double]("trend") +
+        r.getAs[Double]("seasonal") + r.getAs[Double]("resid"))
+      assert(math.abs(diff) < 1e-9, s"reconstruction broke: $r")
+    }
+    // count-weighted centering: seasonal sums to ~0 over the decomposed rows
+    val sums = rows.groupBy(_.getAs[String]("event_type"))
+      .map { case (_, rs) => rs.map(_.getAs[Double]("seasonal")).sum }
+    sums.foreach(s => assert(math.abs(s) < 1e-6, s"centering broke: $s"))
+  }
+
   test("sim_mips: norm-augmented cosine order equals inner-product order") {
     import graft.functions.GraftFunctions.vecDot
     val base = Tables.load(spark, sf, "embeddings")

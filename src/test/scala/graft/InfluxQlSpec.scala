@@ -748,6 +748,38 @@ class InfluxQlSpec extends SparkTestBase {
       "SELECT integral(value, 1h) FROM events GROUP BY time(1d) fill(0)"))
   }
 
+  test("histogram(): bins partition each bucket; invalid shapes reject loudly") {
+    val m = Tables.load(spark, sf, "events").withColumnRenamed("ts", "time")
+    val q = "SELECT histogram(\"value\", 0, 200, 20) AS n FROM events " +
+      "GROUP BY time(1d), event_type"
+    val hist = InfluxQL.run(spark, m, q)
+    assert(hist.columns.toSeq ===
+      Seq("time", "event_type", "bin_lo", "bin_hi", "n"))
+    // clamped edge bins: per (bucket, tag) the bin counts sum to the
+    // bucket's point count — nothing silently dropped
+    val sums = hist.groupBy(col("time"), col("event_type"))
+      .agg(sum(col("n")).as("hn"))
+    val truth = m.groupBy(
+        date_trunc("DAY", col("time")).as("time"), col("event_type"))
+      .agg(count(lit(1)).as("cn"))
+    val joined = sums.join(truth, Seq("time", "event_type"), "full_outer")
+    assert(joined.filter(col("hn").isNull || col("cn").isNull ||
+      col("hn") =!= col("cn")).count() === 0)
+    // parse(print) round-trip for the new select item
+    val p = InfluxQL.parse(q)
+    assert(InfluxQL.parse(InfluxQL.print(p)) === p)
+    // loud rejections: fill(), co-select-items, degenerate ranges
+    intercept[IllegalArgumentException](InfluxQL.run(spark, m,
+      "SELECT histogram(value, 0, 200, 20) FROM events " +
+        "GROUP BY time(1d) fill(0)"))
+    intercept[IllegalArgumentException](InfluxQL.run(spark, m,
+      "SELECT histogram(value, 0, 200, 20), mean(value) FROM events"))
+    intercept[IllegalArgumentException](InfluxQL.run(spark, m,
+      "SELECT histogram(value, 200, 0, 20) FROM events"))
+    intercept[IllegalArgumentException](InfluxQL.run(spark, m,
+      "SELECT histogram(value, 0, 200, 0) FROM events"))
+  }
+
   test("fill() + transform: derivative over a LOCF plateau is zero") {
     import spark.implicits._
     // one series with a 3-bucket gap: 00:00 → 10, (gap, gap), 18:00 → 40

@@ -546,6 +546,40 @@ class IngestStoreStreamSpec extends SparkTestBase {
     assert(s == b)
   }
 
+  test("stream_ohlc: split-invariant across micro-batches; open/close are " +
+    "the bucket's true first/last points") {
+    // min_by/max_by over (ts, event_id) must converge to the batch
+    // candlestick under any file split — including one cutting a bucket
+    // in half, where each micro-batch sees a different "first" point
+    import java.nio.file.Files
+    val vals = Seq(5.0, 9.0, 2.0, 7.0, 4.0, 8.0) // bucket 00: open 5, close 8
+    val vals2 = Seq(3.0, 1.0, 6.0)               // bucket 01: open 3, close 6
+    def df(rows: Seq[(Int, Double, String)]) = rows.map { case (i, v, h) =>
+      ((i + 1).toLong, java.sql.Timestamp.valueOf(f"2024-01-01 $h%s:0$i:00"),
+        1L, "s", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val all = vals.zipWithIndex.map { case (v, i) => (i, v, "00") } ++
+      vals2.zipWithIndex.map { case (v, i) => (i, v, "01") }
+    val dir = Files.createTempDirectory("ohlc_split").toString
+    // split mid-bucket: first file carries only half of bucket 00
+    df(all.take(3)).coalesce(1).write.parquet(s"$dir/b1")
+    df(all.drop(3)).coalesce(1).write.parquet(s"$dir/b2")
+    def mv(sub: String, n: Int): Unit = {
+      val part = new java.io.File(s"$dir/$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/events_$n.parquet"))
+    }
+    mv("b1", 1); mv("b2", 2)
+    val got = streaming.StreamingOps.streamOhlc(spark, dir)
+      .select("bucket", "open", "high", "low", "close", "n")
+      .as[(java.sql.Timestamp, Double, Double, Double, Double, Long)]
+      .collect().map(r => r._1.toString -> ((r._2, r._3, r._4, r._5, r._6)))
+      .toMap
+    assert(got("2024-01-01 00:00:00.0") === ((5.0, 9.0, 2.0, 8.0, 6L)))
+    assert(got("2024-01-01 01:00:00.0") === ((3.0, 6.0, 1.0, 6.0, 3L)))
+  }
+
   test("streaming pattern match: equals the batch scoring cut at the " +
     "threshold, and boundary-spanning windows form across micro-batches") {
     // drain equality on the fixture: every batch top-3 row under the
