@@ -146,9 +146,52 @@ object Joins {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("kind"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the FORWARD match via a running frame over the reversed sort
+    // (UnboundedFollowing re-scans the partition tail per row — O(rows²)
+    // on a hot user; the reversed running frame is incremental). kind
+    // stays ASCENDING inside the reversed ts so a view AT the click's
+    // own instant is seen first and matches the >= semantics.
+    val wNextRev = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("kind").asc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ev.withColumn("last_view_ts",
         last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
+      .withColumn("next_view_ts",
+        last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(wNextRev))
       .filter(col("kind") === 1)
+  }
+
+  /** FORWARD as-of (pandas `merge_asof(direction='forward')`): each click
+    * matched to the EARLIEST view at-or-after it — the "what happened
+    * next" join (first response after an alert, first fill after an
+    * order). Same single per-key window pass as the backward op, via the
+    * reversed running frame. */
+  def joinAsofForward(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(asofMatched(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("next_view_ts")))
+
+  /** NEAREST as-of (pandas `merge_asof(direction='nearest')`): the closer
+    * of the backward and forward matches by µs distance, ties to the
+    * backward side (pandas' rule); `side` says which won so attribution
+    * is auditable. Both neighbors come from the one shared window pass —
+    * integer µs differences, so the comparison is engine-exact. */
+  def joinAsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val dp = unix_micros(col("ts")) - unix_micros(col("last_view_ts"))
+    val dn = unix_micros(col("next_view_ts")) - unix_micros(col("ts"))
+    totalOrder(asofMatched(spark, dir)
+      .withColumn("nearest_view_ts",
+        when(col("last_view_ts").isNull, col("next_view_ts"))
+          .when(col("next_view_ts").isNull, col("last_view_ts"))
+          .when(dp <= dn, col("last_view_ts"))
+          .otherwise(col("next_view_ts")))
+      .withColumn("side",
+        when(col("last_view_ts").isNull && col("next_view_ts").isNull, "none")
+          .when(col("last_view_ts").isNull, "next")
+          .when(col("next_view_ts").isNull, "prev")
+          .when(dp <= dn, "prev")
+          .otherwise("next"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("nearest_view_ts"), col("side")))
   }
 
   /** Tolerance for [[joinAsofTolerance]]: 30 minutes in µs. */
@@ -234,7 +277,9 @@ object Joins {
     "join_theta_range" -> joinThetaRange,
     "join_range_bucket" -> joinRangeBucket,
     "join_asof" -> joinAsof,
-    "join_asof_tolerance" -> joinAsofTolerance)
+    "join_asof_tolerance" -> joinAsofTolerance,
+    "join_asof_forward" -> joinAsofForward,
+    "join_asof_nearest" -> joinAsofNearest)
 
   val oracle: Map[String, String] = Map(
     "join_bucketed" ->
@@ -307,6 +352,34 @@ object Joins {
          |     AND v.ts <= c.ts) AS last_view_ts
          |FROM events c WHERE c.event_type = 'click'
          |${orderAll("event_id", "user_id", "ts", "last_view_ts")}""".stripMargin,
+    "join_asof_forward" ->
+      s"""SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS ts,
+         |  (SELECT MIN(CAST(v.ts AS TIMESTAMP)) FROM events v
+         |   WHERE v.event_type = 'view' AND v.user_id = c.user_id
+         |     AND v.ts >= c.ts) AS next_view_ts
+         |FROM events c WHERE c.event_type = 'click'
+         |${orderAll("event_id", "user_id", "ts", "next_view_ts")}""".stripMargin,
+    "join_asof_nearest" ->
+      s"""WITH m AS (
+         |  SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS ts,
+         |    (SELECT MAX(CAST(v.ts AS TIMESTAMP)) FROM events v
+         |     WHERE v.event_type = 'view' AND v.user_id = c.user_id
+         |       AND v.ts <= c.ts) AS pv,
+         |    (SELECT MIN(CAST(v.ts AS TIMESTAMP)) FROM events v
+         |     WHERE v.event_type = 'view' AND v.user_id = c.user_id
+         |       AND v.ts >= c.ts) AS nv
+         |  FROM events c WHERE c.event_type = 'click')
+         |SELECT event_id, user_id, ts,
+         |  CASE WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv
+         |    WHEN epoch_us(ts) - epoch_us(pv) <= epoch_us(nv) - epoch_us(ts)
+         |      THEN pv ELSE nv END AS nearest_view_ts,
+         |  CASE WHEN pv IS NULL AND nv IS NULL THEN 'none'
+         |    WHEN pv IS NULL THEN 'next' WHEN nv IS NULL THEN 'prev'
+         |    WHEN epoch_us(ts) - epoch_us(pv) <= epoch_us(nv) - epoch_us(ts)
+         |      THEN 'prev' ELSE 'next' END AS side
+         |FROM m
+         |${orderAll("event_id", "user_id", "ts", "nearest_view_ts",
+             "side")}""".stripMargin,
     "join_asof_tolerance" ->
       s"""WITH m AS (
          |  SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS ts,

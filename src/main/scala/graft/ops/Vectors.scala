@@ -743,9 +743,65 @@ object Vectors {
         col("rk"), col("ip")))
   }
 
+  /** Scalar-quantized (SQ8) approximate kNN — the serving tier between
+    * raw floats and PQ on the FAISS memory ladder: the corpus lives as
+    * per-vector int8 codes + one scale (4× less memory/bandwidth than
+    * float32 — at 100 TB the difference between an in-memory index and a
+    * disk-bound one), queries stay float (asymmetric SQ, the
+    * higher-recall variant), candidates rank by the dequantized cosine
+    * scale·⟨code, q⟩/(‖x‖‖q‖), and a [[Sq8Candidates]]-wide exact
+    * re-rank restores float precision at the top. Quantization is
+    * [[vecQuantizeInt8]]'s exact arithmetic (scale = max|x|/127, proven
+    * hash-stable by its own gate), so the whole tier carries a full
+    * DuckDB oracle; recall vs brute force is measured in the spec. */
+  def simKnnSq8(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.vecDot
+    val x = col("embedding")
+    val base = load(spark, dir, "embeddings")
+      .withColumn("nrm", sqrt(vecDot(spark, x, x)))
+      .withColumn("scale",
+        greatest(aggregate(x, lit(0.0),
+          (a, v) => greatest(a, abs(v.cast(DoubleType)))), lit(1e-30)) /
+          lit(127.0))
+      .withColumn("code",
+        transform(x, v => round(v.cast(DoubleType) / col("scale")).cast("long")))
+      .transform(graft.OpCaches.cached)
+    val queries = base.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("q_id"), x.as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val wCand = Window.partitionBy(col("q_id"))
+      .orderBy(col("acos").desc, col("vec_id"))
+    val cand = base.select("vec_id", "code", "scale", "nrm")
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("acos",
+        col("scale") * aggregate(
+          zip_with(col("code"), col("q_emb"),
+            (c, y) => c.cast(DoubleType) * y.cast(DoubleType)),
+          lit(0.0), (a, t) => a + t) / (col("nrm") * col("q_nrm")))
+      .withColumn("crk", row_number().over(wCand))
+      .filter(col("crk") <= Sq8Candidates)
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    totalOrder(cand.select("q_id", "vec_id", "q_emb", "q_nrm")
+      .join(base.select(col("vec_id"), col("embedding"), col("nrm")), "vec_id")
+      .withColumn("cosine",
+        vecDot(spark, col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("rk"), col("cosine")))
+  }
+
+  /** Exact-re-rank width for [[simKnnSq8]] — the [[RpCandidates]]
+    * convention: wide enough that int8 rounding noise cannot push a true
+    * top-5 neighbor out of the candidate set on any shipped fixture. */
+  private val Sq8Candidates = 32
+
   // ----------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_knn_sq8" -> simKnnSq8,
     "sim_range_search" -> simRangeSearch,
     "sim_mips" -> simMips,
     "vec_quantize_int8" -> vecQuantizeInt8,
@@ -1124,6 +1180,39 @@ object Vectors {
          |  SELECT q_id, vec_id AS neighbor_id, cosine,
          |    ROW_NUMBER() OVER (PARTITION BY q_id
          |      ORDER BY cosine DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT q_id, neighbor_id, rk, cosine FROM ranked WHERE rk <= 5
+         |${orderAll("q_id", "neighbor_id", "rk", "cosine")}""".stripMargin,
+    "sim_knn_sq8" ->
+      s"""WITH b0 AS (
+         |  SELECT vec_id, embedding, ${sqlNorm.format("embedding")} AS nrm,
+         |    greatest(list_aggregate(list_transform(embedding,
+         |      v -> abs(CAST(v AS DOUBLE))), 'max'), 1e-30) / 127.0 AS scale
+         |  FROM embeddings),
+         |base AS (
+         |  SELECT *, list_transform(embedding,
+         |    v -> CAST(round(CAST(v AS DOUBLE) / scale) AS BIGINT)) AS code
+         |  FROM b0),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+         |      FROM base WHERE $sqlIsQuery),
+         |cand AS (
+         |  SELECT q_id, vec_id, q_emb, q_nrm,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+         |      scale * list_aggregate(list_transform(list_zip(code, q_emb),
+         |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+         |        / (nrm * q_nrm) DESC,
+         |      vec_id) AS crk
+         |  FROM base CROSS JOIN q WHERE vec_id <> q_id),
+         |scored AS (
+         |  SELECT c.q_id, b.vec_id AS neighbor_id,
+         |    ${sqlDot.format("b.embedding", "c.q_emb")}
+         |      / (b.nrm * c.q_nrm) AS cosine
+         |  FROM cand c JOIN base b ON b.vec_id = c.vec_id
+         |  WHERE c.crk <= $Sq8Candidates),
+         |ranked AS (
+         |  SELECT q_id, neighbor_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY cosine DESC, neighbor_id) AS rk
          |  FROM scored)
          |SELECT q_id, neighbor_id, rk, cosine FROM ranked WHERE rk <= 5
          |${orderAll("q_id", "neighbor_id", "rk", "cosine")}""".stripMargin,

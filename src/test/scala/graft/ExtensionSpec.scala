@@ -145,6 +145,52 @@ class ExtensionSpec extends SparkTestBase {
     assert(recall >= 0.1, s"recall@5 = $recall")
   }
 
+  test("sq8 knn: high recall vs brute force — int8 rounding noise stays " +
+    "inside the 32-wide exact re-rank") {
+    val sq = ops.Vectors.simKnnSq8(spark, sf)
+    assert(sq.filter(col("q_id") === col("neighbor_id")).count() == 0)
+    val counts = sq.groupBy("q_id").count().select("count").as[Long].collect()
+    assert(counts.nonEmpty && counts.forall(_ == 5L))
+    val bf = ops.Vectors.simKnnBruteforce(spark, sf)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = sq.select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = got.intersect(bf).size.toDouble / bf.size
+    // scalar quantization preserves far more of the dot product than IVF's
+    // list pruning — the candidate stage alone should recover nearly all
+    // true top-5 neighbors
+    assert(recall >= 0.8, s"sq8 recall@5 = $recall")
+  }
+
+  test("as-of directions: forward/nearest agree with backward on " +
+    "coincident instants and bracket every click") {
+    import org.apache.spark.sql.Row
+    val back = ops.Joins.joinAsof(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[java.sql.Timestamp]("last_view_ts")).toMap
+    val fwd = ops.Joins.joinAsofForward(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[java.sql.Timestamp]("next_view_ts")).toMap
+    val near = ops.Joins.joinAsofNearest(spark, sf).collect()
+    assert(near.nonEmpty)
+    near.foreach { r =>
+      val id = r.getLong(0)
+      val ts = r.getAs[java.sql.Timestamp]("ts")
+      val nv = r.getAs[java.sql.Timestamp]("nearest_view_ts")
+      val side = r.getAs[String]("side")
+      val (p, n) = (back(id), fwd(id))
+      // the nearest match IS one of the two directional matches, and it
+      // is the closer one (ties to prev)
+      side match {
+        case "prev" => assert(nv == p && (n == null ||
+          ts.getTime - p.getTime <= n.getTime - ts.getTime))
+        case "next" => assert(nv == n && (p == null ||
+          n.getTime - ts.getTime < ts.getTime - p.getTime))
+        case "none" => assert(p == null && n == null && nv == null)
+      }
+      // bracketing: prev <= click <= next whenever they exist
+      if (p != null) assert(!p.after(ts))
+      if (n != null) assert(!n.before(ts))
+    }
+  }
+
   test("persisted ivf index: cold read-back search is bit-identical to " +
     "the in-memory tier; lists land cid-partitioned on disk") {
     import graft.functions.GraftFunctions.vecDot
