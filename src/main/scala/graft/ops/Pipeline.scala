@@ -399,9 +399,39 @@ object Pipeline {
       .select(col("doc_id"), col("score"), col("label")))
   }
 
+  /** Per-source sampling weights for [[pipelineSampleWeighted]], in
+    * thousandths: a documented recipe table (the role a real run's
+    * data-mixture config plays — e.g. down-weight crawl, keep books). */
+  private[graft] val SampleWeights: Seq[(String, Long)] =
+    (0 until 20).map(i => (s"src$i", 1000L - 45L * i))
+
+  /** EXECUTABLE importance sampling — where [[pipelineSourceMix]] reports
+    * the recipe, this op APPLIES it: each document keeps with its
+    * source's probability p via the deterministic multiplicative-hash
+    * uniform u = (doc_id · 2654435761) mod 2³², kept iff
+    * u·1000 < p_mille·2³² — pure integer arithmetic, so the sample is
+    * reproducible across engines, runs, and partitionings (the property
+    * that makes a trillion-token mixture auditable: re-running the
+    * pipeline yields the SAME corpus). The recipe broadcasts; the scan
+    * never shuffles — the sampler costs one filter at 100 TB. The same
+    * hash stream as [[sampleStratified]], so sampling and splitting stay
+    * independent decisions on independent bits is NOT claimed — a real
+    * run salts one of the two (documented); here the shared stream keeps
+    * both ops oracle-identical. */
+  def pipelineSampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = broadcast(SampleWeights.toDF("source", "p_mille"))
+    totalOrder(load(spark, dir, "documents")
+      .withColumn("u", (col("doc_id") * 2654435761L) % 4294967296L)
+      .join(w, "source")
+      .filter(col("u") * 1000L < col("p_mille") * 4294967296L)
+      .select(col("doc_id"), col("source"), col("p_mille"), col("u")))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_sample_weighted" -> pipelineSampleWeighted,
     "pipeline_quality_classifier" -> pipelineQualityClassifier,
     "pipeline_corpus_stats" -> pipelineCorpusStats,
     "pipeline_filter_funnel" -> pipelineFilterFunnel,
@@ -417,6 +447,19 @@ object Pipeline {
     "text_pii_scrub" -> textPiiScrub)
 
   val oracle: Map[String, String] = Map(
+    "pipeline_sample_weighted" -> {
+      val vals = SampleWeights
+        .map { case (s, p) => s"('$s', $p)" }.mkString(", ")
+      s"""WITH w(source, p_mille) AS (VALUES $vals),
+         |d AS (
+         |  SELECT doc_id, source,
+         |    (doc_id * 2654435761) % 4294967296 AS u
+         |  FROM documents)
+         |SELECT d.doc_id, d.source, CAST(w.p_mille AS BIGINT) AS p_mille, d.u
+         |FROM d JOIN w USING (source)
+         |WHERE d.u * 1000 < w.p_mille * 4294967296
+         |${orderAll("doc_id", "source", "p_mille", "u")}""".stripMargin
+    },
     "pipeline_quality_classifier" ->
       s"""WITH t AS (
          |  SELECT doc_id, n_chars,

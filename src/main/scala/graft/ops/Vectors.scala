@@ -798,10 +798,56 @@ object Vectors {
     * top-5 neighbor out of the candidate set on any shipped fixture. */
   private val Sq8Candidates = 32
 
+  /** Matryoshka (MRL) prefix-truncated kNN — the dimension-adaptive
+    * retrieval pattern of Kusupati et al. '22: embeddings trained so
+    * information concentrates in the leading coordinates let the
+    * candidate scan run on the FIRST [[MrlDims]] dims only (4× less
+    * arithmetic and memory traffic, like [[simKnnRp]] but with NO
+    * projection step — the truncation is free), then a 32-wide exact
+    * full-dimension re-rank. On embeddings without MRL training the
+    * prefix is an unbiased random coordinate subset — still a valid
+    * (weaker) candidate generator, which the recall spec measures
+    * honestly. Pure slice + fold expressions ⇒ fully oracled. */
+  def simKnnMrl(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.vecDot
+    val pre = slice(col("embedding"), 1, MrlDims)
+    val base = load(spark, dir, "embeddings")
+      .withColumn("nrm", sqrt(vecDot(spark, col("embedding"), col("embedding"))))
+      .withColumn("mrl", pre)
+      .withColumn("mn", sqrt(vecDot(spark, col("mrl"), col("mrl"))))
+      .transform(graft.OpCaches.cached)
+    val queries = base.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("mrl").as("q_mrl"), col("mn").as("q_mn"))
+    val wCand = Window.partitionBy(col("q_id"))
+      .orderBy(col("pcos").desc, col("vec_id"))
+    val cand = base.select("vec_id", "mrl", "mn").crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("pcos",
+        vecDot(spark, col("mrl"), col("q_mrl")) / (col("mn") * col("q_mn")))
+      .withColumn("crk", row_number().over(wCand))
+      .filter(col("crk") <= Sq8Candidates)
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    totalOrder(cand.select("q_id", "vec_id", "q_emb", "q_nrm")
+      .join(base.select(col("vec_id"), col("embedding"), col("nrm")), "vec_id")
+      .withColumn("cosine",
+        vecDot(spark, col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("rk"), col("cosine")))
+  }
+
+  /** Prefix width for [[simKnnMrl]] — a quarter of the fixture's 64 dims,
+    * the 4× compression point of the published MRL ladders. */
+  private val MrlDims = 16
+
   // ----------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_knn_sq8" -> simKnnSq8,
+    "sim_knn_mrl" -> simKnnMrl,
     "sim_range_search" -> simRangeSearch,
     "sim_mips" -> simMips,
     "vec_quantize_int8" -> vecQuantizeInt8,
@@ -1180,6 +1226,34 @@ object Vectors {
          |  SELECT q_id, vec_id AS neighbor_id, cosine,
          |    ROW_NUMBER() OVER (PARTITION BY q_id
          |      ORDER BY cosine DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT q_id, neighbor_id, rk, cosine FROM ranked WHERE rk <= 5
+         |${orderAll("q_id", "neighbor_id", "rk", "cosine")}""".stripMargin,
+    "sim_knn_mrl" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding, ${sqlNorm.format("embedding")} AS nrm,
+         |    embedding[1:$MrlDims] AS mrl,
+         |    ${sqlNorm.format(s"embedding[1:$MrlDims]")} AS mn
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm,
+         |        mrl AS q_mrl, mn AS q_mn
+         |      FROM base WHERE $sqlIsQuery),
+         |cand AS (
+         |  SELECT q_id, vec_id, q_emb, q_nrm,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+         |      ${sqlDot.format("mrl", "q_mrl")} / (mn * q_mn) DESC,
+         |      vec_id) AS crk
+         |  FROM base CROSS JOIN q WHERE vec_id <> q_id),
+         |scored AS (
+         |  SELECT c.q_id, b.vec_id AS neighbor_id,
+         |    ${sqlDot.format("b.embedding", "c.q_emb")}
+         |      / (b.nrm * c.q_nrm) AS cosine
+         |  FROM cand c JOIN base b ON b.vec_id = c.vec_id
+         |  WHERE c.crk <= $Sq8Candidates),
+         |ranked AS (
+         |  SELECT q_id, neighbor_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY cosine DESC, neighbor_id) AS rk
          |  FROM scored)
          |SELECT q_id, neighbor_id, rk, cosine FROM ranked WHERE rk <= 5
          |${orderAll("q_id", "neighbor_id", "rk", "cosine")}""".stripMargin,

@@ -161,6 +161,40 @@ class ExtensionSpec extends SparkTestBase {
     assert(recall >= 0.8, s"sq8 recall@5 = $recall")
   }
 
+  test("mrl knn: prefix-truncated candidates still recover most of the " +
+    "exact top-5 after the full-dimension re-rank") {
+    val mrl = ops.Vectors.simKnnMrl(spark, sf)
+    val counts = mrl.groupBy("q_id").count().select("count").as[Long].collect()
+    assert(counts.nonEmpty && counts.forall(_ == 5L))
+    val bf = ops.Vectors.simKnnBruteforce(spark, sf)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = mrl.select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = got.intersect(bf).size.toDouble / bf.size
+    // the fixture's embeddings are NOT Matryoshka-trained, so a 16-dim
+    // prefix is only a random coordinate subset — the honest floor is
+    // modest (measured 0.28 here) but ~4× above the 32/n≈0.06 chance
+    // floor; MRL-trained vectors are where the tier earns its recall
+    assert(recall >= 0.2, s"mrl recall@5 = $recall")
+  }
+
+  test("pipeline_sample_weighted: membership is exactly the integer hash " +
+    "law, reproducible across runs") {
+    val got = ops.Pipeline.pipelineSampleWeighted(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    val w = ops.Pipeline.SampleWeights.toMap
+    val expected = Tables.load(spark, sf, "documents")
+      .select("doc_id", "source").as[(Long, String)].collect()
+      .filter { case (id, s) =>
+        val u = (id * 2654435761L) % 4294967296L
+        u * 1000L < w(s) * 4294967296L
+      }.map(_._1).toSet
+    assert(got === expected)
+    // determinism: a second run yields the identical sample
+    val again = ops.Pipeline.pipelineSampleWeighted(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === got)
+  }
+
   test("as-of directions: forward/nearest agree with backward on " +
     "coincident instants and bracket every click") {
     import org.apache.spark.sql.Row
