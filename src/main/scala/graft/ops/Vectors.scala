@@ -763,8 +763,13 @@ object Vectors {
         greatest(aggregate(x, lit(0.0),
           (a, v) => greatest(a, abs(v.cast(DoubleType)))), lit(1e-30)) /
           lit(127.0))
+      // codes stay integral DOUBLES in-plan: the persisted form is
+      // tinyint (the 4× memory story), but the compute representation
+      // feeds the fused codegen VecDot — the interpreted zip_with fold
+      // over a long array cost 25 s at sf10 where this is a primitive
+      // loop; the values are exact either way (|code| ≤ 127)
       .withColumn("code",
-        transform(x, v => round(v.cast(DoubleType) / col("scale")).cast("long")))
+        transform(x, v => round(v.cast(DoubleType) / col("scale"))))
       .transform(graft.OpCaches.cached)
     val queries = base.filter(isQuery(col("vec_id")))
       .select(col("vec_id").as("q_id"), x.as("q_emb"),
@@ -775,10 +780,8 @@ object Vectors {
       .crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("acos",
-        col("scale") * aggregate(
-          zip_with(col("code"), col("q_emb"),
-            (c, y) => c.cast(DoubleType) * y.cast(DoubleType)),
-          lit(0.0), (a, t) => a + t) / (col("nrm") * col("q_nrm")))
+        col("scale") * vecDot(spark, col("code"), col("q_emb")) /
+          (col("nrm") * col("q_nrm")))
       .withColumn("crk", row_number().over(wCand))
       .filter(col("crk") <= Sq8Candidates)
     val wRank = Window.partitionBy(col("q_id"))
