@@ -161,7 +161,91 @@ object Store {
         min(col("time")).as("min_time"), max(col("time")).as("max_time")))
   }
 
+  /** Time travel through the versioned store (the Delta capability the
+    * §1.5 adjudication previously closed as unprovided): two appends and a
+    * non-destructive upsert build versions 0/1/2, then EVERY version is
+    * read back AS OF and aggregated — the oracle reconstructs all three
+    * snapshots independently from the fixture, so the log replay, the
+    * immutability of published files, and the merge rewrite are all under
+    * the differential gate at once. */
+  def storeTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("store_tt").toString
+    val vs = new graft.store.VersionedStore(spark, root)
+    val points = load(spark, dir, "events")
+      .select(col("event_type"), col("user_id"), col("ts").as("time"),
+        col("value"), col("event_id").as("version"))
+    vs.append("RawData", points.filter(col("version") % 2 === 0))
+    vs.append("RawData", points.filter(col("version") % 2 =!= 0))
+    val revised = points
+      .filter(date_format(col("time"), "yyyy-MM-dd") === UpsertDay)
+      .withColumn("value", col("value") * 2)
+      .withColumn("version", col("version") + 1000000)
+    vs.upsert("RawData", revised,
+      keys = Seq("event_type", "user_id", "time"), versionCol = "version")
+    val h = vs.history("RawData")
+    require(h.map(_._2) == Seq("append", "append", "upsert") &&
+      h.last._4 > 0,
+      s"versioned store exercised nothing: $h")
+    val perVersion = (0L to 2L).map { v =>
+      vs.readAsOf("RawData", v)
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+          max(col("version")).as("max_version"))
+        .withColumn("snapshot", lit(v))
+    }
+    totalOrder(perVersion.reduce(_ unionByName _)
+      .select(col("snapshot"), col("day"), col("n"), col("sum_value"),
+        col("max_version")))
+  }
+
+  private val Day4 = "2024-01-04"
+
+  /** Two RACING writers against the versioned store — disjoint-day upserts
+    * committed concurrently through the optimistic-concurrency protocol.
+    * Whichever writer loses the publish race rebases against the winner's
+    * snapshot, so BOTH revisions land whatever the interleaving and the
+    * final table is order-independent — which is exactly what lets a
+    * nondeterministically-scheduled concurrent run sit under a
+    * deterministic differential oracle. The serialized history length
+    * rides along as a constant column: exactly three commits, never two
+    * (lost update) or four (double-publish). */
+  def storeConcurrentWriters(spark: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("store_occ").toString
+    val vs = new graft.store.VersionedStore(spark, root)
+    val points = load(spark, dir, "events")
+      .select(col("event_type"), col("user_id"), col("ts").as("time"),
+        col("value"), col("event_id").as("version"))
+    vs.append("RawData", points)
+    def revision(day: String, mult: Int, bump: Long): DataFrame = points
+      .filter(date_format(col("time"), "yyyy-MM-dd") === day)
+      .withColumn("value", col("value") * mult)
+      .withColumn("version", col("version") + bump)
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val keys = Seq("event_type", "user_id", "time")
+    try {
+      val a = Future(vs.upsert("RawData", revision(UpsertDay, 2, 1000000L),
+        keys, "version"))
+      val b = Future(vs.upsert("RawData", revision(Day4, 3, 2000000L),
+        keys, "version"))
+      Await.result(a.zip(b), 10.minutes)
+      ()
+    } finally { pool.shutdown(); () }
+    val h = vs.history("RawData")
+    require(vs.latestVersion("RawData") == 2L && h.size == 3,
+      s"concurrent commit history wrong: $h")
+    totalOrder(vs.read("RawData")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+        max(col("version")).as("max_version"))
+      .withColumn("n_commits", lit(h.size.toLong)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "store_time_travel" -> storeTimeTravel,
+    "store_concurrent_writers" -> storeConcurrentWriters,
     "store_compact" -> storeCompact,
     "store_delete_series_window" -> storeDeleteSeriesWindow,
     "store_upsert_roundtrip" -> storeRoundtrip,
@@ -170,6 +254,38 @@ object Store {
     "sink_influx_write" -> sinkInfluxWrite)
 
   val oracle: Map[String, String] = Map(
+    "store_time_travel" ->
+      s"""WITH days AS (
+         |  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+         |    event_id, value FROM events
+         |), snap AS (
+         |  SELECT CAST(0 AS BIGINT) AS snapshot, day, COUNT(*) AS n,
+         |    ${sqlDsum("value")} AS sum_value, MAX(event_id) AS max_version
+         |  FROM days WHERE event_id % 2 = 0 GROUP BY day
+         |  UNION ALL
+         |  SELECT CAST(1 AS BIGINT), day, COUNT(*),
+         |    ${sqlDsum("value")}, MAX(event_id)
+         |  FROM days GROUP BY day
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT), day, COUNT(*),
+         |    ${sqlDsum(s"CASE WHEN day = '$UpsertDay' THEN value * 2 ELSE value END")},
+         |    MAX(CASE WHEN day = '$UpsertDay' THEN event_id + 1000000
+         |        ELSE event_id END)
+         |  FROM days GROUP BY day
+         |)
+         |SELECT snapshot, day, n, sum_value, max_version FROM snap
+         |${orderAll("snapshot", "day", "n", "sum_value", "max_version")}""".stripMargin,
+    "store_concurrent_writers" ->
+      s"""SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+         |  COUNT(*) AS n,
+         |  ${sqlDsum(s"CASE WHEN strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') = '$UpsertDay' THEN value * 2 WHEN strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') = '$Day4' THEN value * 3 ELSE value END")} AS sum_value,
+         |  MAX(CASE WHEN strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') = '$UpsertDay'
+         |      THEN event_id + 1000000
+         |      WHEN strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') = '$Day4'
+         |      THEN event_id + 2000000 ELSE event_id END) AS max_version,
+         |  CAST(3 AS BIGINT) AS n_commits
+         |FROM events GROUP BY 1
+         |${orderAll("day", "n", "sum_value", "max_version", "n_commits")}""".stripMargin,
     "store_compact" ->
       s"""SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
          |  COUNT(*) AS n, ${sqlDsum("value")} AS sum_value,
