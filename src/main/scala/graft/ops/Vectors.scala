@@ -846,9 +846,43 @@ object Vectors {
     * the 4× compression point of the published MRL ladders. */
   private val MrlDims = 16
 
+  /** ANN quality audit — recall@5 of every approximate kNN tier against
+    * the exact brute-force top-5 on the pinned query set, the evaluation
+    * harness a 100 TB retrieval deployment runs continuously (an ANN tier
+    * whose recall silently degrades as the corpus drifts is worse than a
+    * slow exact scan, because nothing looks wrong). Micro-averaged:
+    * hits / (5 · |Q|), one IEEE division on exact integers so the whole
+    * report — six tiers, each a full candidate-generation pipeline —
+    * sits under the DuckDB differential oracle, which recomputes every
+    * tier from its own oracle SQL. At scale the tiers share the cached
+    * base scan and the exact reference is the only O(n·|Q|) leg. */
+  def simRecallReport(spark: SparkSession, dir: String): DataFrame = {
+    val exact = simKnnBruteforce(spark, dir)
+      .select(col("q_id"), col("neighbor_id"))
+      .transform(graft.OpCaches.cached)
+    val tiers: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "ivf" -> simKnnIvf,
+      "ivfpq" -> simKnnIvfPq,
+      "mrl" -> simKnnMrl,
+      "pq" -> simKnnPq,
+      "rp" -> simKnnRp,
+      "sq8" -> simKnnSq8)
+    val hits = tiers.map { case (name, fn) =>
+      fn(spark, dir).select(col("q_id"), col("neighbor_id"))
+        .join(exact, Seq("q_id", "neighbor_id"))
+        .agg(count(lit(1)).as("hits"))
+        .withColumn("tier", lit(name))
+    }.reduce(_ unionByName _)
+    totalOrder(hits
+      .crossJoin(exact.agg(count_distinct(col("q_id")).as("n_queries")))
+      .select(col("tier"), col("n_queries"), col("hits"),
+        (col("hits") / (lit(5.0) * col("n_queries"))).as("recall")))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_recall_report" -> simRecallReport,
     "sim_knn_sq8" -> simKnnSq8,
     "sim_knn_mrl" -> simKnnMrl,
     "sim_range_search" -> simRangeSearch,
@@ -911,7 +945,40 @@ object Vectors {
        |      AS tstride FROM base),
        |tr AS (SELECT * FROM base WHERE vec_id % (SELECT tstride FROM p) = 0)""".stripMargin
 
+  /** A tier's published oracle, reusable as a subquery: the outer total
+    * ORDER (always the last clause, appended by orderAll) stripped. */
+  private def tierCte(name: String): String = {
+    val sql = oracleMain(name)
+    sql.substring(0, sql.lastIndexOf("ORDER BY")).trim
+  }
+
+  /** The recall report's oracle COMPOSES the six tier oracles verbatim:
+    * each approximate tier is recomputed by DuckDB from its own published
+    * SQL and intersected with the brute-force top-5, so the report's
+    * numbers are differentially pinned end-to-end. */
+  private lazy val recallOracle: String = {
+    val tiers = Seq("ivf" -> "sim_knn_ivf", "ivfpq" -> "sim_knn_ivfpq",
+      "mrl" -> "sim_knn_mrl", "pq" -> "sim_knn_pq",
+      "rp" -> "sim_knn_rp", "sq8" -> "sim_knn_sq8")
+    val hitRows = tiers.map { case (t, id) =>
+      s"""SELECT '$t' AS tier, COUNT(*) AS hits
+         |FROM ( ${tierCte(id)} ) a
+         |JOIN exact e
+         |  ON a.q_id = e.q_id AND a.neighbor_id = e.neighbor_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH exact AS ( ${tierCte("sim_knn_bruteforce")} ),
+       |nq AS (SELECT COUNT(DISTINCT q_id) AS n_queries FROM exact),
+       |h AS (
+       |$hitRows
+       |)
+       |SELECT h.tier, nq.n_queries, h.hits,
+       |  h.hits / (5.0 * nq.n_queries) AS recall
+       |FROM h CROSS JOIN nq
+       |${orderAll("tier", "n_queries", "hits", "recall")}""".stripMargin
+  }
+
   val oracle: Map[String, String] = oracleMain +
+    ("sim_recall_report" -> recallOracle) +
     // the indexed search is bit-identical to the in-memory IVF tier
     // (doubles round-trip parquet exactly), so it shares that oracle; the
     // build audit re-derives the training chain and checks the ON-DISK
