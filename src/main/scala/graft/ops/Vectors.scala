@@ -879,9 +879,51 @@ object Vectors {
         (col("hits") / (lit(5.0) * col("n_queries"))).as("recall")))
   }
 
+  /** SemDeDup's cosine threshold — matched to dedup_embcos's τ so the two
+    * ops differ ONLY in candidate generation (trained k-means cells vs LSH
+    * bands) and the comparison between them is apples-to-apples. */
+  private val SemTau = 0.45
+
+  /** Semantic deduplication, SemDeDup (Abbas et al. '23): the trained
+    * k-means quantizer as the blocking key — every vector compares only
+    * within its cluster, pairs ≥ τ feed the same min-id survivorship
+    * engine as the text dedup family. This is the published scale path
+    * for embedding dedup: cells are √n-sized by construction, so the
+    * pair mass is Σ|cell|² ≈ n·√n (the simKnnJoin bound, monitored by
+    * sim_ivf_stats) instead of the n² of all-pairs — and unlike the LSH
+    * route (dedup_embcos) the blocking structure is the SAME index the
+    * serving tiers already train, so at 100 TB dedup rides the existing
+    * partitioning instead of adding a second one. Fully oracled: DuckDB
+    * reproduces the Lloyd chain, the within-cell pairs, and the
+    * connected components. */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.vecDot
+    val base = load(spark, dir, "embeddings")
+      .withColumn("nrm", sqrt(vecDot(spark, col("embedding"), col("embedding"))))
+      .transform(graft.OpCaches.cached)
+    val (_, lists) = ivfIndex(spark, base)
+    val sided = lists.join(base, "vec_id")
+    val a = sided.select(col("cid"), col("vec_id").as("id_a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = sided.select(col("cid"), col("vec_id").as("id_b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val pairs = a.join(b, "cid")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        vecDot(spark, col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= SemTau)
+      .select(col("id_a"), col("id_b"))
+      .transform(lineageCut)
+    totalOrder(Dedup.clusterSurvivorship(spark, pairs, "vec_id")
+      .join(lists, "vec_id")
+      .select(col("vec_id"), col("cid"), col("canonical_id"),
+        col("cluster_size"), col("is_survivor")))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_semantic" -> dedupSemantic,
     "sim_recall_report" -> simRecallReport,
     "sim_knn_sq8" -> simKnnSq8,
     "sim_knn_mrl" -> simKnnMrl,
@@ -978,6 +1020,47 @@ object Vectors {
   }
 
   val oracle: Map[String, String] = oracleMain +
+    ("dedup_semantic" ->
+      s"""WITH RECURSIVE base AS (
+         |  SELECT vec_id, embedding, ${sqlNorm.format("embedding")} AS nrm
+         |  FROM embeddings),
+         |$sqlIvfPrelude,
+         |c0 AS (
+         |  SELECT vec_id AS cid,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec,
+         |    ${sqlNorm.format("embedding")} AS cnrm
+         |  FROM base WHERE vec_id % (SELECT stride FROM p) = 0),
+         |${sqlAssign("a0", "c0", "tr")},
+         |${sqlUpdate("c1", "a0")},
+         |${sqlAssign("a1", "c1", "tr")},
+         |${sqlUpdate("c2", "a1")},
+         |${sqlAssign("a2", "c2", "base")},
+         |epairs AS (
+         |  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM a2 x JOIN a2 y ON x.cid = y.cid AND x.vec_id < y.vec_id
+         |  JOIN base ba ON ba.vec_id = x.vec_id
+         |  JOIN base bb ON bb.vec_id = y.vec_id
+         |  WHERE ${sqlDot.format("ba.embedding", "bb.embedding")}
+         |      / (ba.nrm * bb.nrm) >= $SemTau),
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM epairs
+         |  UNION ALL
+         |  SELECT id_b, id_a FROM epairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |walk AS (
+         |  SELECT id, id AS lbl FROM nodes
+         |  UNION
+         |  SELECT e.a AS id, w.lbl FROM walk w JOIN edges e ON e.b = w.id),
+         |labels AS (SELECT id, MIN(lbl) AS canonical_id FROM walk GROUP BY id),
+         |csizes AS (
+         |  SELECT canonical_id, COUNT(*) AS cluster_size
+         |  FROM labels GROUP BY canonical_id)
+         |SELECT l.id AS vec_id, a2.cid, l.canonical_id, s.cluster_size,
+         |  l.id = l.canonical_id AS is_survivor
+         |FROM labels l JOIN csizes s USING (canonical_id)
+         |JOIN a2 ON a2.vec_id = l.id
+         |${orderAll("vec_id", "cid", "canonical_id", "cluster_size",
+                     "is_survivor")}""".stripMargin) +
     ("sim_recall_report" -> recallOracle) +
     // the indexed search is bit-identical to the in-memory IVF tier
     // (doubles round-trip parquet exactly), so it shares that oracle; the
