@@ -344,9 +344,105 @@ object Analytics {
         col("seasonal"), col("resid")))
   }
 
+  /** Target point count for [[tsDownsampleLttb]] — the downsampled series
+    * width (seed + 10 triangle-selected points + tail). */
+  private val LttbB = 12
+
+  /** Largest-Triangle-Three-Buckets downsampling (Steinarsson '13 — the
+    * algorithm behind every Grafana/PlotJuggler "render 10M points as
+    * 500" panel): first and last points pinned, the interior split into
+    * B−2 equal-count buckets, and each bucket contributes the point whose
+    * triangle with the PREVIOUSLY SELECTED point and the NEXT bucket's
+    * centroid has the largest area — the visually-dominant point, not the
+    * max or the mean. The sequential dependency (each selection feeds the
+    * next triangle) is the textbook per-series fold: series collect once
+    * (sorted arrays, the EMA/Holt-Winters machinery) and one aggregate()
+    * walks the buckets, so the op parallelizes across the tag space and
+    * is one shuffle. Engine-stability: the centroid divisor is cleared by
+    * scaling each comparison by the (positive) bucket size — argmax-
+    * invariant — and areas are computed on micro-unit BIGINTs promoted to
+    * DECIMAL(38,0) (HUGEINT on the oracle side), so every area is EXACT
+    * and the (area desc, x asc) argmax picks the same point in both
+    * engines; the output carries the untouched raw doubles. The oracle
+    * unrolls the B−2 fold steps as chained CTEs. */
+  def tsDownsampleLttb(spark: SparkSession, dir: String): DataFrame = {
+    val mid = LttbB - 2
+    def bucketOf(xv: String) = s"1 + ((($xv - 1) * $mid) div (n - 2))"
+    def innerAt(k: String) =
+      s"c.x >= 1 AND c.x <= n - 2 AND ${bucketOf("c.x")} = $k"
+    val bucketsSql =
+      s"""transform(sequence(1, $mid), k -> named_struct(
+         |  'k', CAST(k AS BIGINT),
+         |  'cands', filter(zip, c -> ${innerAt("k")}),
+         |  'cnt', IF(k < $mid,
+         |    CAST(size(filter(zip, c -> ${innerAt("k + 1")})) AS BIGINT),
+         |    CAST(1 AS BIGINT)),
+         |  'sx', IF(k < $mid,
+         |    aggregate(filter(zip, c -> ${innerAt("k + 1")}),
+         |      CAST(0 AS BIGINT), (a, c) -> a + c.x),
+         |    element_at(zip, -1).x),
+         |  'sy', IF(k < $mid,
+         |    aggregate(filter(zip, c -> ${innerAt("k + 1")}),
+         |      CAST(0 AS BIGINT), (a, c) -> a + c.yu),
+         |    element_at(zip, -1).yu)))""".stripMargin
+    // |cnt·xp − Sx|·|yc − yp| ≤ 1e13·1e9-µ — DECIMAL(38,0) keeps every
+    // product exact (BIGINT would overflow past sf1)
+    def dec(e: String) = s"CAST($e AS DECIMAL(38,0))"
+    def area(c: String) =
+      s"""abs((${dec("bk.cnt")} * ${dec("st.xp")} - ${dec("bk.sx")})
+         |  * ${dec(s"$c.yu - st.yp")}
+         |  - (${dec("st.xp")} - ${dec(s"$c.x")})
+         |  * (${dec("bk.sy")} - ${dec("bk.cnt")} * ${dec("st.yp")}))""".stripMargin
+    val best =
+      s"""aggregate(bk.cands,
+         |  named_struct('a', CAST(-1 AS DECIMAL(38,0)),
+         |    'x', CAST(0 AS BIGINT), 'yu', CAST(0 AS BIGINT),
+         |    'ts', element_at(zip, 1).ts, 'value', CAST(0.0 AS DOUBLE)),
+         |  (b, c) -> IF(${area("c")} > b.a
+         |              OR (${area("c")} = b.a AND c.x < b.x),
+         |    named_struct('a', ${area("c")}, 'x', c.x, 'yu', c.yu,
+         |      'ts', c.ts, 'value', c.value),
+         |    b))""".stripMargin
+    val foldSql =
+      s"""aggregate(buckets,
+         |  named_struct(
+         |    'xp', CAST(0 AS BIGINT),
+         |    'yp', element_at(zip, 1).yu,
+         |    'sel', array(named_struct('k', CAST(0 AS BIGINT),
+         |      'ts', element_at(zip, 1).ts,
+         |      'value', element_at(zip, 1).value))),
+         |  (st, bk) -> named_struct(
+         |    'xp', $best.x,
+         |    'yp', $best.yu,
+         |    'sel', concat(st.sel, array(named_struct('k', bk.k,
+         |      'ts', $best.ts, 'value', $best.value)))),
+         |  st -> st.sel)""".stripMargin
+    val tailSql =
+      s"""concat(sel, array(named_struct('k', CAST(${LttbB - 1} AS BIGINT),
+         |  'ts', element_at(zip, -1).ts,
+         |  'value', element_at(zip, -1).value)))""".stripMargin
+    totalOrder(load(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+        col("value")))).as("pts"))
+      .filter(size(col("pts")) >= LttbB + 2)
+      .withColumn("n", size(col("pts")).cast("long"))
+      .withColumn("zip", expr(
+        """transform(pts, (p, i) -> struct(
+          |  CAST(i AS BIGINT) AS x,
+          |  CAST(round(p.value * 1000000.0) AS BIGINT) AS yu,
+          |  p.ts AS ts, p.value AS value))""".stripMargin))
+      .withColumn("buckets", expr(bucketsSql))
+      .withColumn("sel", expr(foldSql))
+      .select(col("event_type"), explode(expr(tailSql)).as("pt"))
+      .select(col("event_type"), col("pt.k").as("k"),
+        col("pt.ts").as("ts"), col("pt.value").as("value")))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_downsample_lttb" -> tsDownsampleLttb,
     "ts_resample_linear" -> tsResampleLinear,
     "ts_stl_decompose" -> tsStlDecompose,
     "ts_anomaly_mad" -> tsAnomalyMad,
@@ -357,6 +453,56 @@ object Analytics {
     "agg_histogram" -> aggHistogram)
 
   val oracle: Map[String, String] = Map(
+    "ts_downsample_lttb" -> {
+      val mid = LttbB - 2
+      val steps = (1 to mid).map { k =>
+        val prev = if (k == 1) "s0" else s"s${k - 1}"
+        s"""s$k AS (
+           |  SELECT event_type, x AS xp, yu AS yp, ts, value FROM (
+           |    SELECT c.event_type, c.x, c.yu, c.ts, c.value,
+           |      ROW_NUMBER() OVER (PARTITION BY c.event_type ORDER BY
+           |        abs((CAST(n.cnt AS HUGEINT) * p.xp - n.sx) * (c.yu - p.yp)
+           |          - (p.xp - c.x) * (n.sy - CAST(n.cnt AS HUGEINT) * p.yp))
+           |          DESC, c.x) AS rn
+           |    FROM cand c
+           |    JOIN $prev p USING (event_type)
+           |    JOIN nxt n ON n.event_type = c.event_type AND n.k = ${k + 1}
+           |    WHERE c.k = $k) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val sel = (1 to mid).map(k =>
+        s"SELECT event_type, CAST($k AS BIGINT) AS k, ts, value FROM s$k")
+        .mkString("\nUNION ALL\n")
+      s"""WITH p0 AS (
+         |  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type
+         |      ORDER BY CAST(ts AS TIMESTAMP), event_id) - 1 AS x,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS n,
+         |    CAST(round(value * 1000000.0) AS BIGINT) AS yu
+         |  FROM events),
+         |pts AS (SELECT * FROM p0 WHERE n >= ${LttbB + 2}),
+         |cand AS (SELECT *, 1 + ((x - 1) * $mid) // (n - 2) AS k
+         |         FROM pts WHERE x >= 1 AND x <= n - 2),
+         |lastp AS (SELECT event_type, x, yu, ts, value FROM pts
+         |          WHERE x = n - 1),
+         |nxt AS (
+         |  SELECT event_type, k, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(yu) AS BIGINT) AS sy
+         |  FROM cand GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT event_type, ${mid + 1}, CAST(1 AS BIGINT), x, yu
+         |  FROM lastp),
+         |s0 AS (SELECT event_type, CAST(0 AS BIGINT) AS xp, yu AS yp,
+         |         ts, value
+         |       FROM pts WHERE x = 0),
+         |$steps
+         |SELECT event_type, CAST(0 AS BIGINT) AS k, ts, value FROM s0
+         |UNION ALL
+         |$sel
+         |UNION ALL
+         |SELECT event_type, CAST(${LttbB - 1} AS BIGINT) AS k, ts, value
+         |FROM lastp
+         |${orderAll("event_type", "k", "ts", "value")}""".stripMargin
+    },
     "ts_stl_decompose" ->
       s"""WITH e AS (
          |  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),

@@ -428,9 +428,52 @@ object Pipeline {
       .select(col("doc_id"), col("source"), col("p_mille"), col("u")))
   }
 
+  /** Total training-token budget for [[pipelineTokenBudget]] — divisible
+    * by the Σweights = 210 so every per-source target is an exact BIGINT. */
+  private val TokenBudget = 21000000L
+
+  /** Epoch cap: repeated data is ≈ as good as fresh for ~4 epochs and
+    * decays fast beyond (the data-constrained-scaling result the planner
+    * exists to surface). */
+  private val EpochCap = 4L
+
+  /** The pre-training mixture PLANNER — the domain-weights table every
+    * run is launched from (the LLaMA/DoReMi recipe shape): given target
+    * mixture weights and a total token budget, report per source the
+    * available whitespace-token supply, the budgeted target, the epoch
+    * factor target/available that importance sampling must realize, and
+    * whether the source is DATA-CONSTRAINED (needs > 4 epochs, where
+    * repetition stops substituting for fresh data) with the effective
+    * cap-respecting token yield. Weights derive deterministically from
+    * the source id (suffix+1, Σ = 210). One map-side-combinable
+    * aggregation over the corpus — at 100 TB the report is 20 rows, and
+    * it is the op you run BEFORE pipeline_sample_weighted to know the
+    * p_mille each source deserves. Everything except the epoch ratio is
+    * exact integer arithmetic; the ratio is one IEEE division. */
+  def pipelineTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Text.tokens
+    val weight = substring(col("source"), 4, 10).cast("long") + 1L
+    totalOrder(load(spark, dir, "documents")
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("avail_tokens"))
+      .withColumn("weight", weight)
+      .withColumn("target_tokens", col("weight") * (TokenBudget / 210L))
+      .withColumn("epochs",
+        col("target_tokens").cast("double") / col("avail_tokens"))
+      .withColumn("data_constrained",
+        col("target_tokens") > lit(EpochCap) * col("avail_tokens"))
+      .withColumn("effective_tokens",
+        least(col("target_tokens"), lit(EpochCap) * col("avail_tokens")))
+      .select(col("source"), col("weight"), col("avail_tokens"),
+        col("target_tokens"), col("epochs"), col("data_constrained"),
+        col("effective_tokens")))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_token_budget" -> pipelineTokenBudget,
     "pipeline_sample_weighted" -> pipelineSampleWeighted,
     "pipeline_quality_classifier" -> pipelineQualityClassifier,
     "pipeline_corpus_stats" -> pipelineCorpusStats,
@@ -447,6 +490,25 @@ object Pipeline {
     "text_pii_scrub" -> textPiiScrub)
 
   val oracle: Map[String, String] = Map(
+    "pipeline_token_budget" ->
+      s"""WITH s AS (
+         |  SELECT source,
+         |    CAST(SUM(len(list_filter(
+         |      regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+         |      t -> t <> ''))) AS BIGINT) AS avail_tokens,
+         |    CAST(substring(source, 4) AS BIGINT) + 1 AS weight
+         |  FROM documents GROUP BY source)
+         |SELECT source, weight, avail_tokens,
+         |  weight * ${TokenBudget / 210L} AS target_tokens,
+         |  CAST(weight * ${TokenBudget / 210L} AS DOUBLE) / avail_tokens
+         |    AS epochs,
+         |  weight * ${TokenBudget / 210L} > $EpochCap * avail_tokens
+         |    AS data_constrained,
+         |  least(weight * ${TokenBudget / 210L}, $EpochCap * avail_tokens)
+         |    AS effective_tokens
+         |FROM s
+         |${orderAll("source", "weight", "avail_tokens", "target_tokens",
+                     "epochs", "data_constrained", "effective_tokens")}""".stripMargin,
     "pipeline_sample_weighted" -> {
       val vals = SampleWeights
         .map { case (s, p) => s"('$s', $p)" }.mkString(", ")

@@ -37,6 +37,21 @@ class AnalyticsSpec extends SparkTestBase {
     assert(r.getAs[Double]("mad") === 1.0)
   }
 
+  test("ts_downsample_lttb: the spike survives, endpoints pinned, B points") {
+    // 50 near-flat points with one huge spike: the visually-dominant
+    // point MUST be among the 12 selected — the property LTTB exists for
+    // (min/max/mean downsampling all erase or smear it)
+    val vals = (0 until 50).map(i => if (i == 23) 500.0 else 10.0 + (i % 2))
+    val dir = eventsDir(vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong + 1, i.toLong, "a", v) })
+    val out = ops.Analytics.tsDownsampleLttb(spark, dir).collect()
+    assert(out.length === 12, s"expected 12 points, got ${out.length}")
+    assert(out.count(_.getAs[Double]("value") == 500.0) === 1,
+      "the spike was not selected")
+    val ks = out.map(_.getAs[Long]("k")).sorted
+    assert(ks.head === 0L && ks.last === 11L && ks.distinct.length === 12)
+  }
+
   test("ts_anomaly_mad: MAD is robust — a clean shifted series flags nothing") {
     // same shape, no outlier; and a second series at 1000× scale proves
     // the threshold is scale-relative, not absolute
