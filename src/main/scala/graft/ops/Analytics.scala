@@ -439,9 +439,109 @@ object Analytics {
         col("pt.ts").as("ts"), col("pt.value").as("value")))
   }
 
+  /** Ordered conversion funnel view → click → purchase with a 7-day
+    * conversion window from first view — the product-analytics primitive
+    * (Amplitude/Mixpanel "funnel", ClickHouse windowFunnel) a raw
+    * event-stream engine must answer: of the users who VIEWED, how many
+    * CLICKED after that view, and then PURCHASED after that click, all
+    * inside the window? Stage times are chained minima — t2 is the first
+    * click strictly after t1, t3 the first purchase strictly after t2 —
+    * expressed as three stacked full-partition window minima over the SAME
+    * user_id partitioning, so the whole funnel is ONE exchange: Spark
+    * reuses the first window's shuffle+sort for the second and third
+    * (each references the previous stage's column, which is
+    * partition-constant) and the closing per-user collapse groups on the
+    * same key. Timestamps are exact µs instants, so the op is fully
+    * oracled with no float anywhere. At 100 TB the user axis is the
+    * parallelism: no broadcast, no self-join, state is three timestamps
+    * per user. */
+  def tsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val deadline = col("t1") + expr("INTERVAL 7 DAYS")
+    val staged = load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" &&
+          col("ts") > col("t1") && col("ts") <= deadline, col("ts"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" &&
+          col("ts") > col("t2") && col("ts") <= deadline, col("ts"))).over(w))
+    totalOrder(staged
+      .groupBy(col("user_id"))
+      .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"),
+        min(col("t3")).as("t3"))
+      .filter(col("t1").isNotNull)
+      .withColumn("reached_stage",
+        lit(1) + when(col("t2").isNotNull, 1).otherwise(0)
+          + when(col("t3").isNotNull, 1).otherwise(0)))
+  }
+
+  /** Cohort retention — the activation/retention triangle every growth
+    * dashboard renders: users are cohorted by their FIRST active day, and
+    * each (cohort_day, day_offset) cell counts how many of that cohort
+    * were active offset days later. (user, day) activity is collapsed to
+    * distinct first (so a chatty user counts once per day), the cohort day
+    * is a full-partition window minimum on the user key, and the cell
+    * count is a plain hash agg — counting rows, not distinct users,
+    * because the (user, day) grain already made rows unique: the
+    * cardinality is exact with NO count-distinct shuffle. Two exchanges
+    * total (user_id, then the cohort cell), both map-side combined;
+    * integer day offsets, so fully oracled. */
+  def tsCohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    totalOrder(load(spark, dir, "events")
+      .select(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+      .distinct()
+      .withColumn("cohort_day", min(col("day")).over(w))
+      .withColumn("day_offset",
+        datediff(col("day"), col("cohort_day")).cast("long"))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("active_users")))
+  }
+
+  /** Multi-window SLO burn rate (the Google SRE-workbook alerting shape):
+    * per hourly bucket, the error share against a 0.2 error budget in the
+    * bucket itself (the fast window) and in the trailing 6 hours (the slow
+    * window that suppresses blips), alerting when BOTH burn fast
+    * (burn_1h > 1.5 AND burn_6h > 1.1). The scan pre-aggregates to one
+    * exact (errors, total) row per hour — THE scale move: the window pass
+    * runs over |hours| rows, not |events|, so the unpartitioned
+    * range-frame window is a metadata-sized job at any corpus size. The
+    * 6-hour frame is a RANGE frame over integer epoch seconds (18000
+    * preceding), immune to missing buckets where a 5-row frame is not.
+    * Counts are exact longs; each burn is integer-ratio division then one
+    * divide by the budget — identical expression text in both engines, so
+    * the doubles and the threshold comparisons are determinate. */
+  def tsSloBurn(spark: SparkSession, dir: String): DataFrame = {
+    val budget = lit(0.2)
+    val hourly = load(spark, dir, "events")
+      .groupBy(date_trunc("HOUR", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("total"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("errors"))
+      .withColumn("epoch", unix_timestamp(col("bucket")))
+    val w6 = Window.orderBy(col("epoch")).rangeBetween(-18000L, 0L)
+    totalOrder(hourly
+      .withColumn("err_6h", sum(col("errors")).over(w6))
+      .withColumn("tot_6h", sum(col("total")).over(w6))
+      .withColumn("burn_1h",
+        col("errors").cast(DoubleType) / col("total") / budget)
+      .withColumn("burn_6h",
+        col("err_6h").cast(DoubleType) / col("tot_6h") / budget)
+      .withColumn("alert",
+        when(col("burn_1h") > 1.5 && col("burn_6h") > 1.1, 1).otherwise(0))
+      .select(col("bucket"), col("errors"), col("total"), col("err_6h"),
+        col("tot_6h"), col("burn_1h"), col("burn_6h"), col("alert")))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_funnel" -> tsFunnel,
+    "ts_cohort_retention" -> tsCohortRetention,
+    "ts_slo_burn" -> tsSloBurn,
     "ts_downsample_lttb" -> tsDownsampleLttb,
     "ts_resample_linear" -> tsResampleLinear,
     "ts_stl_decompose" -> tsStlDecompose,
@@ -453,6 +553,70 @@ object Analytics {
     "agg_histogram" -> aggHistogram)
 
   val oracle: Map[String, String] = Map(
+    "ts_funnel" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+         |  FROM events),
+         |w1 AS (
+         |  SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
+         |    OVER (PARTITION BY user_id) AS t1
+         |  FROM e),
+         |w2 AS (
+         |  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t1
+         |      AND ts <= t1 + INTERVAL 7 DAY THEN ts END)
+         |    OVER (PARTITION BY user_id) AS t2
+         |  FROM w1),
+         |w3 AS (
+         |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2
+         |      AND ts <= t1 + INTERVAL 7 DAY THEN ts END)
+         |    OVER (PARTITION BY user_id) AS t3
+         |  FROM w2),
+         |f AS (
+         |  SELECT user_id, MIN(t1) AS t1, MIN(t2) AS t2, MIN(t3) AS t3
+         |  FROM w3 GROUP BY user_id HAVING MIN(t1) IS NOT NULL)
+         |SELECT user_id, t1, t2, t3,
+         |  1 + CAST(t2 IS NOT NULL AS INTEGER)
+         |    + CAST(t3 IS NOT NULL AS INTEGER) AS reached_stage
+         |FROM f
+         |${orderAll("user_id", "t1", "t2", "t3", "reached_stage")}""".stripMargin,
+    "ts_cohort_retention" ->
+      s"""WITH d AS (
+         |  SELECT DISTINCT user_id,
+         |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+         |  FROM events),
+         |c AS (
+         |  SELECT *, MIN(day) OVER (PARTITION BY user_id) AS cohort_day
+         |  FROM d)
+         |SELECT cohort_day,
+         |  CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset,
+         |  COUNT(*) AS active_users
+         |FROM c GROUP BY 1, 2
+         |${orderAll("cohort_day", "day_offset", "active_users")}""".stripMargin,
+    "ts_slo_burn" ->
+      s"""WITH hourly AS (
+         |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+         |    COUNT(*) AS total,
+         |    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors
+         |  FROM events GROUP BY 1),
+         |ep AS (
+         |  SELECT *, CAST(epoch(bucket) AS BIGINT) AS epoch FROM hourly),
+         |w AS (
+         |  SELECT *,
+         |    SUM(errors) OVER f AS err_6h, SUM(total) OVER f AS tot_6h
+         |  FROM ep
+         |  WINDOW f AS (ORDER BY epoch
+         |    RANGE BETWEEN 18000 PRECEDING AND CURRENT ROW)),
+         |b AS (
+         |  SELECT bucket, CAST(errors AS BIGINT) AS errors, total,
+         |    CAST(err_6h AS BIGINT) AS err_6h, CAST(tot_6h AS BIGINT) AS tot_6h,
+         |    CAST(errors AS DOUBLE) / total / 0.2 AS burn_1h,
+         |    CAST(err_6h AS DOUBLE) / tot_6h / 0.2 AS burn_6h
+         |  FROM w)
+         |SELECT bucket, errors, total, err_6h, tot_6h, burn_1h, burn_6h,
+         |  CASE WHEN burn_1h > 1.5 AND burn_6h > 1.1 THEN 1 ELSE 0 END AS alert
+         |FROM b
+         |${orderAll("bucket", "errors", "total", "err_6h", "tot_6h",
+             "burn_1h", "burn_6h", "alert")}""".stripMargin,
     "ts_downsample_lttb" -> {
       val mid = LttbB - 2
       val steps = (1 to mid).map { k =>

@@ -264,9 +264,42 @@ object Joins {
       .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty")))
   }
 
+  /** Salt fan-out factor for [[joinSaltedSkew]] — bounds the replication of
+    * the dimension side (each dim row is duplicated SkewSalts times). */
+  private val SkewSalts = 16
+
+  /** Salt-replicated skew join — the manual mitigation for the join AQE's
+    * skew splitting can't fix: when ONE key holds a large share of the fact
+    * rows, every plain shuffle strategy lands that key's entire mass on one
+    * task. Remedy: the fact side appends a salt in [0, 16) derived from a
+    * NON-key column (here event_id — uniform, deterministic), the dim side
+    * explodes each row into all 16 salts, and the join runs on
+    * (key, salt) — the hot key's rows now spread over 16 tasks, at the
+    * bounded cost of 16× the (small, but too big or too dynamic to
+    * broadcast) dim side. `hint("shuffle_hash")` pins the shuffled path so
+    * the demo can't silently degrade into a broadcast that defeats its
+    * point (plan-gated). Same result set as the unsalted join — the oracle
+    * IS the plain join — because each fact row matches exactly its own
+    * salt replica. */
+  def joinSaltedSkew(spark: SparkSession, dir: String): DataFrame = {
+    val fact = load(spark, dir, "events")
+      .withColumn("salt", pmod(col("event_id"), lit(SkewSalts)).cast("int"))
+    val dim = load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .withColumn("salt",
+        explode(sequence(lit(0), lit(SkewSalts - 1))))
+      .hint("shuffle_hash")
+    totalOrder(fact
+      .join(dim, fact("user_id") === dim("c_custkey") &&
+        fact("salt") === dim("salt"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value")))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_salted_skew" -> joinSaltedSkew,
     "join_inner_hash" -> joinInnerHash,
     "join_bucketed" -> joinBucketed,
     "join_broadcast" -> joinBroadcast,
@@ -282,6 +315,12 @@ object Joins {
     "join_asof_nearest" -> joinAsofNearest)
 
   val oracle: Map[String, String] = Map(
+    "join_salted_skew" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_events,
+         |  ${sqlDsum("value")} AS sum_value
+         |FROM events JOIN customer ON user_id = c_custkey
+         |GROUP BY c_mktsegment
+         |${orderAll("c_mktsegment", "n_events", "sum_value")}""".stripMargin,
     "join_bucketed" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n_lines,
          |  ${sqlDsum("l_quantity")} AS sum_qty

@@ -167,6 +167,36 @@ object Text {
           + when(col("n_tokens") >= 20.0, 0.2).otherwise(0.0)).as("quality")))
   }
 
+  /** Flesch–Kincaid grade-level readability (Kincaid et al. '75) — the
+    * classic complexity feature corpus-quality stacks report next to the
+    * ratio features: 0.39·(words/sentence) + 11.8·(syllables/word) − 15.59.
+    * Sentences are [.!?]+ runs (min 1); syllables use the standard
+    * vowel-group heuristic — per word, the count of [aeiouy]+ runs, min 1 —
+    * computed as one transform+aggregate fold over the shared token split,
+    * so the whole op is per-row expressions with zero shuffle (the
+    * cheapest 100 TB pass, like the quality scorer it complements). All
+    * three counts are exact integers; the grade is the identical
+    * mul/add/sub/divide expression in both engines, so the doubles are
+    * determinate and the op is fully oracled. */
+  def textReadability(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(load(spark, dir, "documents")
+      .withColumn("words", tokens(col("text")))
+      .withColumn("n_words", size(col("words")).cast("long"))
+      .filter(col("n_words") > 0)
+      .withColumn("n_sentences",
+        greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))),
+          lit(1)).cast("long"))
+      .withColumn("n_syllables", expr(
+        """aggregate(
+          |  transform(words,
+          |    w -> greatest(size(regexp_extract_all(w, '[aeiouy]+', 0)), 1)),
+          |  CAST(0 AS BIGINT), (a, x) -> a + CAST(x AS BIGINT))""".stripMargin))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        (lit(0.39) * (col("n_words").cast(DoubleType) / col("n_sentences"))
+          + lit(11.8) * (col("n_syllables").cast(DoubleType) / col("n_words"))
+          - lit(15.59)).as("fk_grade")))
+
   /** Shannon entropy of the per-document token distribution (bits/token) —
     * the Gopher-style repetition signal: low entropy ⇒ templated or
     * repetitive text wasting its token budget. Pure per-row array
@@ -560,6 +590,7 @@ object Text {
     "text_tokenize_tf" -> textTokenizeTf,
     "text_token_count" -> textTokenCount,
     "text_quality" -> textQuality,
+    "text_readability" -> textReadability,
     "text_entropy" -> textEntropy,
     "text_lang_id" -> textLangId,
     "text_lang_topk" -> textLangTopk,
@@ -823,6 +854,28 @@ object Text {
          |    AS n_bpe_tokens
          |FROM documents
          |${orderAll("doc_id", "n_chars", "n_ws_tokens", "n_bpe_tokens")}""".stripMargin,
+    "text_readability" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, text, list_filter(
+         |    regexp_split_to_array(lower(text), '[^a-z0-9'']+'), x -> x <> '')
+         |    AS words
+         |  FROM documents),
+         |n AS (
+         |  SELECT doc_id,
+         |    CAST(len(words) AS BIGINT) AS n_words,
+         |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+         |      AS BIGINT) AS n_sentences,
+         |    CAST(list_sum(list_transform(words,
+         |      w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1)))
+         |      AS BIGINT) AS n_syllables
+         |  FROM tok WHERE len(words) > 0)
+         |SELECT doc_id, n_words, n_sentences, n_syllables,
+         |  0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+         |    + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+         |    - 15.59 AS fk_grade
+         |FROM n
+         |${orderAll("doc_id", "n_words", "n_sentences", "n_syllables",
+             "fk_grade")}""".stripMargin,
     "text_quality" ->
       s"""WITH t AS (
          |  SELECT doc_id, n_chars,

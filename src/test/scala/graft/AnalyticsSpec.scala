@@ -226,4 +226,84 @@ class AnalyticsSpec extends SparkTestBase {
     assert(exchanges <= 1,
       s"median and MAD passes re-shuffled the series key ($exchanges exchanges)")
   }
+
+  /** Events fixture with EXPLICIT user ids (eventsDir pins user_id=1) for
+    * the funnel/cohort/burn ops, whose semantics live on the user axis. */
+  private def userEventsDir(
+      rows: Seq[(Long, Long, Long, String, Double)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("user_fx").toString
+    rows.toDF("event_id", "mins", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_seconds(col("mins") * 60))
+      .withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("ts_funnel: stage chaining, the 7-day cut, and wrong-order events") {
+    val day = 24L * 60
+    val rows = Seq(
+      // user 1: full ordered funnel inside the window
+      (1L, 0L, 1L, "view", 1.0), (2L, 60L, 1L, "click", 1.0),
+      (3L, 120L, 1L, "purchase", 1.0),
+      // user 2: click BEFORE its first view — order matters, stage 1
+      (4L, 0L, 2L, "click", 1.0), (5L, 60L, 2L, "view", 1.0),
+      // user 3: click 8 days after the view — outside the 7-day window
+      (6L, 0L, 3L, "view", 1.0), (7L, 8 * day, 3L, "click", 1.0),
+      // user 4: never views — not in the funnel at all
+      (8L, 0L, 4L, "purchase", 1.0),
+      // user 5: purchase but no click — stage 3 requires stage 2
+      (9L, 0L, 5L, "view", 1.0), (10L, 60L, 5L, "purchase", 1.0))
+    val out = ops.Analytics.tsFunnel(spark, userEventsDir(rows)).collect()
+    val stages = out.map(r =>
+      r.getAs[Long]("user_id") -> r.getAs[Int]("reached_stage")).toMap
+    assert(stages === Map(1L -> 3, 2L -> 1, 3L -> 1, 5L -> 1))
+    val u1 = out.find(_.getAs[Long]("user_id") == 1L).get
+    val (t1, t2, t3) = (u1.getAs[java.sql.Timestamp]("t1"),
+      u1.getAs[java.sql.Timestamp]("t2"), u1.getAs[java.sql.Timestamp]("t3"))
+    assert(t1.before(t2) && t2.before(t3), s"stage times not ordered: $u1")
+  }
+
+  test("ts_cohort_retention: exact constructed cells; every user lands in " +
+    "its cohort's offset-0 cell") {
+    val day = 24L * 60
+    // user 1 active days 0, 1, 5 (day 0 twice — distinct grain collapses
+    // it); user 2 active days 1, 3 (cohort day 1, offsets 0 and 2)
+    val rows = Seq(
+      (1L, 0L, 1L, "view", 1.0), (2L, 10L, 1L, "view", 1.0),
+      (3L, day, 1L, "click", 1.0), (4L, 5 * day, 1L, "view", 1.0),
+      (5L, day, 2L, "view", 1.0), (6L, 3 * day + 5, 2L, "error", 1.0))
+    val df = ops.Analytics.tsCohortRetention(spark, userEventsDir(rows))
+    assert(df.count() === 5, df.collect().mkString("; "))
+    // offset-0 cells hold exactly the cohort populations: 2 users total
+    assert(df.filter(col("day_offset") === 0)
+      .agg(sum(col("active_users"))).head.getLong(0) === 2)
+    // user 1's day-5 return and user 2's day-2 return are single-user cells
+    assert(df.filter(col("day_offset") === 5)
+      .head.getAs[Long]("active_users") === 1)
+    assert(df.filter(col("day_offset") === 2)
+      .head.getAs[Long]("active_users") === 1)
+    assert(df.agg(min(col("day_offset"))).head.getLong(0) === 0)
+  }
+
+  test("ts_slo_burn: exact trailing sums and the two-window alert rule") {
+    // hour 0: 10 events / 1 error (burn_1h = 0.5 — quiet); hour 1: 10
+    // events / 5 errors (burn_1h = 2.5 AND 6h pool 6/20 → burn 1.5 → alert)
+    val rows = (0 until 10).map { i =>
+      (i.toLong + 1, i.toLong, 1L, if (i == 0) "error" else "view", 1.0) } ++
+      (0 until 10).map { i =>
+        (i.toLong + 11, 60L + i, 1L, if (i < 5) "error" else "view", 1.0) }
+    val out = ops.Analytics.tsSloBurn(spark, userEventsDir(rows))
+      .orderBy(col("bucket")).collect()
+    assert(out.length === 2)
+    val (h0, h1) = (out(0), out(1))
+    assert(h0.getAs[Long]("errors") === 1 && h0.getAs[Long]("err_6h") === 1)
+    assert(h0.getAs[Int]("alert") === 0)
+    assert(h1.getAs[Long]("errors") === 5 && h1.getAs[Long]("err_6h") === 6 &&
+      h1.getAs[Long]("tot_6h") === 20)
+    assert(h1.getAs[Double]("burn_1h") === 2.5)
+    assert(h1.getAs[Double]("burn_6h") === 6.0 / 20 / 0.2)
+    assert(h1.getAs[Int]("alert") === 1)
+  }
 }

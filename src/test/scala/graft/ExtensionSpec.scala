@@ -946,4 +946,31 @@ class ExtensionSpec extends SparkTestBase {
       assert(s > 0.0, s"doc $id nonpositive score")
     }
   }
+
+  test("text_readability: hand-computed FK grades on constructed docs; " +
+    "monosyllabic short sentences score lowest") {
+    val tmp = java.nio.file.Files.createTempDirectory("fk").toString
+    val rows = Seq(
+      // 1 word, 1 sentence, 1 syllable: 0.39 + 11.8 - 15.59 = -3.4
+      (1L, "cat.", "en", "gen", 4L),
+      // "incomprehensibility" = i-nco-mpre-he-nsi-bi-li-ty: vowel groups
+      // i,o,e,e,i,i,i,y = 8 → 0.39·1 + 11.8·8 − 15.59
+      (2L, "incomprehensibility.", "en", "gen", 20L),
+      // 6 words over 2 sentences, all monosyllables: no sentence split drift
+      (3L, "the cat sat! it ran off.", "en", "gen", 24L))
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$tmp/documents.parquet")
+    val out = ops.Text.textReadability(spark, tmp)
+      .select("doc_id", "n_words", "n_sentences", "n_syllables", "fk_grade")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 1L, 1L, 1L, 0.39 + 11.8 - 15.59)))
+    assert(out(2L)._4 === 8L)
+    assert(out(2L)._5 === 0.39 + 11.8 * 8.0 - 15.59)
+    assert(out(3L) === ((3L, 6L, 2L, 6L,
+      0.39 * 3.0 + 11.8 * 1.0 - 15.59)))
+    // complexity monotonicity: the polysyllabic doc grades hardest
+    assert(out(2L)._5 > out(3L)._5 && out(3L)._5 > out(1L)._5)
+  }
 }

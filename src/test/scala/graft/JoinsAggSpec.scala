@@ -104,4 +104,26 @@ class JoinsAggSpec extends SparkTestBase {
       assert(mergedKeys.contains(t), s"guarantee violated: $t evicted")
     OpCaches.releaseAll()
   }
+
+  test("join_salted_skew: salted result equals the plain unsalted join; " +
+    "the shuffled path is pinned (no broadcast)") {
+    import org.apache.spark.sql.functions._
+    val salted = ops.Joins.joinSaltedSkew(spark, sf)
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"salting demo degraded off the shuffled path: ${plan.take(1500)}")
+    assert(!plan.contains("BroadcastHashJoin"),
+      "broadcast would defeat the salting demo")
+    val plain = graft.Tables.load(spark, sf, "events")
+      .join(graft.Tables.load(spark, sf, "customer"),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.Tables.dsum(col("value")).as("sum_value"))
+    val a = salted.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getDouble(2))).sortBy(_._1)
+    val b = plain.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getDouble(2))).sortBy(_._1)
+    assert(a.sameElements(b), s"salted ${a.mkString(",")} != plain ${b.mkString(",")}")
+  }
 }
