@@ -489,16 +489,23 @@ object Analytics {
     * cardinality is exact with NO count-distinct shuffle. Two exchanges
     * total (user_id, then the cohort cell), both map-side combined;
     * integer day offsets, so fully oracled. */
-  def tsCohortRetention(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id"))
-    totalOrder(load(spark, dir, "events")
+  def tsCohortRetention(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(cohortFrame(load(spark, dir, "events")
       .select(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
-      .distinct()
+      .distinct()))
+
+  /** The cohort post-pass over a DISTINCT (user_id, day) activity frame —
+    * shared verbatim by [[tsCohortRetention]] and its streaming twin
+    * (`stream_cohort_retention`), whose drain materializes the same
+    * distinct grain incrementally. */
+  private[graft] def cohortFrame(days: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    days
       .withColumn("cohort_day", min(col("day")).over(w))
       .withColumn("day_offset",
         datediff(col("day"), col("cohort_day")).cast("long"))
       .groupBy(col("cohort_day"), col("day_offset"))
-      .agg(count(lit(1)).as("active_users")))
+      .agg(count(lit(1)).as("active_users"))
   }
 
   /** Multi-window SLO burn rate (the Google SRE-workbook alerting shape):
@@ -515,15 +522,24 @@ object Analytics {
     * divide by the budget — identical expression text in both engines, so
     * the doubles and the threshold comparisons are determinate. */
   def tsSloBurn(spark: SparkSession, dir: String): DataFrame = {
-    val budget = lit(0.2)
     val hourly = load(spark, dir, "events")
       .groupBy(date_trunc("HOUR", col("ts")).as("bucket"))
       .agg(count(lit(1)).as("total"),
         sum(when(col("event_type") === "error", 1L).otherwise(0L))
           .as("errors"))
-      .withColumn("epoch", unix_timestamp(col("bucket")))
+    totalOrder(burnFrame(hourly))
+  }
+
+  /** The burn-rate post-pass over an exact hourly (bucket, total, errors)
+    * frame — shared verbatim by [[tsSloBurn]] and the streaming twin
+    * (`stream_slo_burn`), so the two cannot diverge: the stream drains the
+    * SAME hourly aggregation incrementally, then this identical expression
+    * set produces the report. */
+  private[graft] def burnFrame(hourly: DataFrame): DataFrame = {
+    val budget = lit(0.2)
     val w6 = Window.orderBy(col("epoch")).rangeBetween(-18000L, 0L)
-    totalOrder(hourly
+    hourly
+      .withColumn("epoch", unix_timestamp(col("bucket")))
       .withColumn("err_6h", sum(col("errors")).over(w6))
       .withColumn("tot_6h", sum(col("total")).over(w6))
       .withColumn("burn_1h",
@@ -533,7 +549,7 @@ object Analytics {
       .withColumn("alert",
         when(col("burn_1h") > 1.5 && col("burn_6h") > 1.1, 1).otherwise(0))
       .select(col("bucket"), col("errors"), col("total"), col("err_6h"),
-        col("tot_6h"), col("burn_1h"), col("burn_6h"), col("alert")))
+        col("tot_6h"), col("burn_1h"), col("burn_6h"), col("alert"))
   }
 
   // ----------------------------------------------------------------- wiring

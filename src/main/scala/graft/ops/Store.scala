@@ -243,7 +243,41 @@ object Store {
       .withColumn("n_commits", lit(h.size.toLong)))
   }
 
+  private val EvolveBoundary = "2024-01-15"
+
+  /** Schema evolution through the store — the lifecycle event every
+    * long-lived measurement hits: a new field starts being written
+    * mid-history (here `qc_flag`, appearing after 2024-01-15) and reads
+    * spanning the boundary must surface the union schema with
+    * pre-evolution rows NULL in the new field — InfluxDB's own field
+    * semantics. The early days append WITHOUT the column, the later days
+    * WITH it, and [[MeasurementStore.readMerged]] (parquet mergeSchema)
+    * reconstructs the union; the per-day report counts flagged, passing,
+    * and pre-evolution rows, and the oracle re-derives all three from the
+    * fixture by the same boundary rule — so NULL-at-merge semantics are
+    * differentially proven, not assumed. At 100 TB: schema merge costs one
+    * footer read per file (bounded by the compaction policy), and day
+    * pruning still applies — evolution never forces a rewrite of history. */
+  def storeSchemaMerge(spark: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("store_evolve").toString
+    val store = new MeasurementStore(spark, root)
+    val points = load(spark, dir, "events")
+      .select(col("event_type"), col("user_id"), col("ts").as("time"),
+        col("value"))
+    val dayOf = date_format(col("time"), "yyyy-MM-dd")
+    store.append("RawData", points.filter(dayOf <= EvolveBoundary))
+    store.append("RawData", points.filter(dayOf > EvolveBoundary)
+      .withColumn("qc_flag", when(col("value") >= 50.0, 1L).otherwise(0L)))
+    totalOrder(store.readMerged("RawData")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+        sum(when(col("qc_flag") === 1L, 1L).otherwise(0L)).as("n_qc_pass"),
+        sum(when(col("qc_flag").isNull, 1L).otherwise(0L))
+          .as("n_unflagged")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "store_schema_merge" -> storeSchemaMerge,
     "store_time_travel" -> storeTimeTravel,
     "store_concurrent_writers" -> storeConcurrentWriters,
     "store_compact" -> storeCompact,
@@ -254,6 +288,22 @@ object Store {
     "sink_influx_write" -> sinkInfluxWrite)
 
   val oracle: Map[String, String] = Map(
+    "store_schema_merge" ->
+      s"""WITH e AS (
+         |  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day, value
+         |  FROM events),
+         |f AS (
+         |  SELECT day, value,
+         |    CASE WHEN day > '$EvolveBoundary'
+         |      THEN (CASE WHEN value >= 50 THEN 1 ELSE 0 END) END AS qc_flag
+         |  FROM e)
+         |SELECT day, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value,
+         |  CAST(SUM(CASE WHEN qc_flag = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_qc_pass,
+         |  CAST(SUM(CASE WHEN qc_flag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_unflagged
+         |FROM f GROUP BY day
+         |${orderAll("day", "n", "sum_value", "n_qc_pass", "n_unflagged")}""".stripMargin,
     "store_time_travel" ->
       s"""WITH days AS (
          |  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,

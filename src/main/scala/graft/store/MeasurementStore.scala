@@ -91,6 +91,19 @@ class MeasurementStore(spark: SparkSession, root: String) {
   def read(measurement: String, predicate: Column = lit(true)): DataFrame =
     readRaw(measurement).filter(predicate)
 
+  /** Read with PARQUET SCHEMA MERGING across appends — the
+    * schema-evolution read path: a measurement whose later days gained
+    * field columns surfaces the UNION schema, pre-evolution rows NULL in
+    * the new fields (exactly InfluxDB's field semantics: fields appear
+    * when first written, earlier points simply lack them). Schema merging
+    * costs one footer read per file, which is why it is opt-in here
+    * rather than [[read]]'s default — a deployment flips to it only for
+    * measurements it knows evolved. */
+  def readMerged(measurement: String, predicate: Column = lit(true)): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path(measurement))
+      .withColumn("day", col("day").cast("string"))
+      .filter(predicate)
+
   /** Run a literal InfluxQL string against a stored measurement — the
     * reference deployment's actual query path (CLI / Grafana / the
     * analytics scripts all speak InfluxQL at the store). Time-range

@@ -735,7 +735,55 @@ object StreamingOps {
     totalOrder(mergeDrain(agg, Seq("bucket", "event_type")))
   }
 
+  /** Streaming SLO burn-rate monitoring — the batch report (`ts_slo_burn`)
+    * as the live alerting query it exists to be: the hourly
+    * (errors, total) counts are PURE associative aggregates, so the
+    * watermarked update-mode drain MERGEs each micro-batch's changed
+    * buckets and converges to the batch table under any arrival order;
+    * the trailing-6h window and the burn/alert expressions then run as
+    * [[graft.ops.Analytics.burnFrame]] — the IDENTICAL post-pass the
+    * batch op uses, over |hours| rows (metadata-sized at any corpus
+    * scale). Shares the batch oracle verbatim. In production the
+    * post-pass is the per-trigger evaluation over the materialized hourly
+    * table — exactly how multi-window burn alerts deploy: cheap
+    * incremental counts, the alert rule evaluated on read. */
+  def streamSloBurn(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.sizedSession(spark, 4)
+    val hourly = eventsStream(s, dir)
+      .withWatermark("ts", BackfillLag)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("total"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("errors"))
+      .select(col("w.start").as("bucket"), col("total"), col("errors"))
+    totalOrder(graft.ops.Analytics.burnFrame(
+      mergeDrain(hourly, Seq("bucket"))))
+  }
+
+  /** Streaming cohort retention — the growth dashboard as a live query:
+    * the (user, day) ACTIVITY GRAIN is a watermarked day-window count
+    * whose keys MERGE idempotently (a user re-appearing in a later
+    * micro-batch upserts the same (user, day) row), so the drain
+    * materializes exactly the batch op's distinct frame under any arrival
+    * order; the cohort-min and cell counts then run as
+    * [[graft.ops.Analytics.cohortFrame]] — the identical post-pass —
+    * over the |users × active days| table. Shares the batch oracle
+    * verbatim. State is bounded by open day windows × users inside the
+    * watermark lag. */
+  def streamCohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.sizedSession(spark, 4)
+    val active = eventsStream(s, dir)
+      .withWatermark("ts", BackfillLag)
+      .groupBy(col("user_id"), window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").as("day"))
+    totalOrder(graft.ops.Analytics.cohortFrame(
+      mergeDrain(active, Seq("user_id", "day")).select("user_id", "day")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_cohort_retention" -> streamCohortRetention,
+    "stream_slo_burn" -> streamSloBurn,
     "stream_ohlc" -> streamOhlc,
     "stream_doc_curate" -> streamDocCurate,
     "stream_time_bucket" -> streamTimeBucket,
@@ -756,6 +804,13 @@ object StreamingOps {
     // min_by/max_by streaming formulation converges to the same rows, so
     // the op shares the batch oracle verbatim
     "stream_ohlc" -> graft.ops.Analytics.oracle("ts_ohlc"),
+    // the hourly counts are associative aggregates and the burn post-pass
+    // is the shared batch expression — the drain IS the batch table
+    "stream_slo_burn" -> graft.ops.Analytics.oracle("ts_slo_burn"),
+    // the drained (user, day) grain is the batch op's distinct frame and
+    // the cohort post-pass is shared — the twin reads the same oracle
+    "stream_cohort_retention" ->
+      graft.ops.Analytics.oracle("ts_cohort_retention"),
     "stream_doc_curate" ->
       s"""WITH g AS (
          |  SELECT doc_id, source,

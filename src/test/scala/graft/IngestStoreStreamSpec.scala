@@ -580,6 +580,100 @@ class IngestStoreStreamSpec extends SparkTestBase {
     assert(got("2024-01-01 01:00:00.0") === ((3.0, 6.0, 1.0, 6.0, 3L)))
   }
 
+  test("stream_slo_burn: drain equals the batch report digit-for-digit; " +
+    "a mid-hour file split still counts exactly") {
+    import java.nio.file.Files
+    // fixture equality: associative hourly counts + the shared post-pass
+    // must reproduce the batch table exactly, burns included
+    val cols = Seq("bucket", "errors", "total", "err_6h", "tot_6h",
+      "burn_1h", "burn_6h", "alert")
+    val s = streaming.StreamingOps.streamSloBurn(spark, sf)
+      .select(cols.head, cols.tail: _*)
+      .as[(java.sql.Timestamp, Long, Long, Long, Long, Double, Double, Int)]
+      .collect().toSet
+    val b = ops.Analytics.tsSloBurn(spark, sf)
+      .select(cols.head, cols.tail: _*)
+      .as[(java.sql.Timestamp, Long, Long, Long, Long, Double, Double, Int)]
+      .collect().toSet
+    assert(s == b, s"stream/batch burn reports differ: ${(s -- b).take(3)}")
+    // constructed mid-hour split: hour 0's errors land in BOTH files; the
+    // update-mode MERGE must converge to the full count, not the last delta
+    def df(rows: Seq[(Long, Int, String)]) = rows.map { case (id, m, t) =>
+      (id, java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00"), 1L, t,
+        1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = Files.createTempDirectory("burn_split").toString
+    df(Seq((1L, 1, "error"), (2L, 2, "view"), (3L, 3, "view")))
+      .coalesce(1).write.parquet(s"$dir/b1")
+    df(Seq((4L, 30, "error"), (5L, 31, "view")))
+      .coalesce(1).write.parquet(s"$dir/b2")
+    def mv(sub: String, n: Int): Unit = {
+      val part = new java.io.File(s"$dir/$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/events_$n.parquet"))
+    }
+    mv("b1", 1); mv("b2", 2)
+    val row = streaming.StreamingOps.streamSloBurn(spark, dir).collect()
+    assert(row.length === 1)
+    assert(row.head.getAs[Long]("errors") === 2 &&
+      row.head.getAs[Long]("total") === 5)
+    assert(row.head.getAs[Double]("burn_1h") === 2.0 / 5 / 0.2)
+  }
+
+  test("stream_cohort_retention: drain equals the batch triangle; the " +
+    "(user, day) grain dedups across micro-batches") {
+    import java.nio.file.Files
+    val s = streaming.StreamingOps.streamCohortRetention(spark, sf)
+      .as[(java.sql.Timestamp, Long, Long)].collect().toSet
+    val b = ops.Analytics.tsCohortRetention(spark, sf)
+      .as[(java.sql.Timestamp, Long, Long)].collect().toSet
+    assert(s == b, s"stream/batch cohort cells differ: ${(s -- b).take(5)}")
+    // user 1 is active on day 1 in BOTH files (one grain row, not two);
+    // its cohort day arrives only in the SECOND file (day 0 < day 1)
+    def df(rows: Seq[(Long, String)]) = rows.zipWithIndex.map {
+      case ((u, d), i) =>
+        ((i + 1).toLong, java.sql.Timestamp.valueOf(s"$d 10:00:00"), u,
+          "view", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = Files.createTempDirectory("cohort_split").toString
+    df(Seq((1L, "2024-01-02"), (2L, "2024-01-02")))
+      .coalesce(1).write.parquet(s"$dir/b1")
+    df(Seq((1L, "2024-01-01"), (1L, "2024-01-02"), (2L, "2024-01-03")))
+      .coalesce(1).write.parquet(s"$dir/b2")
+    def mv(sub: String, n: Int): Unit = {
+      val part = new java.io.File(s"$dir/$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/events_$n.parquet"))
+    }
+    mv("b1", 1); mv("b2", 2)
+    val cells = streaming.StreamingOps.streamCohortRetention(spark, dir)
+      .as[(java.sql.Timestamp, Long, Long)].collect()
+      .map(r => (r._1.toString.take(10), r._2) -> r._3).toMap
+    // user 1: cohort 01-01, active offsets 0 and 1 (day 2 counted ONCE);
+    // user 2: cohort 01-02, active offsets 0 and 1
+    assert(cells === Map(("2024-01-01", 0L) -> 1L, ("2024-01-01", 1L) -> 1L,
+      ("2024-01-02", 0L) -> 1L, ("2024-01-02", 1L) -> 1L))
+  }
+
+  test("store_schema_merge: pre-evolution rows surface NULL in the new " +
+    "field, post-evolution rows are all flagged") {
+    val out = ops.Store.storeSchemaMerge(spark, sf).collect()
+    assert(out.nonEmpty)
+    val (pre, post) = out.partition(_.getString(0) <= "2024-01-15")
+    assert(pre.nonEmpty && post.nonEmpty,
+      s"boundary did not split the fixture days: ${out.map(_.getString(0)).mkString(",")}")
+    for (r <- pre) {
+      assert(r.getAs[Long]("n_unflagged") === r.getAs[Long]("n"),
+        s"pre-evolution day not fully NULL: $r")
+      assert(r.getAs[Long]("n_qc_pass") === 0L, s"phantom flag pre-evolution: $r")
+    }
+    for (r <- post)
+      assert(r.getAs[Long]("n_unflagged") === 0L,
+        s"post-evolution day has unflagged rows: $r")
+  }
+
   test("streaming pattern match: equals the batch scoring cut at the " +
     "threshold, and boundary-spanning windows form across micro-batches") {
     // drain equality on the fixture: every batch top-3 row under the
