@@ -175,7 +175,31 @@ object Aggregates {
       .select(col("token"), col("cnt"), col("n")))
   }
 
+  /** Exact daily active users via the [[graft.functions.GraftFunctions
+    * .BitmapDistinct]] mergeable bitmap — the third point on the
+    * distinct-count design spectrum this surface ships: `agg_distinct`
+    * (exact, shuffles every distinct value), `agg_approx_distinct` (HLL,
+    * cheap but approximate), and THIS (exact AND pre-aggregable): each
+    * map task collapses its slice to a paged bitset per day, partial
+    * aggregation merges bitsets with OR — so the exchange carries
+    * |days| × O(pages) rows instead of |days| × |users| expanded rows,
+    * and re-aggregation over pre-computed daily bitmaps (the Druid/
+    * ClickHouse rollup pattern) would stay exact where HLL merges
+    * compound error. Deterministic under any partitioning (OR is
+    * commutative/associative/idempotent), so the sketch-shaped op
+    * carries a plain COUNT(DISTINCT) oracle. */
+  def aggBitmapDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val bitmap = org.apache.spark.sql.functions.udaf(
+      new graft.functions.GraftFunctions.BitmapDistinct,
+      org.apache.spark.sql.Encoders.scalaLong)
+    totalOrder(load(spark, dir, "events")
+      .groupBy(date_trunc("DAY", col("ts")).as("day"))
+      .agg(bitmap(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_bitmap_distinct" -> aggBitmapDistinct,
     "agg_heavy_hitters" -> aggHeavyHitters,
     "agg_pivot" -> aggPivot,
     "agg_salted_skew" -> aggSaltedSkew,
@@ -189,6 +213,13 @@ object Aggregates {
     "agg_approx_percentile" -> aggApproxPercentile)
 
   val oracle: Map[String, String] = Map(
+    // the bitmap is exact by construction, so the oracle is the plain
+    // COUNT(DISTINCT) it replaces at scale
+    "agg_bitmap_distinct" ->
+      s"""SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         |  COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+         |FROM events GROUP BY 1
+         |${orderAll("day", "n_users", "n_events")}""".stripMargin,
     // the sketch is a candidate generator with guaranteed recall; the
     // exact-verify pass makes the OUTPUT the plain heavy-hitter set, so
     // the oracle needs no sketch at all

@@ -552,9 +552,44 @@ object Analytics {
         col("tot_6h"), col("burn_1h"), col("burn_6h"), col("alert"))
   }
 
+  /** Seasonal-naive forecast evaluation — the baseline-scoring harness
+    * every forecasting deployment runs BEFORE trusting a model
+    * (Hyndman & Athanasopoulos, "Forecasting: Principles and Practice":
+    * a model that can't beat seasonal-naive isn't a model). Per series:
+    * hourly means (the davg convention, so y is determinate), the
+    * period-24 naive forecast ŷ(t) = y(t − 24 h), and the exact error
+    * report — MAE and sMAPE over every hour that HAS a lag-24 ancestor.
+    * The lag is a self-join on integer epoch-hours (gap-immune where a
+    * 24-ROW lag silently mis-aligns across missing buckets) over the
+    * hourly frame — |hours|·|series| rows, METADATA-sized at any corpus
+    * scale, so the join costs nothing; the scan's hourly pre-aggregation
+    * is the only data-sized pass (map-side combined, the ts_slo_burn
+    * move). Error terms are 6-dp-rounded IEEE ops on determinate doubles,
+    * decimal-accumulated, one division per metric — fully oracled. */
+  def tsForecastEval(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = load(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("HOUR", col("ts")).as("bucket"))
+      .agg(davg(col("value")).as("y"))
+      .withColumn("h", expr("unix_timestamp(bucket) DIV 3600"))
+    val prev = hourly.select(col("event_type"), (col("h") + 24L).as("h"),
+      col("y").as("yhat"))
+    val ae = round(abs(col("y") - col("yhat")), 6)
+    val sm = when(col("y") === 0.0 && col("yhat") === 0.0, lit(0.0))
+      .otherwise(round(lit(2.0) * abs(col("y") - col("yhat")) /
+        (abs(col("y")) + abs(col("yhat"))), 6))
+    totalOrder(hourly.join(prev, Seq("event_type", "h"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_eval"),
+        dsum(ae).as("sum_ae"), dsum(sm).as("sum_sm"))
+      .select(col("event_type"), col("n_eval"),
+        (col("sum_ae") / col("n_eval")).as("mae"),
+        (col("sum_sm") / col("n_eval")).as("smape")))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_forecast_eval" -> tsForecastEval,
     "ts_funnel" -> tsFunnel,
     "ts_cohort_retention" -> tsCohortRetention,
     "ts_slo_burn" -> tsSloBurn,
@@ -569,6 +604,28 @@ object Analytics {
     "agg_histogram" -> aggHistogram)
 
   val oracle: Map[String, String] = Map(
+    "ts_forecast_eval" ->
+      s"""WITH hourly AS (
+         |  SELECT event_type,
+         |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+         |    ${sqlDavg("value")} AS y
+         |  FROM events GROUP BY 1, 2),
+         |h AS (
+         |  SELECT *, CAST(epoch(bucket) AS BIGINT) // 3600 AS h FROM hourly),
+         |j AS (
+         |  SELECT a.event_type, a.y, b.y AS yhat
+         |  FROM h a JOIN h b ON a.event_type = b.event_type AND a.h = b.h + 24),
+         |t AS (
+         |  SELECT event_type, round(abs(y - yhat), 6) AS ae,
+         |    CASE WHEN y = 0.0 AND yhat = 0.0 THEN 0.0
+         |      ELSE round(2.0 * abs(y - yhat) / (abs(y) + abs(yhat)), 6)
+         |    END AS sm
+         |  FROM j)
+         |SELECT event_type, COUNT(*) AS n_eval,
+         |  ${sqlDsum("ae")} / COUNT(*) AS mae,
+         |  ${sqlDsum("sm")} / COUNT(*) AS smape
+         |FROM t GROUP BY 1
+         |${orderAll("event_type", "n_eval", "mae", "smape")}""".stripMargin,
     "ts_funnel" ->
       s"""WITH e AS (
          |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts

@@ -648,9 +648,102 @@ object Dedup {
         "DIV 2 AS BIGINT)"), lit(0L)).as("n_dropped_pairs")))
   }
 
+  /** Audit sample size for [[dedupRecallReport]]: the N smallest ids of
+    * each table. Pinned like the kNN tiers' |Q| — and scale-INVARIANT
+    * under the evidence fixtures' replication rule (copies take ids above
+    * the base max), so the truth sets are identical at every sf and the
+    * report can never pass vacuously at scale. */
+  private[ops] val RecallSampleN = 500
+
+  /** The dedup evaluation harness — [[Vectors.simRecallReport]]'s twin
+    * for the dedup families: recall AND precision of each oracle-able
+    * candidate generator against cap-free ground truth, on a pinned
+    * id-sample. Tiers: the df-capped inverted-index Jaccard pass
+    * ([[dedupNgramJaccard]]) vs UNCAPPED exact Jaccard ≥ 0.3; the banded
+    * sign-LSH pass ([[dedupEmbcos]]) and the SemDeDup k-means blocking
+    * ([[Vectors.semanticPairGraph]]) each vs exact all-pairs cosine
+    * ≥ 0.45 — the two embedding generators against ONE truth, so their
+    * recall is directly comparable (the LSH-bands-vs-trained-cells
+    * question SemDeDup's paper leaves to the deployment). Production
+    * tiers run CORPUS-WIDE exactly as published (their pairs are only
+    * FILTERED to the sample); truth is exact within the sample, whose
+    * cost is a constant (≤ [[RecallSampleN]]² dots / Σdf² postings) at
+    * any corpus size — the same "pin the audit, scale the corpus"
+    * posture as the kNN tiers. Counts are exact longs and each rate is
+    * one IEEE division, so the quality numbers themselves are
+    * differentially pinned. */
+  def dedupRecallReport(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.vecDot
+    val dL = load(spark, dir, "documents").select(col("doc_id"))
+      .orderBy(col("doc_id")).limit(RecallSampleN)
+      .agg(max(col("doc_id"))).head.getLong(0)
+    val vL = load(spark, dir, "embeddings").select(col("vec_id"))
+      .orderBy(col("vec_id")).limit(RecallSampleN)
+      .agg(max(col("vec_id"))).head.getLong(0)
+
+    // ngram truth: UNCAPPED exact Jaccard within the doc sample — raw
+    // shingle strings (not the production xxhash64 postings), because
+    // truth must be hash-free
+    val spost = shingled(spark, dir).filter(col("doc_id") <= dL)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .transform(graft.OpCaches.cached)
+    val tsz = spost.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val truthNgram = spost.select(col("doc_id").as("id_a"), col("sh"))
+      .join(spost.select(col("doc_id").as("id_b"), col("sh")), "sh")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+      .join(tsz.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(tsz.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .filter(col("inter").cast(DoubleType) /
+        (col("na") + col("nb") - col("inter")) >= 0.3)
+      .select(col("id_a"), col("id_b"))
+
+    // embedding truth: exact all-pairs cosine within the vec sample
+    // (bounded nested-loop: ≤ RecallSampleN² candidate dots, constant)
+    val sv = load(spark, dir, "embeddings").filter(col("vec_id") <= vL)
+      .withColumn("nrm",
+        sqrt(vecDot(spark, col("embedding"), col("embedding"))))
+      .transform(graft.OpCaches.cached)
+    val truthCos = sv.select(col("vec_id").as("id_a"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      .join(sv.select(col("vec_id").as("id_b"),
+        col("embedding").as("eb"), col("nrm").as("nb")),
+        col("id_a") < col("id_b"))
+      .filter(vecDot(spark, col("ea"), col("eb")) /
+        (col("na") * col("nb")) >= 0.45)
+      .select(col("id_a"), col("id_b"))
+      .transform(graft.OpCaches.cached)
+
+    val ng = jaccardPairs(spark, dir)
+      .filter(col("id_a") <= dL && col("id_b") <= dL)
+      .select(col("id_a"), col("id_b"))
+    val el = dedupEmbcos(spark, dir)
+      .select(col("canonical_id").as("id_a"), col("dup_id").as("id_b"))
+      .filter(col("id_a") <= vL && col("id_b") <= vL)
+    val sm = Vectors.semanticPairGraph(spark, dir)._2
+      .filter(col("id_a") <= vL && col("id_b") <= vL)
+
+    def row(tier: String, truth: DataFrame, pairs: DataFrame): DataFrame =
+      truth.agg(count(lit(1)).as("truth_pairs"))
+        .crossJoin(pairs.agg(count(lit(1)).as("tier_pairs")))
+        .crossJoin(pairs.join(truth, Seq("id_a", "id_b"))
+          .agg(count(lit(1)).as("hits")))
+        .select(lit(tier).as("tier"), col("truth_pairs"),
+          col("tier_pairs"), col("hits"))
+
+    totalOrder(row("embcos_lsh", truthCos, el)
+      .unionByName(row("ngram_capped", truthNgram, ng))
+      .unionByName(row("semantic_kmeans", truthCos, sm))
+      .withColumn("recall", when(col("truth_pairs") > 0,
+        col("hits").cast(DoubleType) / col("truth_pairs")))
+      .withColumn("tier_precision", when(col("tier_pairs") > 0,
+        col("hits").cast(DoubleType) / col("tier_pairs"))))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_recall_report" -> dedupRecallReport,
     "dedup_ngram_cap_stats" -> dedupNgramCapStats,
     "dedup_embcos_cap_stats" -> dedupEmbcosCapStats,
     "dedup_simhash_cap_stats" -> dedupSimhashCapStats,
@@ -799,7 +892,83 @@ object Dedup {
       |    CAST(1.0 AS DOUBLE) AS containment
       |  FROM w2 WHERE x < y)""".stripMargin
 
+  /** DuckDB list-dot-product (the vec_dot twin used by the embcos oracle). */
+  private def sqlVecDot(a: String, b: String): String =
+    s"""list_aggregate(list_transform(list_zip($a, $b),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')""".stripMargin
+
+  /** The recall report's oracle composes the three published generator
+    * chains verbatim ([[jaccardPairsCtes]], [[SignLsh.sqlCandCtes]],
+    * [[Vectors.sqlSemanticPairCtes]]) and re-derives both truth sets, so
+    * recall/precision are differentially pinned end-to-end — the
+    * [[Vectors]] sim_recall_report idiom applied to dedup. */
+  private lazy val recallReportOracle: String = {
+    val sdl = s"(SELECT l FROM sd)"
+    val svl = s"(SELECT l FROM sv)"
+    s"""WITH $jaccardPairsCtes,
+       |${SignLsh.sqlCandCtes()},
+       |lsh_pairs AS (
+       |  SELECT c.id_a, c.id_b
+       |  FROM cand c
+       |  JOIN base a ON a.vec_id = c.id_a
+       |  JOIN base b ON b.vec_id = c.id_b
+       |  WHERE ${sqlVecDot("a.embedding", "b.embedding")}
+       |      / (a.nrm * b.nrm) >= 0.45),
+       |${Vectors.sqlSemanticPairCtes},
+       |sd AS (SELECT MAX(doc_id) AS l FROM (
+       |  SELECT doc_id FROM documents ORDER BY doc_id LIMIT $RecallSampleN) t),
+       |sv AS (SELECT MAX(vec_id) AS l FROM (
+       |  SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $RecallSampleN) t),
+       |tpost AS (SELECT doc_id, sh FROM posting WHERE doc_id <= $sdl),
+       |tsz AS (SELECT doc_id, COUNT(*) AS n FROM tpost GROUP BY 1),
+       |trawp AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+       |  FROM tpost a JOIN tpost b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |tjac AS (
+       |  SELECT id_a, id_b FROM trawp
+       |  JOIN tsz sa ON sa.doc_id = id_a
+       |  JOIN tsz sb ON sb.doc_id = id_b
+       |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.3),
+       |sve AS (SELECT vec_id, embedding, nrm FROM base WHERE vec_id <= $svl),
+       |tcos AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM sve a JOIN sve b ON a.vec_id < b.vec_id
+       |  WHERE ${sqlVecDot("a.embedding", "b.embedding")}
+       |      / (a.nrm * b.nrm) >= 0.45),
+       |ngs AS (SELECT id_a, id_b FROM jpairs
+       |  WHERE id_a <= $sdl AND id_b <= $sdl),
+       |els AS (SELECT id_a, id_b FROM lsh_pairs
+       |  WHERE id_a <= $svl AND id_b <= $svl),
+       |sms AS (SELECT id_a, id_b FROM sem_pairs
+       |  WHERE id_a <= $svl AND id_b <= $svl),
+       |r AS (
+       |  SELECT 'embcos_lsh' AS tier,
+       |    (SELECT COUNT(*) FROM tcos) AS truth_pairs,
+       |    (SELECT COUNT(*) FROM els) AS tier_pairs,
+       |    (SELECT COUNT(*) FROM els JOIN tcos USING (id_a, id_b)) AS hits
+       |  UNION ALL
+       |  SELECT 'ngram_capped',
+       |    (SELECT COUNT(*) FROM tjac),
+       |    (SELECT COUNT(*) FROM ngs),
+       |    (SELECT COUNT(*) FROM ngs JOIN tjac USING (id_a, id_b))
+       |  UNION ALL
+       |  SELECT 'semantic_kmeans',
+       |    (SELECT COUNT(*) FROM tcos),
+       |    (SELECT COUNT(*) FROM sms),
+       |    (SELECT COUNT(*) FROM sms JOIN tcos USING (id_a, id_b)))
+       |SELECT tier, truth_pairs, tier_pairs, hits,
+       |  CASE WHEN truth_pairs > 0
+       |    THEN CAST(hits AS DOUBLE) / truth_pairs END AS recall,
+       |  CASE WHEN tier_pairs > 0
+       |    THEN CAST(hits AS DOUBLE) / tier_pairs END AS tier_precision
+       |FROM r
+       |${orderAll("tier", "truth_pairs", "tier_pairs", "hits", "recall",
+                   "tier_precision")}""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "dedup_recall_report" -> recallReportOracle,
     "dedup_ngram_cap_stats" ->
       s"""WITH tok AS (
          |  SELECT doc_id, list_filter(

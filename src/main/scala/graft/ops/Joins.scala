@@ -296,9 +296,61 @@ object Joins {
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value")))
   }
 
+  /** Bucket granularity for [[joinIntervalOverlap]] — equal to the interval
+    * length, so every interval spans at most 2 buckets. */
+  private val OverlapBucketUs = 600L * 1000000L // 10 minutes
+
+  /** Interval-OVERLAP join — the two-sided range shape [[joinThetaRange]]
+    * (point-in-interval) cannot express: BOTH sides are intervals and a
+    * pair matches iff the ranges intersect (`s1 < e2 AND s2 < e1`). Here:
+    * 10-minute incident windows opened by each `error` event against
+    * 10-minute attribution windows closing at each `purchase` — "which
+    * purchases' decision windows overlapped an incident", the
+    * blast-radius query every postmortem starts with.
+    *
+    * The naive plan is a nested-loop cross product (O(n·m)); this op
+    * bucketizes time at g = the interval length, so each interval covers
+    * at most 2 g-buckets: both sides explode to their covered buckets
+    * (≤ 2 rows each), the join becomes a plain HASH equi-join on the
+    * bucket id, an exact predicate refines, and the duplicate a pair
+    * would produce when both its explosions share two buckets is
+    * eliminated arithmetically — the pair is credited only to the bucket
+    * containing the overlap's START (`⌊max(s1,s2)/g⌋`), a rule both
+    * engines express with no DISTINCT pass. Linear in candidates
+    * (Σ per-bucket |i|·|p|), shuffled on the bucket key — time itself is
+    * the parallelism axis, so the plan holds at 100 TB where the theta
+    * join is quadratic. Output is the per-hour blast-radius rollup
+    * (pairs + exact µs of overlap), so the result stays metadata-sized
+    * at any corpus. Oracle = the plain theta join (DuckDB's IEJoin
+    * handles sf0.01), same aggregation. */
+  def joinIntervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val g = OverlapBucketUs
+    val ev = load(spark, dir, "events")
+    val inc = ev.filter(col("event_type") === "error")
+      .select(unix_micros(col("ts")).as("s1"))
+      .withColumn("e1", col("s1") + g)
+    val att = ev.filter(col("event_type") === "purchase")
+      .select(unix_micros(col("ts")).as("e2"))
+      .withColumn("s2", col("e2") - g)
+    // covered buckets of a half-open [s, e): ⌊s/g⌋ .. ⌊(e−1)/g⌋ (≤ 2 here)
+    val incB = inc.withColumn("b",
+      explode(array_distinct(array(expr(s"s1 DIV $g"), expr(s"(e1 - 1) DIV $g")))))
+    val attB = att.withColumn("b",
+      explode(array_distinct(array(expr(s"s2 DIV $g"), expr(s"(e2 - 1) DIV $g")))))
+    val os = greatest(col("s1"), col("s2"))
+    totalOrder(incB.join(attB, Seq("b"))
+      .filter(col("s1") < col("e2") && col("s2") < col("e1") &&
+        col("b") === expr(s"greatest(s1, s2) DIV $g"))
+      .select(date_trunc("HOUR", timestamp_micros(os)).as("hour"),
+        (least(col("e1"), col("e2")) - os).as("ov"))
+      .groupBy(col("hour"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("ov")).as("overlap_us")))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_interval_overlap" -> joinIntervalOverlap,
     "join_salted_skew" -> joinSaltedSkew,
     "join_inner_hash" -> joinInnerHash,
     "join_bucketed" -> joinBucketed,
@@ -315,6 +367,24 @@ object Joins {
     "join_asof_nearest" -> joinAsofNearest)
 
   val oracle: Map[String, String] = Map(
+    // the oracle is the PLAIN theta join — the bucketized plan must be
+    // invisible in the result (each pair credited to exactly one bucket)
+    "join_interval_overlap" ->
+      s"""WITH i AS (
+         |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS s1,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) + 600000000 AS e1
+         |  FROM events WHERE event_type = 'error'),
+         |p AS (
+         |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) - 600000000 AS s2,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS e2
+         |  FROM events WHERE event_type = 'purchase'),
+         |pr AS (
+         |  SELECT greatest(s1, s2) AS os, least(e1, e2) AS oe
+         |  FROM i JOIN p ON s1 < e2 AND s2 < e1)
+         |SELECT date_trunc('hour', make_timestamp(os)) AS hour,
+         |  COUNT(*) AS n_pairs, CAST(SUM(oe - os) AS BIGINT) AS overlap_us
+         |FROM pr GROUP BY 1
+         |${orderAll("hour", "n_pairs", "overlap_us")}""".stripMargin,
     "join_salted_skew" ->
       s"""SELECT c_mktsegment, COUNT(*) AS n_events,
          |  ${sqlDsum("value")} AS sum_value

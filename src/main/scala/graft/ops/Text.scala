@@ -578,7 +578,32 @@ object Text {
       .filter(col("n_terms_matched") >= 1))
   }
 
+  /** Feature-hash dimensionality for [[textHashingTrick]]. */
+  private val HashDims = 64
+
+  /** The hashing trick (Weinberger et al. '09, "Feature Hashing for Large
+    * Scale Multitask Learning") — the vocabulary-free featurizer that
+    * turns raw text into a FIXED-width sparse count vector with no
+    * trained dictionary, no broadcast model, and no second pass: each
+    * token maps to dim = md5(token) mod 64 and the doc's vector is the
+    * count per dim, emitted sparse as (doc_id, dim, cnt). This is the
+    * text→vector bridge of the surface: its output feeds the same
+    * cosine/LSH machinery the embedding ops run, but is computable in
+    * ONE shuffle-light pass over any corpus (the agg keys on (doc, dim),
+    * map-side combined; collisions are the accepted trade and are
+    * unbiased at scale). The md5-prefix hash is the repo's cross-engine
+    * idiom, so the op is fully oracled. */
+  def textHashingTrick(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(load(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .withColumn("dim", pmod(
+        conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long"),
+        lit(HashDims.toLong)).cast("int"))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(count(lit(1)).as("cnt")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_hashing_trick" -> textHashingTrick,
     "text_bm25" -> textBm25,
     "text_lm_score" -> textLmScore,
     "text_lm_bigram" -> textLmBigram,
@@ -610,6 +635,18 @@ object Text {
        |ELSE 0.0 END AS DECIMAL(38,6))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "text_hashing_trick" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |    regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+         |    x -> x <> '')) AS token
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(CAST(('0x' || substring(md5(token), 1, 8))::UBIGINT AS BIGINT)
+         |    % $HashDims AS INTEGER) AS dim,
+         |  COUNT(*) AS cnt
+         |FROM toks GROUP BY 1, 2
+         |${orderAll("doc_id", "dim", "cnt")}""".stripMargin,
     "text_bm25" ->
       s"""WITH tok AS (
          |  SELECT doc_id, list_filter(

@@ -897,6 +897,21 @@ object Vectors {
     * reproduces the Lloyd chain, the within-cell pairs, and the
     * connected components. */
   def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val (lists, pairs0) = semanticPairGraph(spark, dir)
+    val pairs = pairs0.transform(lineageCut)
+    totalOrder(Dedup.clusterSurvivorship(spark, pairs, "vec_id")
+      .join(lists, "vec_id")
+      .select(col("vec_id"), col("cid"), col("canonical_id"),
+        col("cluster_size"), col("is_survivor")))
+  }
+
+  /** The SemDeDup candidate-pair stage of [[dedupSemantic]] — (inverted
+    * lists, τ-verified within-cell pair graph), factored so the dedup
+    * evaluation harness ([[Dedup.dedupRecallReport]]) audits the SAME
+    * generator the production op clusters. Pairs are unsorted and NOT
+    * lineage-cut (cut where iterated). */
+  private[ops] def semanticPairGraph(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     import graft.functions.GraftFunctions.vecDot
     val base = load(spark, dir, "embeddings")
       .withColumn("nrm", sqrt(vecDot(spark, col("embedding"), col("embedding"))))
@@ -913,11 +928,7 @@ object Vectors {
         vecDot(spark, col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= SemTau)
       .select(col("id_a"), col("id_b"))
-      .transform(lineageCut)
-    totalOrder(Dedup.clusterSurvivorship(spark, pairs, "vec_id")
-      .join(lists, "vec_id")
-      .select(col("vec_id"), col("cid"), col("canonical_id"),
-        col("cluster_size"), col("is_survivor")))
+    (lists, pairs)
   }
 
   // ----------------------------------------------------------------- wiring
@@ -1019,33 +1030,41 @@ object Vectors {
        |${orderAll("tier", "n_queries", "hits", "recall")}""".stripMargin
   }
 
+  /** CTE chain reconstructing the SemDeDup pair graph — requires a prior
+    * `base AS (vec_id, embedding, nrm, …)` CTE over embeddings; ends in
+    * `sem_pairs(id_a, id_b)`. Shared by the dedup_semantic oracle and the
+    * dedup_recall_report oracle ([[graft.ops.Dedup]]), so the harness
+    * audits exactly the published generator. */
+  private[ops] lazy val sqlSemanticPairCtes: String =
+    s"""$sqlIvfPrelude,
+       |c0 AS (
+       |  SELECT vec_id AS cid,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec,
+       |    ${sqlNorm.format("embedding")} AS cnrm
+       |  FROM base WHERE vec_id % (SELECT stride FROM p) = 0),
+       |${sqlAssign("a0", "c0", "tr")},
+       |${sqlUpdate("c1", "a0")},
+       |${sqlAssign("a1", "c1", "tr")},
+       |${sqlUpdate("c2", "a1")},
+       |${sqlAssign("a2", "c2", "base")},
+       |sem_pairs AS (
+       |  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM a2 x JOIN a2 y ON x.cid = y.cid AND x.vec_id < y.vec_id
+       |  JOIN base ba ON ba.vec_id = x.vec_id
+       |  JOIN base bb ON bb.vec_id = y.vec_id
+       |  WHERE ${sqlDot.format("ba.embedding", "bb.embedding")}
+       |      / (ba.nrm * bb.nrm) >= $SemTau)""".stripMargin
+
   val oracle: Map[String, String] = oracleMain +
     ("dedup_semantic" ->
       s"""WITH RECURSIVE base AS (
          |  SELECT vec_id, embedding, ${sqlNorm.format("embedding")} AS nrm
          |  FROM embeddings),
-         |$sqlIvfPrelude,
-         |c0 AS (
-         |  SELECT vec_id AS cid,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec,
-         |    ${sqlNorm.format("embedding")} AS cnrm
-         |  FROM base WHERE vec_id % (SELECT stride FROM p) = 0),
-         |${sqlAssign("a0", "c0", "tr")},
-         |${sqlUpdate("c1", "a0")},
-         |${sqlAssign("a1", "c1", "tr")},
-         |${sqlUpdate("c2", "a1")},
-         |${sqlAssign("a2", "c2", "base")},
-         |epairs AS (
-         |  SELECT x.vec_id AS id_a, y.vec_id AS id_b
-         |  FROM a2 x JOIN a2 y ON x.cid = y.cid AND x.vec_id < y.vec_id
-         |  JOIN base ba ON ba.vec_id = x.vec_id
-         |  JOIN base bb ON bb.vec_id = y.vec_id
-         |  WHERE ${sqlDot.format("ba.embedding", "bb.embedding")}
-         |      / (ba.nrm * bb.nrm) >= $SemTau),
+         |$sqlSemanticPairCtes,
          |edges AS (
-         |  SELECT id_a AS a, id_b AS b FROM epairs
+         |  SELECT id_a AS a, id_b AS b FROM sem_pairs
          |  UNION ALL
-         |  SELECT id_b, id_a FROM epairs),
+         |  SELECT id_b, id_a FROM sem_pairs),
          |nodes AS (SELECT DISTINCT a AS id FROM edges),
          |walk AS (
          |  SELECT id, id AS lbl FROM nodes
