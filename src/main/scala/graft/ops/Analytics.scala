@@ -566,10 +566,18 @@ object Analytics {
     * is the only data-sized pass (map-side combined, the ts_slo_burn
     * move). Error terms are 6-dp-rounded IEEE ops on determinate doubles,
     * decimal-accumulated, one division per metric — fully oracled. */
-  def tsForecastEval(spark: SparkSession, dir: String): DataFrame = {
-    val hourly = load(spark, dir, "events")
+  def tsForecastEval(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(forecastFrame(load(spark, dir, "events")
       .groupBy(col("event_type"), date_trunc("HOUR", col("ts")).as("bucket"))
-      .agg(davg(col("value")).as("y"))
+      .agg(davg(col("value")).as("y"))))
+
+  /** The evaluation post-pass over an exact hourly (event_type, bucket, y)
+    * frame — shared verbatim by [[tsForecastEval]] and its streaming twin
+    * (`stream_forecast_eval`), whose drain MERGEs the same hourly means
+    * incrementally (as additive (Σ-decimal, count) grains), so the two
+    * cannot diverge. */
+  private[graft] def forecastFrame(hourly0: DataFrame): DataFrame = {
+    val hourly = hourly0
       .withColumn("h", expr("unix_timestamp(bucket) DIV 3600"))
     val prev = hourly.select(col("event_type"), (col("h") + 24L).as("h"),
       col("y").as("yhat"))
@@ -577,18 +585,49 @@ object Analytics {
     val sm = when(col("y") === 0.0 && col("yhat") === 0.0, lit(0.0))
       .otherwise(round(lit(2.0) * abs(col("y") - col("yhat")) /
         (abs(col("y")) + abs(col("yhat"))), 6))
-    totalOrder(hourly.join(prev, Seq("event_type", "h"))
+    hourly.join(prev, Seq("event_type", "h"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_eval"),
         dsum(ae).as("sum_ae"), dsum(sm).as("sum_sm"))
       .select(col("event_type"), col("n_eval"),
         (col("sum_ae") / col("n_eval")).as("mae"),
-        (col("sum_sm") / col("n_eval")).as("smape")))
+        (col("sum_sm") / col("n_eval")).as("smape"))
+  }
+
+  /** Dropout threshold for [[tsGapReport]] (and its streaming twin): 10
+    * minutes in µs. */
+  private[graft] val GapDropoutUs = 600L * 1000000L
+
+  /** Per-series sampling-gap report — the dropout monitor that sits next
+    * to ts_staleness: staleness asks "is the series fresh NOW?", this op
+    * asks "where did it go dark IN-WINDOW?" (the datalogger_health_check
+    * question applied to history instead of max-mtime). Per series: point
+    * count, gap count, the largest inter-point gap, the exact mean gap
+    * (integer-µs sum, one IEEE division), and how many gaps exceed the
+    * 10-minute dropout threshold. One window pass (lag over the series
+    * key's ordered frame) then a hash agg on the SAME key — one exchange
+    * total; the tag space is the parallelism axis at 100 TB. Integer µs
+    * throughout, so fully oracled. */
+  def tsGapReport(spark: SparkSession, dir: String): DataFrame = {
+    val wo = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    totalOrder(load(spark, dir, "events")
+      .withColumn("gap",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(wo))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_points"),
+        count(col("gap")).as("n_gaps"),
+        max(col("gap")).as("max_gap_us"),
+        (sum(col("gap")).cast(DoubleType) / count(col("gap")))
+          .as("mean_gap_us"),
+        sum(when(col("gap") > GapDropoutUs, 1L).otherwise(0L))
+          .as("n_dropouts")))
   }
 
   // ----------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_gap_report" -> tsGapReport,
     "ts_forecast_eval" -> tsForecastEval,
     "ts_funnel" -> tsFunnel,
     "ts_cohort_retention" -> tsCohortRetention,
@@ -604,6 +643,22 @@ object Analytics {
     "agg_histogram" -> aggHistogram)
 
   val oracle: Map[String, String] = Map(
+    "ts_gap_report" ->
+      s"""WITH g AS (
+         |  SELECT event_type,
+         |    epoch_us(CAST(ts AS TIMESTAMP))
+         |      - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+         |        PARTITION BY event_type
+         |        ORDER BY ts, event_id) AS gap
+         |  FROM events)
+         |SELECT event_type, COUNT(*) AS n_points, COUNT(gap) AS n_gaps,
+         |  MAX(gap) AS max_gap_us,
+         |  CAST(SUM(gap) AS DOUBLE) / COUNT(gap) AS mean_gap_us,
+         |  CAST(SUM(CASE WHEN gap > 600000000 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dropouts
+         |FROM g GROUP BY 1
+         |${orderAll("event_type", "n_points", "n_gaps", "max_gap_us",
+                     "mean_gap_us", "n_dropouts")}""".stripMargin,
     "ts_forecast_eval" ->
       s"""WITH hourly AS (
          |  SELECT event_type,

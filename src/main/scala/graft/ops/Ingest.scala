@@ -243,9 +243,61 @@ object Ingest {
         col("f_bool")))
   }
 
+  /** Land the documents table as JSONL text shards plus deterministic
+    * corrupt lines, and parse it back schema-first — shared by the scan op
+    * and its quarantine twin so both sides of the fork carry fixture-
+    * reconstruction oracles. The landing write is DISTRIBUTED (`to_json`
+    * per row, `write.text` — never a driver collect), because a 100 TB
+    * corpus lands the same way. The corrupt lines are truncated JSON (the
+    * classic mid-write crash artifact), one per doc_id % 97 — derived from
+    * the fixtures, so the quarantine content itself is oracle-checkable. */
+  private def jsonlParsed(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("jsonl").toString
+    val docs = load(spark, dir, "documents")
+    val good = docs.select(to_json(struct(col("doc_id"), col("text"),
+      col("lang"), col("source"), col("n_chars"))).as("value"))
+    val bad = docs.filter(col("doc_id") % 97 === 0)
+      .select(concat(lit("{\"doc_id\": "), col("doc_id"),
+        lit(", \"text\": \"trunc")).as("value"))
+    good.unionAll(bad).write.mode("overwrite").text(tmp)
+    // schema-FIRST read (never inferred — inference is a second full pass
+    // and silently widens types under dirty data) in PERMISSIVE mode: a
+    // malformed line lands whole in the corrupt-record column instead of
+    // killing the job (the loader.py:52-66 quarantine posture)
+    val schema = "doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+      "n_chars BIGINT, _bad STRING"
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .json(tmp)
+      .transform(graft.OpCaches.cached)
+  }
+
+  /** scan_jsonl_corpus: the JSONL document source — the interchange format
+    * LLM corpora actually ship in (one JSON object per line). Good rows
+    * parse back byte-exactly (text md5-pinned through the JSON escape
+    * round-trip); malformed lines fork to [[sinkJsonlQuarantine]], never
+    * silently dropped. */
+  def scanJsonlCorpus(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(jsonlParsed(spark, dir)
+      .filter(col("_bad").isNull)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("text")).as("text_md5")))
+
+  /** sink_jsonl_quarantine: the corrupt-line channel of the same parse —
+    * the raw lines land intact, and because they are derived from the
+    * fixtures the oracle reconstructs their exact bytes (the quarantine
+    * channel itself is hash-proven, the sink_quarantine idiom). */
+  def sinkJsonlQuarantine(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(jsonlParsed(spark, dir)
+      .filter(col("_bad").isNotNull)
+      .select(col("_bad").as("raw_line")))
+
   // ----------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_jsonl_corpus" -> scanJsonlCorpus,
+    "sink_jsonl_quarantine" -> sinkJsonlQuarantine,
     "scan_csv_pulses" -> scanCsvPulses,
     "scan_csv_campus" -> scanCsvCampus,
     "sink_quarantine" -> sinkQuarantine,
@@ -261,6 +313,14 @@ object Ingest {
       |  FROM events WHERE user_id BETWEEN 1 AND 3""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "scan_jsonl_corpus" ->
+      s"""SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+         |FROM documents
+         |${orderAll("doc_id", "lang", "source", "n_chars", "text_md5")}""".stripMargin,
+    "sink_jsonl_quarantine" ->
+      s"""SELECT '{"doc_id": ' || doc_id || ', "text": "trunc' AS raw_line
+         |FROM documents WHERE doc_id % 97 = 0
+         |${orderAll("raw_line")}""".stripMargin,
     "lineproto_ingest" ->
       s"""WITH s AS (
          |  SELECT user_id, CAST(ts AS TIMESTAMP) AS time, value,

@@ -533,6 +533,65 @@ object StreamingOps {
       .select(col("event_type"), col("win_start"), col("pattern"), col("dist2")))
   }
 
+  case class GapEv(event_type: String, event_id: Long, ts: Timestamp)
+  case class GapOut(event_type: String, gap: Long)
+  case class GapState(lastUs: Long, lastId: Long)
+
+  /** Dropped-late counter of the most recent [[streamGapReport]] drain —
+    * same no-silent-caps contract as [[patternMatchLateDrops]]. */
+  @volatile private var gapLateAcc:
+    Option[org.apache.spark.util.LongAccumulator] = None
+  def gapReportLateDrops: Long =
+    gapLateAcc.map(_.value.longValue).getOrElse(0L)
+
+  /** Streaming dropout monitor — [[graft.ops.Analytics.tsGapReport]] as
+    * the live query it exists to be: inter-point gaps are emitted AS A
+    * GRAIN by a per-series flatMapGroupsWithState whose state is one
+    * carried point (the last (ts, event_id) seen), so a gap spanning a
+    * micro-batch boundary forms exactly once and any batch split yields
+    * the identical gap multiset; the report is then the batch op's own
+    * aggregate expressions over the drained grain (n_points re-derived as
+    * gaps+1 per series — equal whenever a series has ≥ 2 points, which
+    * every fixture series does). O(1) state per series, points behind the
+    * carried frontier dropped AND counted ([[gapReportLateDrops]]), and
+    * the drain shares the batch oracle verbatim. */
+  def streamGapReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lateAcc = spark.sparkContext.longAccumulator("graft.gap_late_drops")
+    gapLateAcc = Some(lateAcc)
+    def us(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos % 1000000) / 1000
+    val evs: Dataset[GapEv] = eventsStream(spark, dir, maxFilesPerTrigger = Some(1))
+      .select(col("event_type"), col("event_id"), col("ts")).as[GapEv]
+    val gaps = evs.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (key: String, rows: Iterator[GapEv], state: GroupState[GapState]) => {
+          val carried = state.getOption
+          val frontier = carried.map(s => (s.lastUs, s.lastId))
+          val (inOrder, late) = rows.toSeq.map(e => (us(e.ts), e.event_id))
+            .partition(p => frontier.forall(f =>
+              implicitly[Ordering[(Long, Long)]].gt(p, f)))
+          if (late.nonEmpty) lateAcc.add(late.size.toLong)
+          val fresh = inOrder.sorted
+          if (fresh.isEmpty) Iterator.empty
+          else {
+            val chain = carried.map(s => (s.lastUs, s.lastId)).toSeq ++ fresh
+            state.update(GapState(fresh.last._1, fresh.last._2))
+            chain.sliding(2).collect {
+              case Seq((a, _), (b, _)) => GapOut(key, b - a)
+            }
+          }
+        })
+    val t = runToTable(gaps.toDF(), OutputMode.Append())
+    totalOrder(t.groupBy(col("event_type"))
+      .agg((count(lit(1)) + lit(1L)).as("n_points"),
+        count(lit(1)).as("n_gaps"),
+        max(col("gap")).as("max_gap_us"),
+        (sum(col("gap")).cast(org.apache.spark.sql.types.DoubleType) /
+          count(lit(1))).as("mean_gap_us"),
+        sum(when(col("gap") > graft.ops.Analytics.GapDropoutUs, 1L)
+          .otherwise(0L)).as("n_dropouts")))
+  }
+
   /** Subscription write-forwarding through the CQ-into-store path
     * (round-8 verdict item 6): same CQ as [[continuousQueryIntoStore]],
     * but with a [[graft.influxql.MeasurementCatalog]] carrying a
@@ -760,6 +819,32 @@ object StreamingOps {
       mergeDrain(hourly, Seq("bucket"))))
   }
 
+  /** Streaming forecast-baseline evaluation — the model-gating report as
+    * a continuously-updated query: the hourly mean grain drains as an
+    * ADDITIVE (Σ-decimal, count) pair per (series, hour) — associative
+    * and exact, so micro-batch merges converge to the batch hourly frame
+    * under any arrival order — then ONE IEEE division recovers each davg
+    * mean and the batch op's own post-pass
+    * ([[graft.ops.Analytics.forecastFrame]]) scores the seasonal-naive
+    * baseline. Shares the batch oracle verbatim; state bounded by open
+    * hour windows × series inside the watermark lag. */
+  def streamForecastEval(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.sizedSession(spark, 4)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    val hourly = eventsStream(s, dir)
+      .withWatermark("ts", BackfillLag)
+      .groupBy(col("event_type"), window(col("ts"), "1 hour").as("w"))
+      .agg(sum(col("value").cast(dec)).as("vsum"),
+        count(col("value")).as("vn"))
+      .select(col("event_type"), col("w.start").as("bucket"),
+        col("vsum"), col("vn"))
+    val drained = mergeDrain(hourly, Seq("event_type", "bucket"))
+    totalOrder(graft.ops.Analytics.forecastFrame(
+      drained.select(col("event_type"), col("bucket"),
+        (col("vsum").cast(org.apache.spark.sql.types.DoubleType) /
+          col("vn")).as("y"))))
+  }
+
   /** Streaming cohort retention — the growth dashboard as a live query:
     * the (user, day) ACTIVITY GRAIN is a watermarked day-window count
     * whose keys MERGE idempotently (a user re-appearing in a later
@@ -782,6 +867,7 @@ object StreamingOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_forecast_eval" -> streamForecastEval,
     "stream_cohort_retention" -> streamCohortRetention,
     "stream_slo_burn" -> streamSloBurn,
     "stream_ohlc" -> streamOhlc,
@@ -797,6 +883,7 @@ object StreamingOps {
     "stream_cq_into_store" -> continuousQueryIntoStore,
     "stream_cq_subscription" -> streamCqSubscription,
     "stream_pattern_match" -> streamPatternMatch,
+    "stream_gap_report" -> streamGapReport,
     "stream_topk" -> streamTopk)
 
   val oracle: Map[String, String] = Map(
@@ -811,6 +898,12 @@ object StreamingOps {
     // the cohort post-pass is shared — the twin reads the same oracle
     "stream_cohort_retention" ->
       graft.ops.Analytics.oracle("ts_cohort_retention"),
+    // the gap grain is split-invariant (one carried point per series) and
+    // the report aggregates are the batch op's own — oracle shared
+    "stream_gap_report" -> graft.ops.Analytics.oracle("ts_gap_report"),
+    // the hourly (Σ-decimal, count) grain is additive and the post-pass
+    // is the shared batch expression — the drain IS the batch table
+    "stream_forecast_eval" -> graft.ops.Analytics.oracle("ts_forecast_eval"),
     "stream_doc_curate" ->
       s"""WITH g AS (
          |  SELECT doc_id, source,

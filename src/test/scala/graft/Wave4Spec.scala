@@ -89,6 +89,133 @@ class Wave4Spec extends SparkTestBase {
     for ((id, n) <- toks if n > 0) assert(mass.get(id).contains(n), s"doc $id")
   }
 
+  test("jsonl corpus: good rows round-trip byte-exactly, corrupt lines all " +
+    "quarantined with exact content") {
+    val docs = Tables.load(spark, sf, "documents")
+    val good = ops.Ingest.scanJsonlCorpus(spark, sf)
+    assert(good.count() == docs.count())
+    // the JSON escape round-trip is lossless: md5 of the parsed text equals
+    // md5 of the source text per doc
+    val want = docs.select(col("doc_id"), md5(col("text")).as("m"))
+      .as[(Long, String)].collect().toMap
+    val got = good.select(col("doc_id"), col("text_md5"))
+      .as[(Long, String)].collect().toMap
+    assert(got == want)
+    val q = ops.Ingest.sinkJsonlQuarantine(spark, sf)
+      .as[String].collect().sorted.toSeq
+    val planted = docs.filter(col("doc_id") % 97 === 0)
+      .select(concat(lit("{\"doc_id\": "), col("doc_id"),
+        lit(", \"text\": \"trunc")))
+      .as[String].collect().sorted.toSeq
+    assert(q == planted && q.nonEmpty)
+  }
+
+  test("gap report: telescoping law — mean gap equals (last-first)/(n-1)") {
+    val rep = ops.Analytics.tsGapReport(spark, sf)
+      .select(col("event_type"), col("n_points"), col("n_gaps"),
+        col("mean_gap_us"))
+      .as[(String, Long, Long, Double)].collect()
+    val spans = Tables.load(spark, sf, "events")
+      .groupBy(col("event_type"))
+      .agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi"), count(lit(1)).as("n"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    for ((et, n, gaps, mean) <- rep) {
+      val (_, lo, hi, cnt) = spans(et)
+      assert(n == cnt && gaps == n - 1, et)
+      // consecutive gaps telescope: Σgap = hi - lo exactly, so the mean is
+      // the same single IEEE division both ways
+      assert(mean == (hi - lo).toDouble / (n - 1), et)
+    }
+  }
+
+  test("stream gap report: equals the batch report; split-invariant; " +
+    "late points counted, not silent") {
+    def rep(df: org.apache.spark.sql.DataFrame)
+        : Set[(String, Long, Long, Long, Double, Long)] =
+      df.as[(String, Long, Long, Long, Double, Long)].collect().toSet
+    // drain equality on the fixture (single file → one micro-batch)
+    assert(rep(streaming.StreamingOps.streamGapReport(spark, sf)) ==
+      rep(ops.Analytics.tsGapReport(spark, sf)))
+    assert(streaming.StreamingOps.gapReportLateDrops == 0L)
+    // cross-batch gap formation: one series over two time-ordered files —
+    // the boundary gap must form exactly once, and the split must be
+    // invisible in the report
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    def rows(r: Range) = r.map { i =>
+      ((i + 1).toLong,
+        java.sql.Timestamp.valueOf(f"2024-01-01 00:$i%02d:00"),
+        1L, "s", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    def writeSingle(df: org.apache.spark.sql.DataFrame, dest: String,
+        mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("gap_file").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(dest),
+        StandardCopyOption.REPLACE_EXISTING)
+      assert(new java.io.File(dest).setLastModified(mtime))
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    val split = Files.createTempDirectory("gap_split").toString
+    writeSingle(rows(0 until 4), s"$split/events_1.parquet", t0)
+    writeSingle(rows(4 until 10), s"$split/events_2.parquet", t0 + 10000)
+    val whole = Files.createTempDirectory("gap_whole").toString
+    writeSingle(rows(0 until 10), s"$whole/events_1.parquet", t0)
+    assert(rep(streaming.StreamingOps.streamGapReport(spark, split)) ==
+      rep(streaming.StreamingOps.streamGapReport(spark, whole)))
+    // a file landing wholly behind the frontier: counted, result unchanged
+    val late = Files.createTempDirectory("gap_late").toString
+    writeSingle(rows(4 until 10), s"$late/events_1.parquet", t0)
+    writeSingle(rows(0 until 4), s"$late/events_2.parquet", t0 + 10000)
+    val head = Files.createTempDirectory("gap_head").toString
+    writeSingle(rows(4 until 10), s"$head/events_1.parquet", t0)
+    val lateRep = rep(streaming.StreamingOps.streamGapReport(spark, late))
+    assert(streaming.StreamingOps.gapReportLateDrops == 4L,
+      s"late drops: ${streaming.StreamingOps.gapReportLateDrops}")
+    assert(lateRep == rep(streaming.StreamingOps.streamGapReport(spark, head)))
+  }
+
+  test("stream forecast eval: equals the batch report, even split mid-hour") {
+    def rep(df: org.apache.spark.sql.DataFrame)
+        : Set[(String, Long, Double, Double)] =
+      df.as[(String, Long, Double, Double)].collect().toSet
+    assert(rep(streaming.StreamingOps.streamForecastEval(spark, sf)) ==
+      rep(ops.Analytics.tsForecastEval(spark, sf)))
+    // a micro-batch boundary INSIDE an hour: the additive (Σ, n) grain
+    // must merge to the same hourly mean the batch scan computes
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val rows = (0 until 96).map { i =>
+      ((i + 1).toLong,
+        java.sql.Timestamp.valueOf(
+          f"2024-03-${1 + i / 48}%02d ${(i / 2) % 24}%02d:${30 * (i % 2)}%02d:00"),
+        1L, "pulse", 5.0 + (i % 5) * 1.7, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    def writeSingle(df: org.apache.spark.sql.DataFrame, dest: String,
+        mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("fc_file").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(dest),
+        StandardCopyOption.REPLACE_EXISTING)
+      assert(new java.io.File(dest).setLastModified(mtime))
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    val split = Files.createTempDirectory("fc_split").toString
+    // 61 is mid-hour (xx:30 of an hour whose xx:00 landed in file 1)
+    writeSingle(rows.filter(col("event_id") <= 61),
+      s"$split/events_1.parquet", t0)
+    writeSingle(rows.filter(col("event_id") > 61),
+      s"$split/events_2.parquet", t0 + 10000)
+    val whole = Files.createTempDirectory("fc_whole").toString
+    writeSingle(rows, s"$whole/events.parquet", t0)
+    assert(rep(streaming.StreamingOps.streamForecastEval(spark, split)) ==
+      rep(ops.Analytics.tsForecastEval(spark, whole)))
+  }
+
   test("dedup recall report: counts bounded, rates in [0,1], truth non-vacuous") {
     val rows = ops.Dedup.dedupRecallReport(spark, sf)
       .as[(String, Long, Long, Long, Option[Double], Option[Double])]
