@@ -1441,13 +1441,16 @@ object InfluxQL {
     val v = col(sel.field)
     // sample(f, n): InfluxDB's reservoir sample is nondeterministic run to
     // run; the deterministic re-expression ranks each point by a SEEDED
-    // xxhash64 of (seed, time, value) and keeps the n smallest — uniform
-    // over the bucket for hash purposes, identical on every run, and
-    // engine-specific only in the hash (rows-only check + spec, the
-    // dedup_minhash precedent)
+    // md5 of (seed, epoch-µs) — the repo's cross-engine hash idiom, so
+    // the selection carries a full DuckDB oracle (round-10 verdict item
+    // 1; the previous xxhash64 ranking was engine-private and could only
+    // be rows-only-checked) — and keeps the n smallest. Equal-time points
+    // share a key, so the value tiebreak keeps the order total.
     val ord: Seq[Column] =
       if (sel.fn == "sample")
-        Seq(xxhash64(lit(SampleSeed), col("time"), v).asc, col("time").asc)
+        Seq(conv(substring(md5(concat_ws(":",
+            lit(SampleSeed), unix_micros(col("time")))), 1, 15), 16, 10)
+          .cast("long").asc, col("time").asc, v.asc)
       else if (sel.fn == "top") Seq(v.desc, col("time").asc)
       else Seq(v.asc, col("time").asc)
     val out = sel.alias.getOrElse(sel.fn)

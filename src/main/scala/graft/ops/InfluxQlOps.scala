@@ -262,8 +262,8 @@ object InfluxQlOps {
       "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-06 00:00:00' " +
       "GROUP BY time(6h)"
 
-  // seeded deterministic sample(): rows-only (xxhash64 ranking is
-  // engine-specific, the dedup_minhash precedent) + distribution spec
+  // seeded deterministic sample(): md5-ranked (cross-engine — full
+  // DuckDB oracle) + distribution spec
   private val SampleQ =
     "SELECT sample(value, 3) AS s FROM events " +
       "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-06 00:00:00' " +
@@ -1639,6 +1639,24 @@ object InfluxQlOps {
          |  FROM m)
          |SELECT time, event_type, value AS v FROM r2 WHERE rn <= 2
          |${orderAll("time", "event_type", "v")}""".stripMargin,
+    // sample(): the md5-seeded deterministic selector — rank each point by
+    // md5('<seed>:' || epoch-µs) within its (1d bucket, tag) group, keep
+    // the n smallest; the literal 42 is InfluxQL.SampleSeed
+    "influxql_sample" ->
+      s"""WITH r AS (
+         |  SELECT CAST(ts AS TIMESTAMP) AS time, event_type, value,
+         |    ROW_NUMBER() OVER (
+         |      PARTITION BY ${sqlBucket("CAST(ts AS TIMESTAMP)", 86400)},
+         |        event_type
+         |      ORDER BY CAST(('0x' || substring(md5('42:' ||
+         |          CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR)), 1, 15))
+         |          ::UBIGINT AS BIGINT) ASC,
+         |        CAST(ts AS TIMESTAMP) ASC, value ASC) AS rn
+         |  FROM events
+         |  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01 00:00:00'
+         |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-06 00:00:00')
+         |SELECT time, event_type, value AS s FROM r WHERE rn <= 3
+         |${orderAll("time", "event_type", "s")}""".stripMargin,
     "influxql_top_bucket" ->
       s"""WITH r AS (
          |  SELECT CAST(ts AS TIMESTAMP) AS time, event_type, value,

@@ -52,13 +52,16 @@ class ExtensionSpec extends SparkTestBase {
     assert(missed.isEmpty, s"missed near-identical pairs: $missed")
   }
 
-  test("simhash is deterministic and 63-bit") {
+  test("simhash is deterministic and 60-bit") {
     val a = ops.Dedup.dedupSimhash(spark, sf)
       .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
     val b = ops.Dedup.dedupSimhash(spark, sf)
       .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
     assert(a == b)
-    assert(a.values.forall(_ >= 0L), "bit 63 must be clear")
+    // md5w token hashes carry 60 bits, so bits 60-63 of the majority
+    // vote are constant 0 — the signature is a nonneg long
+    assert(a.values.forall(v => v >= 0L && (v >> 60) == 0L),
+      "bits 60-63 must be clear")
   }
 
   test("exact dedup groups hold identical normalized text") {

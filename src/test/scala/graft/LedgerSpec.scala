@@ -50,9 +50,8 @@ class LedgerSpec extends AnyFunSuite {
     // (engine-specific hashing / approximation / codec); anything NEW
     // without an oracle must be added here consciously, not silently
     val declaredRowsOnly = Set(
-      "agg_approx_distinct", "agg_approx_percentile", "dedup_minhash",
-      "dedup_simhash", "dedup_simhash_pairs", "dedup_simhash_cap_stats",
-      "influxql_sample", "mm_decode_features", "mm_phash_pairs",
+      "agg_approx_distinct", "agg_approx_percentile",
+      "mm_decode_features", "mm_phash_pairs",
       "mm_phash_clusters", "mm_phash_cap_stats")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == declaredRowsOnly,
