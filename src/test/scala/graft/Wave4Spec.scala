@@ -112,29 +112,31 @@ class Wave4Spec extends SparkTestBase {
 
   test("gap report: telescoping law — mean gap equals (last-first)/(n-1)") {
     val rep = ops.Analytics.tsGapReport(spark, sf)
-      .select(col("event_type"), col("n_points"), col("n_gaps"),
-        col("mean_gap_us"))
-      .as[(String, Long, Long, Double)].collect()
+      .select(col("event_type"), col("user_id"), col("n_points"),
+        col("n_gaps"), col("mean_gap_us"))
+      .as[(String, Long, Long, Long, Double)].collect()
     val spans = Tables.load(spark, sf, "events")
-      .groupBy(col("event_type"))
+      .groupBy(col("event_type"), col("user_id"))
       .agg(min(unix_micros(col("ts"))).as("lo"),
         max(unix_micros(col("ts"))).as("hi"), count(lit(1)).as("n"))
-      .as[(String, Long, Long, Long)].collect()
-      .map(r => r._1 -> r).toMap
-    for ((et, n, gaps, mean) <- rep) {
-      val (_, lo, hi, cnt) = spans(et)
-      assert(n == cnt && gaps == n - 1, et)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(rep.length > 50, "series grain must be (event_type, user_id)")
+    for ((et, uid, n, gaps, mean) <- rep) {
+      val (_, _, lo, hi, cnt) = spans((et, uid))
+      assert(n == cnt && gaps == n - 1, (et, uid))
       // consecutive gaps telescope: Σgap = hi - lo exactly, so the mean is
       // the same single IEEE division both ways
-      assert(mean == (hi - lo).toDouble / (n - 1), et)
+      assert(mean == (hi - lo).toDouble / (n - 1), (et, uid))
     }
   }
 
   test("stream gap report: equals the batch report; split-invariant; " +
     "late points counted, not silent") {
     def rep(df: org.apache.spark.sql.DataFrame)
-        : Set[(String, Long, Long, Long, Double, Long)] =
-      df.as[(String, Long, Long, Long, Double, Long)].collect().toSet
+        : Set[(String, Long, Long, Long, Option[Long], Option[Double], Long)] =
+      df.as[(String, Long, Long, Long, Option[Long], Option[Double], Long)]
+        .collect().toSet
     // drain equality on the fixture (single file → one micro-batch)
     assert(rep(streaming.StreamingOps.streamGapReport(spark, sf)) ==
       rep(ops.Analytics.tsGapReport(spark, sf)))
@@ -176,6 +178,20 @@ class Wave4Spec extends SparkTestBase {
     assert(streaming.StreamingOps.gapReportLateDrops == 4L,
       s"late drops: ${streaming.StreamingOps.gapReportLateDrops}")
     assert(lateRep == rep(streaming.StreamingOps.streamGapReport(spark, head)))
+    // a 1-point series: the first-sight sentinel grain makes the stream
+    // emit it exactly as the batch op does (n_points=1, n_gaps=0, null
+    // max/mean) — before the sentinel the series was silently absent
+    val solo = Files.createTempDirectory("gap_solo").toString
+    val soloDf = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "a", 1.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 1L, "a", 1.0, "{}"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:00:30"), 2L, "a", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    writeSingle(soloDf, s"$solo/events.parquet", t0)
+    val sr = rep(streaming.StreamingOps.streamGapReport(spark, solo))
+    assert(sr == rep(ops.Analytics.tsGapReport(spark, solo)))
+    assert(sr.exists(r => r._2 == 2L && r._3 == 1L && r._4 == 0L
+      && r._5.isEmpty && r._6.isEmpty))
   }
 
   test("stream forecast eval: equals the batch report, even split mid-hour") {
