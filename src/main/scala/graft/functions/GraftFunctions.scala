@@ -204,14 +204,19 @@ object GraftFunctions {
     * 4096-bit word array (a roaring-bitmap-lite: absent pages cost
     * nothing, so sparse id spaces stay proportional to |distinct|, not
     * max-id). Negative ids map by floor division, so the full int64
-    * domain is valid. */
+    * domain is valid. Input is boxed and NULL ids are skipped — the
+    * COUNT(DISTINCT) semantics the op's oracle carries (a scalaLong
+    * input encoder would fail or zero-count a null row instead). */
   class BitmapDistinct
-    extends Aggregator[Long, Map[Long, Array[Long]], Long] {
+    extends Aggregator[java.lang.Long, Map[Long, Array[Long]], Long] {
     private val PageBits = 4096L // 64 words/page
 
     override def zero: Map[Long, Array[Long]] = Map.empty
 
-    override def reduce(b: Map[Long, Array[Long]], v: Long): Map[Long, Array[Long]] = {
+    override def reduce(b: Map[Long, Array[Long]],
+        boxed: java.lang.Long): Map[Long, Array[Long]] = {
+      if (boxed == null) return b
+      val v = boxed.longValue
       val page = java.lang.Math.floorDiv(v, PageBits)
       val bit = java.lang.Math.floorMod(v, PageBits).toInt
       b.get(page) match {

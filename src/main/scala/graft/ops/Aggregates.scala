@@ -191,7 +191,7 @@ object Aggregates {
   def aggBitmapDistinct(spark: SparkSession, dir: String): DataFrame = {
     val bitmap = org.apache.spark.sql.functions.udaf(
       new graft.functions.GraftFunctions.BitmapDistinct,
-      org.apache.spark.sql.Encoders.scalaLong)
+      org.apache.spark.sql.Encoders.LONG)
     totalOrder(load(spark, dir, "events")
       .groupBy(date_trunc("DAY", col("ts")).as("day"))
       .agg(bitmap(col("user_id")).as("n_users"),

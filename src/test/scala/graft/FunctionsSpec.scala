@@ -114,6 +114,21 @@ class FunctionsSpec extends SparkTestBase {
     declarative.foreach { case (k, v) => assert(fused(k) == v, s"id $k") }
   }
 
+  test("BitmapDistinct skips NULL ids — COUNT(DISTINCT) semantics") {
+    import spark.implicits._
+    val bitmap = org.apache.spark.sql.functions.udaf(
+      new GraftFunctions.BitmapDistinct,
+      org.apache.spark.sql.Encoders.LONG)
+    val df = Seq[(String, Option[Long])](
+      ("a", Some(1L)), ("a", Some(1L)), ("a", Some(-7L)), ("a", None),
+      ("b", None), ("b", None))
+      .toDF("g", "id")
+    val got = df.groupBy("g").agg(bitmap(col("id")).as("n"))
+      .as[(String, Long)].collect().toMap
+    // nulls are ignored, not counted and not a crash; negative ids valid
+    assert(got == Map("a" -> 2L, "b" -> 0L))
+  }
+
   test("VecCentroid merge law: split accumulation equals single-pass") {
     val agg = new GraftFunctions.VecCentroid(3)
     val vs = Seq(Array(1.0f, 2.0f, 3.0f), Array(2.0f, 3.0f, 4.0f),

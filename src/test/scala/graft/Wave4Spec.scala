@@ -45,7 +45,7 @@ class Wave4Spec extends SparkTestBase {
     // the OR-merge is idempotent/commutative: any partitioning agrees —
     // exercise single-partition (no merge) vs many-partition (merge-heavy)
     val bitmap = udaf(new functions.GraftFunctions.BitmapDistinct,
-      org.apache.spark.sql.Encoders.scalaLong)
+      org.apache.spark.sql.Encoders.LONG)
     val ids = Seq(-5000L, -5000L, -1L, 0L, 63L, 64L, 4095L, 4096L,
       1L << 40, (1L << 40) + 1, Long.MinValue, Long.MaxValue)
     for (parts <- Seq(1, 7)) {
