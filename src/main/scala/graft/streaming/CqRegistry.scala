@@ -222,7 +222,7 @@ class CqRegistry(spark: SparkSession, root: String,
         // snapshot, or a subscription registered between two samples
         // makes the tee recompute an unpersisted delta
         val dests = subscriptions
-          .map(_.subscriptionFileTargets(db, rp)).getOrElse(Nil)
+          .map(_.subscriptionTargets(db, rp)).getOrElse(Nil)
         // cache the delta once: the store MERGE and each subscription tee
         // all consume the same micro-batch
         val shared = if (dests.nonEmpty) versioned.persist() else versioned

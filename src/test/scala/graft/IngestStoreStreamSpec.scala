@@ -280,15 +280,21 @@ class IngestStoreStreamSpec extends SparkTestBase {
     val landing = Files.createTempDirectory("cq_subs_landing").toString
     val cat = new graft.influxql.MeasurementCatalog(spark)
     cat.statement("CREATE DATABASE graft")
-    // ALL fans out to every file destination; non-file transports skipped
+    // ALL fans out to every destination
     cat.statement("CREATE SUBSCRIPTION s_all ON graft.autogen " +
-      s"DESTINATIONS ALL 'file://$root/dest_a', 'file://$root/dest_b', " +
-      "'http://kapacitor:9092'")
-    // ANY load-balances: deterministically the FIRST file destination
+      s"DESTINATIONS ALL 'file://$root/dest_a', 'file://$root/dest_b'")
+    // ANY load-balances: deterministically the FIRST destination
     cat.statement("CREATE SUBSCRIPTION s_any ON graft.autogen " +
       s"DESTINATIONS ANY 'file://$root/any_1', 'file://$root/any_2'")
-    assert(cat.subscriptionFileTargets("graft", "autogen") ==
+    assert(cat.subscriptionTargets("graft", "autogen") ==
       Seq(s"file://$root/dest_a", s"file://$root/dest_b", s"file://$root/any_1"))
+    // the transport boundary fails at CREATE, not silently at forward
+    // time: udp:// is InfluxDB's serving-layer transport, not carried here
+    val udpErr = intercept[IllegalArgumentException] {
+      cat.statement("CREATE SUBSCRIPTION s_udp ON graft.autogen " +
+        "DESTINATIONS ALL 'udp://h:9999'")
+    }
+    assert(udpErr.getMessage.contains("unsupported subscription transport"))
     val reg = new graft.streaming.CqRegistry(spark, root, "30 days")
     reg.create("CREATE CONTINUOUS QUERY cq_subs ON graft BEGIN " +
       "SELECT count(value) AS n INTO daily FROM events GROUP BY time(1d) END")
@@ -327,6 +333,76 @@ class IngestStoreStreamSpec extends SparkTestBase {
       "SELECT count(value) AS n INTO daily FROM events GROUP BY time(1d) END")
     reg2.runIntoStore("cq_subs", stream, new graft.store.MeasurementStore(
       spark, Files.createTempDirectory("cq_nosub_store").toString))
+  }
+
+  test("subscription http transport: deltas arrive as line-protocol POSTs " +
+    "that reconstruct the stored table") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val uris = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: HttpExchange) => {
+      received.add(new String(ex.getRequestBody.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8))
+      uris.add(ex.getRequestURI.toString)
+      ex.sendResponseHeaders(204, -1)
+      ex.close()
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val root = Files.createTempDirectory("cq_http").toString
+      val landing = Files.createTempDirectory("cq_http_landing").toString
+      val cat = new graft.influxql.MeasurementCatalog(spark)
+      cat.statement("CREATE DATABASE graft")
+      cat.statement("CREATE SUBSCRIPTION s_http ON graft.autogen " +
+        s"DESTINATIONS ALL 'http://127.0.0.1:$port'")
+      val reg = new graft.streaming.CqRegistry(spark, root, "30 days")
+      reg.create("CREATE CONTINUOUS QUERY cq_http ON graft BEGIN " +
+        "SELECT count(value) AS n INTO daily FROM events " +
+        "GROUP BY time(1d), event_type END")
+      val events = Tables.load(spark, sf, "events")
+        .select(col("ts").as("time"), col("event_type"), col("value"))
+      val store = new graft.store.MeasurementStore(spark,
+        Files.createTempDirectory("cq_http_store").toString)
+      def stream = spark.readStream.schema(events.schema).parquet(landing)
+      // two incremental drains: the subscriber sees each run's delta
+      events.limit(60).write.mode("append").parquet(landing)
+      reg.runIntoStore("cq_http", stream, store, subscriptions = Some(cat))
+      events.write.mode("append").parquet(landing)
+      val stored = reg.runIntoStore("cq_http", stream, store,
+        subscriptions = Some(cat))
+      // the wire contract: POSTs to /write?db=&rp=, line protocol rows
+      assert(!received.isEmpty)
+      uris.forEach(u => assert(u == "/write?db=graft&rp=autogen", u))
+      // parse: daily,event_type=<t> __cq_version=<v>i,n=<n>i <ns>
+      val lines = received.toArray(Array.empty[String])
+        .flatMap(_.split("\n")).toSeq
+      assert(lines.forall(_.startsWith("daily,event_type=")), lines.head)
+      val parsed = lines.map { l =>
+        val Array(ident, fields, ts) = l.split(" ")
+        val tag = ident.stripPrefix("daily,event_type=")
+        val fm = fields.split(",").map { kv =>
+          val Array(k, v) = kv.split("=")
+          k -> v.stripSuffix("i").toLong
+        }.toMap
+        ((ts.toLong, tag), (fm("__cq_version"), fm("n")))
+      }
+      // last-write-wins collapse on the shipped version reconstructs the
+      // stored table exactly — the subscriber's view equals the store's
+      val collapsed = parsed.groupBy(_._1)
+        .map { case (k, vs) => (k._1, k._2, vs.map(_._2).maxBy(_._1)._2) }
+        .toSet
+      val want = stored.select(
+          (unix_micros(col("time")) * 1000L).as("ns"),
+          col("event_type"), col("n"))
+        .as[(Long, String, Long)].collect().toSet
+      assert(collapsed == want)
+      // both drains forwarded: re-emitted buckets appear twice in the raw
+      // stream (the subscriber's state to collapse, not the engine's)
+      assert(parsed.size > want.size)
+    } finally server.stop(0)
   }
 
   test("CQ registry: interrupted merge swap heals on the next run") {

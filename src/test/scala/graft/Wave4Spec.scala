@@ -103,11 +103,56 @@ class Wave4Spec extends SparkTestBase {
     assert(got == want)
     val q = ops.Ingest.sinkJsonlQuarantine(spark, sf)
       .as[String].collect().sorted.toSeq
-    val planted = docs.filter(col("doc_id") % 97 === 0)
+    val trunc = docs.filter(col("doc_id") % 97 === 0)
       .select(concat(lit("{\"doc_id\": "), col("doc_id"),
         lit(", \"text\": \"trunc")))
-      .as[String].collect().sorted.toSeq
-    assert(q == planted && q.nonEmpty)
+      .as[String].collect().toSeq
+    // the mixed-schema family: VALID JSON with doc_id as a string token —
+    // the schema-first BIGINT read quarantines, never coerces
+    val mixed = docs.filter(col("doc_id") % 131 === 5)
+      .select(concat(lit("{\"doc_id\": \""), col("doc_id"),
+        lit("\", \"text\": \"mixed schema\", \"n_chars\": 1}")))
+      .as[String].collect().toSeq
+    assert(q == (trunc ++ mixed).sorted && trunc.nonEmpty && mixed.nonEmpty)
+  }
+
+  test("jsonl quarantine: malformed UTF-8 bytes land in the dead letter, " +
+    "never silently dropped or coerced") {
+    import java.nio.file.{Files, Paths}
+    val landing = Files.createTempDirectory("jsonl_utf8").toString
+    // two good lines + one line whose text value contains raw invalid
+    // UTF-8 (0xC3 0x28: a truncated two-byte sequence — the mid-write
+    // crash artifact at the ENCODING level, below JSON syntax)
+    val goodA = "{\"doc_id\": 1, \"text\": \"alpha\", \"lang\": \"en\", " +
+      "\"source\": \"s\", \"n_chars\": 5}"
+    val goodB = "{\"doc_id\": 2, \"text\": \"beta\", \"lang\": \"en\", " +
+      "\"source\": \"s\", \"n_chars\": 4}"
+    val badPrefix = "{\"doc_id\": 3, \"text\": \"".getBytes("UTF-8")
+    val badBytes = Array[Byte](0xC3.toByte, 0x28.toByte)
+    val badSuffix = "\", \"lang\": \"en\"}".getBytes("UTF-8")
+    val all = (goodA + "\n" + goodB + "\n").getBytes("UTF-8") ++
+      badPrefix ++ badBytes ++ badSuffix
+    Files.write(Paths.get(s"$landing/part-0.txt"), all)
+    val schema = "doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+      "n_chars BIGINT, _bad STRING"
+    val parsed = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .json(landing).cache()
+    try {
+      val goodRows = parsed.filter(col("_bad").isNull)
+      val badRows = parsed.filter(col("_bad").isNotNull)
+      // conservation: every input line is exactly one of good/quarantined
+      assert(parsed.count() == 3)
+      assert(goodRows.count() == 2)
+      assert(goodRows.select("doc_id").as[Long].collect().sorted
+        .sameElements(Array(1L, 2L)))
+      assert(badRows.count() == 1)
+      // the dead letter holds the doc_id 3 artifact, its good prefix
+      // intact — triageable, not a silent drop
+      val raw = badRows.select("_bad").as[String].head()
+      assert(raw.startsWith("{\"doc_id\": 3"))
+    } finally { parsed.unpersist(); () }
   }
 
   test("gap report: telescoping law — mean gap equals (last-first)/(n-1)") {
