@@ -50,7 +50,10 @@ object Bench {
     // the slowest queries — the ones round-over-round verdicts actually
     // compare — are re-run twice more and reported as the MEDIAN of three;
     // the fast tail keeps its single timing (noise there is absolute ~ms)
-    val Reruns = 20
+    // raised 20 → 50 (round-10 verdict item 7): round-over-round verdicts
+    // kept hitting single-run-only ids; the top-50 covers every query the
+    // cross-round comparisons have ever flagged
+    val Reruns = 50
     // any query whose single-run drifts >1.5× against the last committed
     // ledger joins the re-run set too — round-over-round regressions must
     // be judged on a median, not one noisy sample (round-8 verdict: the
@@ -59,8 +62,12 @@ object Bench {
     val DriftFactor = 1.5
     // round-9/10 single-run drift scares under min-of-3 watch until two
     // clean rounds (the mm_phash_pairs discipline)
+    // dedup_exact doubles as the cross-container calibration ANCHOR (its
+    // plan is scan + hash agg, immune to every family-specific change) —
+    // always min-of-3 so container-speed normalization has a stable floor
     val watch = Set("mm_phash_pairs", "dedup_span_stats",
-      "dedup_paragraph", "text_lm_bigram")
+      "dedup_paragraph", "text_lm_bigram",
+      "mm_decode_features", "text_winnowing", "dedup_exact")
     val prevPath = Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "BENCH_LOCAL.json"))
     val prev: Map[String, Double] = scala.util.Try {
@@ -115,9 +122,13 @@ object Bench {
     // min map for the re-run set: the floor a plan change must beat
     val mins = samples.filter(_._2.size > 1).toSeq
       .map { case (k, ts) => k -> ts.min }.sortBy(_._1)
+    // the calibration anchor: dedup_exact's min-of-3 floor, named so a
+    // cross-container comparison can normalize before judging drift
+    val anchor = samples.get("dedup_exact")
+      .map(ts => s""","anchor":{"dedup_exact":${r3(ts.min)}}""").getOrElse("")
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},""" +
-        s""""min_of_3":${jsonMap(mins)},"sf":"$sfDir"}"""
+        s""""min_of_3":${jsonMap(mins)}$anchor,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     Files.writeString(Paths.get(outPath), full + "\n")
     println(line)

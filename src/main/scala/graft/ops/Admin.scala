@@ -196,9 +196,9 @@ object Admin {
     cat.statement("CREATE SUBSCRIPTION sub_kapacitor ON ciwsdb.autogen " +
       "DESTINATIONS ALL 'http://kapacitor:9092'")
     cat.statement("CREATE SUBSCRIPTION sub_mirror ON telegraf.autogen " +
-      "DESTINATIONS ANY 'udp://mirror-a:8089', 'udp://mirror-b:8089'")
+      "DESTINATIONS ANY 'http://mirror-a:9092', 'http://mirror-b:9092'")
     cat.statement("CREATE SUBSCRIPTION sub_tmp ON ciwsdb.autogen " +
-      "DESTINATIONS ALL 'udp://scratch:8089'")
+      "DESTINATIONS ALL 'http://scratch:9092'")
     cat.statement("DROP SUBSCRIPTION sub_tmp ON ciwsdb.autogen")
     totalOrder(cat.statement("SHOW SUBSCRIPTIONS"))
   }
@@ -319,7 +319,7 @@ object Admin {
          |  ('ciwsdb', 'autogen', 'sub_kapacitor', 'ALL',
          |   'http://kapacitor:9092'),
          |  ('telegraf', 'autogen', 'sub_mirror', 'ANY',
-         |   'udp://mirror-a:8089,udp://mirror-b:8089')
+         |   'http://mirror-a:9092,http://mirror-b:9092')
          |) AS t("database", retention_policy, name, mode, destinations)
          |${orderAll("\"database\"", "retention_policy", "name", "mode",
            "destinations")}""".stripMargin)

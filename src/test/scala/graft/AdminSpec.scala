@@ -163,11 +163,16 @@ class AdminSpec extends SparkTestBase {
   test("subscription registry: create validates db/rp, drop removes, list") {
     val cat = freshCat()
     cat.statement("CREATE SUBSCRIPTION s1 ON ciwsdb.autogen " +
-      "DESTINATIONS ANY 'udp://a:8089', 'udp://b:8089'")
+      "DESTINATIONS ANY 'http://a:9092', 'http://b:9092'")
     val listed = cat.statement("SHOW SUBSCRIPTIONS")
       .as[(String, String, String, String, String)].collect().toSeq
     assert(listed ===
-      Seq(("ciwsdb", "autogen", "s1", "ANY", "udp://a:8089,udp://b:8089")))
+      Seq(("ciwsdb", "autogen", "s1", "ANY", "http://a:9092,http://b:9092")))
+    // udp:// is the declared serving-layer boundary: rejected at CREATE
+    intercept[IllegalArgumentException] {
+      cat.statement("CREATE SUBSCRIPTION s_udp ON ciwsdb.autogen " +
+        "DESTINATIONS ALL 'udp://h:8089'")
+    }
     // a second registration under the same (db, rp, name) is an error
     intercept[IllegalArgumentException] {
       cat.statement("CREATE SUBSCRIPTION s1 ON ciwsdb.autogen " +
