@@ -261,7 +261,13 @@ object Dedup {
     * bucket is the raw 4-tuple of signature values (joining on the tuple
     * is exactly as discriminating as hashing it, and needs no hash at
     * all). Precision/recall spec vs the exact op retained. */
-  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(minhashPairs(spark, dir))
+
+  /** The unsorted verified minhash pair frame — shared by [[dedupMinhash]]
+    * and the [[dedupRecallReport]] tier (which must not pay the
+    * driver-contract total-order sort). */
+  private def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val post = cappedPosting(spark, dir)
     // verification sets: the doc's capped hashed-shingle vocabulary
     val hs = post.groupBy(col("doc_id")).agg(collect_list(col("h")).as("hs"))
@@ -283,14 +289,14 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     // exact verification (long-array intersect) for the candidate set only
-    totalOrder(cand
+    cand
       .join(hs.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), "id_a")
       .join(hs.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
       .withColumn("jaccard", col("inter").cast(DoubleType) /
         (size(col("hs_a")) + size(col("hs_b")) - col("inter")))
       .filter(col("jaccard") >= 0.3)
-      .select(col("id_a"), col("id_b"), col("jaccard")))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** SimHash (SURVEY §2.10 dedup_simhash): 60-bit signature by per-bit
@@ -708,7 +714,10 @@ object Dedup {
     * for the dedup families: recall AND precision of each oracle-able
     * candidate generator against cap-free ground truth, on a pinned
     * id-sample. Tiers: the df-capped inverted-index Jaccard pass
-    * ([[dedupNgramJaccard]]) vs UNCAPPED exact Jaccard ≥ 0.3; the banded
+    * ([[dedupNgramJaccard]]) and the minhash banding pass
+    * ([[minhashPairs]] — same jaccard ≥ 0.3 contract, so df-cap loss and
+    * banding-probability loss are measured against ONE truth) both vs
+    * UNCAPPED exact Jaccard ≥ 0.3; the banded
     * sign-LSH pass ([[dedupEmbcos]]) and the SemDeDup k-means blocking
     * ([[Vectors.semanticPairGraph]]) each vs exact all-pairs cosine
     * ≥ 0.45 — the two embedding generators against ONE truth, so their
@@ -766,6 +775,12 @@ object Dedup {
     val ng = jaccardPairs(spark, dir)
       .filter(col("id_a") <= dL && col("id_b") <= dL)
       .select(col("id_a"), col("id_b"))
+    // the minhash banding tier shares the ngram truth: both generate
+    // candidates for the SAME jaccard >= 0.3 contract, so their recall is
+    // directly comparable (banding-probability loss vs df-cap loss)
+    val mh = minhashPairs(spark, dir)
+      .filter(col("id_a") <= dL && col("id_b") <= dL)
+      .select(col("id_a"), col("id_b"))
     val el = dedupEmbcos(spark, dir)
       .select(col("canonical_id").as("id_a"), col("dup_id").as("id_b"))
       .filter(col("id_a") <= vL && col("id_b") <= vL)
@@ -781,6 +796,7 @@ object Dedup {
           col("tier_pairs"), col("hits"))
 
     totalOrder(row("embcos_lsh", truthCos, el)
+      .unionByName(row("minhash_lsh", truthNgram, mh))
       .unionByName(row("ngram_capped", truthNgram, ng))
       .unionByName(row("semantic_kmeans", truthCos, sm))
       .withColumn("recall", when(col("truth_pairs") > 0,
@@ -969,15 +985,16 @@ object Dedup {
     s"""list_aggregate(list_transform(list_zip($a, $b),
        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')""".stripMargin
 
-  /** The recall report's oracle composes the three published generator
-    * chains verbatim ([[jaccardPairsCtes]], [[SignLsh.sqlCandCtes]],
-    * [[Vectors.sqlSemanticPairCtes]]) and re-derives both truth sets, so
+  /** The recall report's oracle composes the four published generator
+    * chains verbatim ([[jaccardPairsCtes]], [[minhashChainCtes]],
+    * [[SignLsh.sqlCandCtes]], [[Vectors.sqlSemanticPairCtes]]) and re-derives both truth sets, so
     * recall/precision are differentially pinned end-to-end — the
     * [[Vectors]] sim_recall_report idiom applied to dedup. */
   private lazy val recallReportOracle: String = {
     val sdl = s"(SELECT l FROM sd)"
     val svl = s"(SELECT l FROM sv)"
     s"""WITH $jaccardPairsCtes,
+       |$minhashChainCtes,
        |${SignLsh.sqlCandCtes()},
        |lsh_pairs AS (
        |  SELECT c.id_a, c.id_b
@@ -1010,6 +1027,8 @@ object Dedup {
        |      / (a.nrm * b.nrm) >= 0.45),
        |ngs AS (SELECT id_a, id_b FROM jpairs
        |  WHERE id_a <= $sdl AND id_b <= $sdl),
+       |mhs AS (SELECT id_a, id_b FROM mh_pairs
+       |  WHERE id_a <= $sdl AND id_b <= $sdl),
        |els AS (SELECT id_a, id_b FROM lsh_pairs
        |  WHERE id_a <= $svl AND id_b <= $svl),
        |sms AS (SELECT id_a, id_b FROM sem_pairs
@@ -1019,6 +1038,11 @@ object Dedup {
        |    (SELECT COUNT(*) FROM tcos) AS truth_pairs,
        |    (SELECT COUNT(*) FROM els) AS tier_pairs,
        |    (SELECT COUNT(*) FROM els JOIN tcos USING (id_a, id_b)) AS hits
+       |  UNION ALL
+       |  SELECT 'minhash_lsh',
+       |    (SELECT COUNT(*) FROM tjac),
+       |    (SELECT COUNT(*) FROM mhs),
+       |    (SELECT COUNT(*) FROM mhs JOIN tjac USING (id_a, id_b))
        |  UNION ALL
        |  SELECT 'ngram_capped',
        |    (SELECT COUNT(*) FROM tjac),
@@ -1039,43 +1063,53 @@ object Dedup {
                    "tier_precision")}""".stripMargin
   }
 
-  /** [[dedupMinhash]]'s oracle: the full chain — capped postings, two md5
-    * words, 16 rotate-XOR min-hashes, raw-tuple band join, exact-Jaccard
-    * verify — re-derived in DuckDB from the shingle strings. */
-  private lazy val minhashOracle: String = {
+  /** [[minhashPairs]] as a DuckDB CTE chain riding an existing `capped`
+    * CTE — two md5 words, 16 rotate-XOR min-hashes, raw-tuple band join,
+    * exact-Jaccard verify. `mh_`-prefixed so it composes with the other
+    * generator chains inside [[recallReportOracle]] (whose sign-LSH chain
+    * also defines a `cand`). Ends in `mh_pairs` (id_a, id_b, jaccard). */
+  private lazy val minhashChainCtes: String = {
     val mins = (0 until 16)
       .map(k => s"    MIN(${sqlRotXor(k)}) AS m$k").mkString(",\n")
     val bandRows = (0 until 4).map { bd =>
       s"  SELECT doc_id, $bd AS band, m${bd * 4} AS k1, m${bd * 4 + 1} AS k2, " +
-        s"m${bd * 4 + 2} AS k3, m${bd * 4 + 3} AS k4 FROM sig"
+        s"m${bd * 4 + 2} AS k3, m${bd * 4 + 3} AS k4 FROM mh_sig"
     }.mkString("\n  UNION ALL\n")
-    s"""WITH $postingCtes,
-       |hb AS (
+    s"""mh_hb AS (
        |  SELECT doc_id, ${sqlMd5w("sh", 1)} AS h, ${sqlMd5w("sh", 17)} AS h2
        |  FROM capped),
-       |sig AS (
+       |mh_sig AS (
        |  SELECT doc_id,
        |$mins
-       |  FROM hb GROUP BY doc_id),
-       |bands AS (
+       |  FROM mh_hb GROUP BY doc_id),
+       |mh_bands AS (
        |$bandRows),
-       |cand AS (
+       |mh_cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.k1 = b.k1
+       |  FROM mh_bands a JOIN mh_bands b ON a.band = b.band AND a.k1 = b.k1
        |    AND a.k2 = b.k2 AND a.k3 = b.k3 AND a.k4 = b.k4
        |    AND a.doc_id < b.doc_id),
-       |sets AS (SELECT doc_id, list(h) AS hs FROM hb GROUP BY doc_id),
-       |ver AS (
-       |  SELECT id_a, id_b,
-       |    CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
-       |      / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs)))
-       |      AS jaccard
-       |  FROM cand
-       |  JOIN sets sa ON sa.doc_id = id_a
-       |  JOIN sets sb ON sb.doc_id = id_b)
-       |SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= 0.3
-       |${orderAll("id_a", "id_b", "jaccard")}""".stripMargin
+       |mh_sets AS (SELECT doc_id, list(h) AS hs FROM mh_hb GROUP BY doc_id),
+       |mh_pairs AS (
+       |  SELECT * FROM (
+       |    SELECT id_a, id_b,
+       |      CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+       |        / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs)))
+       |        AS jaccard
+       |    FROM mh_cand
+       |    JOIN mh_sets sa ON sa.doc_id = id_a
+       |    JOIN mh_sets sb ON sb.doc_id = id_b)
+       |  WHERE jaccard >= 0.3)""".stripMargin
   }
+
+  /** [[dedupMinhash]]'s oracle: the full chain — capped postings, two md5
+    * words, 16 rotate-XOR min-hashes, raw-tuple band join, exact-Jaccard
+    * verify — re-derived in DuckDB from the shingle strings. */
+  private lazy val minhashOracle: String =
+    s"""WITH $postingCtes,
+       |$minhashChainCtes
+       |SELECT id_a, id_b, jaccard FROM mh_pairs
+       |${orderAll("id_a", "id_b", "jaccard")}""".stripMargin
 
   /** Shared oracle chain for the simhash pair family: capped postings →
     * per-doc 60-bit signature → 4×15-bit band rows with bucket counts.

@@ -282,7 +282,7 @@ class Wave4Spec extends SparkTestBase {
       .as[(String, Long, Long, Long, Option[Double], Option[Double])]
       .collect()
     assert(rows.map(_._1).sorted.toSeq ==
-      Seq("embcos_lsh", "ngram_capped", "semantic_kmeans"))
+      Seq("embcos_lsh", "minhash_lsh", "ngram_capped", "semantic_kmeans"))
     for ((tier, truth, pairs, hits, recall, prec) <- rows) {
       assert(hits <= truth && hits <= pairs, tier)
       for (r <- recall) assert(r >= 0.0 && r <= 1.0, tier)
