@@ -134,6 +134,7 @@ object Bench {
     println(line)
     // session-end cleanup of build-once artifacts (persisted ANN indexes)
     ops.Vectors.releaseIndexes()
+    ops.Dedup.releaseBandIndexes()
     spark.stop()
   }
 }

@@ -60,6 +60,7 @@ object Verify {
     // released at session end, not per query — reuse across the ops that
     // share them is their whole point
     ops.Vectors.releaseIndexes()
+    ops.Dedup.releaseBandIndexes()
     spark.stop()
     // exit 0 even on per-query failure: the driver must still run its
     // DuckDB compare over the queries that DID dump; the .error.txt /

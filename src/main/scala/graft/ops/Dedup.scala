@@ -267,21 +267,34 @@ object Dedup {
   /** The unsorted verified minhash pair frame — shared by [[dedupMinhash]]
     * and the [[dedupRecallReport]] tier (which must not pay the
     * driver-contract total-order sort). */
-  private def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val post = cappedPosting(spark, dir)
-    // verification sets: the doc's capped hashed-shingle vocabulary
-    val hs = post.groupBy(col("doc_id")).agg(collect_list(col("h")).as("hs"))
-    val sig = post.groupBy(col("doc_id")).agg(
+  /** Per-doc verification sets: the capped hashed-shingle vocabulary. */
+  private def minhashSets(spark: SparkSession, dir: String): DataFrame =
+    cappedPosting(spark, dir)
+      .groupBy(col("doc_id")).agg(collect_list(col("h")).as("hs"))
+
+  /** Per-doc 16-value MinHash signature (doc_id, m0..m15) — one
+    * partial-aggregable hash agg over the capped postings, shared by the
+    * in-corpus pair pass and the persisted incremental index. */
+  private def minhashSig(spark: SparkSession, dir: String): DataFrame =
+    cappedPosting(spark, dir).groupBy(col("doc_id")).agg(
       min(col("h").bitwiseXOR(rot60(col("h2"), 0))).as("m0"),
       (1 until 16).map(k =>
         min(col("h").bitwiseXOR(rot60(col("h2"), k))).as(s"m$k")): _*)
-    val bands = sig.select(col("doc_id"), explode(array((0 until 4).map { bd =>
+
+  /** Signature frame → band rows (doc_id, band, k1..k4). */
+  private def minhashBands(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), explode(array((0 until 4).map { bd =>
         struct(lit(bd).as("band"),
           col(s"m${bd * 4}").as("k1"), col(s"m${bd * 4 + 1}").as("k2"),
           col(s"m${bd * 4 + 2}").as("k3"), col(s"m${bd * 4 + 3}").as("k4"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.k1").as("k1"),
         col("bb.k2").as("k2"), col("bb.k3").as("k3"), col("bb.k4").as("k4"))
+
+  private def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    // verification sets: the doc's capped hashed-shingle vocabulary
+    val hs = minhashSets(spark, dir)
+    val bands = minhashBands(minhashSig(spark, dir))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.k1") === col("b.k1")
           && col("a.k2") === col("b.k2") && col("a.k3") === col("b.k3")
@@ -297,6 +310,135 @@ object Dedup {
         (size(col("hs_a")) + size(col("hs_b")) - col("inter")))
       .filter(col("jaccard") >= 0.3)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // ------------- incremental dedup against a persisted band index (§2.10)
+
+  /** New-arrival rule for [[dedupIncremental]]: doc_id % 5 == 0 (20% of
+    * the table — a full re-crawl shard) plays the incoming batch;
+    * everything else is the already-indexed corpus. Proportional at every
+    * scale factor (the replicated evidence fixtures spread each replica
+    * family across mod classes), so the probe workload grows with the
+    * corpus exactly the way a production ingest does — and the planted
+    * near-dup families straddle the split at every fixture sf, so the op
+    * can never pass vacuously. */
+  private[ops] val IncrMod = 5L
+  private[ops] val IncrRem = 0L
+
+  /** dir → (table name, warehouse location) of built band indexes; the
+    * index is a write-once storage decision keyed by the source dir
+    * (the Vectors.ensureIvfIndex discipline). */
+  private val bandIndexTables =
+    scala.collection.mutable.Map.empty[String, (String, java.io.File)]
+  /** Builds actually performed — the reuse spec's observable. */
+  private[graft] var bandIndexBuildCount = 0
+  private lazy val bandIndexHook: Unit = {
+    sys.addShutdownHook { releaseBandIndexes() }; ()
+  }
+
+  /** Build (once per source dir) the PERSISTED corpus band index: one row
+    * per (corpus doc, band) carrying the raw signature 4-tuple and an
+    * internal 64-bit bucket handle `bkey`, written as a managed table
+    * BUCKETED AND SORTED on bkey — the write-once storage decision that
+    * turns every later ingest probe into a ONE-SIDED shuffle: the index
+    * side scans pre-placed, pre-sorted buckets with NO Exchange (the
+    * joinBucketed idiom, PlanSpec-gated), and only the incoming shard
+    * is hashed across the cluster. At 100 TB this is the difference
+    * between re-pairing the whole corpus per ingest and reading the
+    * buckets the new shard actually touches. bkey is an internal join
+    * handle (xxhash64 of the tuple — engine-private is fine here): a
+    * collision can only ADD a candidate pair, and exact-Jaccard
+    * verification discards it, so op outputs stay hash-choice-free and
+    * fully oracled. */
+  private[ops] def ensureBandIndex(spark: SparkSession, dir: String): String =
+    synchronized {
+      bandIndexHook
+      bandIndexTables.get(dir) match {
+        case Some((tbl, _)) if spark.catalog.tableExists(tbl) => tbl
+        case _ =>
+          val tbl = "graft_mh_idx_" + Integer.toHexString(dir.hashCode)
+          // managed-table hygiene: a previous session's table dir would
+          // collide with a fresh in-memory catalog (the Joins idiom)
+          spark.sql(s"DROP TABLE IF EXISTS $tbl")
+          val loc = new java.io.File(new java.net.URI(
+            spark.conf.get("spark.sql.warehouse.dir")).getPath, tbl)
+          rmTree(loc)
+          minhashBands(minhashSig(spark, dir))
+            .filter(col("doc_id") % IncrMod =!= IncrRem)
+            .withColumn("bkey", xxhash64(col("band"), col("k1"), col("k2"),
+              col("k3"), col("k4")))
+            .write.mode("overwrite")
+            .bucketBy(8, "bkey").sortBy("bkey")
+            .saveAsTable(tbl)
+          bandIndexBuildCount += 1
+          bandIndexTables(dir) = (tbl, loc)
+          tbl
+      }
+    }
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete(); ()
+  }
+
+  /** Delete every persisted band index and empty the registry. */
+  def releaseBandIndexes(): Unit = synchronized {
+    bandIndexTables.values.foreach { case (_, loc) => rmTree(loc) }
+    bandIndexTables.clear()
+  }
+
+  /** dedup_index_build: build the persisted corpus band index and report
+    * it AS READ FROM DISK — (n_docs, n_band_rows, n_buckets). The gate
+    * proves the on-disk index equals the signature chain (the DuckDB
+    * oracle recomputes it from the raw shingles), which is the invariant
+    * every later [[dedupIncremental]] probe depends on — the
+    * sim_index_build idiom applied to dedup. */
+  def dedupIndexBuild(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = ensureBandIndex(spark, dir)
+    totalOrder(spark.table(tbl).agg(
+      countDistinct(col("doc_id")).as("n_docs"),
+      count(lit(1)).as("n_band_rows"),
+      countDistinct(col("band"), col("k1"), col("k2"), col("k3"), col("k4"))
+        .as("n_buckets")))
+  }
+
+  /** dedup_incremental: the production ingest shape — dedup an incoming
+    * shard AGAINST the indexed corpus without ever re-pairing the corpus
+    * with itself. The shard's band rows probe the persisted bucketed
+    * index on `bkey` (single-key equi-join: the index side's bucket
+    * layout satisfies the join's distribution, so it scans with no
+    * Exchange; only the shard shuffles), candidate (corpus, new) pairs
+    * are verified by exact Jaccard >= 0.3 over the capped sets, and the
+    * emitted survivors are the shard rows that must NOT enter the corpus.
+    * Corpus-internal pairs are by-construction absent (they were settled
+    * when the corpus was indexed); shard-internal dedup is the next
+    * index build's business. Fully oracled: DuckDB re-derives the corpus
+    * split, the band join, and the verification from the raw shingles. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val idx = spark.table(ensureBandIndex(spark, dir))
+    val probe = minhashBands(
+        minhashSig(spark, dir).filter(col("doc_id") % IncrMod === IncrRem))
+      .withColumn("bkey", xxhash64(col("band"), col("k1"), col("k2"),
+        col("k3"), col("k4")))
+    // merge hint: at production scale the shard is never broadcastable
+    // (20% of the corpus), so the demonstrated plan is the sort-merge on
+    // bkey whose index side reads pre-sorted buckets — without the hint,
+    // small-fixture AQE would flip to a broadcast and the plan under test
+    // would not be the plan that runs at 100 TB
+    val cand = probe.as("b").hint("merge").join(idx.as("c"), Seq("bkey"))
+      .select(col("c.doc_id").as("corpus_id"), col("b.doc_id").as("new_id"))
+      .distinct()
+    val hs = minhashSets(spark, dir)
+    totalOrder(cand
+      .join(hs.select(col("doc_id").as("corpus_id"), col("hs").as("hs_c")),
+        "corpus_id")
+      .join(hs.select(col("doc_id").as("new_id"), col("hs").as("hs_n")),
+        "new_id")
+      .withColumn("inter", size(array_intersect(col("hs_c"), col("hs_n"))))
+      .withColumn("jaccard", col("inter").cast(DoubleType) /
+        (size(col("hs_c")) + size(col("hs_n")) - col("inter")))
+      .filter(col("jaccard") >= 0.3)
+      .select(col("corpus_id"), col("new_id"), col("jaccard")))
   }
 
   /** SimHash (SURVEY §2.10 dedup_simhash): 60-bit signature by per-bit
@@ -817,6 +959,8 @@ object Dedup {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_containment" -> dedupContainment,
     "dedup_minhash" -> dedupMinhash,
+    "dedup_index_build" -> dedupIndexBuild,
+    "dedup_incremental" -> dedupIncremental,
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_pairs" -> dedupSimhashPairs,
     "dedup_embcos" -> dedupEmbcos,
@@ -1138,6 +1282,36 @@ object Dedup {
 
   val oracle: Map[String, String] = Map(
     "dedup_minhash" -> minhashOracle,
+    "dedup_index_build" ->
+      s"""WITH $postingCtes,
+         |$minhashChainCtes,
+         |cb AS (SELECT * FROM mh_bands WHERE doc_id % $IncrMod <> $IncrRem)
+         |SELECT
+         |  (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM cb)
+         |    AS n_docs,
+         |  (SELECT COUNT(*) FROM cb) AS n_band_rows,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+         |    (SELECT DISTINCT band, k1, k2, k3, k4 FROM cb)) AS n_buckets
+         |${orderAll("n_docs", "n_band_rows", "n_buckets")}""".stripMargin,
+    "dedup_incremental" ->
+      s"""WITH $postingCtes,
+         |$minhashChainCtes,
+         |cb AS (SELECT * FROM mh_bands WHERE doc_id % $IncrMod <> $IncrRem),
+         |bb AS (SELECT * FROM mh_bands WHERE doc_id % $IncrMod = $IncrRem),
+         |icand AS (
+         |  SELECT DISTINCT c.doc_id AS corpus_id, b.doc_id AS new_id
+         |  FROM bb b JOIN cb c ON b.band = c.band AND b.k1 = c.k1
+         |    AND b.k2 = c.k2 AND b.k3 = c.k3 AND b.k4 = c.k4),
+         |iver AS (
+         |  SELECT corpus_id, new_id,
+         |    CAST(len(list_intersect(sc.hs, sn.hs)) AS DOUBLE)
+         |      / (len(sc.hs) + len(sn.hs) - len(list_intersect(sc.hs, sn.hs)))
+         |      AS jaccard
+         |  FROM icand
+         |  JOIN mh_sets sc ON sc.doc_id = corpus_id
+         |  JOIN mh_sets sn ON sn.doc_id = new_id)
+         |SELECT corpus_id, new_id, jaccard FROM iver WHERE jaccard >= 0.3
+         |${orderAll("corpus_id", "new_id", "jaccard")}""".stripMargin,
     "dedup_simhash" ->
       s"""WITH tok AS (
          |  SELECT doc_id, list_filter(

@@ -457,7 +457,15 @@ object StreamingOps {
     * 0, so the drain emits rows at any scale factor, where a fixed
     * threshold+shape alone stops matching above the density it was
     * calibrated at (the round-9 sf1/sf3 0-row finding).
-    * flatMapGroupsWithState keyed by series: within a batch, event-time
+    * flatMapGroupsWithState keyed by series — here event_type, because
+    * that IS the batch op's series grain (windows slide over the
+    * event_type series with all users interleaved, exactly what
+    * [[graft.ops.TimeSeries.tsPatternMatch]] scores); the keyed-state
+    * parallelism ceiling is therefore semantic, not accidental (contrast
+    * [[streamGapReport]], whose true grain is (event_type, user_id)). A
+    * deployment whose pattern library targets per-user series keys the
+    * same machinery by the finer grain and the ceiling lifts with it.
+    * Within a batch, event-time
     * order is restored per key (the [[pulseMachine]] discipline); across
     * batches the state carries only the last L−1 points, so every window
     * forms exactly once, and a point arriving BEHIND the carried frontier

@@ -84,6 +84,50 @@ class PlanSpec extends SparkTestBase {
       s"join inputs were shuffled:\n${belowJoin.take(1500)}")
   }
 
+  test("dedup_incremental: one-sided shuffle — the persisted index scans " +
+    "its buckets, only the incoming shard exchanges on bkey") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    ops.Dedup.releaseBandIndexes()
+    val n0 = ops.Dedup.bandIndexBuildCount
+    val df = ops.Dedup.dedupIncremental(spark, sf)
+    df.collect()
+    // object-level walk through the AQE wrappers (the explain STRING
+    // embeds nested cached-plan sections, so string asserts mis-scope);
+    // cached interiors stop the walk at InMemoryTableScan naturally
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+      case s: QueryStageExec => s +: flatten(s.plan)
+      case o => o +: o.children.flatMap(flatten)
+    }
+    val all = flatten(df.queryExecution.executedPlan)
+    val smj = all.collectFirst {
+      case j: SortMergeJoinExec
+        if j.leftKeys.exists(_.toString.contains("bkey")) => j
+    }.getOrElse(fail(s"no bkey SortMergeJoin in:\n" +
+      all.map(_.nodeName).mkString(", ")))
+    // index side (right): reads its buckets, nothing shuffled below it
+    val right = flatten(smj.right)
+    val idxScan = right.collectFirst { case f: FileSourceScanExec => f }
+      .getOrElse(fail("no file scan on the index side"))
+    assert(idxScan.bucketedScan, "index scan must read its buckets")
+    assert(!right.exists(_.isInstanceOf[ShuffleExchangeExec]),
+      "index side must not shuffle")
+    // shard side (left): exactly one exchange ON THE JOIN KEY feeds the
+    // merge — the only thing the ingest pays per probe
+    val leftTop = flatten(smj.left)
+      .collectFirst { case e: ShuffleExchangeExec => e }
+      .getOrElse(fail("shard side must exchange on bkey"))
+    assert(leftTop.outputPartitioning.toString.contains("bkey"),
+      leftTop.outputPartitioning.toString)
+    assert(ops.Dedup.bandIndexBuildCount == n0 + 1)
+    // the index is build-once per (session, dir): a second consumer reuses
+    ops.Dedup.dedupIndexBuild(spark, sf).collect()
+    assert(ops.Dedup.bandIndexBuildCount == n0 + 1, "index rebuilt")
+  }
+
   test("VecDotRewrite: declarative dot folds plan as fused vec_dot") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.DoubleType
