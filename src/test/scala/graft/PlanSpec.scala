@@ -128,6 +128,31 @@ class PlanSpec extends SparkTestBase {
     assert(ops.Dedup.bandIndexBuildCount == n0 + 1, "index rebuilt")
   }
 
+  test("ts_gap_report: ONE series-key exchange feeds both the lag window " +
+    "and the aggregate; grain is (event_type, user_id)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = ops.Analytics.tsGapReport(spark, sf)
+    df.collect()
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+      case s: QueryStageExec => s +: flatten(s.plan)
+      case o => o +: o.children.flatMap(flatten)
+    }
+    val exch = flatten(df.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeExec => e.outputPartitioning.toString }
+    // one hash exchange on the series key (window + agg share it: the agg
+    // keys equal the window partition keys, so no second shuffle) plus
+    // the driver-contract total-order range exchange — nothing else
+    val hashed = exch.filter(_.startsWith("hashpartitioning"))
+    assert(hashed.size == 1, s"exchanges: $exch")
+    assert(hashed.head.contains("event_type") && hashed.head.contains("user_id"),
+      s"series key must be (event_type, user_id): ${hashed.head}")
+    assert(exch.count(_.startsWith("rangepartitioning")) == 1,
+      s"exchanges: $exch")
+  }
+
   test("VecDotRewrite: declarative dot folds plan as fused vec_dot") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.DoubleType
