@@ -197,14 +197,22 @@ object Dedup {
     * sorted hash set (not a re-hash of it: the oracle compare is exact,
     * so collapse must be collision-free). */
   private def shingleGroups(spark: SparkSession, dir: String): DataFrame =
-    cappedPosting(spark, dir).select(col("doc_id"), col("h"))
+    groupsOf(cappedPosting(spark, dir))
+      .transform(graft.OpCaches.cached)
+
+  /** The grouping body of [[shingleGroups]], reusable over a SIDE of a
+    * split posting frame (the incremental ops collapse each side of the
+    * corpus/shard split separately — a global collapse would merge a
+    * replica family straddling the split into one group and erase the
+    * very cross-side pairs the probe exists to find). */
+  private def groupsOf(posting: DataFrame): DataFrame =
+    posting.select(col("doc_id"), col("h"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("h"))).as("hs"))
       .groupBy(col("hs"))
       .agg(min(col("doc_id")).as("rep_id"),
         collect_list(col("doc_id")).as("members"),
         count(lit(1)).as("m"))
-      .transform(graft.OpCaches.cached)
 
   /** Representative-pair frame with intersection and both set sizes:
     * the inverted-index self-join every set measure (Jaccard,
@@ -291,24 +299,38 @@ object Dedup {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.k1").as("k1"),
         col("bb.k2").as("k2"), col("bb.k3").as("k3"), col("bb.k4").as("k4"))
 
+  /** Like [[jaccardPairs]], exact duplicates are collapsed BEFORE the
+    * banding self-join (a replicated corpus puts every replica family in
+    * the same bucket of every band — uncollapsed, the candidate mass is
+    * r² in the family size; the 30×/100× evidence fixtures ARE that
+    * corpus). The collapse is a provable identity — identical kept sets
+    * have identical signatures, so a member pairs with exactly whoever
+    * its representative pairs with at the same jaccard, and within-group
+    * pairs are jaccard-1 — which is why the DuckDB oracle reproduces the
+    * UNCOLLAPSED algorithm and still hash-matches. */
   private def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    // verification sets: the doc's capped hashed-shingle vocabulary
-    val hs = minhashSets(spark, dir)
-    val bands = minhashBands(minhashSig(spark, dir))
+    val groups = shingleGroups(spark, dir)
+    val bands = minhashBands(minhashSig(spark, dir)
+      .join(groups.select(col("rep_id").as("doc_id")), "doc_id"))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.k1") === col("b.k1")
           && col("a.k2") === col("b.k2") && col("a.k3") === col("b.k3")
           && col("a.k4") === col("b.k4") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .select(col("a.doc_id").as("ra"), col("b.doc_id").as("rb"))
       .distinct()
     // exact verification (long-array intersect) for the candidate set only
-    cand
-      .join(hs.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), "id_a")
-      .join(hs.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), "id_b")
+    val sized = groups.select(col("rep_id"), col("hs"), size(col("hs")).as("n"))
+    val rpairs = cand
+      .join(sized.select(col("rep_id").as("ra"), col("hs").as("hs_a"),
+        col("n").as("n_a")), "ra")
+      .join(sized.select(col("rep_id").as("rb"), col("hs").as("hs_b"),
+        col("n").as("n_b")), "rb")
       .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
       .withColumn("jaccard", col("inter").cast(DoubleType) /
-        (size(col("hs_a")) + size(col("hs_b")) - col("inter")))
+        (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= 0.3)
+      .select(col("ra"), col("rb"), col("inter"), col("jaccard"))
+    expandPairs(groups, rpairs, "jaccard")
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
@@ -337,15 +359,19 @@ object Dedup {
   }
 
   /** Build (once per source dir) the PERSISTED corpus band index: one row
-    * per (corpus doc, band) carrying the raw signature 4-tuple and an
-    * internal 64-bit bucket handle `bkey`, written as a managed table
+    * per (corpus exact-dup GROUP, band) carrying the raw signature
+    * 4-tuple, an internal 64-bit bucket handle `bkey`, and the group's
+    * members + verification set, written as a managed table
     * BUCKETED AND SORTED on bkey — the write-once storage decision that
     * turns every later ingest probe into a ONE-SIDED shuffle: the index
     * side scans pre-placed, pre-sorted buckets with NO Exchange (the
     * joinBucketed idiom, PlanSpec-gated), and only the incoming shard
     * is hashed across the cluster. At 100 TB this is the difference
     * between re-pairing the whole corpus per ingest and reading the
-    * buckets the new shard actually touches. bkey is an internal join
+    * buckets the new shard actually touches. Indexing GROUPS, not docs,
+    * is the replica-proofing the jaccard pass already has: a replica
+    * family is one index row per band, not r rows sharing a bucket, so
+    * probe candidate mass can never go r². bkey is an internal join
     * handle (xxhash64 of the tuple — engine-private is fine here): a
     * collision can only ADD a candidate pair, and exact-Jaccard
     * verification discards it, so op outputs stay hash-choice-free and
@@ -363,8 +389,13 @@ object Dedup {
           val loc = new java.io.File(new java.net.URI(
             spark.conf.get("spark.sql.warehouse.dir")).getPath, tbl)
           rmTree(loc)
-          minhashBands(minhashSig(spark, dir))
-            .filter(col("doc_id") % IncrMod =!= IncrRem)
+          val groups = groupsOf(cappedPosting(spark, dir)
+            .filter(col("doc_id") % IncrMod =!= IncrRem))
+          minhashBands(minhashSig(spark, dir)
+              .join(groups.select(col("rep_id").as("doc_id")), "doc_id"))
+            .withColumnRenamed("doc_id", "rep_id")
+            .join(groups.select(col("rep_id"), col("members"), col("hs")),
+              "rep_id")
             .withColumn("bkey", xxhash64(col("band"), col("k1"), col("k2"),
               col("k3"), col("k4")))
             .write.mode("overwrite")
@@ -388,18 +419,22 @@ object Dedup {
   }
 
   /** dedup_index_build: build the persisted corpus band index and report
-    * it AS READ FROM DISK — (n_docs, n_band_rows, n_buckets). The gate
+    * it AS READ FROM DISK — (n_docs, n_reps, n_band_rows, n_buckets), the
+    * group collapse visible as n_docs vs n_reps. The gate
     * proves the on-disk index equals the signature chain (the DuckDB
     * oracle recomputes it from the raw shingles), which is the invariant
     * every later [[dedupIncremental]] probe depends on — the
     * sim_index_build idiom applied to dedup. */
   def dedupIndexBuild(spark: SparkSession, dir: String): DataFrame = {
     val tbl = ensureBandIndex(spark, dir)
-    totalOrder(spark.table(tbl).agg(
-      countDistinct(col("doc_id")).as("n_docs"),
-      count(lit(1)).as("n_band_rows"),
-      countDistinct(col("band"), col("k1"), col("k2"), col("k3"), col("k4"))
-        .as("n_buckets")))
+    totalOrder(spark.table(tbl)
+      .agg(
+        coalesce(sum(when(col("band") === 0, size(col("members")))
+          .otherwise(0)).cast("long"), lit(0L)).as("n_docs"),
+        countDistinct(col("rep_id")).as("n_reps"),
+        count(lit(1)).as("n_band_rows"),
+        countDistinct(col("band"), col("k1"), col("k2"), col("k3"), col("k4"))
+          .as("n_buckets")))
   }
 
   /** dedup_incremental: the production ingest shape — dedup an incoming
@@ -416,8 +451,14 @@ object Dedup {
     * split, the band join, and the verification from the raw shingles. */
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val idx = spark.table(ensureBandIndex(spark, dir))
-    val probe = minhashBands(
-        minhashSig(spark, dir).filter(col("doc_id") % IncrMod === IncrRem))
+    // the shard collapses ITS exact dups the same way the index did (the
+    // per-side split keeps straddling replica families apart — that's the
+    // cross-side mass the probe exists to find)
+    val sGroups = groupsOf(cappedPosting(spark, dir)
+      .filter(col("doc_id") % IncrMod === IncrRem))
+      .transform(graft.OpCaches.cached)
+    val probe = minhashBands(minhashSig(spark, dir)
+        .join(sGroups.select(col("rep_id").as("doc_id")), "doc_id"))
       .withColumn("bkey", xxhash64(col("band"), col("k1"), col("k2"),
         col("k3"), col("k4")))
     // merge hint: at production scale the shard is never broadcastable
@@ -425,20 +466,29 @@ object Dedup {
     // bkey whose index side reads pre-sorted buckets — without the hint,
     // small-fixture AQE would flip to a broadcast and the plan under test
     // would not be the plan that runs at 100 TB
-    val cand = probe.as("b").hint("merge").join(idx.as("c"), Seq("bkey"))
-      .select(col("c.doc_id").as("corpus_id"), col("b.doc_id").as("new_id"))
+    val cand = probe.as("b").hint("merge")
+      .join(idx.select(col("bkey"), col("rep_id").as("rc")), Seq("bkey"))
+      .select(col("rc"), col("doc_id").as("rs"))
       .distinct()
-    val hs = minhashSets(spark, dir)
-    totalOrder(cand
-      .join(hs.select(col("doc_id").as("corpus_id"), col("hs").as("hs_c")),
-        "corpus_id")
-      .join(hs.select(col("doc_id").as("new_id"), col("hs").as("hs_n")),
-        "new_id")
-      .withColumn("inter", size(array_intersect(col("hs_c"), col("hs_n"))))
+    // group info re-joins at candidate size: band=0 rows are the index's
+    // one-per-group sidecar view
+    val cInfo = idx.filter(col("band") === 0)
+      .select(col("rep_id").as("rc"), col("members").as("mc"),
+        col("hs").as("hs_c"))
+    val sInfo = sGroups
+      .select(col("rep_id").as("rs"), col("members").as("ms"),
+        col("hs").as("hs_s"))
+    val ver = cand.join(cInfo, "rc").join(sInfo, "rs")
+      .withColumn("inter", size(array_intersect(col("hs_c"), col("hs_s"))))
       .withColumn("jaccard", col("inter").cast(DoubleType) /
-        (size(col("hs_c")) + size(col("hs_n")) - col("inter")))
+        (size(col("hs_c")) + size(col("hs_s")) - col("inter")))
       .filter(col("jaccard") >= 0.3)
-      .select(col("corpus_id"), col("new_id"), col("jaccard")))
+    // expand group pairs back to doc pairs — OUTPUT-sized, the
+    // expandPairs discipline
+    totalOrder(ver
+      .select(explode(col("mc")).as("corpus_id"), col("ms"), col("jaccard"))
+      .select(col("corpus_id"), explode(col("ms")).as("new_id"),
+        col("jaccard")))
   }
 
   /** SimHash (SURVEY §2.10 dedup_simhash): 60-bit signature by per-bit
@@ -1285,14 +1335,21 @@ object Dedup {
     "dedup_index_build" ->
       s"""WITH $postingCtes,
          |$minhashChainCtes,
-         |cb AS (SELECT * FROM mh_bands WHERE doc_id % $IncrMod <> $IncrRem)
+         |cds AS (
+         |  SELECT doc_id, list_sort(list(sh)) AS chs FROM capped
+         |  WHERE doc_id % $IncrMod <> $IncrRem GROUP BY doc_id),
+         |cgrp AS (
+         |  SELECT chs, MIN(doc_id) AS rep_id, COUNT(*) AS m
+         |  FROM cds GROUP BY chs),
+         |cb AS (
+         |  SELECT b.* FROM mh_bands b JOIN cgrp g ON g.rep_id = b.doc_id)
          |SELECT
-         |  (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM cb)
-         |    AS n_docs,
+         |  (SELECT CAST(COALESCE(SUM(m), 0) AS BIGINT) FROM cgrp) AS n_docs,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cgrp) AS n_reps,
          |  (SELECT COUNT(*) FROM cb) AS n_band_rows,
          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
          |    (SELECT DISTINCT band, k1, k2, k3, k4 FROM cb)) AS n_buckets
-         |${orderAll("n_docs", "n_band_rows", "n_buckets")}""".stripMargin,
+         |${orderAll("n_docs", "n_reps", "n_band_rows", "n_buckets")}""".stripMargin,
     "dedup_incremental" ->
       s"""WITH $postingCtes,
          |$minhashChainCtes,
