@@ -432,8 +432,17 @@ object MeasurementCatalog {
     val url = s"${dest.stripSuffix("/")}/write?db=$db&rp=$rp"
     batch.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       if (rows.hasNext) {
-        def esc(s: String): String = s.replace("\\", "\\\\")
-          .replace(" ", "\\ ").replace(",", "\\,").replace("=", "\\=")
+        def esc(s: String): String = {
+          // line protocol has NO escape for line terminators: a tag value
+          // carrying one would split the point into a malformed second
+          // line — reject loudly, never ship garbage downstream
+          if (s.indexOf('\n') >= 0 || s.indexOf('\r') >= 0)
+            throw new IllegalArgumentException(
+              s"line-protocol identifiers/tags cannot contain newlines: " +
+                s"${s.take(80).replace("\n", "\\n").replace("\r", "\\r")}")
+          s.replace("\\", "\\\\")
+            .replace(" ", "\\ ").replace(",", "\\,").replace("=", "\\=")
+        }
         val body = rows.map { r =>
           val tags = tagIdx.collect {
             case (n, i) if !r.isNullAt(i) => s",${esc(n)}=${esc(r.getString(i))}"
@@ -451,6 +460,15 @@ object MeasurementCatalog {
             }
             s"${esc(n)}=$v"
           }.mkString(",")
+          // per-row validation, loud: a row with no live field or a null
+          // timestamp has no line-protocol form — shipping it would 400
+          // the whole POST with no pointer to the poison row
+          if (fields.isEmpty)
+            throw new IllegalArgumentException(
+              s"row for '$measurement' has no non-null field to forward: $r")
+          if (r.isNullAt(timeIdx))
+            throw new IllegalArgumentException(
+              s"row for '$measurement' has a null time column: $r")
           val ts = r.getAs[java.sql.Timestamp](timeIdx)
           val ns = (ts.getTime / 1000L) * 1000000000L + ts.getNanos.toLong
           s"${esc(measurement)}$tags $fields $ns"
@@ -460,6 +478,10 @@ object MeasurementCatalog {
         try {
           conn.setRequestMethod("POST")
           conn.setDoOutput(true)
+          // bounded waits: a wedged subscriber must FAIL the task, not
+          // hang the micro-batch forever (JDK default timeout is infinite)
+          conn.setConnectTimeout(10000)
+          conn.setReadTimeout(30000)
           conn.setRequestProperty("Content-Type", "text/plain; charset=utf-8")
           val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           conn.setFixedLengthStreamingMode(bytes.length)

@@ -272,14 +272,6 @@ object Dedup {
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     totalOrder(minhashPairs(spark, dir))
 
-  /** The unsorted verified minhash pair frame — shared by [[dedupMinhash]]
-    * and the [[dedupRecallReport]] tier (which must not pay the
-    * driver-contract total-order sort). */
-  /** Per-doc verification sets: the capped hashed-shingle vocabulary. */
-  private def minhashSets(spark: SparkSession, dir: String): DataFrame =
-    cappedPosting(spark, dir)
-      .groupBy(col("doc_id")).agg(collect_list(col("h")).as("hs"))
-
   /** Per-doc 16-value MinHash signature (doc_id, m0..m15) — one
     * partial-aggregable hash agg over the capped postings, shared by the
     * in-corpus pair pass and the persisted incremental index. */
@@ -389,8 +381,12 @@ object Dedup {
           val loc = new java.io.File(new java.net.URI(
             spark.conf.get("spark.sql.warehouse.dir")).getPath, tbl)
           rmTree(loc)
-          val groups = groupsOf(cappedPosting(spark, dir)
-            .filter(col("doc_id") % IncrMod =!= IncrRem))
+          // cache: the grouping (two wide shuffles) feeds both the sig
+          // join and the members/hs join below — uncached, Catalyst
+          // re-derives it per reference
+          val groups = graft.OpCaches.cached(
+            groupsOf(cappedPosting(spark, dir)
+              .filter(col("doc_id") % IncrMod =!= IncrRem)))
           minhashBands(minhashSig(spark, dir)
               .join(groups.select(col("rep_id").as("doc_id")), "doc_id"))
             .withColumnRenamed("doc_id", "rep_id")
@@ -502,8 +498,8 @@ object Dedup {
     * so the signature occupies bits 0..59), which makes the whole op
     * DuckDB-reproducible: the oracle re-derives each signature with a
     * per-bit list fold (round-10 verdict item 1 — previously rows-only on
-    * xxhash64). Bucket = top 16 signature bits (47..59 ∪ sign-free
-    * padding), i.e. `simhash >> 44`. */
+    * xxhash64). Bucket = the top 16 bits of the
+    * 60-bit signature (bits 44..59), i.e. `simhash >> 44`. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     totalOrder(simhashFrame(spark, dir)
       .withColumn("bucket16", shiftright(col("simhash"), 44))
@@ -879,8 +875,9 @@ object Dedup {
 
   /** Cap-drop accounting for [[dedupSimhashPairs]]' Hamming-LSH bands:
     * band rows, rows in over-cap buckets (dropped), and the candidate-pair
-    * mass those buckets carried. Engine-specific signature hashing ⇒
-    * rows-only + the spec asserting the fixture leaves the cap untouched
+    * mass those buckets carried. Fully oracled since the md5 port (round
+    * 11 — the DuckDB twin re-derives the band rows from raw shingles),
+    * plus the spec asserting the fixture leaves the cap untouched
     * (so the pair op's recall is not cap-limited where the oracle can't
     * see it). */
   def dedupSimhashCapStats(spark: SparkSession, dir: String): DataFrame = {

@@ -297,8 +297,15 @@ object Ingest {
   }
 
   private def landJsonl(spark: SparkSession, dir: String): DataFrame = {
+      // path is unique PER JVM (pid) — the memo that amortizes the landing
+      // is JVM-scoped anyway, and a cross-JVM-shared deterministic path
+      // would let one process's overwrite/cleanup race another's live
+      // scan; the md5 component keys the fixture dir collision-free
       val tmp = s"${scratchRoot(spark)}/graft-jsonl-" +
-        Integer.toHexString(dir.hashCode)
+        s"${ProcessHandle.current().pid()}-" +
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8"))
+          .take(8).map("%02x".format(_)).mkString
       cleanupHook
       landedPaths.add(tmp)
       val docs = load(spark, dir, "documents")
