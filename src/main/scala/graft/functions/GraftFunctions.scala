@@ -28,6 +28,9 @@ object GraftFunctions {
     (new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (children: Seq[Expression]) => SimHash64(children.head): Expression),
+    (new FunctionIdentifier("md5_words"),
+      new ExpressionInfo(classOf[Md5Words].getName, "md5_words"),
+      (children: Seq[Expression]) => Md5Words(children.head): Expression),
     (new FunctionIdentifier("band_keys"),
       new ExpressionInfo(classOf[BandKeys].getName, "band_keys"),
       (children: Seq[Expression]) => BandKeys(children.head): Expression),
@@ -64,6 +67,12 @@ object GraftFunctions {
   def bandKeys(spark: SparkSession, emb: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("band_keys", emb)
+  }
+
+  /** `md5_words` as a Column: array(word1, word2) of 60-bit md5 words. */
+  def md5Words(spark: SparkSession, s: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("md5_words", s)
   }
 
   /** `simhash64` as a Column. */

@@ -99,7 +99,11 @@ object Dedup {
     * 15 hex chars keep the value under 2^60, so the string→long cast is
     * ANSI-safe in Spark and the DuckDB twin is
     * `CAST(('0x' || substring(md5(x), off, 15))::UBIGINT AS BIGINT)`.
-    * One md5 per string yields two independent words (off = 1 and 17). */
+    * One md5 per string yields two independent words (off = 1 and 17).
+    * This declarative form is the SPECIFICATION (and what FunctionsSpec
+    * checks the fused expression against); hot paths use
+    * [[graft.functions.Md5Words]], which computes both words from one
+    * digest with no hex-string round-trip. */
   private[ops] def md5w(c: Column, off: Int): Column =
     conv(substring(md5(c), off, 15), 16, 10)
       .cast(org.apache.spark.sql.types.LongType)
@@ -122,9 +126,15 @@ object Dedup {
     * At 100 TB the df table outgrows a broadcast and this becomes a
     * shuffle join on `h` — an 8-byte key either way. */
   private def cappedPosting(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.md5Words
     val posting = shingled(spark, dir)
       .select(col("doc_id"), explode(col("shingles")).as("s"))
-      .select(col("doc_id"), md5w(col("s"), 1).as("h"), md5w(col("s"), 17).as("h2"))
+      // ONE digest per shingle via the fused Md5Words expression — the
+      // declarative md5w pair costs two digests + two hex parses per row
+      // and tripled this build at sf1 (values bit-identical, see Md5Words)
+      .select(col("doc_id"), md5Words(spark, col("s")).as("w"))
+      .select(col("doc_id"), element_at(col("w"), 1).as("h"),
+        element_at(col("w"), 2).as("h2"))
     val keep = posting.groupBy(col("h")).count()
       .filter(col("count") <= shingleDfCap(nDocs(spark, dir))).select(col("h"))
     posting.join(broadcast(keep), "h")
@@ -506,12 +516,13 @@ object Dedup {
       .select(col("doc_id"), col("simhash"), col("bucket16")))
 
   private def simhashFrame(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.GraftFunctions.simHash64
+    import graft.functions.GraftFunctions.{md5Words, simHash64}
     val toks = filter(split(lower(col("text")), "[^a-z0-9']+"), t => t =!= "")
     load(spark, dir, "documents")
       .select(col("doc_id"),
         simHash64(spark,
-          transform(array_distinct(toks), t => md5w(t, 1))).as("simhash"))
+          transform(array_distinct(toks),
+            t => element_at(md5Words(spark, t), 1))).as("simhash"))
   }
 
   /** SimHash near-dup PAIRS via banded Hamming LSH (the second half of the

@@ -114,6 +114,31 @@ class FunctionsSpec extends SparkTestBase {
     declarative.foreach { case (k, v) => assert(fused(k) == v, s"id $k") }
   }
 
+  test("md5_words is bit-compatible with the conv(substring(md5)) pair, " +
+    "codegen and interpreted") {
+    import spark.implicits._
+    val df = Seq("", "a", "hello", "the quick brown fox", "naïve ünïcode 字",
+      (1 to 200).map(i => s"tok$i").mkString(" ")).toDF("s")
+    def declarative(off: Int) =
+      conv(substring(md5(col("s")), off, 15), 16, 10).cast("long")
+    val got = df.select(
+        GraftFunctions.md5Words(spark, col("s")).as("w"),
+        declarative(1).as("d1"), declarative(17).as("d2"))
+      .select(element_at(col("w"), 1), element_at(col("w"), 2),
+        col("d1"), col("d2"))
+      .as[(Long, Long, Long, Long)].collect()
+    for ((w1, w2, d1, d2) <- got) { assert(w1 == d1); assert(w2 == d2) }
+    // interpreted path (no codegen)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val g2 = df.select(GraftFunctions.md5Words(spark, col("s")).as("w"),
+          declarative(1).as("d1"))
+        .select(element_at(col("w"), 1), col("d1"))
+        .as[(Long, Long)].collect()
+      for ((w1, d1) <- g2) assert(w1 == d1)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("BitmapDistinct skips NULL ids — COUNT(DISTINCT) semantics") {
     import spark.implicits._
     val bitmap = org.apache.spark.sql.functions.udaf(
