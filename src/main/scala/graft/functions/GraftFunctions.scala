@@ -201,6 +201,196 @@ object GraftFunctions {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
   }
 
+  /** K-minimum-values distinct sketch (Bar-Yossef et al. 2002; the KMV /
+    * bottom-k estimator) as a typed partial Aggregator — the PROVABLE
+    * point on the distinct-count spectrum next to `approx_count_distinct`:
+    * HLL's register layout is engine-private (rows-only under the gate),
+    * but KMV's summary is just the k smallest DISTINCT hash values, and
+    * with the repo's cross-engine md5-prefix hash the whole sketch — and
+    * the estimate (k−1)·2^60/h₍k₎ — is bit-reproducible in DuckDB, so a
+    * SKETCH op carries a full hash oracle. Mergeable without error
+    * compounding: the k smallest of a union is computable from the k
+    * smallest of the parts (min-k is associative/commutative/idempotent),
+    * which HLL register-merges share but sampling sketches don't. Each
+    * map task reduces its slice to ≤ k longs, so the exchange carries
+    * O(k) per (task, group) — the same wire shape as HLL at ~8 bytes per
+    * register-equivalent — and the same summary doubles as a set sketch
+    * (KMV intersection estimates Jaccard). Buffer = sorted ascending
+    * long array of ≤ k distinct hashes, mutated only on insert. */
+  class KmvDistinct(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+
+    override def zero: Array[Long] = Array.empty[Long]
+
+    override def reduce(b: Array[Long], h: Long): Array[Long] = {
+      val i = java.util.Arrays.binarySearch(b, h)
+      if (i >= 0) b // already present: a KMV slot holds DISTINCT hashes
+      else {
+        val ins = -(i + 1)
+        if (b.length < k) { // grow: insert in order
+          val nb = new Array[Long](b.length + 1)
+          System.arraycopy(b, 0, nb, 0, ins)
+          nb(ins) = h
+          System.arraycopy(b, ins, nb, ins + 1, b.length - ins)
+          nb
+        } else if (ins < k) { // full: displace the current max
+          val nb = new Array[Long](k)
+          System.arraycopy(b, 0, nb, 0, ins)
+          nb(ins) = h
+          System.arraycopy(b, ins, nb, ins + 1, k - ins - 1)
+          nb
+        } else b // h >= current kth minimum: irrelevant to the sketch
+      }
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      // sorted-merge with dedup, stopping at k survivors
+      val out = new Array[Long](math.min(a.length + b.length, k))
+      var i = 0; var j = 0; var n = 0
+      var last = Long.MinValue; var first = true
+      while (n < out.length && (i < a.length || j < b.length)) {
+        val v =
+          if (j >= b.length || (i < a.length && a(i) <= b(j))) { val x = a(i); i += 1; x }
+          else { val x = b(j); j += 1; x }
+        if (first || v != last) { out(n) = v; n += 1; last = v; first = false }
+      }
+      if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+    }
+
+    override def finish(r: Array[Long]): Array[Long] = r
+
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Bottom-k UNIFORM ROW SAMPLE as a typed partial Aggregator — the
+    * mergeable sampling primitive under [[graft.ops.Aggregates]]
+    * agg_sample_quantile: rows ranked by a deterministic per-row hash
+    * (the cross-engine md5 word of a unique row key), the k smallest
+    * kept with their payload value. Because the rank is a pure function
+    * of the row, the SAMPLE ITSELF is deterministic and mergeable (min-k
+    * union, same law as [[KmvDistinct]]) — unlike reservoir sampling,
+    * whose result depends on arrival order and so can never be
+    * differentially tested or reproduced across engines. Buffer = hash-
+    * sorted parallel arrays of ≤ k (hash, value) pairs; equal hashes
+    * (the same row replayed) collapse to one slot. */
+  class KmvSample(k: Int) extends Aggregator[
+    (Long, Double), (Array[Long], Array[Double]), Array[Double]] {
+
+    override def zero: (Array[Long], Array[Double]) =
+      (Array.empty[Long], Array.empty[Double])
+
+    override def reduce(b: (Array[Long], Array[Double]),
+        r: (Long, Double)): (Array[Long], Array[Double]) = {
+      val (hs, vs) = b
+      val i = java.util.Arrays.binarySearch(hs, r._1)
+      if (i >= 0) b // same row seen again (replay): one slot
+      else {
+        val ins = -(i + 1)
+        val n = math.min(hs.length + 1, k)
+        if (hs.length >= k && ins >= k) b
+        else {
+          val nh = new Array[Long](n); val nv = new Array[Double](n)
+          System.arraycopy(hs, 0, nh, 0, math.min(ins, n))
+          System.arraycopy(vs, 0, nv, 0, math.min(ins, n))
+          nh(ins) = r._1; nv(ins) = r._2
+          System.arraycopy(hs, ins, nh, ins + 1, n - ins - 1)
+          System.arraycopy(vs, ins, nv, ins + 1, n - ins - 1)
+          (nh, nv)
+        }
+      }
+    }
+
+    override def merge(a: (Array[Long], Array[Double]),
+        b: (Array[Long], Array[Double])): (Array[Long], Array[Double]) = {
+      val n = math.min(a._1.length + b._1.length, k)
+      val nh = new Array[Long](n); val nv = new Array[Double](n)
+      var i = 0; var j = 0; var out = 0
+      var last = Long.MinValue; var first = true
+      while (out < n && (i < a._1.length || j < b._1.length)) {
+        val takeA = j >= b._1.length ||
+          (i < a._1.length && a._1(i) <= b._1(j))
+        val (h, v) =
+          if (takeA) { val x = (a._1(i), a._2(i)); i += 1; x }
+          else { val x = (b._1(j), b._2(j)); j += 1; x }
+        if (first || h != last) { nh(out) = h; nv(out) = v; out += 1
+          last = h; first = false }
+      }
+      if (out == n) (nh, nv)
+      else (java.util.Arrays.copyOf(nh, out), java.util.Arrays.copyOf(nv, out))
+    }
+
+    /** Sample values in hash order (the consumer sorts by value for
+      * quantile selection). */
+    override def finish(r: (Array[Long], Array[Double])): Array[Double] = r._2
+
+    override def bufferEncoder: org.apache.spark.sql.Encoder[(Array[Long], Array[Double])] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Long], Array[Double])]()
+
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  }
+
+  /** Bounded top-k rows per group as a typed partial Aggregator — the
+    * per-group leaderboard WITHOUT the window sort: `row_number() OVER
+    * (PARTITION BY g ORDER BY v DESC)` must shuffle and sort EVERY row of
+    * every group before discarding all but k, whereas this buffer keeps
+    * the k best (value, id) pairs per map task and partial aggregation
+    * merges them — the exchange carries ≤ k rows per (task, group), the
+    * same reduction TakeOrderedAndProject applies to global top-k but per
+    * key. Total order (value DESC, id ASC) makes ties deterministic under
+    * any partitioning, so the output equals the window formulation
+    * row-for-row and the op carries the window's oracle. Buffer = array
+    * sorted best-first, ≤ k entries. */
+  class TopKRows(k: Int) extends Aggregator[
+    (Double, Long), Array[(Double, Long)], Array[(Double, Long)]] {
+
+    // best-first: higher value wins; ties to the smaller id
+    private def beats(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+    override def zero: Array[(Double, Long)] = Array.empty
+
+    override def reduce(b: Array[(Double, Long)],
+        v: (Double, Long)): Array[(Double, Long)] = {
+      if (b.length >= k && !beats(v, b(k - 1))) return b
+      var ins = b.length
+      var i = 0
+      while (i < b.length) { if (beats(v, b(i))) { ins = i; i = b.length } else i += 1 }
+      val n = math.min(b.length + 1, k)
+      val nb = new Array[(Double, Long)](n)
+      System.arraycopy(b, 0, nb, 0, math.min(ins, n))
+      if (ins < n) {
+        nb(ins) = v
+        System.arraycopy(b, ins, nb, ins + 1, n - ins - 1)
+      }
+      nb
+    }
+
+    override def merge(a: Array[(Double, Long)],
+        b: Array[(Double, Long)]): Array[(Double, Long)] = {
+      val out = new Array[(Double, Long)](math.min(a.length + b.length, k))
+      var i = 0; var j = 0; var n = 0
+      while (n < out.length) {
+        out(n) =
+          if (j >= b.length || (i < a.length && beats(a(i), b(j)))) { val x = a(i); i += 1; x }
+          else { val x = b(j); j += 1; x }
+        n += 1
+      }
+      out
+    }
+
+    override def finish(r: Array[(Double, Long)]): Array[(Double, Long)] = r
+
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[(Double, Long)]]()
+
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[(Double, Long)]]()
+  }
+
   /** Exact distinct-count over int64 ids as a MERGEABLE bitmap summary —
     * the ClickHouse `groupBitmap` / Druid bitmap-aggregator shape, and the
     * exact counterpart of approx_count_distinct's HLL: where

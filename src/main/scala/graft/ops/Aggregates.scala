@@ -198,7 +198,112 @@ object Aggregates {
         count(lit(1)).as("n_events")))
   }
 
+  /** KMV sketch width. 256 makes both estimator regimes live on the
+    * fixtures: groups with < 256 distinct parts (sf0.001) answer exactly
+    * from the sub-full sketch, groups with ≥ 256 (sf0.01+) exercise the
+    * (k−1)·2^60/h₍k₎ estimate, whose relative error is ~1/√(k−2) ≈ 6%. */
+  private[graft] val KmvK = 256
+
+  /** Approximate distinct via the [[graft.functions.GraftFunctions
+    * .KmvDistinct]] k-minimum-values sketch — the PROVABLE sketch point on
+    * the distinct-count spectrum (`agg_distinct` exact / `agg_bitmap_
+    * distinct` exact-mergeable / `agg_approx_distinct` HLL rows-only /
+    * THIS approximate-yet-hash-oracled): hashes are the repo's
+    * cross-engine 60-bit md5 word, the summary is the k smallest distinct
+    * hashes — an order statistic DuckDB re-derives with one window — and
+    * the estimate is (k−1)·2^60/h₍k₎ with one IEEE division, so the
+    * APPROXIMATION ITSELF is differentially pinned, closing the gap HLL's
+    * engine-private registers can't. Partial aggregation ships ≤ k longs
+    * per (task, group); min-k merge is associative/commutative/idempotent,
+    * so partitioning can't move the estimate. A sub-full sketch (group
+    * cardinality < k) has seen every distinct hash and answers exactly
+    * with a NULL kth-hash marker. */
+  def aggKmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.md5Words
+    val kmv = org.apache.spark.sql.functions.udaf(
+      new graft.functions.GraftFunctions.KmvDistinct(KmvK),
+      org.apache.spark.sql.Encoders.scalaLong)
+    totalOrder(load(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        element_at(md5Words(spark, col("l_partkey").cast("string")), 1).as("h"))
+      .groupBy(col("l_returnflag"))
+      .agg(kmv(col("h")).as("sk"), count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"),
+        get(col("sk"), lit(KmvK - 1)).as("kth_hash"),
+        size(col("sk")).cast("long").as("n_sketch"),
+        when(size(col("sk")) < KmvK, size(col("sk")).cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) * lit(1152921504606846976.0)
+            / get(col("sk"), lit(KmvK - 1)).cast("double")).as("est_distinct"),
+        col("n_rows")))
+  }
+
+  /** Quantile estimation over a MERGEABLE deterministic sample — the
+    * provable cousin of `agg_approx_percentile` the same way
+    * [[aggKmvDistinct]] is HLL's: the GK sketch's compaction is engine-
+    * private (rows-only under the gate), but a bottom-k-by-hash row
+    * sample ([[graft.functions.GraftFunctions.KmvSample]]) is a pure
+    * function of the data — rows ranked by the cross-engine md5 word of
+    * their unique key, k smallest kept — so the sample, and the
+    * rank-exact lower quantile selected from it (the repo's
+    * ts_anomaly_mad convention: never interpolated), reproduce bit-for-
+    * bit in DuckDB. Mergeable by min-k union (associative/commutative/
+    * idempotent ⇒ partition-invariant), one pass, ≤ k (hash, value)
+    * pairs per (task, group) on the wire — and unlike reservoir
+    * sampling the result can't depend on arrival order. Sub-full groups
+    * (< k rows) hold the whole group, so the quantile is exact there —
+    * both regimes live across the fixture SFs. Sampling error is in
+    * RANK space: ~1/√k of the group's CDF, the spec's bound. */
+  def aggSampleQuantile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.md5Words
+    val samp = org.apache.spark.sql.functions.udaf(
+      new graft.functions.GraftFunctions.KmvSample(KmvK),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Double)]())
+    def idx(n: org.apache.spark.sql.Column, p: Double) =
+      (floor((n - 1) * lit(p)) + 1).cast("int")
+    totalOrder(load(spark, dir, "events")
+      .select(col("event_type"),
+        element_at(md5Words(spark, col("event_id").cast("string")), 1).as("h"),
+        col("value"))
+      .groupBy(col("event_type"))
+      .agg(samp(col("h"), col("value")).as("sv"), count(lit(1)).as("n_rows"))
+      .withColumn("sorted", array_sort(col("sv")))
+      .withColumn("sample_n", size(col("sv")).cast("long"))
+      .select(col("event_type"), col("sample_n"),
+        element_at(col("sorted"), idx(col("sample_n"), 0.5)).as("q50_est"),
+        element_at(col("sorted"), idx(col("sample_n"), 0.9)).as("q90_est"),
+        col("n_rows")))
+  }
+
+  /** Top-k rows per group above. 5 keeps the demo output small; the plan
+    * shape is identical at any k ≪ group size. */
+  private[graft] val TopK = 5
+
+  /** Per-group top-k WITHOUT the window sort, via the [[graft.functions
+    * .GraftFunctions.TopKRows]] bounded Aggregator — the per-key
+    * generalization of TakeOrderedAndProject: the window-rank formulation
+    * (`row_number() OVER (PARTITION BY type ORDER BY value DESC)`)
+    * shuffles and sorts EVERY event to keep 5 per type, while this plan
+    * partial-aggregates each map task's slice to ≤ k (value, id) pairs —
+    * at 100 TB the exchange carries k·tasks rows per group instead of the
+    * corpus. The (value DESC, event_id ASC) total order makes ties
+    * deterministic under any partitioning, so the output IS the window
+    * formulation's and carries its oracle. */
+  def aggTopkPartial(spark: SparkSession, dir: String): DataFrame = {
+    val topk = org.apache.spark.sql.functions.udaf(
+      new graft.functions.GraftFunctions.TopKRows(TopK),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+    totalOrder(load(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(topk(col("value"), col("event_id")).as("top"))
+      .select(col("event_type"), posexplode(col("top")).as(Seq("i", "p")))
+      .select(col("event_type"), (col("i") + 1).cast("long").as("rk"),
+        col("p._1").as("value"), col("p._2").as("event_id")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_kmv_distinct" -> aggKmvDistinct,
+    "agg_sample_quantile" -> aggSampleQuantile,
+    "agg_topk_partial" -> aggTopkPartial,
     "agg_bitmap_distinct" -> aggBitmapDistinct,
     "agg_heavy_hitters" -> aggHeavyHitters,
     "agg_pivot" -> aggPivot,
@@ -212,7 +317,77 @@ object Aggregates {
     "agg_percentile" -> aggPercentile,
     "agg_approx_percentile" -> aggApproxPercentile)
 
+  /** DuckDB twin of the 60-bit md5 word (the Dedup.md5w idiom). */
+  private def sqlMd5w(x: String): String =
+    s"CAST(('0x' || substring(md5($x), 1, 15))::UBIGINT AS BIGINT)"
+
   val oracle: Map[String, String] = Map(
+    // the sketch summary is an order statistic of deterministic hashes, so
+    // DuckDB re-derives the k smallest per group with one window and the
+    // estimate from the same (k-1)*2^60/h_k expression — the approximation
+    // itself is hash-compared, not just bounded
+    "agg_kmv_distinct" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT l_returnflag,
+         |    ${sqlMd5w("CAST(l_partkey AS VARCHAR)")} AS h
+         |  FROM lineitem),
+         |r AS (
+         |  SELECT l_returnflag, h,
+         |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+         |  FROM h),
+         |s AS (
+         |  SELECT l_returnflag,
+         |    MAX(CASE WHEN rn = $KmvK THEN h END) AS kth_hash,
+         |    CAST(LEAST(COUNT(*), $KmvK) AS BIGINT) AS n_sketch
+         |  FROM r WHERE rn <= $KmvK GROUP BY l_returnflag),
+         |n AS (SELECT l_returnflag, COUNT(*) AS n_rows
+         |      FROM lineitem GROUP BY l_returnflag)
+         |SELECT s.l_returnflag, s.kth_hash, s.n_sketch,
+         |  CASE WHEN s.kth_hash IS NULL THEN CAST(s.n_sketch AS DOUBLE)
+         |       ELSE ${(KmvK - 1).toDouble} * 1152921504606846976.0
+         |            / CAST(s.kth_hash AS DOUBLE) END AS est_distinct,
+         |  n.n_rows
+         |FROM s JOIN n USING (l_returnflag)
+         |${orderAll("l_returnflag", "kth_hash", "n_sketch", "est_distinct",
+              "n_rows")}""".stripMargin,
+    // the sample is a pure function of the data (bottom-k by md5 rank),
+    // so DuckDB re-derives it — and the rank-exact quantiles on it —
+    // verbatim: the estimator, not just its error bound, is gated
+    "agg_sample_quantile" ->
+      s"""WITH s AS (
+         |  SELECT event_type, value,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type
+         |      ORDER BY ${sqlMd5w("CAST(event_id AS VARCHAR)")}) AS rn
+         |  FROM events),
+         |r AS (
+         |  SELECT event_type, value,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS vr,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS n
+         |  FROM s WHERE rn <= $KmvK),
+         |nn AS (SELECT event_type, COUNT(*) AS n_rows
+         |       FROM events GROUP BY event_type)
+         |SELECT r.event_type,
+         |  CAST(MAX(r.n) AS BIGINT) AS sample_n,
+         |  MAX(CASE WHEN r.vr = 1 + floor((r.n - 1) * 0.5)
+         |      THEN r.value END) AS q50_est,
+         |  MAX(CASE WHEN r.vr = 1 + floor((r.n - 1) * 0.9)
+         |      THEN r.value END) AS q90_est,
+         |  MAX(nn.n_rows) AS n_rows
+         |FROM r JOIN nn USING (event_type)
+         |GROUP BY r.event_type
+         |${orderAll("event_type", "sample_n", "q50_est", "q90_est",
+              "n_rows")}""".stripMargin,
+    // the bounded Aggregator's total order (value DESC, id ASC) IS the
+    // window formulation, so the oracle is the window it replaces at scale
+    "agg_topk_partial" ->
+      s"""SELECT event_type, CAST(rn AS BIGINT) AS rk, value, event_id
+         |FROM (
+         |  SELECT event_type, value, event_id,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type
+         |      ORDER BY value DESC, event_id) AS rn
+         |  FROM events)
+         |WHERE rn <= $TopK
+         |${orderAll("event_type", "rk", "value", "event_id")}""".stripMargin,
     // the bitmap is exact by construction, so the oracle is the plain
     // COUNT(DISTINCT) it replaces at scale
     "agg_bitmap_distinct" ->

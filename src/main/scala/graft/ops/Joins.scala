@@ -347,9 +347,102 @@ object Joins {
       .agg(count(lit(1)).as("n_pairs"), sum(col("ov")).as("overlap_us")))
   }
 
+  /** Bloom bits per build key. 8 bits/key with 3 probes gives a false-
+    * positive rate of (1−e^(−3/8))³ ≈ 3% — deliberately lossy enough that
+    * false positives OCCUR on the fixtures, so the exact-join cleanup and
+    * the [[joinBloomStats]] audit are non-vacuous. A deployment tuning
+    * for pruning power instead would raise this (16 bits/key ≈ 0.4%). */
+  private val BloomBitsPerKey = 8L
+
+  /** Shared chain for the Bloom pair: (build keys, filter width m,
+    * bit-position set, position-annotated probe side). Positions are the
+    * Kirsch–Mitzenmacher double-hashing construction (two independent
+    * md5 words g₁, g₂ and their sum — published to preserve the Bloom FP
+    * bound with exactly one digest per key) over the repo's cross-engine
+    * 60-bit md5 words, so the ENTIRE filter — width, set bits, candidate
+    * verdicts — is deterministic arithmetic both engines express. */
+  private def bloomChain(spark: SparkSession, dir: String):
+      (DataFrame, DataFrame, DataFrame) = {
+    import graft.functions.GraftFunctions.md5Words
+    def positions(df: DataFrame, key: String): DataFrame = df
+      .withColumn("w", md5Words(spark, col(key).cast("string")))
+      .withColumn("p1", element_at(col("w"), 1) % col("m"))
+      .withColumn("p2", element_at(col("w"), 2) % col("m"))
+      .withColumn("p3",
+        (element_at(col("w"), 1) + element_at(col("w"), 2)) % col("m"))
+      .drop("w")
+    val build = load(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    // m rides the plan as a broadcast scalar (no driver round-trip), so
+    // the filter width scales with the build side by construction
+    val m = build.agg((count(lit(1)) * BloomBitsPerKey).as("m"))
+    val bits = positions(build.crossJoin(broadcast(m)), "o_orderkey")
+      .select(explode(array(col("p1"), col("p2"), col("p3"))).as("pos"))
+      .distinct()
+    val probe = positions(
+      load(spark, dir, "lineitem").crossJoin(broadcast(m)), "l_orderkey")
+    (build, bits, probe)
+  }
+
+  /** Probe rows passing the Bloom membership test: ALL three bit
+    * positions present in the set — three broadcast SEMI-joins on int
+    * positions, the declarative form of testing a broadcast bitmap (and
+    * of Trino/Spark runtime dynamic filtering). The probe side never
+    * shuffles. */
+  private def bloomCandidates(bits: DataFrame, probe: DataFrame): DataFrame =
+    Seq("p1", "p2", "p3").foldLeft(probe)((df, p) =>
+      df.join(broadcast(bits), col(p) === col("pos"), "left_semi"))
+
+  /** Bloom-filter semi-join reduction — the 100 TB shape for "join a huge
+    * fact against a dim too big to broadcast EXACTLY": instead of
+    * shipping every urgent order key to every task (or shuffling the
+    * whole fact to the join), the build side is collapsed to a Bloom
+    * filter whose BIT-POSITION SET broadcasts at m = 8·|build| bits
+    * regardless of key width; the fact is pre-filtered by membership
+    * (false positives possible, false negatives impossible), and only
+    * the ≈ matching fraction plus ~3% FPs reaches the exact join that
+    * removes them. The oracle is the PLAIN join — the filter must be
+    * invisible in the result; its honesty ledger is [[joinBloomStats]].
+    * This is Spark's own injected `bloom_filter_agg` runtime-filter
+    * pattern, made deterministic (md5 double-hashing) so it can be
+    * differentially tested. */
+  def joinBloomPrune(spark: SparkSession, dir: String): DataFrame = {
+    val (build, bits, probe) = bloomChain(spark, dir)
+    totalOrder(bloomCandidates(bits, probe)
+      .join(build, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue")))
+  }
+
+  /** The Bloom filter's audit twin (the repo's cap-stats idiom: no silent
+    * pruning): filter geometry (build keys, m, bits actually set) and
+    * probe outcome (rows, candidates, true matches, FALSE POSITIVES) in
+    * one row. Deterministic hashing makes even the FP count exact and
+    * hash-oracled — the number a deployment watches to know when the
+    * filter has saturated and m must grow. */
+  def joinBloomStats(spark: SparkSession, dir: String): DataFrame = {
+    val (build, bits, probe) = bloomChain(spark, dir)
+    val cand = bloomCandidates(bits, probe)
+    val matches = probe.join(build,
+      col("l_orderkey") === col("o_orderkey"), "left_semi")
+    totalOrder(build
+      .agg(count(lit(1)).as("n_build"),
+        (count(lit(1)) * BloomBitsPerKey).as("m"))
+      .crossJoin(bits.agg(count(lit(1)).as("n_bits_set")))
+      .crossJoin(probe.agg(count(lit(1)).as("n_probe")))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(matches.agg(count(lit(1)).as("n_match")))
+      .withColumn("n_false_pos", col("n_candidates") - col("n_match")))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_bloom_prune" -> joinBloomPrune,
+    "join_bloom_stats" -> joinBloomStats,
     "join_interval_overlap" -> joinIntervalOverlap,
     "join_salted_skew" -> joinSaltedSkew,
     "join_inner_hash" -> joinInnerHash,
@@ -366,7 +459,66 @@ object Joins {
     "join_asof_forward" -> joinAsofForward,
     "join_asof_nearest" -> joinAsofNearest)
 
+  /** DuckDB twin of the 60-bit md5 word at hex offset `off` (1 or 17). */
+  private def sqlMd5w(x: String, off: Int): String =
+    s"CAST(('0x' || substring(md5($x), $off, 15))::UBIGINT AS BIGINT)"
+
+  /** DuckDB twin of [[bloomChain]]'s shared CTEs: build keys, width m,
+    * distinct set bit positions, position-annotated probe rows, and the
+    * candidate set (all three positions present). */
+  private val sqlBloomChain: String = {
+    val bw1 = sqlMd5w("CAST(o_orderkey AS VARCHAR)", 1)
+    val bw2 = sqlMd5w("CAST(o_orderkey AS VARCHAR)", 17)
+    val pw1 = sqlMd5w("CAST(l_orderkey AS VARCHAR)", 1)
+    val pw2 = sqlMd5w("CAST(l_orderkey AS VARCHAR)", 17)
+    s"""b AS (SELECT o_orderkey FROM orders
+       |       WHERE o_orderpriority = '1-URGENT'),
+       |mw AS (SELECT CAST(COUNT(*) * $BloomBitsPerKey AS BIGINT) AS m FROM b),
+       |bp AS (
+       |  SELECT w1 % m AS p1, w2 % m AS p2, (w1 + w2) % m AS p3
+       |  FROM (SELECT $bw1 AS w1, $bw2 AS w2 FROM b) CROSS JOIN mw),
+       |bits AS (
+       |  SELECT DISTINCT pos FROM (
+       |    SELECT p1 AS pos FROM bp UNION ALL
+       |    SELECT p2 FROM bp UNION ALL SELECT p3 FROM bp)),
+       |pp AS (
+       |  SELECT l.*, w1 % m AS p1, w2 % m AS p2, (w1 + w2) % m AS p3
+       |  FROM (SELECT *, $pw1 AS w1, $pw2 AS w2 FROM lineitem) l
+       |  CROSS JOIN mw),
+       |cand AS (
+       |  SELECT * FROM pp
+       |  WHERE p1 IN (SELECT pos FROM bits)
+       |    AND p2 IN (SELECT pos FROM bits)
+       |    AND p3 IN (SELECT pos FROM bits))""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    // the Bloom filter must be INVISIBLE in the result (no false
+    // negatives; false positives removed by the exact join), so the
+    // oracle is the plain join with the build-side predicate
+    "join_bloom_prune" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n_lines,
+         |  ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderpriority = '1-URGENT'
+         |GROUP BY l_returnflag
+         |${orderAll("l_returnflag", "n_lines", "revenue")}""".stripMargin,
+    // the audit IS the filter arithmetic, so DuckDB re-derives the whole
+    // chain — including the exact false-positive count
+    "join_bloom_stats" ->
+      s"""WITH $sqlBloomChain
+         |SELECT (SELECT COUNT(*) FROM b) AS n_build,
+         |  (SELECT m FROM mw) AS m,
+         |  (SELECT COUNT(*) FROM bits) AS n_bits_set,
+         |  (SELECT COUNT(*) FROM lineitem) AS n_probe,
+         |  (SELECT COUNT(*) FROM cand) AS n_candidates,
+         |  (SELECT COUNT(*) FROM lineitem
+         |   WHERE l_orderkey IN (SELECT o_orderkey FROM b)) AS n_match,
+         |  (SELECT COUNT(*) FROM cand) -
+         |  (SELECT COUNT(*) FROM lineitem
+         |   WHERE l_orderkey IN (SELECT o_orderkey FROM b)) AS n_false_pos
+         |${orderAll("n_build", "m", "n_bits_set", "n_probe",
+              "n_candidates", "n_match", "n_false_pos")}""".stripMargin,
     // the oracle is the PLAIN theta join — the bucketized plan must be
     // invisible in the result (each pair credited to exactly one bucket)
     "join_interval_overlap" ->

@@ -276,7 +276,66 @@ object Store {
           .as("n_unflagged")))
   }
 
+  /** 5-bit × 5-bit Morton interleave as engine-portable integer
+    * arithmetic (`div` is `DIV` in Spark SQL, `//` in DuckDB): s occupies
+    * the even bits, d the odd, so one `z DIV 16` step groups 4×4 (d, s)
+    * tiles — the bit-twiddling is spelled as shift-free multiply/mod,
+    * identical text in both engines. */
+  private def zInterleaveSql(d: String, s: String, div: String): String =
+    (0 until 5).map(i =>
+      s"((($s) $div ${1 << i}) % 2) * ${1L << (2 * i)} + " +
+        s"((($d) $div ${1 << i}) % 2) * ${1L << (2 * i + 1)}").mkString(" + ")
+
+  /** Z-ORDER clustering + the data-skipping audit that justifies it — the
+    * layout decision behind Delta/Iceberg `OPTIMIZE ZORDER BY (time,
+    * series)`: a store clustered on time alone answers time-range queries
+    * from few files but must read EVERY file for a series predicate,
+    * while Morton-interleaving the (day, series) bits gives every file a
+    * tight bounding box in BOTH dimensions, so min/max file stats prune
+    * two-dimensionally. The op materializes both layouts' skipping
+    * ledgers over the events table: day index scaled to 5 bits, series =
+    * user_id mod 32, `zorder` buckets = equal-width z quadrants (4×4
+    * tiles — deterministic, so DuckDB reproduces the file boundaries;
+    * production uses repartitionByRange(z), whose sampled split points
+    * this equal-width form stands in for), `bytime` buckets = 64
+    * equal-width time slices. Each bucket row carries its min/max stats
+    * and whether the standard pruning rule must touch it for (a) a
+    * day×series box predicate and (b) a series-only predicate — the
+    * second is the killer: bytime reads everything, zorder reads 1/4 of
+    * the buckets. Entirely deterministic arithmetic ⇒ the whole audit,
+    * stats and touch verdicts, is hash-oracled. At 100 TB the same z
+    * expression is the repartition key and the bucket stats are the
+    * parquet footer min/max the scan planner already collects. */
+  def storeZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val ev = load(spark, dir, "events")
+      .select(unix_micros(col("ts")).as("us"), col("user_id"))
+    val bounds = ev.agg(min(col("us")).as("min_us"), max(col("us")).as("max_us"))
+    val cells = ev.crossJoin(broadcast(bounds))
+      .withColumn("d", expr(s"((us - min_us) DIV $dayUs) * 32" +
+        s" DIV ((max_us - min_us) DIV $dayUs + 1)"))
+      .withColumn("s", pmod(col("user_id"), lit(32L)))
+      .withColumn("zb", expr(s"(${zInterleaveSql("d", "s", "DIV")}) DIV 16"))
+      .withColumn("tb", expr("((us - min_us) * 64) DIV (max_us - min_us + 1)"))
+    val union = cells
+      .select(lit("zorder").as("layout"), col("zb").as("bucket"),
+        col("d"), col("s"))
+      .unionByName(cells.select(lit("bytime").as("layout"),
+        col("tb").as("bucket"), col("d"), col("s")))
+    totalOrder(union
+      .groupBy(col("layout"), col("bucket"))
+      .agg(min(col("d")).as("min_d"), max(col("d")).as("max_d"),
+        min(col("s")).as("min_s"), max(col("s")).as("max_s"),
+        count(lit(1)).as("n_rows"))
+      .withColumn("touched_ds",
+        (col("max_d") >= 8 && col("min_d") <= 11 &&
+          col("max_s") >= 16 && col("min_s") <= 19).cast("long"))
+      .withColumn("touched_s",
+        (col("max_s") >= 16 && col("min_s") <= 19).cast("long")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "store_zorder_layout" -> storeZorderLayout,
     "store_schema_merge" -> storeSchemaMerge,
     "store_time_travel" -> storeTimeTravel,
     "store_concurrent_writers" -> storeConcurrentWriters,
@@ -288,6 +347,36 @@ object Store {
     "sink_influx_write" -> sinkInfluxWrite)
 
   val oracle: Map[String, String] = Map(
+    // the layout is deterministic arithmetic, so DuckDB re-derives both
+    // bucket ledgers — including the touch verdicts — from the same
+    // Morton expression
+    "store_zorder_layout" ->
+      s"""WITH e AS (
+         |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, user_id
+         |  FROM events),
+         |bnd AS (SELECT MIN(us) AS min_us, MAX(us) AS max_us FROM e),
+         |cells AS (
+         |  SELECT ((us - min_us) // 86400000000) * 32
+         |           // ((max_us - min_us) // 86400000000 + 1) AS d,
+         |         user_id % 32 AS s,
+         |         ((us - min_us) * 64) // (max_us - min_us + 1) AS tb
+         |  FROM e CROSS JOIN bnd),
+         |z AS (
+         |  SELECT 'zorder' AS layout,
+         |    (${zInterleaveSql("d", "s", "//")}) // 16 AS bucket, d, s
+         |  FROM cells
+         |  UNION ALL SELECT 'bytime', tb, d, s FROM cells),
+         |g AS (
+         |  SELECT layout, bucket, MIN(d) AS min_d, MAX(d) AS max_d,
+         |    MIN(s) AS min_s, MAX(s) AS max_s, COUNT(*) AS n_rows
+         |  FROM z GROUP BY layout, bucket)
+         |SELECT layout, bucket, min_d, max_d, min_s, max_s, n_rows,
+         |  CAST((max_d >= 8 AND min_d <= 11 AND max_s >= 16 AND min_s <= 19)
+         |    AS BIGINT) AS touched_ds,
+         |  CAST((max_s >= 16 AND min_s <= 19) AS BIGINT) AS touched_s
+         |FROM g
+         |${orderAll("layout", "bucket", "min_d", "max_d", "min_s", "max_s",
+              "n_rows", "touched_ds", "touched_s")}""".stripMargin,
     "store_schema_merge" ->
       s"""WITH e AS (
          |  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day, value

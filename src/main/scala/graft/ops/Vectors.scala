@@ -34,7 +34,7 @@ object Vectors {
     * search the same 20 queries against 10×/30× corpora. */
   private val QueryStride = 100
   private val QueryIdCap = 2000L
-  private[ops] def isQuery(c: Column): Column =
+  private[graft] def isQuery(c: Column): Column =
     c % QueryStride === 0 && c < QueryIdCap
   private[ops] val sqlIsQuery = s"vec_id % $QueryStride = 0 AND vec_id < $QueryIdCap"
 
@@ -177,6 +177,62 @@ object Vectors {
     val wRank = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     totalOrder(probes.join(lists, "cid").join(base, "vec_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine",
+        vecDot(spark, col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("rk"), col("cosine")))
+  }
+
+  /** Metadata-FILTERED ANN — the production retrieval shape the plain kNN
+    * tiers don't cover: "top-5 most similar *English* documents", i.e. a
+    * vector search constrained by a predicate on the JOINED entity (the
+    * Vespa/Qdrant filtered-search problem). Post-filtering a fixed-k
+    * result under-delivers when the predicate is selective, so the
+    * standard play — used here — is (a) push the predicate INTO the
+    * candidate stage (candidates join the filtered documents before any
+    * ranking: Catalyst prunes non-matching rows at the scan, never scoring
+    * them) and (b) OVER-FETCH by SELECTIVITY-SCALED probing: nprobe =
+    * ⌈2/sel⌉ where sel = |matching docs|/|docs| — the rule that restores
+    * the candidate mass the filter removes (expected surviving candidates
+    * ≈ the unfiltered tier's nprobe=2 mass) and adapts to ANY predicate
+    * instead of starving on selective ones. The selectivity ratio rides
+    * the plan as a broadcast scalar, so the probe budget is deterministic
+    * and the whole chain — filter and budget included — carries the
+    * composed DuckDB oracle; recall vs the filtered brute force is
+    * measured in the spec. At 100 TB the filter column lives IN the index
+    * partitions (the lists are parquet partitioned by cell; lang is just
+    * another column), so pushdown costs nothing extra, and nprobe/sel ≪
+    * nlist = √n keeps the probed fraction small. */
+  def simKnnFiltered(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.vecDot
+    val base = load(spark, dir, "embeddings")
+      .withColumn("nrm", sqrt(vecDot(spark, col("embedding"), col("embedding"))))
+      .transform(graft.OpCaches.cached)
+    val (c2, lists) = ivfIndex(spark, base)
+    val docs = load(spark, dir, "documents")
+    val en = docs.filter(col("lang") === "en").select(col("doc_id").as("vec_id"))
+    // probe budget: ceil(2 / selectivity), a one-row broadcast scalar
+    val budget = docs.agg(ceil(lit(2.0) * count(lit(1)) /
+      sum(when(col("lang") === "en", 1L).otherwise(0L))).as("np"))
+    val queries = base.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("qc_cos").desc, col("cid"))
+    val probes = queries.crossJoin(broadcast(c2))
+      .withColumn("qc_cos",
+        vecDot(spark, col("q_emb"), col("cvec")) / (col("q_nrm") * col("cnrm")))
+      .withColumn("pr", row_number().over(wProbe))
+      .crossJoin(broadcast(budget))
+      .filter(col("pr") <= col("np"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("cid"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    totalOrder(probes.join(lists, "cid").join(base, "vec_id")
+      .join(en, "vec_id") // predicate pushed into the candidate stage
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cosine",
         vecDot(spark, col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
@@ -945,6 +1001,7 @@ object Vectors {
     "sim_knn_bruteforce" -> simKnnBruteforce,
     "sim_knn_native" -> simKnnNative,
     "sim_knn_ivf" -> simKnnIvf,
+    "sim_knn_filtered" -> simKnnFiltered,
     "sim_knn_ivfpq" -> simKnnIvfPq,
     "sim_knn_join" -> simKnnJoin,
     "sim_knn_rp" -> simKnnRp,
@@ -1374,6 +1431,50 @@ object Vectors {
          |    ${sqlDot.format("b.embedding", "p.q_emb")} / (b.nrm * p.q_nrm) AS cosine
          |  FROM probes p JOIN a2 ON a2.cid = p.cid
          |  JOIN base b ON b.vec_id = a2.vec_id
+         |  WHERE b.vec_id <> p.q_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id AS neighbor_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY cosine DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT q_id, neighbor_id, rk, cosine FROM ranked WHERE rk <= 5
+         |${orderAll("q_id", "neighbor_id", "rk", "cosine")}""".stripMargin) +
+    // the filtered tier: sim_knn_ivf's chain with the lang predicate
+    // pushed into the candidate stage and the over-fetched probe set
+    ("sim_knn_filtered" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding, ${sqlNorm.format("embedding")} AS nrm
+         |  FROM embeddings),
+         |$sqlIvfPrelude,
+         |c0 AS (
+         |  SELECT vec_id AS cid,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec,
+         |    ${sqlNorm.format("embedding")} AS cnrm
+         |  FROM base WHERE vec_id % (SELECT stride FROM p) = 0),
+         |${sqlAssign("a0", "c0", "tr")},
+         |${sqlUpdate("c1", "a0")},
+         |${sqlAssign("a1", "c1", "tr")},
+         |${sqlUpdate("c2", "a1")},
+         |${sqlAssign("a2", "c2", "base")},
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+         |      FROM base WHERE $sqlIsQuery),
+         |probes AS (
+         |  SELECT q_id, q_emb, q_nrm, cid FROM (
+         |    SELECT q.q_id, q.q_emb, q.q_nrm, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+         |        list_aggregate(list_transform(list_zip(q.q_emb, c.cvec),
+         |          x -> CAST(x[1] AS DOUBLE) * x[2]), 'sum')
+         |          / (q.q_nrm * c.cnrm) DESC, c.cid) AS pr
+         |    FROM q CROSS JOIN c2 c)
+         |  WHERE pr <= (SELECT ceil(2.0 * COUNT(*)
+         |    / SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END))
+         |    FROM documents)),
+         |scored AS (
+         |  SELECT p.q_id, b.vec_id,
+         |    ${sqlDot.format("b.embedding", "p.q_emb")} / (b.nrm * p.q_nrm) AS cosine
+         |  FROM probes p JOIN a2 ON a2.cid = p.cid
+         |  JOIN base b ON b.vec_id = a2.vec_id
+         |  JOIN documents d ON d.doc_id = b.vec_id AND d.lang = 'en'
          |  WHERE b.vec_id <> p.q_id),
          |ranked AS (
          |  SELECT q_id, vec_id AS neighbor_id, cosine,

@@ -890,7 +890,45 @@ object StreamingOps {
       mergeDrain(active, Seq("user_id", "day")).select("user_id", "day")))
   }
 
+  /** Streaming distinct-users-per-day via the [[graft.functions
+    * .GraftFunctions.KmvDistinct]] k-minimum-values sketch — the LIVE
+    * proof of the sketch's merge law: each micro-batch folds its rows
+    * into the per-day state buffer (≤ k longs per open day window) and
+    * min-k union is associative/commutative/idempotent, so ANY
+    * micro-batch split converges to the batch sketch — which is what
+    * lets a streaming APPROXIMATION carry a full DuckDB hash oracle
+    * (the same property stream_ohlc's min_by/max_by and the bitmap
+    * aggregator rely on; HLL register merges share the law but not the
+    * provability). Watermark + update mode, changed day rows MERGEd per
+    * batch; the estimate post-pass runs on the drained table. At 100 TB
+    * this is the live-dashboard DAU counter: O(k) state per day, no
+    * distinct-value shuffle, no error compounding across merges. */
+  def streamKmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.sizedSession(spark, 4)
+    import graft.functions.GraftFunctions.md5Words
+    val k = graft.ops.Aggregates.KmvK
+    val kmv = org.apache.spark.sql.functions.udaf(
+      new graft.functions.GraftFunctions.KmvDistinct(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts", BackfillLag)
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(kmv(element_at(md5Words(s, col("user_id").cast("string")), 1))
+        .as("sk"),
+        count(lit(1)).as("n_events"))
+      .select(col("w.start").as("day"), col("sk"), col("n_events"))
+    val drained = mergeDrain(agg, Seq("day"))
+    totalOrder(drained.select(col("day"),
+      get(col("sk"), lit(k - 1)).as("kth_hash"),
+      size(col("sk")).cast("long").as("n_sketch"),
+      when(size(col("sk")) < k, size(col("sk")).cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0)
+          / get(col("sk"), lit(k - 1)).cast("double")).as("est_users"),
+      col("n_events")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_kmv_distinct" -> streamKmvDistinct,
     "stream_forecast_eval" -> streamForecastEval,
     "stream_cohort_retention" -> streamCohortRetention,
     "stream_slo_burn" -> streamSloBurn,
@@ -911,6 +949,39 @@ object StreamingOps {
     "stream_topk" -> streamTopk)
 
   val oracle: Map[String, String] = Map(
+    // min-k union is associative/commutative/idempotent, so the drained
+    // sketch IS the batch sketch — DuckDB re-derives it (and the
+    // estimate) from the same order statistic, gating the streaming
+    // approximation itself
+    "stream_kmv_distinct" -> {
+      val k = graft.ops.Aggregates.KmvK
+      val md5w = "CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR))," +
+        " 1, 15))::UBIGINT AS BIGINT)"
+      s"""WITH h AS (
+         |  SELECT DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         |    $md5w AS h
+         |  FROM events),
+         |r AS (
+         |  SELECT day, h,
+         |    ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS rn
+         |  FROM h),
+         |s AS (
+         |  SELECT day,
+         |    MAX(CASE WHEN rn = $k THEN h END) AS kth_hash,
+         |    CAST(LEAST(COUNT(*), $k) AS BIGINT) AS n_sketch
+         |  FROM r WHERE rn <= $k GROUP BY day),
+         |n AS (SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         |        COUNT(*) AS n_events
+         |      FROM events GROUP BY 1)
+         |SELECT s.day, s.kth_hash, s.n_sketch,
+         |  CASE WHEN s.kth_hash IS NULL THEN CAST(s.n_sketch AS DOUBLE)
+         |       ELSE ${(k - 1).toDouble} * 1152921504606846976.0
+         |            / CAST(s.kth_hash AS DOUBLE) END AS est_users,
+         |  n.n_events
+         |FROM s JOIN n USING (day)
+         |${orderAll("day", "kth_hash", "n_sketch", "est_users",
+              "n_events")}""".stripMargin
+    },
     // identical column set and semantics to the batch candlestick — the
     // min_by/max_by streaming formulation converges to the same rows, so
     // the op shares the batch oracle verbatim
