@@ -69,6 +69,41 @@ class PlanSpec extends SparkTestBase {
     assert(hasCodegenStage(plan), plan.take(2000))
   }
 
+  test("agg_kmv_distinct / agg_topk_partial: typed sketch Aggregators run " +
+    "partial+final — the bounded summary, not the rows, crosses the wire") {
+    for (op <- Seq(ops.Aggregates.aggKmvDistinct _,
+        ops.Aggregates.aggTopkPartial _)) {
+      val plan = planOf(op(spark, sf))
+      // udaf buffers plan as ObjectHashAggregate; partial + final = >= 2
+      val aggs = plan.linesIterator.count(_.contains("ObjectHashAggregate"))
+      assert(aggs >= 2, s"expected partial+final ObjectHashAggregate: $aggs")
+      assert(!plan.contains("Window"),
+        "sketch formulation must not fall back to a window sort")
+    }
+  }
+
+  test("join_bloom_prune: the membership test is broadcast semi-joins — " +
+    "the probe side never shuffles for the filter") {
+    val plan = planOf(ops.Joins.joinBloomPrune(spark, sf))
+    val semis = plan.linesIterator.count(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi"))
+    assert(semis >= 3, s"expected 3 broadcast semi-joins, got $semis\n" +
+      plan.take(2000))
+  }
+
+  test("store_zorder_layout: bucket assignment is pure arithmetic — no " +
+    "window/ntile sort anywhere in the plan") {
+    val plan = planOf(ops.Store.storeZorderLayout(spark, sf))
+    assert(!plan.contains("Window"), plan.take(2000))
+  }
+
+  test("sim_knn_filtered: the lang predicate pushes to the documents scan") {
+    val plan = planOf(ops.Vectors.simKnnFiltered(spark, sf))
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters"))
+      .mkString
+    assert(pushed.contains("EqualTo(lang,en)"), s"no pushdown: $pushed")
+  }
+
   test("join_bucketed: co-located SMJ with no hash-partition exchange") {
     val df = ops.Joins.joinBucketed(spark, sf)
     // final adaptive plan only (cut AQE's echoed "Initial Plan" section)
