@@ -65,9 +65,11 @@ object Bench {
     // dedup_exact doubles as the cross-container calibration ANCHOR (its
     // plan is scan + hash agg, immune to every family-specific change) —
     // always min-of-3 so container-speed normalization has a stable floor
+    // sim_knn_join drifted to n^1.03 in the round-11 curve (SURVEY §6.1)
     val watch = Set("mm_phash_pairs", "dedup_span_stats",
       "dedup_paragraph", "text_lm_bigram",
-      "mm_decode_features", "text_winnowing", "dedup_exact")
+      "mm_decode_features", "text_winnowing", "dedup_exact",
+      "sim_knn_join")
     val prevPath = Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "BENCH_LOCAL.json"))
     val prev: Map[String, Double] = scala.util.Try {

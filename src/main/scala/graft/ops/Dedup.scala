@@ -622,19 +622,44 @@ object Dedup {
     * standard iterative-CC shape; at cluster scale each round is one
     * shuffle on the node id and lineage is cut by the per-round cache. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    // cache the pair list BEFORE the symmetric union: both union branches
-    // (and every propagation round) read it, and without the cache each
-    // reference replays the whole shingle/posting/verify pipeline
-    // a lineage CUT (Tables.lineageCut: reliable checkpoint when a
-    // checkpoint dir is set, localCheckpoint otherwise), NOT cache: every
-    // round's plan references the
-    // previous round's frame several times, so without lineage TRUNCATION
-    // the final plan re-expands each reference and the un-hit cache lets
-    // the Jaccard pipeline replay ~2^rounds times (measured: 205s → 11s at
-    // sf0.1). Checkpointed frames are LogicalRDDs — no history to replay.
-    val pairs = jaccardPairs(spark, dir).select(col("id_a"), col("id_b"))
+    // CC runs at exact-dup-GROUP grain, never over the expanded doc-pair
+    // graph (the round-12 sf30 probe finding: the expanded graph carries
+    // C(r,2) within-group edges per replica family — quadratic in the
+    // replication factor r — checkpointed and re-shuffled every
+    // propagation round, for an output that is only n docs; 719 s at
+    // sf30 vs 101 s at sf10, n^1.79). Identical kept-shingle sets are
+    // jaccard-1 to every counterpart, so a whole group shares its
+    // representative's component, the component's canonical id IS the
+    // min rep id (each rep is its group's min doc id), and cluster size
+    // is Σ group sizes — the expansion is pure arithmetic at OUTPUT
+    // grain. Rep pairs are lineage-CUT (Tables.lineageCut), not cached:
+    // every propagation round references the prior frame several times,
+    // and without truncation the Jaccard pipeline would replay
+    // ~2^rounds times (measured: 205 s → 11 s at sf0.1).
+    val groups = shingleGroups(spark, dir)
+    val rpairs = repPairsSized(groups)
+      .withColumn("jaccard", col("inter").cast(DoubleType) /
+        (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= 0.3)
+      .select(col("ra").as("id_a"), col("rb").as("id_b"))
       .transform(lineageCut)
-    totalOrder(clusterSurvivorship(spark, pairs, "doc_id"))
+    val repCc = clusterSurvivorship(spark, rpairs, "rep_id")
+      .select(col("rep_id"), col("canonical_id"))
+    // participating docs: groups whose rep has a near-dup edge, plus
+    // multi-member groups (their within-pairs put them in the graph even
+    // without a cross edge); singleton groups with no edge stay out —
+    // the same node set the doc-grain CC produced
+    val edged = groups.join(repCc, Seq("rep_id"), "left")
+      .withColumn("lbl", coalesce(col("canonical_id"), col("rep_id")))
+      .filter(col("canonical_id").isNotNull || col("m") >= 2)
+    val sizes = edged.groupBy(col("lbl"))
+      .agg(sum(col("m")).as("cluster_size"))
+    totalOrder(edged.join(sizes, "lbl")
+      .select(explode(col("members")).as("doc_id"),
+        col("lbl").as("canonical_id"), col("cluster_size"))
+      .withColumn("is_survivor", col("doc_id") === col("canonical_id"))
+      .select(col("doc_id"), col("canonical_id"), col("cluster_size"),
+        col("is_survivor")))
   }
 
   /** Min-id connected components + survivorship columns over an
