@@ -171,11 +171,36 @@ object Dedup {
     * the plain inverted-index join plus one cheap set-keyed group-by. */
   private def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val groups = shingleGroups(spark, dir)
-    val rpairs = repPairsSized(groups)
+    expandPairs(groups, verifiedRepPairs(groups), "jaccard")
+  }
+
+  /** Rep pairs with the exact Jaccard verify — the threshold-filtered
+    * group-grain pair frame every textual-dedup consumer derives from. */
+  private def verifiedRepPairs(groups: DataFrame): DataFrame =
+    repPairsSized(groups)
       .withColumn("jaccard", col("inter").cast(DoubleType) /
         (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= 0.3)
-    expandPairs(groups, rpairs, "jaccard")
+
+  /** Connectivity-preserving SPANNING edge set of the textual near-dup
+    * graph at DOC grain — for CC consumers that must union with OTHER
+    * doc-grain edge sources (the cross-modal cluster op): within-group
+    * cliques are replaced by the (rep → member) star (m−1 edges instead
+    * of C(m,2)) and the cross-group doc-pair expansion by ONE rep-pair
+    * edge (x–rep_A–rep_B–y walks the same component), so components —
+    * and with them survivors and sizes — are IDENTICAL to the full
+    * expanded graph while the edge count stays linear in docs + rep
+    * pairs instead of quadratic in the exact-dup replication factor
+    * (the round-12 sf30 finding on [[dedupClusters]], applied to the
+    * union-graph consumer). */
+  private def jaccardSpanningEdges(spark: SparkSession, dir: String): DataFrame = {
+    val groups = shingleGroups(spark, dir)
+    val star = groups.filter(col("m") >= 2)
+      .select(col("rep_id").as("id_a"), explode(col("members")).as("id_b"))
+      .filter(col("id_a") < col("id_b")) // rep IS the group min; drop self
+    verifiedRepPairs(groups)
+      .select(col("ra").as("id_a"), col("rb").as("id_b"))
+      .unionByName(star)
   }
 
   /** Containment threshold for [[dedupContainment]] — 80% of the smaller
@@ -637,10 +662,7 @@ object Dedup {
     // and without truncation the Jaccard pipeline would replay
     // ~2^rounds times (measured: 205 s → 11 s at sf0.1).
     val groups = shingleGroups(spark, dir)
-    val rpairs = repPairsSized(groups)
-      .withColumn("jaccard", col("inter").cast(DoubleType) /
-        (col("n_a") + col("n_b") - col("inter")))
-      .filter(col("jaccard") >= 0.3)
+    val rpairs = verifiedRepPairs(groups)
       .select(col("ra").as("id_a"), col("rb").as("id_b"))
       .transform(lineageCut)
     val repCc = clusterSurvivorship(spark, rpairs, "rep_id")
@@ -837,7 +859,11 @@ object Dedup {
     * the combined graph. doc_id and vec_id are the same key space (the
     * embeddings table is one vector per document). */
   def dedupMultimodalClusters(spark: SparkSession, dir: String): DataFrame = {
-    val textPairs = jaccardPairs(spark, dir).select(col("id_a"), col("id_b"))
+    // the textual side contributes SPANNING edges, not the expanded pair
+    // list: connectivity (and so the CC result) is identical, but the
+    // union graph stays linear in docs where the expansion is quadratic
+    // in the exact-dup replication factor (round-12 sf30 finding)
+    val textPairs = jaccardSpanningEdges(spark, dir)
     val embPairs = dedupEmbcos(spark, dir)
       .select(col("canonical_id").as("id_a"), col("dup_id").as("id_b"))
     val pairs = textPairs.unionByName(embPairs).distinct()
