@@ -847,6 +847,104 @@ object Dedup {
       .groupBy(col("n_docs"))
       .agg(count(lit(1)).as("n_spans"), sum(col("n_occ")).as("n_occurrences")))
 
+  /** Island-merge gap for [[dedupSubstring]]: two duplicated prints at
+    * token distance ≤ w+k−1 sit inside one shared run under the winnowing
+    * coverage bound (window [[Text.WinnowW]] over 3-token shingles), so
+    * their spans merge. */
+  private val SubstringGap = Text.WinnowW + 3 - 1
+
+  /** Cross-document duplicated-SUBSTRING localization (the span-level
+    * twin of document dedup — the "Deduplicating Training Data Makes
+    * Language Models Better" operator at substring grain, built on the
+    * MOSS index): a winnowed fingerprint ([[Text.winnowedPrints]] —
+    * Schleimer et al. 2003) selected by ≥2 DISTINCT documents marks a
+    * shared token run, offset-robust where [[dedupParagraph]]'s fixed
+    * windows require grid alignment; per document, duplicated print
+    * positions within [[SubstringGap]] tokens of each other merge into
+    * one span (gaps-and-islands over ONE per-doc ordered window), and
+    * each span covers [min pos, max pos + k−1]. Output is span grain:
+    * (doc_id, span_start, span_end, n_prints, span_tokens) — exactly what
+    * a span-removal rewrite consumes.
+    *
+    * Scale shape: prints are a ~2/(w+1) fraction of tokens (map-side,
+    * embarrassingly parallel); the duplicated-print detection is one
+    * hash-agg on the 8-byte fp + a semi-join back (never the text); the
+    * island merge is a window PARTITIONED BY doc_id — every document
+    * sorts its own handful of prints in parallel. No step is quadratic in
+    * anything: the op never forms document PAIRS at all, which is what
+    * lets substring dedup run where pairwise near-dup mining is already
+    * capped. The reference curates documents but has no substring dedup
+    * (its whole pipeline is ingest, `loader.py`); this follows the
+    * published recipe re-expressed relationally. */
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(substringSpans(spark, dir)
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("n_prints"),
+        (col("span_end") - col("span_start") + 1L).as("span_tokens")))
+
+  /** The merged duplicated-substring span set of [[dedupSubstring]],
+    * unsorted — (doc_id, span_start, span_end, n_prints); shared with the
+    * rewrite face [[dedupSubstringRewrite]]. */
+  private def substringSpans(spark: SparkSession, dir: String): DataFrame = {
+    val prints = Text.winnowedPrints(load(spark, dir, "documents"))
+      .transform(graft.OpCaches.cached)
+    val dupFp = prints.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("fp"))
+    val hits = prints.join(dupFp, Seq("fp"), "left_semi")
+      .select(col("doc_id"), col("pos")).distinct()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    hits
+      .withColumn("new_isle",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= SubstringGap, 0L)
+          .otherwise(1L))
+      .withColumn("isle", sum(col("new_isle")).over(w))
+      .groupBy(col("doc_id"), col("isle"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + 2L).as("span_end"),
+        count(lit(1)).as("n_prints"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("n_prints"))
+  }
+
+  /** The REWRITE face of [[dedupSubstring]] — actually remove the
+    * duplicated spans and rebuild the cleaned token stream (the second
+    * half of the Lee et al. '22 recipe: locate, then cut). Per document:
+    * token positions covered by any of its merged spans are dropped, the
+    * survivors re-join in order, and the cleaned text ships as length +
+    * md5 (the byte-exact oracle handle, [[dedupParagraph]]'s idiom — the
+    * rebuild is of the TOKEN stream, since the tokenizer is lossy by
+    * design). Documents with no duplicated spans pass through whole, so
+    * the output is exactly corpus-grain.
+    *
+    * Scale shape: the span list per doc is boilerplate-sized (a handful
+    * of (s,e) structs), collected by one doc-keyed hash-agg and joined
+    * back — the only corpus-wide shuffle; the cut itself is a per-row
+    * positional array filter (nested lambda, codegen'd), never a second
+    * pass over text. */
+  def dedupSubstringRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val sp = substringSpans(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("sp"))
+    val toks = filter(split(lower(col("text")), "[^a-z0-9']+"), t => t =!= "")
+    totalOrder(load(spark, dir, "documents")
+      .select(col("doc_id"), toks.as("t"))
+      .join(sp, Seq("doc_id"), "left")
+      // Spark's array-filter index is 0-based where the span positions
+      // are 1-based token positions, hence i+1
+      .withColumn("clean", when(col("sp").isNull, col("t"))
+        .otherwise(filter(col("t"), (x, i) =>
+          !exists(col("sp"), r =>
+            (i + 1) >= r.getField("s") && (i + 1) <= r.getField("e")))))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(col("clean")).cast("long").as("n_kept"),
+        (size(col("t")) - size(col("clean"))).cast("long").as("n_dropped"),
+        length(array_join(col("clean"), " ")).cast("long").as("clean_len"),
+        md5(array_join(col("clean"), " ")).as("clean_md5")))
+  }
+
   /** Cross-MODAL dedup clusters: connected components over the UNION of
     * the textual near-dup pair graph ([[jaccardPairs]]) and the semantic
     * pair graph ([[dedupEmbcos]]'s embedding-cosine pairs) — what a
@@ -1077,6 +1175,8 @@ object Dedup {
     "dedup_clusters" -> dedupClusters,
     "dedup_paragraph" -> dedupParagraph,
     "dedup_span_stats" -> dedupSpanStats,
+    "dedup_substring" -> dedupSubstring,
+    "dedup_substring_rewrite" -> dedupSubstringRewrite,
     "dedup_multimodal_clusters" -> dedupMultimodalClusters)
 
   /** Shared CTE chain reconstructing the hashed span rows of
@@ -1389,8 +1489,66 @@ object Dedup {
        |  SELECT *, COUNT(*) OVER (PARTITION BY band, key) AS cnt
        |  FROM bands)""".stripMargin
 
+  /** DuckDB CTE chain from the winnowed `prints` ([[Text.winnowCtes]]) to
+    * the merged duplicated-substring `spans` (doc_id, span_start,
+    * span_end, n_prints) — shared by the dedup_substring and
+    * dedup_substring_rewrite oracles. */
+  private val substringSpanCtes: String =
+    s"""dup AS (
+       |  SELECT fp FROM prints GROUP BY fp
+       |  HAVING COUNT(DISTINCT doc_id) >= 2),
+       |hits AS (
+       |  SELECT DISTINCT p.doc_id, p.pos FROM prints p JOIN dup USING (fp)),
+       |brk AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |      <= $SubstringGap THEN 0 ELSE 1 END AS new_isle
+       |  FROM hits),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    SUM(new_isle) OVER (PARTITION BY doc_id ORDER BY pos) AS isle
+       |  FROM brk),
+       |spans AS (
+       |  SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       |    CAST(MAX(pos) + 2 AS BIGINT) AS span_end,
+       |    COUNT(*) AS n_prints
+       |  FROM isl GROUP BY doc_id, isle)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_minhash" -> minhashOracle,
+    "dedup_substring" ->
+      s"""WITH ${Text.winnowCtes},
+         |$substringSpanCtes
+         |SELECT doc_id, span_start, span_end, n_prints,
+         |  span_end - span_start + 1 AS span_tokens
+         |FROM spans
+         |${orderAll("doc_id", "span_start", "span_end", "n_prints",
+              "span_tokens")}""".stripMargin,
+    "dedup_substring_rewrite" ->
+      s"""WITH ${Text.winnowCtes},
+         |$substringSpanCtes,
+         |sp AS (
+         |  SELECT doc_id, list(struct_pack(s := span_start, e := span_end))
+         |    AS sp
+         |  FROM spans GROUP BY doc_id),
+         |reb AS (
+         |  SELECT k.doc_id, len(k.t) AS n_tokens,
+         |    CASE WHEN p.sp IS NULL THEN k.t
+         |      ELSE list_filter(k.t, (x, i) ->
+         |        len(list_filter(p.sp, r -> i >= r.s AND i <= r.e)) = 0)
+         |    END AS clean
+         |  FROM tok k LEFT JOIN sp p USING (doc_id))
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(len(clean) AS BIGINT) AS n_kept,
+         |  CAST(n_tokens - len(clean) AS BIGINT) AS n_dropped,
+         |  -- array_to_string([]) is NULL in DuckDB where Spark's
+         |  -- array_join yields '' (a fully-dropped doc is empty, not null)
+         |  CAST(len(COALESCE(array_to_string(clean, ' '), '')) AS BIGINT)
+         |    AS clean_len,
+         |  md5(COALESCE(array_to_string(clean, ' '), '')) AS clean_md5
+         |FROM reb
+         |${orderAll("doc_id", "n_tokens", "n_kept", "n_dropped",
+              "clean_len", "clean_md5")}""".stripMargin,
     "dedup_index_build" ->
       s"""WITH $postingCtes,
          |$minhashChainCtes,

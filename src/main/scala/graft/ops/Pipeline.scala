@@ -1,9 +1,10 @@
 package graft.ops
 
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 /** Composed training-data pipeline operators (driver extension scope —
   * the operations a 100 TB pre-training corpus build actually runs, built
@@ -470,6 +471,175 @@ object Pipeline {
         col("effective_tokens")))
   }
 
+  /** The Gopher stopword gate list (Rae et al. 2021, §A1.1) — a document
+    * must contain at least two of these to pass rule 6. */
+  private val GopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher rule-level quality funnel (Rae et al. 2021, Appendix A1.1 —
+    * THE published heuristic filter set every pretraining pipeline
+    * either runs or consciously deviates from; [[Text.textQuality]] is a
+    * composite score, this is the per-RULE verdict a filter audit needs):
+    * per document, the six rule booleans — word count in [50, 100000],
+    * mean word length in [3, 10], symbol-to-word ratio ('#' or '…') ≤ 0.1,
+    * bullet-line ≤ 90% / ellipsis-line ≤ 30%, ≥ 80% of words contain an
+    * alphabetic character, and ≥ 2 of the eight Gopher stopwords — plus
+    * the raw counts they derive from and the conjunction. Every ratio
+    * gate is cross-multiplied INTEGER arithmetic (mean ∈ [3,10] ⇔
+    * 3n ≤ Σlen ≤ 10n), so the op carries an exact oracle with zero float
+    * surface. One pass, all per-row expressions, no shuffle at all — the
+    * cheapest possible 100 TB scan. On the synthetic fixture the corpus
+    * honestly FAILS the stopword gate corpus-wide (word-soup text carries
+    * only 'the' from the Gopher list) — which is the filter working: a
+    * real Gopher gate would reject this corpus, and the per-doc counts
+    * still vary under the hash compare. */
+  def pipelineGopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+      .withColumn("w", Text.tokens(col("text")))
+      .withColumn("ln", split(col("text"), "\n", -1))
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("word_chars", aggregate(col("w"), lit(0L),
+        (a, x) => a + length(x).cast("long")))
+      .withColumn("n_alpha",
+        size(filter(col("w"), x => x.rlike("[a-z]"))).cast("long"))
+      .withColumn("n_stop", GopherStops.map(s =>
+          when(array_contains(col("w"), s), 1L).otherwise(0L))
+        .reduce(_ + _))
+      .withColumn("n_lines", size(col("ln")).cast("long"))
+      .withColumn("n_bullet",
+        size(filter(col("ln"), x => x.rlike("^\\s*[-*•]"))).cast("long"))
+      .withColumn("n_ell_line",
+        size(filter(col("ln"), x => x.endsWith("..."))).cast("long"))
+      .withColumn("n_hash",
+        (length(col("text")) - length(regexp_replace(col("text"), "#", "")))
+          .cast("long"))
+      .withColumn("n_ell",
+        ((length(col("text"))
+          - length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3)
+          .cast("long"))
+    val rWordCount = col("n_words") >= 50L && col("n_words") <= 100000L
+    val rMeanLen = col("word_chars") >= lit(3L) * col("n_words") &&
+      col("word_chars") <= lit(10L) * col("n_words")
+    val rSymbol = lit(10L) * (col("n_hash") + col("n_ell")) <= col("n_words")
+    val rBullet = lit(10L) * col("n_bullet") <= lit(9L) * col("n_lines") &&
+      lit(10L) * col("n_ell_line") <= lit(3L) * col("n_lines")
+    val rAlpha = lit(5L) * col("n_alpha") >= lit(4L) * col("n_words")
+    val rStop = col("n_stop") >= 2L
+    totalOrder(docs.select(col("doc_id"), col("n_words"), col("word_chars"),
+      col("n_alpha"), col("n_stop"),
+      rWordCount.as("r_word_count"), rMeanLen.as("r_mean_word_len"),
+      rSymbol.as("r_symbol_ratio"), rBullet.as("r_bullet_ellipsis"),
+      rAlpha.as("r_alpha_words"), rStop.as("r_stopwords"),
+      (rWordCount && rMeanLen && rSymbol && rBullet && rAlpha && rStop)
+        .as("pass_gopher")))
+  }
+
+  /** Soft deduplication — REWEIGHT duplicated documents instead of
+    * dropping them (the SoftDedup arrangement, He et al. 2024: hard
+    * removal discards the evidence that common text IS common; sampling
+    * weight 1/c per exact-dup group of size c preserves the corpus
+    * distribution while flattening the duplication spike). Rides the
+    * SAME normalized content hash as [[pipelineCurate]]'s exact-dedup
+    * stage, so the hard and soft paths can never disagree about what a
+    * duplicate is. Output per document: its group size, the 1/c sampling
+    * weight, and the effective (weight-scaled) token contribution. One
+    * hash-agg window over the 32-byte content hash — dedup-sized shuffle,
+    * per-row arithmetic after; at 100 TB identical. Weight and effective
+    * tokens are single IEEE divisions of exact integers, 6-dp-rounded
+    * (the repo's cross-engine float convention). */
+  def pipelineSoftDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("h"))
+    totalOrder(load(spark, dir, "documents")
+      .withColumn("h", contentHash)
+      .withColumn("n_tokens", size(Text.tokens(col("text"))).cast("long"))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .select(col("doc_id"), col("group_size"), col("n_tokens"),
+        round(lit(1.0) / col("group_size"), 6).as("weight"),
+        round(col("n_tokens").cast(DoubleType) / col("group_size"), 6)
+          .as("eff_tokens")))
+  }
+
+  /** DSIR feature-hash buckets (the paper uses 10k; 8192 here) and the
+    * target selector: English documents stand in for the high-quality
+    * target corpus the method resamples toward. */
+  private val DsirBuckets = 8192L
+  private val DsirTarget: Column = col("lang") === "en"
+  private val DsirKeep = 100
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+    * score every raw document by how target-like its hashed n-gram
+    * profile is, then Gumbel-top-k sample proportionally to the
+    * importance weight. Features are unigram+bigram postings hashed into
+    * [[DsirBuckets]] buckets via the repo's cross-engine md5-word idiom;
+    * the bucket models for target (English docs) and raw (everything)
+    * are two map-side-combined aggregates of ≤ 8192 rows each, the
+    * per-bucket log-likelihood-ratio term is 6-dp-rounded and
+    * decimal-accumulated per document ([[Text.textLmScore]]'s float
+    * convention), and the Gumbel key derives deterministically from the
+    * doc id's multiplicative hash, so the SAMPLE itself is oracle-exact —
+    * a seeded-RNG formulation could never be gated. Scale shape: one
+    * postings pass (shuffle keyed by the 13-bit bucket), two broadcast
+    * model joins, per-row scoring; the final top-k rank is a window over
+    * the doc-grain output — at 100 TB the production variant thresholds
+    * λ+g against a quantile sketch instead of ranking (the
+    * [[Text.textLmSplit]] adjudication), with scoring unchanged. */
+  def pipelineDsir(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val toks = Text.tokens(col("text"))
+    val grams = load(spark, dir, "documents")
+      .withColumn("t", toks)
+      // guard: sequence(1, 0) would DESCEND, not come back empty, so
+      // single-token docs get unigrams only
+      .withColumn("g", concat(col("t"), when(size(col("t")) >= 2, transform(
+        sequence(lit(1), size(col("t")) - 1),
+        i => concat_ws(" ", element_at(col("t"), i),
+          element_at(col("t"), i + 1))))
+        .otherwise(array().cast("array<string>"))))
+      .select(col("doc_id"), DsirTarget.as("is_target"), col("g"))
+      // materialize the gram ARRAY before exploding — Generate re-evaluates
+      // its child per output row, which would rebuild the whole array per
+      // gram (the textTokenizeTf pitfall, quadratic in doc length)
+      .transform(graft.OpCaches.cached)
+      .select(col("doc_id"), col("is_target"), explode(col("g")).as("g"))
+      .withColumn("b",
+        conv(substring(md5(col("g")), 1, 8), 16, 10).cast(LongType)
+          % DsirBuckets)
+      .select(col("doc_id"), col("is_target"), col("b"))
+      .transform(graft.OpCaches.cached)
+    val model = grams.groupBy(col("b")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"))
+    val tot = grams.agg(
+      count(lit(1)).cast(DoubleType).as("nr"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).cast(DoubleType).as("nt"))
+    val term = round(
+      log((col("ct") + 1L).cast(DoubleType)) - log(col("nt") + DsirBuckets)
+        - log((col("cr") + 1L).cast(DoubleType)) + log(col("nr") + DsirBuckets),
+      6).cast(DecimalType(38, 6))
+    val scored = grams
+      .join(broadcast(model), "b")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), term.as("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        (sum(col("term")).cast(DoubleType) / count(lit(1))).as("lambda"))
+    val gumbel = round(-log(-log(
+      ((col("doc_id") * 2654435761L) % 4294967296L + 1L).cast(DoubleType)
+        / 4294967297.0)), 6)
+    // top-k as TakeOrdered (per-partition heads + a k·p driver merge),
+    // NOT a global row_number window (single-partition sort collapse)
+    val keyed = scored.withColumn("gumbel", gumbel)
+      .transform(graft.OpCaches.cached)
+    val topk = keyed
+      .orderBy((col("lambda") + col("gumbel")).desc, col("doc_id"))
+      .limit(DsirKeep)
+      .select(col("doc_id"), lit(true).as("sel"))
+    totalOrder(keyed
+      .join(broadcast(topk), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"), col("lambda"), col("gumbel"),
+        coalesce(col("sel"), lit(false)).as("selected")))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -486,10 +656,123 @@ object Pipeline {
     "pipeline_repetition_filter" -> pipelineRepetitionFilter,
     "pipeline_shard_manifest" -> pipelineShardManifest,
     "pipeline_shuffle_order" -> pipelineShuffleOrder,
+    "pipeline_gopher_rules" -> pipelineGopherRules,
+    "pipeline_soft_dedup" -> pipelineSoftDedup,
+    "pipeline_dsir" -> pipelineDsir,
     "sample_stratified" -> sampleStratified,
     "text_pii_scrub" -> textPiiScrub)
 
   val oracle: Map[String, String] = Map(
+    "pipeline_gopher_rules" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+         |      x -> x <> '') AS w,
+         |    string_split(text, chr(10)) AS ln,
+         |    CAST(len(text) - len(replace(text, '#', '')) AS BIGINT)
+         |      AS n_hash,
+         |    CAST((len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT)
+         |      AS n_ell
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |    CAST(len(w) AS BIGINT) AS n_words,
+         |    CAST(COALESCE(list_aggregate(list_transform(w, x -> len(x)),
+         |      'sum'), 0) AS BIGINT) AS word_chars,
+         |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+         |      AS BIGINT) AS n_alpha,
+         |    CAST(${GopherStops.map(s =>
+                s"CASE WHEN list_contains(w, '$s') THEN 1 ELSE 0 END")
+                .mkString(" + ")} AS BIGINT) AS n_stop,
+         |    CAST(len(ln) AS BIGINT) AS n_lines,
+         |    CAST(len(list_filter(ln, x -> regexp_matches(x, '^\\s*[-*•]')))
+         |      AS BIGINT) AS n_bullet,
+         |    CAST(len(list_filter(ln, x -> x LIKE '%...')) AS BIGINT)
+         |      AS n_ell_line,
+         |    n_hash, n_ell
+         |  FROM t)
+         |SELECT doc_id, n_words, word_chars, n_alpha, n_stop,
+         |  n_words >= 50 AND n_words <= 100000 AS r_word_count,
+         |  word_chars >= 3 * n_words AND word_chars <= 10 * n_words
+         |    AS r_mean_word_len,
+         |  10 * (n_hash + n_ell) <= n_words AS r_symbol_ratio,
+         |  10 * n_bullet <= 9 * n_lines AND 10 * n_ell_line <= 3 * n_lines
+         |    AS r_bullet_ellipsis,
+         |  5 * n_alpha >= 4 * n_words AS r_alpha_words,
+         |  n_stop >= 2 AS r_stopwords,
+         |  (n_words >= 50 AND n_words <= 100000)
+         |    AND (word_chars >= 3 * n_words AND word_chars <= 10 * n_words)
+         |    AND (10 * (n_hash + n_ell) <= n_words)
+         |    AND (10 * n_bullet <= 9 * n_lines
+         |         AND 10 * n_ell_line <= 3 * n_lines)
+         |    AND (5 * n_alpha >= 4 * n_words)
+         |    AND (n_stop >= 2) AS pass_gopher
+         |FROM f
+         |${orderAll("doc_id", "n_words", "word_chars", "n_alpha", "n_stop",
+              "r_word_count", "r_mean_word_len", "r_symbol_ratio",
+              "r_bullet_ellipsis", "r_alpha_words", "r_stopwords",
+              "pass_gopher")}""".stripMargin,
+    "pipeline_soft_dedup" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    sha256(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS h,
+         |    CAST(len(list_filter(regexp_split_to_array(lower(text),
+         |      '[^a-z0-9'']+'), x -> x <> '')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, n_tokens,
+         |    COUNT(*) OVER (PARTITION BY h) AS group_size
+         |  FROM h)
+         |SELECT doc_id, group_size, n_tokens,
+         |  round(CAST(1.0 AS DOUBLE) / group_size, 6) AS weight,
+         |  round(CAST(n_tokens AS DOUBLE) / group_size, 6) AS eff_tokens
+         |FROM g
+         |${orderAll("doc_id", "group_size", "n_tokens", "weight",
+              "eff_tokens")}""".stripMargin,
+    "pipeline_dsir" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, list_filter(
+         |    regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+         |    x -> x <> '') AS t
+         |  FROM documents),
+         |grams AS (
+         |  SELECT doc_id, lang, unnest(list_concat(t,
+         |    list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])))
+         |    AS g
+         |  FROM tok),
+         |posts AS (
+         |  SELECT doc_id, lang = 'en' AS is_target,
+         |    CAST(('0x' || substring(md5(g), 1, 8))::UBIGINT AS BIGINT)
+         |      % $DsirBuckets AS b
+         |  FROM grams),
+         |model AS (
+         |  SELECT b, COUNT(*) AS cr,
+         |    SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct
+         |  FROM posts GROUP BY b),
+         |tot AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS nr,
+         |    CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS DOUBLE) AS nt
+         |  FROM posts),
+         |scored AS (
+         |  SELECT p.doc_id, COUNT(*) AS n_grams,
+         |    CAST(SUM(CAST(round(
+         |      ln(CAST(m.ct + 1 AS DOUBLE)) - ln(nt + $DsirBuckets.0)
+         |      - ln(CAST(m.cr + 1 AS DOUBLE)) + ln(nr + $DsirBuckets.0), 6)
+         |      AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS lambda
+         |  FROM posts p JOIN model m USING (b), tot
+         |  GROUP BY p.doc_id),
+         |keyed AS (
+         |  SELECT doc_id, n_grams, lambda,
+         |    round(-ln(-ln(
+         |      (CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) + 1.0)
+         |      / 4294967297.0)), 6) AS gumbel
+         |  FROM scored)
+         |SELECT doc_id, n_grams, lambda, gumbel,
+         |  row_number() OVER (ORDER BY lambda + gumbel DESC, doc_id)
+         |    <= $DsirKeep AS selected
+         |FROM keyed
+         |${orderAll("doc_id", "n_grams", "lambda", "gumbel", "selected")}"""
+        .stripMargin,
     "pipeline_token_budget" ->
       s"""WITH s AS (
          |  SELECT source,

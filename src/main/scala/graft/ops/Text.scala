@@ -473,7 +473,7 @@ object Text {
     * of length ≥ `WinnowW + 3 − 1 = 6` is GUARANTEED to share a selected
     * fingerprint (the Schleimer et al. 2003 coverage bound for window w
     * over k-grams, here 3-token shingles). */
-  private val WinnowW = 4
+  private[ops] val WinnowW = 4
 
   /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003 —
     * the MOSS algorithm): from each sliding window of [[WinnowW]]
@@ -490,7 +490,15 @@ object Text {
     * op is embarrassingly parallel, shuffles nothing but its output, and
     * carries a full DuckDB oracle. At 100 TB the selected prints (a
     * ~2/(w+1) fraction of shingles) are what a dedup index stores. */
-  def textWinnowing(spark: SparkSession, dir: String): DataFrame = {
+  def textWinnowing(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(winnowedPrints(load(spark, dir, "documents")))
+
+  /** The winnowed (doc_id, pos, fp) print set of [[textWinnowing]],
+    * unsorted — shared with [[Dedup.dedupSubstring]], which localizes
+    * cross-document duplicated substrings by exactly these prints (the
+    * MOSS index-then-locate arrangement). `pos` is the 1-based token
+    * position of the selected 3-token shingle. */
+  private[ops] def winnowedPrints(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.LongType
     val toks = tokens(col("text"))
     val sh = transform(
@@ -520,15 +528,46 @@ object Text {
         struct((w0 + best.getField("idx")).as("pos"),
           best.getField("fp").as("fp"))
       })
-    totalOrder(load(spark, dir, "documents")
+    docs
       .withColumn("t", toks)
       .filter(size(col("t")) >= WinnowW + 2) // >= w windows of 3-shingles
       .withColumn("s", sh)
       .withColumn("h", hs)
       .select(col("doc_id"), explode(sel).as("p"))
       .select(col("doc_id"), col("p.pos").as("pos"), col("p.fp").as("fp"))
-      .distinct())
+      .distinct()
   }
+
+  /** DuckDB CTE chain reconstructing [[winnowedPrints]], ending in
+    * `prints` (doc_id, pos, fp) — shared by the text_winnowing oracle and
+    * [[Dedup]]'s dedup_substring oracle so the two can never drift. */
+  private[ops] val winnowCtes: String =
+    s"""tok AS (
+       |  SELECT doc_id, list_filter(
+       |    regexp_split_to_array(lower(text), '[^a-z0-9'']+'), t -> t <> '') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_transform(
+       |    range(1, len(t) - 2 + 1),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS s
+       |  FROM tok WHERE len(t) >= $WinnowW + 2),
+       |hs AS (
+       |  SELECT doc_id, list_transform(s,
+       |    x -> CAST(('0x' || substring(md5(x), 1, 8))::UBIGINT AS BIGINT))
+       |    AS h
+       |  FROM sh),
+       |w AS (
+       |  SELECT doc_id, h, unnest(range(0, len(h) - $WinnowW + 1)) AS w0
+       |  FROM hs),
+       |sel AS (
+       |  SELECT doc_id,
+       |    w0 + list_aggregate(list_transform(range(1, $WinnowW + 1),
+       |      j -> CASE WHEN h[w0 + j] =
+       |        list_aggregate(h[(w0+1):(w0+$WinnowW)], 'min')
+       |        THEN j ELSE 0 END), 'max') AS pos,
+       |    list_aggregate(h[(w0+1):(w0+$WinnowW)], 'min') AS fp
+       |  FROM w),
+       |prints AS (SELECT DISTINCT doc_id, pos, fp FROM sel)""".stripMargin
 
   /** BM25 query terms / parameters for [[textBm25]] — a fixed demo query
     * with the standard Robertson k1/b constants. */
@@ -719,32 +758,8 @@ object Text {
          |GROUP BY doc_id
          |${orderAll("doc_id", "n_bigrams", "avg_logp2")}""".stripMargin,
     "text_winnowing" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, list_filter(
-         |    regexp_split_to_array(lower(text), '[^a-z0-9'']+'), t -> t <> '') AS t
-         |  FROM documents),
-         |sh AS (
-         |  SELECT doc_id, list_transform(
-         |    range(1, len(t) - 2 + 1),
-         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS s
-         |  FROM tok WHERE len(t) >= $WinnowW + 2),
-         |hs AS (
-         |  SELECT doc_id, list_transform(s,
-         |    x -> CAST(('0x' || substring(md5(x), 1, 8))::UBIGINT AS BIGINT))
-         |    AS h
-         |  FROM sh),
-         |w AS (
-         |  SELECT doc_id, h, unnest(range(0, len(h) - $WinnowW + 1)) AS w0
-         |  FROM hs),
-         |sel AS (
-         |  SELECT doc_id,
-         |    w0 + list_aggregate(list_transform(range(1, $WinnowW + 1),
-         |      j -> CASE WHEN h[w0 + j] =
-         |        list_aggregate(h[(w0+1):(w0+$WinnowW)], 'min')
-         |        THEN j ELSE 0 END), 'max') AS pos,
-         |    list_aggregate(h[(w0+1):(w0+$WinnowW)], 'min') AS fp
-         |  FROM w)
-         |SELECT DISTINCT doc_id, pos, fp FROM sel
+      s"""WITH $winnowCtes
+         |SELECT doc_id, pos, fp FROM prints
          |${orderAll("doc_id", "pos", "fp")}""".stripMargin,
     "text_lm_split" ->
       s"""WITH toks AS (
