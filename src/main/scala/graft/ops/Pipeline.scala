@@ -640,6 +640,48 @@ object Pipeline {
         coalesce(col("sel"), lit(false)).as("selected")))
   }
 
+  /** Chunking geometry for [[pipelineChunkText]]: 64-token windows at
+    * stride 48 (16-token overlap) — the shape every embedding/RAG
+    * pipeline cuts documents into before vectorizing. */
+  private val ChunkSize = 64L
+  private val ChunkStride = 48L
+
+  /** Fixed-token-window document chunking with overlap — the splitter
+    * every retrieval/embedding pipeline runs between curation and
+    * vectorization (and pretraining runs for long-doc packing): per
+    * document, windows of [[ChunkSize]] tokens at [[ChunkStride]] stride,
+    * the final window clipped to the document end; each chunk ships its
+    * token extent and an md5 content handle (what a vector store keys
+    * embeddings by, and what makes chunk-level dedup possible
+    * downstream). Chunk count is exact integer ceiling arithmetic —
+    * 1 + ⌈max(n−size, 0) / stride⌉ — so the geometry is oracle-exact.
+    * Scale shape: the token array materializes once per row (the
+    * Generate pitfall), then everything is per-row expressions exploding
+    * to output grain — no shuffle anywhere; at 100 TB this is scan →
+    * explode → write, the embarrassingly-parallel ideal. */
+  def pipelineChunkText(spark: SparkSession, dir: String): DataFrame = {
+    totalOrder(load(spark, dir, "documents")
+      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 1)
+      .withColumn("n", size(col("t")).cast("long"))
+      // integer division: Column./ is true division, so go through expr
+      .withColumn("n_chunks", expr(
+        s"1L + (greatest(n - $ChunkSize, 0L) + ${ChunkStride - 1}L) DIV " +
+          s"${ChunkStride}L"))
+      .transform(graft.OpCaches.cached)
+      .select(col("doc_id"), col("n"), col("t"),
+        explode(sequence(lit(0L), col("n_chunks") - 1L)).as("chunk_id"))
+      .withColumn("tok_start", col("chunk_id") * ChunkStride + 1L)
+      .withColumn("tok_end",
+        least(col("tok_start") + (ChunkSize - 1L), col("n")))
+      .select(col("doc_id"), col("chunk_id"), col("tok_start"),
+        col("tok_end"),
+        (col("tok_end") - col("tok_start") + 1L).as("n_tok"),
+        md5(array_join(slice(col("t"), col("tok_start").cast("int"),
+          (col("tok_end") - col("tok_start") + 1L).cast("int")), " "))
+          .as("chunk_md5")))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -659,6 +701,7 @@ object Pipeline {
     "pipeline_gopher_rules" -> pipelineGopherRules,
     "pipeline_soft_dedup" -> pipelineSoftDedup,
     "pipeline_dsir" -> pipelineDsir,
+    "pipeline_chunk_text" -> pipelineChunkText,
     "sample_stratified" -> sampleStratified,
     "text_pii_scrub" -> textPiiScrub)
 
@@ -773,6 +816,34 @@ object Pipeline {
          |FROM keyed
          |${orderAll("doc_id", "n_grams", "lambda", "gumbel", "selected")}"""
         .stripMargin,
+    "pipeline_chunk_text" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_filter(
+         |    regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+         |    x -> x <> '') AS t
+         |  FROM documents),
+         |d AS (
+         |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n
+         |  FROM tok WHERE len(t) >= 1),
+         |c AS (
+         |  SELECT doc_id, t, n,
+         |    1 + (greatest(n - $ChunkSize, 0) + ${ChunkStride - 1})
+         |      // $ChunkStride AS n_chunks
+         |  FROM d),
+         |e AS (
+         |  SELECT doc_id, t, n, unnest(range(0, n_chunks)) AS chunk_id
+         |  FROM c)
+         |SELECT doc_id, chunk_id,
+         |  chunk_id * $ChunkStride + 1 AS tok_start,
+         |  least(chunk_id * $ChunkStride + $ChunkSize, n) AS tok_end,
+         |  least(chunk_id * $ChunkStride + $ChunkSize, n)
+         |    - (chunk_id * $ChunkStride + 1) + 1 AS n_tok,
+         |  md5(array_to_string(t[(chunk_id * $ChunkStride + 1):
+         |    (least(chunk_id * $ChunkStride + $ChunkSize, n))], ' '))
+         |    AS chunk_md5
+         |FROM e
+         |${orderAll("doc_id", "chunk_id", "tok_start", "tok_end", "n_tok",
+              "chunk_md5")}""".stripMargin,
     "pipeline_token_budget" ->
       s"""WITH s AS (
          |  SELECT source,

@@ -203,6 +203,47 @@ class CurationSpec extends SparkTestBase {
     OpCaches.releaseAll()
   }
 
+  test("chunk_text: geometry laws - full coverage, exact overlap, tail " +
+    "clipped, whole-doc chunk hashes the whole token stream") {
+    val rows = ops.Pipeline.pipelineChunkText(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("tok_start"), r.getAs[Long]("tok_end"),
+        r.getAs[Long]("n_tok"), r.getAs[String]("chunk_md5")))
+    assert(rows.nonEmpty)
+    val nTok = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), size(
+        filter(split(lower(col("text")), "[^a-z0-9']+"), t => t =!= ""))
+        .cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (d, ch) =>
+      val n = nTok(d)
+      val sorted = ch.sortBy(_._2)
+      // stride geometry: chunk i starts at i*48+1; ends clipped to n;
+      // the union of [start, end] covers 1..n with no hole
+      sorted.foreach { case (_, i, s, e, nt, _) =>
+        assert(s == i * 48 + 1 && e == math.min(s + 63, n) && nt == e - s + 1)
+      }
+      assert(sorted.head._3 == 1 && sorted.last._4 == n)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 <= a._4 + 1, s"hole in doc $d")
+        case _ =>
+      }
+      // expected chunk count: 1 + ceil(max(n-64,0)/48)
+      val expect = 1 + (math.max(n - 64, 0) + 47) / 48
+      assert(sorted.length == expect, s"doc $d: ${sorted.length} != $expect")
+    }
+    // a short doc's single chunk hashes its whole token stream
+    val whole = rows.filter(r => nTok(r._1) <= 64)
+    assert(whole.nonEmpty)
+    val md5all = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), md5(array_join(
+        filter(split(lower(col("text")), "[^a-z0-9']+"), t => t =!= ""),
+        " ")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    whole.foreach(r => assert(r._6 == md5all(r._1)))
+    OpCaches.releaseAll()
+  }
+
   test("dsir: selection plans as TakeOrderedAndProject, never a global " +
     "single-partition window") {
     val plan = planOf(ops.Pipeline.pipelineDsir(spark, sf))
