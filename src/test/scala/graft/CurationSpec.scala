@@ -251,4 +251,19 @@ class CurationSpec extends SparkTestBase {
     assert(!plan.contains("Window"), plan.take(3000))
     OpCaches.releaseAll()
   }
+
+  test("substring family: no cartesian products or nested-loop joins; " +
+    "chunker plans shuffle-free up to its output sort") {
+    val p1 = planOf(ops.Dedup.dedupSubstring(spark, sf))
+    val p2 = planOf(ops.Dedup.dedupSubstringRewrite(spark, sf))
+    Seq(p1, p2).foreach { p =>
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    }
+    val p3 = planOf(ops.Pipeline.pipelineChunkText(spark, sf))
+    // one Generate (the explode) and zero hash-partition shuffles
+    assert(p3.contains("Generate") &&
+      !p3.contains("Exchange hashpartitioning"), p3.take(2000))
+    OpCaches.releaseAll()
+  }
 }
