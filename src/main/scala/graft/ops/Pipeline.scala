@@ -682,6 +682,53 @@ object Pipeline {
           .as("chunk_md5")))
   }
 
+  /** Sampling exponent for [[pipelineSampleTemperature]] — α = 0.3, the
+    * mT5 setting (q ∝ p^α; α < 1 flattens the distribution, i.e.
+    * temperature T = 1/α ≈ 3.3 in the other common parameterization). */
+  private val SampleTempExp = 0.3
+
+  /** Temperature-scaled source sampling — the mixture recipe multilingual
+    * and multi-domain pretraining actually uses (mT5 / XLM-R shape): raw
+    * share p_s = n_s/N is flattened to q_s ∝ p_s^α (α < 1), which
+    * upsamples small sources and downsamples dominant ones; given the
+    * [[TokenBudget]], each source's target is q_s·B and its per-document
+    * keep rate min(1, q_s·B/n_s) ships as an INTEGER per-mille so the
+    * actual draw can run through [[pipelineSampleWeighted]]'s
+    * deterministic integer keep rule (kept ⇔ u·1000 < p‰·2³²) — the
+    * recipe is auditable end-to-end, not a seeded RNG. Per-term powers
+    * are 6-dp-rounded then decimal-normalized (the [[Text.textLmScore]]
+    * float convention), the epochs ratio is the one IEEE division.
+    * One map-side-combined aggregate over the corpus → a |sources|-row
+    * report; at 100 TB this is a scan plus a 20-row shuffle, run BEFORE
+    * the sampler the same way [[pipelineTokenBudget]] is. */
+  def pipelineSampleTemperature(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val perSrc = load(spark, dir, "documents")
+      .select(col("source"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("n_tokens"))
+    val tot = perSrc.agg(sum(col("n_tokens")).cast(DoubleType).as("n_total"))
+    val weighted = perSrc.crossJoin(broadcast(tot))
+      .withColumn("share", col("n_tokens").cast(DoubleType) / col("n_total"))
+      .withColumn("w",
+        round(pow(col("share"), SampleTempExp), 6)
+          .cast(DecimalType(38, 6)))
+    val wsum = weighted.agg(sum(col("w")).cast(DoubleType).as("w_sum"))
+    totalOrder(weighted.crossJoin(broadcast(wsum))
+      .withColumn("q", col("w").cast(DoubleType) / col("w_sum"))
+      .withColumn("target_tokens", col("q") * TokenBudget)
+      .withColumn("keep_mille",
+        least(lit(1000L),
+          floor(col("target_tokens") / col("n_tokens").cast(DoubleType)
+            * 1000.0).cast("long")))
+      .withColumn("epochs",
+        col("target_tokens") / col("n_tokens").cast(DoubleType))
+      .select(col("source"), col("n_tokens"), col("share"),
+        col("w").cast(DoubleType).as("temp_weight"), col("q"),
+        col("target_tokens"), col("keep_mille"), col("epochs")))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -702,6 +749,7 @@ object Pipeline {
     "pipeline_soft_dedup" -> pipelineSoftDedup,
     "pipeline_dsir" -> pipelineDsir,
     "pipeline_chunk_text" -> pipelineChunkText,
+    "pipeline_sample_temperature" -> pipelineSampleTemperature,
     "sample_stratified" -> sampleStratified,
     "text_pii_scrub" -> textPiiScrub)
 
@@ -816,6 +864,31 @@ object Pipeline {
          |FROM keyed
          |${orderAll("doc_id", "n_grams", "lambda", "gumbel", "selected")}"""
         .stripMargin,
+    "pipeline_sample_temperature" ->
+      s"""WITH s AS (
+         |  SELECT source, CAST(SUM(len(list_filter(
+         |    regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+         |    x -> x <> ''))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS n_total FROM s),
+         |w AS (
+         |  SELECT source, n_tokens,
+         |    CAST(n_tokens AS DOUBLE) / n_total AS share,
+         |    CAST(round(pow(CAST(n_tokens AS DOUBLE) / n_total,
+         |      $SampleTempExp), 6) AS DECIMAL(38,6)) AS w
+         |  FROM s, tot),
+         |ws AS (SELECT CAST(SUM(w) AS DOUBLE) AS w_sum FROM w)
+         |SELECT source, n_tokens, share,
+         |  CAST(w AS DOUBLE) AS temp_weight,
+         |  CAST(w AS DOUBLE) / w_sum AS q,
+         |  CAST(w AS DOUBLE) / w_sum * $TokenBudget AS target_tokens,
+         |  least(1000, CAST(floor(CAST(w AS DOUBLE) / w_sum * $TokenBudget
+         |    / CAST(n_tokens AS DOUBLE) * 1000.0) AS BIGINT)) AS keep_mille,
+         |  CAST(w AS DOUBLE) / w_sum * $TokenBudget
+         |    / CAST(n_tokens AS DOUBLE) AS epochs
+         |FROM w, ws
+         |${orderAll("source", "n_tokens", "share", "temp_weight", "q",
+              "target_tokens", "keep_mille", "epochs")}""".stripMargin,
     "pipeline_chunk_text" ->
       s"""WITH tok AS (
          |  SELECT doc_id, list_filter(

@@ -252,6 +252,29 @@ class CurationSpec extends SparkTestBase {
     OpCaches.releaseAll()
   }
 
+  test("sample temperature: q is a distribution that upsamples small " +
+    "sources and downsamples dominant ones, keep rates capped at 1000") {
+    val rows = ops.Pipeline.pipelineSampleTemperature(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Double]("share"),
+        r.getAs[Double]("q"), r.getAs[Long]("keep_mille"),
+        r.getAs[Double]("epochs")))
+    assert(rows.length >= 2)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-6, "q must sum to 1")
+    rows.foreach { case (_, share, q, km, ep) =>
+      assert(km >= 0 && km <= 1000)
+      assert(ep >= 0)
+      // T < 1 sharpening: below-average sources gain share, above-average
+      // sources lose it (the defining property of temperature sampling)
+      val avg = 1.0 / rows.length
+      if (share < avg * 0.8) assert(q > share, s"tail source not upsampled")
+      if (share > avg * 1.2) assert(q < share, s"head source not downsampled")
+    }
+    // sharpening is monotone: source order by share == order by q
+    val byShare = rows.sortBy(_._2).map(_._1).toSeq
+    val byQ = rows.sortBy(_._3).map(_._1).toSeq
+    assert(byShare == byQ)
+  }
+
   test("substring family: no cartesian products or nested-loop joins; " +
     "chunker plans shuffle-free up to its output sort") {
     val p1 = planOf(ops.Dedup.dedupSubstring(spark, sf))
