@@ -17,14 +17,37 @@ object Bench {
     // footer caches) so the first timed query isn't charged for it
     Tables.load(spark, sfDir, "nation")
       .groupBy("n_regionkey").count().collect()
+    // expression-JIT warmup (round-11 verdict stretch #8): the md5-word /
+    // minhash / simhash signature kernels are the repo's heaviest scalar
+    // expressions, and their first evaluation carries Janino + C2
+    // compilation that showed up as a 6.4 s single-run vs 2.5 s min-of-3
+    // spread on dedup_minhash at sf0.1 — one tiny evaluation here moves
+    // that compiler cost out of the first timed query that touches them
+    locally {
+      import graft.functions.GraftFunctions.{md5Words, minHashSig, simHash64}
+      import org.apache.spark.sql.functions.{col, transform, element_at, split, lower}
+      val hs = transform(split(lower(col("n_name")), ""),
+        t => element_at(md5Words(spark, t), 1))
+      Tables.load(spark, sfDir, "nation")
+        .select(minHashSig(spark, hs, 16), simHash64(spark, hs)).collect()
+      ()
+    }
     // bucketed layout is a write-once storage decision: create it here so
     // join_bucketed times the join, not the table build
     ops.Joins.ensureBucketedTables(spark, sfDir)
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // failures are loud: a crashing query must fail the bench run, not
-      // masquerade as a fast "-1 rows" timing
-      try fn(spark, sfDir).count() catch {
+      // masquerade as a fast "-1 rows" timing.
+      // the sink is the NOOP DATA SOURCE, not count(): under a bare
+      // count() Catalyst prunes every unused per-row expression, so
+      // shuffle-free map-only ops (gopher_rules, soft_dedup,
+      // sample_weighted, quality_classifier, readability, …) benched at
+      // the parquet-footer floor at ANY scale — a 10× per-row regression
+      // was invisible (round-11 verdict weak #1). The noop sink consumes
+      // every output row whole, so the timing covers exactly what Verify's
+      // parquet write evaluates, with no write-side cost.
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save() catch {
         case e: Throwable =>
           System.err.println(s"[bench] query '$name' failed: $e")
           throw e
@@ -65,7 +88,9 @@ object Bench {
     // dedup_exact doubles as the cross-container calibration ANCHOR (its
     // plan is scan + hash agg, immune to every family-specific change) —
     // always min-of-3 so container-speed normalization has a stable floor
-    // sim_knn_join drifted to n^1.03 in the round-11 curve (SURVEY §6.1)
+    // sim_knn_join: the committed R12 curve measured n^1.38 (the earlier
+    // n^1.03 note here was the stale artifact — adjudicated round 12);
+    // the occupancy-capped sub-split bounds it, keep it on min-of-3
     val watch = Set("mm_phash_pairs", "dedup_span_stats",
       "dedup_paragraph", "text_lm_bigram",
       "mm_decode_features", "text_winnowing", "dedup_exact",

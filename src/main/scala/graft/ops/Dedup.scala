@@ -20,7 +20,7 @@ object Dedup {
     * boilerplate miner ([[Text.textBoilerplate]]), which is this
     * vocabulary's other half. */
   private[ops] def shingled(spark: SparkSession, dir: String): DataFrame = {
-    val toks = filter(split(lower(col("text")), "[^a-z0-9']+"), t => t =!= "")
+    val toks = Text.tokens(col("text"))
     load(spark, dir, "documents")
       .withColumn("t", toks)
       // guard: under ANSI mode element_at past the end errors, so docs with
@@ -542,7 +542,7 @@ object Dedup {
 
   private def simhashFrame(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.GraftFunctions.{md5Words, simHash64}
-    val toks = filter(split(lower(col("text")), "[^a-z0-9']+"), t => t =!= "")
+    val toks = Text.tokens(col("text"))
     load(spark, dir, "documents")
       .select(col("doc_id"),
         simHash64(spark,
@@ -927,7 +927,7 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start").as("s"),
         col("span_end").as("e"))).as("sp"))
-    val toks = filter(split(lower(col("text")), "[^a-z0-9']+"), t => t =!= "")
+    val toks = Text.tokens(col("text"))
     totalOrder(load(spark, dir, "documents")
       .select(col("doc_id"), toks.as("t"))
       .join(sp, Seq("doc_id"), "left")

@@ -481,7 +481,9 @@ object Pipeline {
     * either runs or consciously deviates from; [[Text.textQuality]] is a
     * composite score, this is the per-RULE verdict a filter audit needs):
     * per document, the six rule booleans — word count in [50, 100000],
-    * mean word length in [3, 10], symbol-to-word ratio ('#' or '…') ≤ 0.1,
+    * mean word length in [3, 10], symbol-to-word ratio ('#' or ASCII
+    * "..." — the fixture is ASCII; a unicode-ellipsis corpus would
+    * normalize U+2026 to "..." upstream) ≤ 0.1,
     * bullet-line ≤ 90% / ellipsis-line ≤ 30%, ≥ 80% of words contain an
     * alphabetic character, and ≥ 2 of the eight Gopher stopwords — plus
     * the raw counts they derive from and the conjunction. Every ratio
@@ -576,7 +578,8 @@ object Pipeline {
     * per-bucket log-likelihood-ratio term is 6-dp-rounded and
     * decimal-accumulated per document ([[Text.textLmScore]]'s float
     * convention), and the Gumbel key derives deterministically from the
-    * doc id's multiplicative hash, so the SAMPLE itself is oracle-exact —
+    * doc id's md5-prefix word (overflow-proof at any id range, unlike a
+    * 64-bit multiplicative hash), so the SAMPLE itself is oracle-exact —
     * a seeded-RNG formulation could never be gated. Scale shape: one
     * postings pass (shuffle keyed by the 13-bit bucket), two broadcast
     * model joins, per-row scoring; the final top-k rank is a window over
@@ -623,8 +626,14 @@ object Pipeline {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         (sum(col("term")).cast(DoubleType) / count(lit(1))).as("lambda"))
+    // uniform u via the cross-engine md5-word idiom, NOT the Knuth
+    // multiply: doc_id * 2654435761 silently wraps for doc_id ≳ 3.47e9,
+    // driving the modulo negative and log(-log(u)) into NULL territory at
+    // exactly the id ranges a 100 TB corpus carries (DuckDB would instead
+    // raise on the BIGINT overflow — a cross-engine divergence)
     val gumbel = round(-log(-log(
-      ((col("doc_id") * 2654435761L) % 4294967296L + 1L).cast(DoubleType)
+      (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast(DoubleType) + 1.0)
         / 4294967297.0)), 6)
     // top-k as TakeOrdered (per-partition heads + a k·p driver merge),
     // NOT a global row_number window (single-partition sort collapse)
@@ -855,7 +864,8 @@ object Pipeline {
          |keyed AS (
          |  SELECT doc_id, n_grams, lambda,
          |    round(-ln(-ln(
-         |      (CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) + 1.0)
+         |      (CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+         |        1, 8))::UBIGINT AS BIGINT) AS DOUBLE) + 1.0)
          |      / 4294967297.0)), 6) AS gumbel
          |  FROM scored)
          |SELECT doc_id, n_grams, lambda, gumbel,

@@ -263,13 +263,14 @@ class CurationSpec extends SparkTestBase {
     rows.foreach { case (_, share, q, km, ep) =>
       assert(km >= 0 && km <= 1000)
       assert(ep >= 0)
-      // T < 1 sharpening: below-average sources gain share, above-average
-      // sources lose it (the defining property of temperature sampling)
+      // α = 0.3 < 1 (T ≈ 3.3 > 1) FLATTENING: below-average sources gain
+      // share, above-average sources lose it (the defining property of
+      // temperature-flattened source mixing)
       val avg = 1.0 / rows.length
       if (share < avg * 0.8) assert(q > share, s"tail source not upsampled")
       if (share > avg * 1.2) assert(q < share, s"head source not downsampled")
     }
-    // sharpening is monotone: source order by share == order by q
+    // flattening is monotone: source order by share == order by q
     val byShare = rows.sortBy(_._2).map(_._1).toSeq
     val byQ = rows.sortBy(_._3).map(_._1).toSeq
     assert(byShare == byQ)
