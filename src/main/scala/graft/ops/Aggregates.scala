@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Aggregation parity surface (SURVEY.md §2.4): hash group-by with partial
@@ -33,15 +33,45 @@ object Aggregates {
         countDistinct(col("l_suppkey")).as("n_supps"),
         count(lit(1)).as("n_rows")))
 
-  /** HyperLogLog++ approximate distinct — the 100 TB answer to countDistinct
-    * (constant memory, one pass, mergeable partials). No DuckDB oracle: the
-    * sketch estimate is engine-specific → rows-only check; the ScalaTest spec
-    * bounds its error against the exact count instead. */
+  /** HLL++ relative standard deviation requested by the op, and the gate's
+    * error budget: 3σ — the sketch's published ±rsd is one standard
+    * deviation, so a 3·rsd envelope is the "practically always" bound the
+    * differential gate pins (the fixture data is fixed, so the check is
+    * deterministic: it either holds at every run or the sketch regressed). */
+  private[graft] val HllRsd = 0.04
+
+  /** HyperLogLog++ approximate distinct, RAW frame — the 100 TB answer to
+    * countDistinct (constant memory, one pass, mergeable partials). The
+    * sketch estimate is engine-specific, so this frame itself can't
+    * hash-compare; [[aggApproxDistinct]] wraps it in the differential
+    * error-bound gate, and the ScalaTest spec asserts the raw error too. */
+  def aggApproxDistinctRaw(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), HllRsd).as("approx_parts"),
+        count(lit(1)).as("n_rows")))
+
+  /** The GATED face of [[aggApproxDistinctRaw]] (round-11 verdict #4 —
+    * graduate the sketch from rows-only to a bounded-error status):
+    * hash-compare is the wrong check for an engine-private sketch, but the
+    * ERROR BOUND is checkable differentially — the frame computes BOTH the
+    * HLL estimate and the exact distinct in one aggregate and emits the
+    * exact count plus the |approx − exact| ≤ 3·rsd·exact verdict; DuckDB
+    * recomputes the exact side and pins the verdict literally TRUE, so a
+    * sketch drifting outside its published envelope is a hash-red gate
+    * failure, not an invisible regression. (Computing the exact count
+    * alongside is the CHECK's cost, not the op's — production calls the
+    * raw frame.) */
   def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     totalOrder(load(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey"), 0.04).as("approx_parts"),
-        count(lit(1)).as("n_rows")))
+      .agg(approx_count_distinct(col("l_partkey"), HllRsd).as("approx"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("exact_parts"), col("n_rows"),
+        (abs(col("approx") - col("exact_parts")).cast("double")
+          <= lit(3 * HllRsd) * col("exact_parts").cast("double"))
+          .as("hll_in_bound")))
 
   /** Hierarchical subtotals: (status, priority) → (status) → grand total. */
   def aggRollup(spark: SparkSession, dir: String): DataFrame =
@@ -66,19 +96,64 @@ object Aggregates {
          |""".stripMargin))
   }
 
-  /** Approximate percentiles via the mergeable Greenwald-Khanna sketch —
-    * the 100 TB sibling of [[aggPercentile]] (constant memory per group,
-    * one pass, partials merge across partitions; InfluxQL downsampling
-    * leans on percentiles constantly). Sketch internals are engine-specific
-    * → rows-only check; the spec bounds the estimate against the exact
-    * percentile, mirroring the approx_count_distinct pattern. */
-  def aggApproxPercentile(spark: SparkSession, dir: String): DataFrame =
+  /** approx_percentile sketch accuracy: rank error ≤ n/accuracy (the
+    * published 1/accuracy relative-rank guarantee of the mergeable
+    * Greenwald-Khanna sketch). */
+  private[graft] val GkAccuracy = 1000
+
+  /** Approximate percentiles via the mergeable Greenwald-Khanna sketch,
+    * RAW frame — the 100 TB sibling of [[aggPercentile]] (constant memory
+    * per group, one pass, partials merge across partitions; InfluxQL
+    * downsampling leans on percentiles constantly). Sketch internals are
+    * engine-specific, so this frame can't hash-compare;
+    * [[aggApproxPercentile]] wraps it in the rank-bound gate. */
+  def aggApproxPercentileRaw(spark: SparkSession, dir: String): DataFrame =
     totalOrder(load(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        expr("approx_percentile(l_quantity, 0.5, 1000)").as("ap50"),
-        expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("ap90_price"),
+        expr(s"approx_percentile(l_quantity, 0.5, $GkAccuracy)").as("ap50"),
+        expr(s"approx_percentile(l_extendedprice, 0.9, $GkAccuracy)")
+          .as("ap90_price"),
         count(lit(1)).as("n_rows")))
+
+  /** The GATED face of [[aggApproxPercentileRaw]] (round-11 verdict #4):
+    * GK's guarantee lives in RANK space — the returned value's rank is
+    * within n/accuracy of p·n — so that is what the gate checks, not a
+    * value tolerance. The frame joins the per-group estimates back to the
+    * table (a ≤|groups|-row broadcast), counts rows strictly-below and
+    * at-or-below each estimate (the estimate's feasible rank interval
+    * [lt+1, le]), and emits whether that interval intersects
+    * [p·n − n/acc, p·n + n/acc]; DuckDB recomputes n and pins the verdict
+    * TRUE. A sketch whose compaction breaks its published bound goes
+    * hash-red instead of silently rows-only-green. */
+  def aggApproxPercentile(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+    val est = li.groupBy(col("l_returnflag"))
+      .agg(
+        expr(s"approx_percentile(l_quantity, 0.5, $GkAccuracy)").as("v50"),
+        expr(s"approx_percentile(l_extendedprice, 0.9, $GkAccuracy)")
+          .as("v90"))
+    def inBound(le: Column, lt: Column, n: Column, p: Double): Column = {
+      val target = lit(p) * n.cast("double")
+      val slack = n.cast("double") / lit(GkAccuracy.toDouble)
+      le.cast("double") >= target - slack &&
+        (lt.cast("double") + 1.0) <= target + slack
+    }
+    totalOrder(li.join(broadcast(est), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("l_quantity") <= col("v50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("l_quantity") < col("v50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("l_extendedprice") <= col("v90"), 1L).otherwise(0L))
+          .as("le90"),
+        sum(when(col("l_extendedprice") < col("v90"), 1L).otherwise(0L))
+          .as("lt90"))
+      .select(col("l_returnflag"), col("n_rows"),
+        inBound(col("le50"), col("lt50"), col("n_rows"), 0.5)
+          .as("ap50_in_bound"),
+        inBound(col("le90"), col("lt90"), col("n_rows"), 0.9)
+          .as("ap90_in_bound")))
+  }
 
   /** Exact percentiles (sort-based; both engines linearly interpolate over
     * the ordered set, so values are bit-comparable). At 100 TB the same
@@ -434,6 +509,23 @@ object Aggregates {
          |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
          |FROM lineitem GROUP BY l_returnflag
          |${orderAll("l_returnflag", "n_parts", "n_supps", "n_rows")}""".stripMargin,
+    // the differential ERROR-BOUND gates (round-11 verdict #4): the sketch
+    // estimates are engine-private, but their published error envelopes
+    // are not — Spark emits the exact answer plus the in-bound verdict,
+    // DuckDB recomputes the exact side and pins the verdict literally
+    // TRUE, so a sketch outside its envelope is a hash-red failure
+    "agg_approx_distinct" ->
+      s"""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+         |  COUNT(*) AS n_rows, TRUE AS hll_in_bound
+         |FROM lineitem GROUP BY l_returnflag
+         |${orderAll("l_returnflag", "exact_parts", "n_rows",
+              "hll_in_bound")}""".stripMargin,
+    "agg_approx_percentile" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n_rows,
+         |  TRUE AS ap50_in_bound, TRUE AS ap90_in_bound
+         |FROM lineitem GROUP BY l_returnflag
+         |${orderAll("l_returnflag", "n_rows", "ap50_in_bound",
+              "ap90_in_bound")}""".stripMargin,
     "agg_rollup" ->
       s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
          |  ${sqlDsum("o_totalprice")} AS sum_price

@@ -44,7 +44,7 @@ object Pipeline {
     * the funnel can never drift from the pipeline it reports on. */
   private[ops] val QualityMin = 0.05
   private[ops] val MinCurateTokens = 20
-  private[ops] def contentHash: org.apache.spark.sql.Column =
+  private[graft] def contentHash: org.apache.spark.sql.Column =
     sha2(regexp_replace(lower(col("text")), "[^a-z0-9]", ""), 256)
 
   /** End-to-end corpus curation as ONE Catalyst plan — the standard
@@ -495,8 +495,16 @@ object Pipeline {
     * only 'the' from the Gopher list) — which is the filter working: a
     * real Gopher gate would reject this corpus, and the per-doc counts
     * still vary under the hash compare. */
-  def pipelineGopherRules(spark: SparkSession, dir: String): DataFrame = {
-    val docs = load(spark, dir, "documents")
+  def pipelineGopherRules(spark: SparkSession, dir: String): DataFrame =
+    totalOrder(gopherFrame(load(spark, dir, "documents")))
+
+  /** The per-row Gopher rule frame over ANY documents source — shared
+    * verbatim by the batch op above and its streaming twin
+    * ([[graft.streaming.StreamingOps]] `stream_gopher_rules`): the whole
+    * computation is stateless per-row expressions, so the unbounded query
+    * is the same plan in append mode and carries the same oracle. */
+  private[graft] def gopherFrame(src: DataFrame): DataFrame = {
+    val docs = src
       .withColumn("w", Text.tokens(col("text")))
       .withColumn("ln", split(col("text"), "\n", -1))
       .withColumn("n_words", size(col("w")).cast("long"))
@@ -527,13 +535,13 @@ object Pipeline {
       lit(10L) * col("n_ell_line") <= lit(3L) * col("n_lines")
     val rAlpha = lit(5L) * col("n_alpha") >= lit(4L) * col("n_words")
     val rStop = col("n_stop") >= 2L
-    totalOrder(docs.select(col("doc_id"), col("n_words"), col("word_chars"),
+    docs.select(col("doc_id"), col("n_words"), col("word_chars"),
       col("n_alpha"), col("n_stop"),
       rWordCount.as("r_word_count"), rMeanLen.as("r_mean_word_len"),
       rSymbol.as("r_symbol_ratio"), rBullet.as("r_bullet_ellipsis"),
       rAlpha.as("r_alpha_words"), rStop.as("r_stopwords"),
       (rWordCount && rMeanLen && rSymbol && rBullet && rAlpha && rStop)
-        .as("pass_gopher")))
+        .as("pass_gopher"))
   }
 
   /** Soft deduplication — REWEIGHT duplicated documents instead of

@@ -26,7 +26,7 @@ object Text {
     * text ops by construction. */
   private val TokenPattern = "[^a-z0-9']+"
 
-  private[ops] def tokens(c: org.apache.spark.sql.Column) =
+  private[graft] def tokens(c: org.apache.spark.sql.Column) =
     filter(split(lower(c), TokenPattern), t => t =!= "")
 
   /** Term frequency across the corpus (explode → hash agg, SURVEY §2.10

@@ -790,6 +790,72 @@ object StreamingOps {
     totalOrder(mergeDrain(agg, Seq("content_hash")))
   }
 
+  /** Shared documents file-stream (the [[streamDocCurate]] source shape;
+    * `documents*.parquet` admits both the fixture's single file and the
+    * ordered `documents_<n>.parquet` files multi-batch specs land). */
+  private def docsStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val rd = spark.readStream
+      .schema(spark.read.option("pathGlobFilter", "documents*.parquet")
+        .parquet(dir).schema)
+      .option("pathGlobFilter", "documents*.parquet")
+    maxFilesPerTrigger.fold(rd)(n =>
+      rd.option("maxFilesPerTrigger", n)).parquet(dir)
+  }
+
+  /** Streaming Gopher rule gate — [[graft.ops.Pipeline.pipelineGopherRules]]
+    * as the INGEST-TIME quality filter it exists to be (round-11 verdict
+    * #6: the curation wave's batch ops had no live twins): the rule frame
+    * is stateless per-row expressions, so the unbounded query is the
+    * SAME plan ([[graft.ops.Pipeline.gopherFrame]], shared verbatim) in
+    * append mode — no state, no watermark, each document judged the
+    * micro-batch it arrives in. Carries the batch oracle verbatim. */
+  def streamGopherRules(spark: SparkSession, dir: String): DataFrame =
+    streamGopherRules(spark, dir, None)
+
+  private[graft] def streamGopherRules(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int]): DataFrame = {
+    val s = Tables.sizedSession(spark, 4)
+    totalOrder(runToTable(
+      graft.ops.Pipeline.gopherFrame(docsStream(s, dir, maxFilesPerTrigger)),
+      OutputMode.Append()))
+  }
+
+  /** Streaming soft-dedup reweighting —
+    * [[graft.ops.Pipeline.pipelineSoftDedup]] live: the only state is the
+    * per-content-hash group COUNT, a pure associative aggregate, so the
+    * watermark-free update-mode drain MERGEs each micro-batch's changed
+    * groups ([[streamDocCurate]]'s pattern — content hashes have no event
+    * time) and converges to the batch group table under ANY file split;
+    * the doc-grain 1/c reweight then runs as the batch op's own
+    * arithmetic over the materialized group sizes. Shares the batch
+    * oracle verbatim. In production the post-pass is the read-side join
+    * every sampler does against the live duplicate-group table. */
+  def streamSoftDedup(spark: SparkSession, dir: String): DataFrame =
+    streamSoftDedup(spark, dir, None)
+
+  private[graft] def streamSoftDedup(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int]): DataFrame = {
+    val s = Tables.sizedSession(spark, 4)
+    val agg = docsStream(s, dir, maxFilesPerTrigger)
+      .withColumn("h", graft.ops.Pipeline.contentHash)
+      .groupBy(col("h")).agg(count(lit(1)).as("group_size"))
+    val groups = mergeDrain(agg, Seq("h"))
+    // the read-side reweight joins the SAME file set the stream drained
+    // (glob batch read, not Tables.load — split specs land multiple
+    // documents_<n>.parquet files)
+    val docs = spark.read.option("pathGlobFilter", "documents*.parquet")
+      .parquet(dir)
+      .withColumn("h", graft.ops.Pipeline.contentHash)
+      .withColumn("n_tokens",
+        size(graft.ops.Text.tokens(col("text"))).cast("long"))
+    totalOrder(docs.join(groups, "h")
+      .select(col("doc_id"), col("group_size"), col("n_tokens"),
+        round(lit(1.0) / col("group_size"), 6).as("weight"),
+        round(col("n_tokens").cast("double") / col("group_size"), 6)
+          .as("eff_tokens")))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   /** Streaming OHLC candlesticks — [[graft.ops.Analytics.tsOhlc]] as an
@@ -946,6 +1012,8 @@ object StreamingOps {
     "stream_cq_subscription" -> streamCqSubscription,
     "stream_pattern_match" -> streamPatternMatch,
     "stream_gap_report" -> streamGapReport,
+    "stream_gopher_rules" -> streamGopherRules,
+    "stream_soft_dedup" -> streamSoftDedup,
     "stream_topk" -> streamTopk)
 
   val oracle: Map[String, String] = Map(
@@ -999,6 +1067,12 @@ object StreamingOps {
     // the hourly (Σ-decimal, count) grain is additive and the post-pass
     // is the shared batch expression — the drain IS the batch table
     "stream_forecast_eval" -> graft.ops.Analytics.oracle("ts_forecast_eval"),
+    // stateless per-row rules: the unbounded query is the batch plan in
+    // append mode — oracle shared verbatim
+    "stream_gopher_rules" -> graft.ops.Pipeline.oracle("pipeline_gopher_rules"),
+    // the streamed state is the associative per-hash group count; the
+    // doc-grain reweight is the batch op's own arithmetic — oracle shared
+    "stream_soft_dedup" -> graft.ops.Pipeline.oracle("pipeline_soft_dedup"),
     "stream_doc_curate" ->
       s"""WITH g AS (
          |  SELECT doc_id, source,

@@ -276,6 +276,89 @@ class ExtensionSpec extends SparkTestBase {
     OpCaches.releaseAll()
   }
 
+  test("index upsert: old list files byte-untouched, only the shard " +
+    "appended, post-upsert search equals the in-memory union search") {
+    import graft.functions.GraftFunctions.vecDot
+    val base = Tables.load(spark, sf, "embeddings")
+      .withColumn("nrm",
+        sqrt(vecDot(spark, col("embedding"), col("embedding"))))
+      .transform(OpCaches.cached)
+    val out = java.nio.file.Files.createTempDirectory("upsert_spec").toString
+    def snapshot(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$out/lists")).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> ((f.length(), f.lastModified()))).toMap
+    }
+    try {
+      ops.Vectors.upsertIndexBuild(spark, base, out)
+      val before = snapshot()
+      assert(before.nonEmpty, "base build wrote no list files")
+      ops.Vectors.upsertIndexAppend(spark, base, out)
+      val after = snapshot()
+      // incrementality for real: every pre-existing file survives with the
+      // same bytes (size + mtime), the append only ADDED files
+      before.foreach { case (path, meta) =>
+        assert(after.get(path).contains(meta),
+          s"append rewrote a base list file: $path")
+      }
+      assert(after.size > before.size, "append added no list files")
+      // the upserted rows are exactly the shard, tagged gen=1
+      val lists = spark.read.parquet(s"$out/lists")
+        .withColumn("cid", col("cid").cast("long"))
+      val shardIds = base.filter(ops.Vectors.isUpsertShard(col("vec_id")))
+        .select("vec_id").as[Long].collect().toSet
+      val gen1 = lists.filter(col("gen") === 1L)
+        .select("vec_id").as[Long].collect().toSet
+      assert(gen1 == shardIds)
+      // search equality: the nprobe=2 search over the POST-UPSERT persisted
+      // index equals the same search over in-memory frames of the union
+      // corpus under the same (frozen, pre-shard-trained) quantizer —
+      // doubles round-trip parquet exactly, so these are identical SETS
+      val cents = spark.read.parquet(s"$out/centroids")
+      def search(centsDf: org.apache.spark.sql.DataFrame,
+          listsDf: org.apache.spark.sql.DataFrame) = {
+        val queries = base.filter(ops.Vectors.isQuery(col("vec_id")))
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("nrm").as("q_nrm"))
+        val wProbe = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id")).orderBy(col("qc").desc, col("cid"))
+        val probes = queries.crossJoin(broadcast(centsDf))
+          .withColumn("qc", vecDot(spark, col("q_emb"), col("cvec"))
+            / (col("q_nrm") * col("cnrm")))
+          .withColumn("pr", row_number().over(wProbe))
+          .filter(col("pr") <= 2)
+          .select(col("q_id"), col("q_emb"), col("q_nrm"), col("cid"))
+        val wRank = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+        probes.join(listsDf.select("vec_id", "cid"), "cid")
+          .join(base, "vec_id")
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("cosine", vecDot(spark, col("embedding"), col("q_emb"))
+            / (col("nrm") * col("q_nrm")))
+          .withColumn("rk", row_number().over(wRank))
+          .filter(col("rk") <= 5)
+          .select(col("q_id"), col("vec_id"), col("rk"))
+          .as[(Long, Long, Int)].collect().toSet
+      }
+      val fromDisk = search(cents, lists)
+      // in-memory twin: same frozen quantizer, but the cell MEMBERSHIP of
+      // the union corpus recomputed from scratch (assignCells), never read
+      // from disk — equality proves build + append together produced
+      // exactly the assignment a one-shot job over the union would
+      val fresh = search(cents, ops.Vectors.assignCells(spark, base, cents))
+      assert(fromDisk.nonEmpty && fromDisk == fresh)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(out))
+      OpCaches.releaseAll()
+    }
+  }
+
   test("knn self-join: co-celled pairs only, contiguous ranks, " +
     "nontrivial recall vs exact all-pairs top-3") {
     val kj = ops.Vectors.simKnnJoin(spark, sf)
@@ -374,6 +457,9 @@ class ExtensionSpec extends SparkTestBase {
     val (nCells, minSz, maxSz, avgSz, skew, mass) =
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
         r.getDouble(4), r.getLong(5))
+    val (nCellsSub, maxSzSub, massSub) =
+      (r.getAs[Long]("n_cells_sub"), r.getAs[Long]("max_sz_sub"),
+        r.getAs[Long]("join_mass_sub"))
     val n = Tables.load(spark, sf, "embeddings").count()
     // every vector lands in exactly one cell
     assert(math.abs(avgSz * nCells - n) < 1e-6)
@@ -381,6 +467,47 @@ class ExtensionSpec extends SparkTestBase {
     assert(skew >= 1.0 && math.abs(skew - maxSz / avgSz) < 1e-9)
     // join mass brackets: n ≤ Σsz² ≤ n·max (the simKnnJoin cost envelope)
     assert(mass >= n && mass <= n * maxSz)
+    // the sub-split's LINEAR-mass invariant: slab size is bounded by
+    // ceil(4/3·cap) (round() keeps |cell|/k2 within [2/3, 4/3] of cap),
+    // so join_mass_sub ≤ n · that bound — at ANY corpus size
+    val slabCap = math.ceil(4.0 / 3.0 * ops.Vectors.JoinCellCap).toLong
+    assert(nCellsSub >= nCells)
+    assert(maxSzSub <= math.max(slabCap, maxSz),
+      s"slab of $maxSzSub exceeds the occupancy bound $slabCap")
+    assert(massSub <= mass && massSub <= n * math.max(slabCap, maxSz))
+    OpCaches.releaseAll()
+  }
+
+  test("sub-split: exact rank balance, spatial slab order, linear mass " +
+    "on an oversized cell") {
+    import graft.functions.GraftFunctions.vecDot
+    // force ONE oversized cell: every fixture vector assigned to cid 0 —
+    // the split must carve it into round(n/64) balanced projection slabs
+    val base = Tables.load(spark, sf, "embeddings")
+    val lists = base.select(col("vec_id"), lit(0L).as("cid"))
+    val cells = ops.Vectors.subSplit(spark, lists, base)
+    val n = base.count()
+    val k2 = math.max(1L, math.round(n / 64.0))
+    val sizes = cells.groupBy("sub").count()
+      .select("sub", "count").as[(Long, Long)].collect().toMap
+    assert(sizes.keySet == (0L until k2).toSet)
+    // rank-chunking makes balance EXACT: sizes differ by at most 1
+    assert(sizes.values.max - sizes.values.min <= 1,
+      s"unbalanced slabs: $sizes")
+    // slabs are projection-ORDERED: every member of slab i projects at or
+    // below every member of slab i+1 (ties broken by vec_id inside the
+    // window, so compare strictly across distinct projections)
+    val plane = typedlit(Array.tabulate(ops.SignLsh.Dim)(d =>
+      ops.SignLsh.weight(0, d).toFloat))
+    val projs = cells.join(base, "vec_id")
+      .select(col("sub"), vecDot(spark, col("embedding"), plane).as("p"))
+      .as[(Long, Double)].collect()
+    val bySlab = projs.groupBy(_._1).map { case (s, xs) =>
+      s -> (xs.map(_._2).min, xs.map(_._2).max) }
+    (0L until k2 - 1).foreach { s =>
+      assert(bySlab(s)._2 <= bySlab(s + 1)._1 + 1e-12,
+        s"slab $s overlaps slab ${s + 1} in projection space")
+    }
     OpCaches.releaseAll()
   }
 

@@ -32,7 +32,7 @@ class JoinsAggSpec extends SparkTestBase {
   }
 
   test("approx distinct within 10% of exact") {
-    val approx = ops.Aggregates.aggApproxDistinct(spark, sf)
+    val approx = ops.Aggregates.aggApproxDistinctRaw(spark, sf)
       .select("l_returnflag", "approx_parts")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = Tables.load(spark, sf, "lineitem")
@@ -45,7 +45,7 @@ class JoinsAggSpec extends SparkTestBase {
   }
 
   test("approx percentile within sketch accuracy of exact") {
-    val approx = ops.Aggregates.aggApproxPercentile(spark, sf)
+    val approx = ops.Aggregates.aggApproxPercentileRaw(spark, sf)
       .select("l_returnflag", "ap50", "ap90_price")
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     val exact = ops.Aggregates.aggPercentile(spark, sf)

@@ -49,8 +49,10 @@ class LedgerSpec extends AnyFunSuite {
     // the rows-only set is a deliberate, enumerated design decision
     // (engine-specific hashing / approximation / codec); anything NEW
     // without an oracle must be added here consciously, not silently
+    // (round 12: agg_approx_distinct / agg_approx_percentile left this set
+    // via the differential error-bound gates — only the PNG-codec quartet,
+    // genuinely inexpressible in SQL, remains)
     val declaredRowsOnly = Set(
-      "agg_approx_distinct", "agg_approx_percentile",
       "mm_decode_features", "mm_phash_pairs",
       "mm_phash_clusters", "mm_phash_cap_stats")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet

@@ -277,6 +277,64 @@ class Wave4Spec extends SparkTestBase {
       rep(ops.Analytics.tsForecastEval(spark, whole)))
   }
 
+  test("stream gopher rules + soft dedup equal their batch twins; " +
+    "file-split invariant with dup groups straddling the split") {
+    // drain equality on the fixture (single file → one micro-batch)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSet
+    assert(rows(streaming.StreamingOps.streamGopherRules(spark, sf)) ==
+      rows(ops.Pipeline.pipelineGopherRules(spark, sf)))
+    assert(rows(streaming.StreamingOps.streamSoftDedup(spark, sf)) ==
+      rows(ops.Pipeline.pipelineSoftDedup(spark, sf)))
+    // split-invariance under REAL cross-batch state: a synthetic corpus
+    // whose exact-dup groups straddle the two files (the fixture plants
+    // no dups at this sf), drained one file per micro-batch — the group
+    // counts must MERGE across batches to the whole-corpus answer
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val longText = ("the be to of and that have with " * 10).trim
+    def doc(id: Long, text: String) =
+      (id, text, "en", "synthetic", text.length.toLong)
+    val a = (1L to 6L).map(i => doc(i, longText + " alpha"))
+    val b = (7L to 10L).map(i => doc(i, longText + " beta " + i))
+    val all = (a ++ b)
+    def mkDf(rs: Seq[(Long, String, String, String, Long)]) =
+      rs.toDF("doc_id", "text", "lang", "source", "n_chars")
+    def writeSingle(df: org.apache.spark.sql.DataFrame, dest: String,
+        mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("curate_file").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(dest),
+        StandardCopyOption.REPLACE_EXISTING)
+      assert(new java.io.File(dest).setLastModified(mtime))
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    val split = Files.createTempDirectory("curate_split").toString
+    // the alpha dup-group spans BOTH files: 4 members in file 1, 2 in
+    // file 2 — a drain that fails to merge across batches would report
+    // group_size 4 and 2 instead of 6
+    writeSingle(mkDf(a.take(4) ++ b.take(2)),
+      s"$split/documents_1.parquet", t0)
+    writeSingle(mkDf(a.drop(4) ++ b.drop(2)),
+      s"$split/documents_2.parquet", t0 + 10000)
+    val whole = Files.createTempDirectory("curate_whole").toString
+    writeSingle(mkDf(all), s"$whole/documents_1.parquet", t0)
+    val splitSd = rows(streaming.StreamingOps.streamSoftDedup(
+      spark, split, Some(1)))
+    assert(splitSd == rows(streaming.StreamingOps.streamSoftDedup(
+      spark, whole, None)))
+    // the straddling group really merged: all 6 alpha docs weight 1/6
+    val byId = streaming.StreamingOps.streamSoftDedup(spark, split, Some(1))
+      .select("doc_id", "group_size").as[(Long, Long)].collect().toMap
+    (1L to 6L).foreach(i => assert(byId(i) == 6L,
+      s"doc $i group_size ${byId(i)} — cross-batch merge failed"))
+    (7L to 10L).foreach(i => assert(byId(i) == 1L))
+    // gopher is stateless — any split is trivially invariant, proven anyway
+    assert(rows(streaming.StreamingOps.streamGopherRules(
+        spark, split, Some(1))) ==
+      rows(streaming.StreamingOps.streamGopherRules(spark, whole, None)))
+  }
+
   test("dedup recall report: counts bounded, rates in [0,1], truth non-vacuous") {
     val rows = ops.Dedup.dedupRecallReport(spark, sf)
       .as[(String, Long, Long, Long, Option[Double], Option[Double])]
