@@ -1059,26 +1059,39 @@ object Vectors {
     * tier from its own oracle SQL. At scale the tiers share the cached
     * base scan and the exact reference is the only O(n·|Q|) leg. */
   def simRecallReport(spark: SparkSession, dir: String): DataFrame = {
-    val exact = simKnnBruteforce(spark, dir)
-      .select(col("q_id"), col("neighbor_id"))
+    val exact5 = simKnnBruteforce(spark, dir)
+      .select(col("q_id"), col("neighbor_id"), col("rk"))
       .transform(graft.OpCaches.cached)
-    val tiers: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-      "ivf" -> simKnnIvf,
-      "ivfpq" -> simKnnIvfPq,
-      "mrl" -> simKnnMrl,
-      "pq" -> simKnnPq,
-      "rp" -> simKnnRp,
-      "sq8" -> simKnnSq8)
-    val hits = tiers.map { case (name, fn) =>
+    val exact = exact5.select(col("q_id"), col("neighbor_id"))
+    val tiers: Seq[(String, Int, (SparkSession, String) => DataFrame)] = Seq(
+      ("ivf", 5, simKnnIvf),
+      ("ivfpq", 5, simKnnIvfPq),
+      ("mrl", 5, simKnnMrl),
+      ("pq", 5, simKnnPq),
+      ("rp", 5, simKnnRp),
+      ("sq8", 5, simKnnSq8))
+    val hits = tiers.map { case (name, k, fn) =>
       fn(spark, dir).select(col("q_id"), col("neighbor_id"))
         .join(exact, Seq("q_id", "neighbor_id"))
         .agg(count(lit(1)).as("hits"))
-        .withColumn("tier", lit(name))
+        .withColumn("tier", lit(name)).withColumn("k", lit(k.toLong))
     }.reduce(_ unionByName _)
-    totalOrder(hits
+    // the self-join tier, priced on the pinned query set (round-12: the
+    // occupancy-capped re-cell trades recall for linear mass — this row
+    // is where that trade is CONTINUOUSLY measured instead of asserted):
+    // recall@3 against the exact top-3, denominators at its own k
+    val joinHits = simKnnJoin(spark, dir)
+      .filter(isQuery(col("q_id")))
+      .select(col("q_id"), col("neighbor_id"))
+      .join(exact5.filter(col("rk") <= 3)
+        .select(col("q_id"), col("neighbor_id")), Seq("q_id", "neighbor_id"))
+      .agg(count(lit(1)).as("hits"))
+      .withColumn("tier", lit("join")).withColumn("k", lit(3L))
+    totalOrder(hits.unionByName(joinHits)
       .crossJoin(exact.agg(count_distinct(col("q_id")).as("n_queries")))
-      .select(col("tier"), col("n_queries"), col("hits"),
-        (col("hits") / (lit(5.0) * col("n_queries"))).as("recall")))
+      .select(col("tier"), col("k"), col("n_queries"), col("hits"),
+        (col("hits") / (col("k").cast(DoubleType) * col("n_queries")))
+          .as("recall")))
   }
 
   /** SemDeDup's cosine threshold — matched to dedup_embcos's τ so the two
@@ -1244,20 +1257,30 @@ object Vectors {
       "mrl" -> "sim_knn_mrl", "pq" -> "sim_knn_pq",
       "rp" -> "sim_knn_rp", "sq8" -> "sim_knn_sq8")
     val hitRows = tiers.map { case (t, id) =>
-      s"""SELECT '$t' AS tier, COUNT(*) AS hits
+      s"""SELECT '$t' AS tier, CAST(5 AS BIGINT) AS k, COUNT(*) AS hits
          |FROM ( ${tierCte(id)} ) a
          |JOIN exact e
          |  ON a.q_id = e.q_id AND a.neighbor_id = e.neighbor_id""".stripMargin
-    }.mkString("\nUNION ALL\n")
+    }.mkString("\nUNION ALL\n") +
+      // the self-join tier: its published chain verbatim, restricted to
+      // the pinned query set and scored against the exact top-3
+      s"""
+         |UNION ALL
+         |SELECT 'join' AS tier, CAST(3 AS BIGINT) AS k, COUNT(*) AS hits
+         |FROM ( ${tierCte("sim_knn_join")} ) a
+         |JOIN exact e
+         |  ON a.q_id = e.q_id AND a.neighbor_id = e.neighbor_id
+         |  AND e.rk <= 3
+         |WHERE a.q_id % $QueryStride = 0 AND a.q_id < $QueryIdCap""".stripMargin
     s"""WITH exact AS ( ${tierCte("sim_knn_bruteforce")} ),
        |nq AS (SELECT COUNT(DISTINCT q_id) AS n_queries FROM exact),
        |h AS (
        |$hitRows
        |)
-       |SELECT h.tier, nq.n_queries, h.hits,
-       |  h.hits / (5.0 * nq.n_queries) AS recall
+       |SELECT h.tier, h.k, nq.n_queries, h.hits,
+       |  h.hits / (CAST(h.k AS DOUBLE) * nq.n_queries) AS recall
        |FROM h CROSS JOIN nq
-       |${orderAll("tier", "n_queries", "hits", "recall")}""".stripMargin
+       |${orderAll("tier", "k", "n_queries", "hits", "recall")}""".stripMargin
   }
 
   /** CTE chain reconstructing the SemDeDup pair graph — requires a prior
