@@ -306,15 +306,29 @@ object Vectors {
     val (_, rawLists) = ivfIndex(spark, base)
     val lists = subSplit(spark, rawLists, base)
       .transform(graft.OpCaches.cached)
-    val q = lists.join(base, "vec_id")
-      .select(col("cid"), col("sub"), col("vec_id").as("q_id"),
-        col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    // ONE corpus-grain side (cell key + embedding + norm), self-joined on
+    // (cid, sub): pairs are generated INSIDE the join and immediately
+    // projected down to (q_id, vec_id, cosine) — so the only exchanges the
+    // plan pays are two corpus-grain shuffles by cell key and one
+    // narrow-row (24 B) shuffle into the rank window. The first cut of
+    // this op joined `base` a second time AT PAIR GRAIN to fetch the
+    // neighbor embeddings, which re-shuffled all ~n·cap pair rows carrying
+    // a 64-float embedding each (~12 GB at sf30) and died OOM — the shape
+    // lesson at 100 TB: never let a pair-grain row ride an exchange wider
+    // than its score
+    val side = lists.join(base, "vec_id")
+      .select(col("cid"), col("sub"), col("vec_id"), col("embedding"),
+        col("nrm"))
+      .transform(graft.OpCaches.cached)
+    val q = side.select(col("cid"), col("sub"), col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     val wRank = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    totalOrder(q.join(lists, Seq("cid", "sub")).join(base, "vec_id")
+    totalOrder(q.join(side, Seq("cid", "sub"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cosine",
         vecDot(spark, col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+      .select(col("q_id"), col("vec_id"), col("cosine"))
       .withColumn("rk", row_number().over(wRank))
       .filter(col("rk") <= 3)
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
