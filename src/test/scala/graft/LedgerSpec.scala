@@ -49,12 +49,13 @@ class LedgerSpec extends AnyFunSuite {
     // the rows-only set is a deliberate, enumerated design decision
     // (engine-specific hashing / approximation / codec); anything NEW
     // without an oracle must be added here consciously, not silently
-    // (round 12: agg_approx_distinct / agg_approx_percentile left this set
-    // via the differential error-bound gates — only the PNG-codec quartet,
-    // genuinely inexpressible in SQL, remains)
-    val declaredRowsOnly = Set(
-      "mm_decode_features", "mm_phash_pairs",
-      "mm_phash_clusters", "mm_phash_cap_stats")
+    // (round 12: agg_approx_distinct / agg_approx_percentile left via the
+    // differential error-bound gates; round 13: the PNG-codec quartet left
+    // too — the synthesized pixels are a pure function of the text bytes,
+    // so DuckDB recomputes the features/dHash from hex(encode(text)) while
+    // Spark still runs the real codec round-trip. The set is now EMPTY:
+    // every gated query is hash-oracled.)
+    val declaredRowsOnly = Set.empty[String]
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == declaredRowsOnly,
       s"oracle coverage drifted - undeclared rows-only: " +
