@@ -34,6 +34,9 @@ object GraftFunctions {
     (new FunctionIdentifier("band_keys"),
       new ExpressionInfo(classOf[BandKeys].getName, "band_keys"),
       (children: Seq[Expression]) => BandKeys(children.head): Expression),
+    (new FunctionIdentifier("syllable_sum"),
+      new ExpressionInfo(classOf[SyllableSum].getName, "syllable_sum"),
+      (children: Seq[Expression]) => SyllableSum(children.head): Expression),
     (new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (children: Seq[Expression]) => {
@@ -79,6 +82,13 @@ object GraftFunctions {
   def simHash64(spark: SparkSession, hashes: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("simhash64", hashes)
+  }
+
+  /** `syllable_sum` as a Column: Σ max(1, vowel-group runs) over a token
+    * array — the fused readability syllable counter. */
+  def syllableSum(spark: SparkSession, words: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("syllable_sum", words)
   }
 
   /** `minhash_sig` as a Column (n must be a literal). */

@@ -172,12 +172,16 @@ object Text {
     * ratio features: 0.39·(words/sentence) + 11.8·(syllables/word) − 15.59.
     * Sentences are [.!?]+ runs (min 1); syllables use the standard
     * vowel-group heuristic — per word, the count of [aeiouy]+ runs, min 1 —
-    * computed as one transform+aggregate fold over the shared token split,
-    * so the whole op is per-row expressions with zero shuffle (the
-    * cheapest 100 TB pass, like the quality scorer it complements). All
-    * three counts are exact integers; the grade is the identical
-    * mul/add/sub/divide expression in both engines, so the doubles are
-    * determinate and the op is fully oracled. */
+    * computed by the fused [[graft.functions.SyllableSum]] codegen
+    * expression over the shared token split (ONE byte-walk per row; the
+    * prior transform+aggregate fold paid a regex invocation and a matched-
+    * substring array allocation per WORD — round-12 verdict #6 flagged it
+    * as the largest per-row constant on the linear surface), so the whole
+    * op is per-row expressions with zero shuffle (the cheapest 100 TB
+    * pass, like the quality scorer it complements). All three counts are
+    * exact integers; the grade is the identical mul/add/sub/divide
+    * expression in both engines, so the doubles are determinate and the
+    * op is fully oracled. */
   def textReadability(spark: SparkSession, dir: String): DataFrame =
     totalOrder(load(spark, dir, "documents")
       .withColumn("words", tokens(col("text")))
@@ -186,11 +190,8 @@ object Text {
       .withColumn("n_sentences",
         greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))),
           lit(1)).cast("long"))
-      .withColumn("n_syllables", expr(
-        """aggregate(
-          |  transform(words,
-          |    w -> greatest(size(regexp_extract_all(w, '[aeiouy]+', 0)), 1)),
-          |  CAST(0 AS BIGINT), (a, x) -> a + CAST(x AS BIGINT))""".stripMargin))
+      .withColumn("n_syllables",
+        graft.functions.GraftFunctions.syllableSum(spark, col("words")))
       .select(col("doc_id"), col("n_words"), col("n_sentences"),
         col("n_syllables"),
         (lit(0.39) * (col("n_words").cast(DoubleType) / col("n_sentences"))
