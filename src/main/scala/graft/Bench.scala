@@ -142,9 +142,13 @@ object Bench {
       used += k.length + 10; used <= 1650
     }
     val omitted = results.size - shown.size
+    // every artifact names its sink generation: pre-r12 count()-sink
+    // ledgers and noop-sink ones are silently incomparable for map-only
+    // ops — the field lets cross-round tooling refuse mixed comparisons
+    // mechanically (round-12 verdict #7)
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},""" +
-        s""""queries":${jsonMap(shown.sortBy(_._1))},""" +
+        s""""sink":"noop","queries":${jsonMap(shown.sortBy(_._1))},""" +
         s""""omitted_fastest":$omitted,"full":"BENCH_LOCAL.json","sf":"$sfDir"}"""
     // min map for the re-run set: the floor a plan change must beat
     val mins = samples.filter(_._2.size > 1).toSeq
@@ -154,7 +158,8 @@ object Bench {
     val anchor = samples.get("dedup_exact")
       .map(ts => s""","anchor":{"dedup_exact":${r3(ts.min)}}""").getOrElse("")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","sink":"noop",""" +
+        s""""queries":${jsonMap(results)},""" +
         s""""min_of_3":${jsonMap(mins)}$anchor,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     Files.writeString(Paths.get(outPath), full + "\n")

@@ -14,6 +14,9 @@ import sys, json
 
 ledger, out, src, n = sys.argv[1], sys.argv[2], sys.argv[3], int(sys.argv[4])
 d = json.load(open(ledger))
+# sink generation stamp: pre-r12 count()-sink ledgers are incomparable with
+# noop-sink ones for map-only ops — tooling must refuse mixed comparisons
+d.setdefault("sink", "noop")
 d["fixture"] = {
     "tool": "tools/make_sfN.py",
     "cmd": f"python3 tools/make_sfN.py {src} <dst> {n}",
