@@ -856,6 +856,58 @@ object StreamingOps {
           .as("eff_tokens")))
   }
 
+  /** Streaming ANN index upsert — sim_index_upsert's serving path run as
+    * the continuous drain it models (round-12 verdict #5): the quantizer is
+    * trained ONCE on the pre-existing corpus and frozen; vector shards then
+    * arrive as a file stream and each micro-batch is assigned against the
+    * frozen centroids (a tiny broadcast parquet read — the hierarchical
+    * [[graft.ops.Vectors.assignCellsHier]] path) and APPENDED to the
+    * cid-partitioned lists with the next generation tag, via foreachBatch
+    * under the session index registry. Cross-batch equivalence to the
+    * one-shot upsert is structural — assignment is a pure per-vector
+    * function of the frozen quantizer and parquet append is add-only, so
+    * ANY shard split lands the same on-disk membership (split-invariance
+    * spec-proven) — which is why the op shares the batch oracle verbatim:
+    * DuckDB retrains from scratch and must reproduce the drained cells. */
+  def streamIndexUpsert(spark: SparkSession, dir: String): DataFrame =
+    streamIndexUpsert(spark, dir, None)
+
+  private[graft] def streamIndexUpsert(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int]): DataFrame = {
+    import graft.functions.GraftFunctions.vecDot
+    val s = Tables.sizedSession(spark, 4)
+    def withNrm(df: DataFrame): DataFrame = df.withColumn("nrm",
+      sqrt(vecDot(s, col("embedding"), col("embedding"))))
+    val out = graft.ops.Vectors.ensureIndexDir(
+        dir + "#stream_upsert", "ivf_stream_upsert") { o =>
+      // glob batch read (not Tables.load): split specs land multiple
+      // embeddings_<n>.parquet files — the build trains on the pre-shard
+      // corpus of the SAME file set the stream drains
+      val baseAll = withNrm(s.read
+        .option("pathGlobFilter", "embeddings*.parquet").parquet(dir))
+      graft.ops.Vectors.upsertIndexBuild(s, baseAll, o)
+      val rd = s.readStream
+        .schema(s.read.option("pathGlobFilter", "embeddings*.parquet")
+          .parquet(dir).schema)
+        .option("pathGlobFilter", "embeddings*.parquet")
+      val shards = maxFilesPerTrigger.fold(rd)(n =>
+        rd.option("maxFilesPerTrigger", n)).parquet(dir)
+        .filter(graft.ops.Vectors.isUpsertShard(col("vec_id")))
+      val q = shards.writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("stream_upsert_ckpt").toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty)
+            graft.ops.Vectors.upsertAppendBatch(s, withNrm(batch), o)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    graft.ops.Vectors.upsertAudit(spark, out)
+  }
+
   // ----------------------------------------------------------------- wiring
 
   /** Streaming OHLC candlesticks — [[graft.ops.Analytics.tsOhlc]] as an
@@ -1014,6 +1066,7 @@ object StreamingOps {
     "stream_gap_report" -> streamGapReport,
     "stream_gopher_rules" -> streamGopherRules,
     "stream_soft_dedup" -> streamSoftDedup,
+    "stream_index_upsert" -> streamIndexUpsert,
     "stream_topk" -> streamTopk)
 
   val oracle: Map[String, String] = Map(
@@ -1073,6 +1126,10 @@ object StreamingOps {
     // the streamed state is the associative per-hash group count; the
     // doc-grain reweight is the batch op's own arithmetic — oracle shared
     "stream_soft_dedup" -> graft.ops.Pipeline.oracle("pipeline_soft_dedup"),
+    // per-batch assignment against the FROZEN quantizer + add-only parquet
+    // append ⇒ the drained membership equals the one-shot upsert under any
+    // shard split — the twin shares the batch audit oracle verbatim
+    "stream_index_upsert" -> graft.ops.Vectors.oracle("sim_index_upsert"),
     "stream_doc_curate" ->
       s"""WITH g AS (
          |  SELECT doc_id, source,

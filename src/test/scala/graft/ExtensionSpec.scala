@@ -344,10 +344,11 @@ class ExtensionSpec extends SparkTestBase {
       }
       val fromDisk = search(cents, lists)
       // in-memory twin: same frozen quantizer, but the cell MEMBERSHIP of
-      // the union corpus recomputed from scratch (assignCells), never read
-      // from disk — equality proves build + append together produced
-      // exactly the assignment a one-shot job over the union would
-      val fresh = search(cents, ops.Vectors.assignCells(spark, base, cents))
+      // the union corpus recomputed from scratch (the hierarchical
+      // assignment — the same path build + append ride), never read from
+      // disk — equality proves build + append together produced exactly
+      // the assignment a one-shot job over the union would
+      val fresh = search(cents, ops.Vectors.assignCellsHier(spark, base, cents))
       assert(fromDisk.nonEmpty && fromDisk == fresh)
     } finally {
       def rm(f: java.io.File): Unit = {
@@ -467,14 +468,26 @@ class ExtensionSpec extends SparkTestBase {
     assert(skew >= 1.0 && math.abs(skew - maxSz / avgSz) < 1e-9)
     // join mass brackets: n ≤ Σsz² ≤ n·max (the simKnnJoin cost envelope)
     assert(mass >= n && mass <= n * maxSz)
-    // the sub-split's LINEAR-mass invariant: slab size is bounded by
-    // ceil(4/3·cap) (round() keeps |cell|/k2 within [2/3, 4/3] of cap),
-    // so join_mass_sub ≤ n · that bound — at ANY corpus size
-    val slabCap = math.ceil(4.0 / 3.0 * ops.Vectors.JoinCellCap).toLong
+    // the sub-split's LINEAR-mass invariant: k2 = max(1, round(g/cap))
+    // keeps every slab at ≤ ⌈3/2·cap⌉ members (worst case g = 1.5·cap − ε
+    // with k2 = 1), so join_mass_sub ≤ n · ⌈3/2·cap⌉ — at ANY corpus
+    // size, with NO dependence on the raw cell sizes (the round-12 advice:
+    // the old max(slabCap, maxSz) escape made this assert vacuous)
+    val slabCap = math.ceil(1.5 * ops.Vectors.JoinCellCap).toLong
     assert(nCellsSub >= nCells)
-    assert(maxSzSub <= math.max(slabCap, maxSz),
+    assert(maxSzSub <= slabCap,
       s"slab of $maxSzSub exceeds the occupancy bound $slabCap")
-    assert(massSub <= mass && massSub <= n * math.max(slabCap, maxSz))
+    assert(massSub <= mass && massSub <= n * slabCap)
+    // the two-level assignment audit: its dot-product count must beat the
+    // flat n×k pass it replaced, and the super tier must be a real
+    // reduction (≈√k supers, strictly fewer than cells)
+    val (nSupers, assignMass) =
+      (r.getAs[Long]("n_supers"), r.getAs[Long]("assign_mass"))
+    assert(nSupers >= 1 && nSupers < nCells)
+    assert(assignMass >= 2 * n, "every vector pays ≥1 probe + ≥1 candidate")
+    assert(assignMass < nCells * n,
+      s"hierarchical assignment ($assignMass dots) did not beat the flat " +
+        s"pass (${nCells * n})")
     OpCaches.releaseAll()
   }
 
