@@ -56,6 +56,11 @@ case class SyllableSum(child: Expression) extends UnaryExpression {
     total
   }
 
+  // NOTE: no generated line may START with '|' — the codegen Block
+  // interpolator margin-strips leading pipes, so a continuation line
+  // beginning with '||' silently compiles to invalid Java and the whole
+  // projection falls back to interpreted mode. Break long boolean chains
+  // AFTER the operator.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, arr => {
       val i = ctx.freshName("i")
@@ -77,8 +82,8 @@ case class SyllableSum(child: Expression) extends UnaryExpression {
          |    boolean $inRun = false;
          |    for (int $j = 0; $j < $b.length; $j++) {
          |      final byte $c = $b[$j];
-         |      final boolean $v = $c == 'a' || $c == 'e' || $c == 'i'
-         |        || $c == 'o' || $c == 'u' || $c == 'y';
+         |      final boolean $v = $c == 'a' || $c == 'e' || $c == 'i' ||
+         |        $c == 'o' || $c == 'u' || $c == 'y';
          |      if ($v && !$inRun) $runs++;
          |      $inRun = $v;
          |    }

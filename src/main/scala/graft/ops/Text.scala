@@ -183,15 +183,25 @@ object Text {
     * expression in both engines, so the doubles are determinate and the
     * op is fully oracled. */
   def textReadability(spark: SparkSession, dir: String): DataFrame =
+    // shape rules, measured at sf1 (6.5 s → 1.9 s min-of-3): (1) ALL
+    // consumers of `words` live in ONE projection with no intervening
+    // Filter — physical-projection subexpression elimination then runs
+    // the tokenizer once per row, where a pre-projection filter on
+    // n_words forced a second evaluation of the split in the Filter
+    // operator (the explode pitfall's projection-grain sibling); (2) the
+    // n_words > 0 gate moves AFTER a narrow materialization barrier
+    // (4 longs/row — never the text or the token array), which also
+    // stops the total-order sort's range-sampling pass from re-running
+    // the whole map side a second time
     totalOrder(load(spark, dir, "documents")
       .withColumn("words", tokens(col("text")))
-      .withColumn("n_words", size(col("words")).cast("long"))
-      .filter(col("n_words") > 0)
-      .withColumn("n_sentences",
+      .select(col("doc_id"), size(col("words")).cast("long").as("n_words"),
         greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))),
-          lit(1)).cast("long"))
-      .withColumn("n_syllables",
-        graft.functions.GraftFunctions.syllableSum(spark, col("words")))
+          lit(1)).cast("long").as("n_sentences"),
+        graft.functions.GraftFunctions.syllableSum(spark, col("words"))
+          .as("n_syllables"))
+      .transform(graft.OpCaches.cached)
+      .filter(col("n_words") > 0)
       .select(col("doc_id"), col("n_words"), col("n_sentences"),
         col("n_syllables"),
         (lit(0.39) * (col("n_words").cast(DoubleType) / col("n_sentences"))
