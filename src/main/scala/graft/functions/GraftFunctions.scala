@@ -37,6 +37,18 @@ object GraftFunctions {
     (new FunctionIdentifier("syllable_sum"),
       new ExpressionInfo(classOf[SyllableSum].getName, "syllable_sum"),
       (children: Seq[Expression]) => SyllableSum(children.head): Expression),
+    (new FunctionIdentifier("md5_prefix32"),
+      new ExpressionInfo(classOf[Md5Prefix32].getName, "md5_prefix32"),
+      (children: Seq[Expression]) => Md5Prefix32(children.head): Expression),
+    (new FunctionIdentifier("token_count"),
+      new ExpressionInfo(classOf[TokenCount].getName, "token_count"),
+      (children: Seq[Expression]) => TokenCount(children.head): Expression),
+    (new FunctionIdentifier("stop_count"),
+      new ExpressionInfo(classOf[StopCount].getName, "stop_count"),
+      (children: Seq[Expression]) => StopCount(children.head): Expression),
+    (new FunctionIdentifier("punct_count"),
+      new ExpressionInfo(classOf[PunctCount].getName, "punct_count"),
+      (children: Seq[Expression]) => PunctCount(children.head): Expression),
     (new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (children: Seq[Expression]) => {
@@ -89,6 +101,33 @@ object GraftFunctions {
   def syllableSum(spark: SparkSession, words: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("syllable_sum", words)
+  }
+
+  /** `md5_prefix32` as a Column: the unsigned 32-bit md5 prefix as a long
+    * (`conv(substring(md5(s), 1, 8), 16, 10)` fused into one digest). */
+  def md5Prefix32(spark: SparkSession, s: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("md5_prefix32", s)
+  }
+
+  /** `token_count` as a Column: size of the canonical token split over an
+    * already-lowercased string, without building the array. */
+  def tokenCount(spark: SparkSession, lowered: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("token_count", lowered)
+  }
+
+  /** `stop_count` as a Column: quality-scorer stopword matches over an
+    * already-lowercased string. */
+  def stopCount(spark: SparkSession, lowered: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("stop_count", lowered)
+  }
+
+  /** `punct_count` as a Column: `[^a-z0-9\s']` code points over raw text. */
+  def punctCount(spark: SparkSession, raw: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("punct_count", raw)
   }
 
   /** `minhash_sig` as a Column (n must be a literal). */

@@ -45,6 +45,38 @@ case class Md5Words(child: Expression) extends UnaryExpression {
   override def prettyName: String = "md5_words"
 }
 
+/** The 32-bit md5 prefix of a string as an unsigned long — BIT-IDENTICAL
+  * to the declarative `conv(substring(md5(s), 1, 8), 16, 10).cast("long")`
+  * (hex chars 1-8 are digest bytes 0..3), so every DuckDB oracle written
+  * against the 8-hex-char prefix idiom keeps matching. The declarative
+  * form pays a full 32-char hex-string allocation, a substring, and a
+  * base-16 string parse per evaluation — and it sits on the per-GRAM /
+  * per-TOKEN hot paths (DSIR postings, winnowing shingles, the hashing
+  * trick), where those allocations dominate the honest-sink timing. One
+  * thread-local digest, four shifts, zero string churn. */
+case class Md5Prefix32(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"md5_prefix32 requires string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    Md5Digest.prefix32(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Md5Digest.prefix32($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Prefix32 =
+    copy(child = newChild)
+
+  override def prettyName: String = "md5_prefix32"
+}
+
 /** Executor-side digest helper (lone object ⇒ static forwarders, so
   * generated Java can call `graft.functions.Md5Digest.words(...)`). */
 object Md5Digest {
@@ -62,5 +94,15 @@ object Md5Digest {
       (v << 4) | ((dig(off + 7) & 0xf0L) >>> 4)
     }
     Array(word(0), word(8))
+  }
+
+  /** First 4 digest bytes as an unsigned 32-bit value in a long —
+    * `conv(substring(md5(s), 1, 8), 16, 10)` exactly. */
+  def prefix32(s: UTF8String): Long = {
+    val d = md.get()
+    d.reset()
+    val dig = d.digest(s.getBytes)
+    ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+      ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
   }
 }

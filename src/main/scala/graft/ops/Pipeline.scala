@@ -595,7 +595,7 @@ object Pipeline {
     * λ+g against a quantile sketch instead of ranking (the
     * [[Text.textLmSplit]] adjudication), with scoring unchanged. */
   def pipelineDsir(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.{DecimalType, LongType}
+    import org.apache.spark.sql.types.DecimalType
     val toks = Text.tokens(col("text"))
     val grams = load(spark, dir, "documents")
       .withColumn("t", toks)
@@ -613,24 +613,32 @@ object Pipeline {
       .transform(graft.OpCaches.cached)
       .select(col("doc_id"), col("is_target"), explode(col("g")).as("g"))
       .withColumn("b",
-        conv(substring(md5(col("g")), 1, 8), 16, 10).cast(LongType)
+        graft.functions.GraftFunctions.md5Prefix32(spark, col("g"))
           % DsirBuckets)
       .select(col("doc_id"), col("is_target"), col("b"))
       .transform(graft.OpCaches.cached)
     val model = grams.groupBy(col("b")).agg(
       count(lit(1)).as("cr"),
       sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"))
-    val tot = grams.agg(
-      count(lit(1)).cast(DoubleType).as("nr"),
-      sum(when(col("is_target"), 1L).otherwise(0L)).cast(DoubleType).as("nt"))
+      .transform(graft.OpCaches.cached)
+    // corpus totals are the bucket-model margins — Σcr / Σct over ≤ 8192
+    // rows, not a second full pass over the posting grain
+    val tot = model.agg(
+      sum(col("cr")).cast(DoubleType).as("nr"),
+      sum(col("ct")).cast(DoubleType).as("nt"))
     val term = round(
       log((col("ct") + 1L).cast(DoubleType)) - log(col("nt") + DsirBuckets)
         - log((col("cr") + 1L).cast(DoubleType)) + log(col("nr") + DsirBuckets),
       6).cast(DecimalType(38, 6))
+    // the LLR term is a pure function of the BUCKET model (≤ 8192 rows):
+    // fold it into the broadcast side so the posting-grain pass pays a
+    // hash-lookup + decimal add per gram, not 4 libm logs + a round + a
+    // decimal cast (measured: the per-posting term evaluation, not the
+    // gram hash, was pipeline_dsir's dominant per-row constant at sf1)
+    val modelTerm = model.crossJoin(tot).select(col("b"), term.as("term"))
     val scored = grams
-      .join(broadcast(model), "b")
-      .crossJoin(broadcast(tot))
-      .select(col("doc_id"), term.as("term"))
+      .join(broadcast(modelTerm), "b")
+      .select(col("doc_id"), col("term"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         (sum(col("term")).cast(DoubleType) / count(lit(1))).as("lambda"))
@@ -640,8 +648,8 @@ object Pipeline {
     // exactly the id ranges a 100 TB corpus carries (DuckDB would instead
     // raise on the BIGINT overflow — a cross-engine divergence)
     val gumbel = round(-log(-log(
-      (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast(DoubleType) + 1.0)
+      (graft.functions.GraftFunctions.md5Prefix32(
+        spark, col("doc_id").cast("string")).cast(DoubleType) + 1.0)
         / 4294967297.0)), 6)
     // top-k as TakeOrdered (per-partition heads + a k·p driver merge),
     // NOT a global row_number window (single-partition sort collapse)

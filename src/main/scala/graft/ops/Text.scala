@@ -136,7 +136,9 @@ object Text {
     val bpe = "'(?:s|d|m|t|ll|ve|re)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+"
     totalOrder(load(spark, dir, "documents")
       .select(col("doc_id"), col("n_chars"),
-        size(tokens(col("text"))).as("n_ws_tokens"),
+        // fused run-count: the token array existed only to be size()d
+        graft.functions.GraftFunctions.tokenCount(spark, lower(col("text")))
+          .cast("int").as("n_ws_tokens"),
         size(regexp_extract_all(lower(col("text")), lit(bpe), lit(0)))
           .as("n_bpe_tokens")))
   }
@@ -149,15 +151,19 @@ object Text {
 
   /** Unsorted quality frame, reused by [[Pipeline.pipelineCurate]]. */
   private[ops] def qualityFrame(spark: SparkSession, dir: String): DataFrame = {
-    val stopPat = "\\b(the|a|and|of|to|in|is|for|on|it)\\b"
+    // the three feature counts are fused byte-walks (ONE pass each, no
+    // regex engine, no match/token arrays — graft.functions.TextCounts),
+    // bit-identical to the regexp formulations the DuckDB oracle keeps:
+    // stopPat = \b(the|a|and|of|to|in|is|for|on|it)\b over lower(text),
+    // punct = [^a-z0-9\s'] over the RAW text (uppercase counts)
+    import graft.functions.GraftFunctions.{punctCount, stopCount, tokenCount}
     (load(spark, dir, "documents")
-      .withColumn("n_tokens", size(tokens(col("text"))).cast(DoubleType))
+      .withColumn("n_tokens",
+        tokenCount(spark, lower(col("text"))).cast(DoubleType))
       .withColumn("n_stop",
-        size(regexp_extract_all(lower(col("text")), lit(stopPat), lit(0)))
-          .cast(DoubleType))
+        stopCount(spark, lower(col("text"))).cast(DoubleType))
       .withColumn("n_punct",
-        size(regexp_extract_all(col("text"), lit("[^a-z0-9\\s']"), lit(0)))
-          .cast(DoubleType))
+        punctCount(spark, col("text")).cast(DoubleType))
       .select(col("doc_id"), col("n_chars"), col("n_tokens"),
         (col("n_stop") / col("n_tokens")).as("stop_ratio"),
         (col("n_punct") / col("n_chars")).as("punct_ratio"),
@@ -510,7 +516,6 @@ object Text {
     * MOSS index-then-locate arrangement). `pos` is the 1-based token
     * position of the selected 3-token shingle. */
   private[ops] def winnowedPrints(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.LongType
     val toks = tokens(col("text"))
     val sh = transform(
       sequence(lit(0), size(col("t")) - 3),
@@ -519,7 +524,7 @@ object Text {
         element_at(col("t"), i + 2),
         element_at(col("t"), i + 3)))
     val hs = transform(col("s"),
-      x => conv(substring(md5(x), 1, 8), 16, 10).cast(LongType))
+      x => graft.functions.GraftFunctions.md5Prefix32(docs.sparkSession, x))
     val sel = transform(
       sequence(lit(0), size(col("h")) - WinnowW),
       w0 => {
@@ -647,7 +652,7 @@ object Text {
     totalOrder(load(spark, dir, "documents")
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .withColumn("dim", pmod(
-        conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long"),
+        graft.functions.GraftFunctions.md5Prefix32(spark, col("token")),
         lit(HashDims.toLong)).cast("int"))
       .groupBy(col("doc_id"), col("dim"))
       .agg(count(lit(1)).as("cnt")))

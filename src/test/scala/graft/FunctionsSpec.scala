@@ -205,4 +205,85 @@ class FunctionsSpec extends SparkTestBase {
         s"$name left cached frames behind after releaseAll")
     }
   }
+
+  /** Adversarial strings for the fused byte-walk counters: ASCII classes
+    * next to multi-byte UTF-8 (two- and three-byte chars, an astral
+    * 4-byte emoji), uppercase (counts as punct, breaks no \w run),
+    * apostrophes (token char, regex non-word), underscores (\w but not a
+    * token char), every java-\s member, and stopwords at string edges /
+    * inside runs / flanked by unicode. */
+  private val countFixtures = Seq(
+    "",
+    "a",
+    "the cat sat on the mat, it is a test!",
+    "it's and of to in is for on it A AND The",
+    "the_cat and_ _of to9 in' 'is for'on it",
+    "naïve ünïcode 字 the蟹and 🦀a🦀 ô'the'ô",
+    "  \t\n\f\r  theand\fof ",
+    "aand anda theand a'a 'a' a",
+    // combining marks: \b treats a non-spacing mark as word iff a
+    // letter/digit base precedes it (JDK Bound.hasBaseCharacter)
+    "the\u0301 x\u0301the \u0301a .\u0301the a\u0301nd \u0301\u0301the",
+    "x" * 500 + " the " + "y" * 500,
+    (1 to 100).map(i => s"w$i it").mkString(" "))
+
+  test("token_count / stop_count / punct_count are bit-compatible with " +
+    "the regexp formulations, codegen and interpreted") {
+    import spark.implicits._
+    val stopPat = "\\b(the|a|and|of|to|in|is|for|on|it)\\b"
+    val df = countFixtures.toDF("s")
+    def check(): Unit = {
+      val got = df.select(
+        GraftFunctions.tokenCount(spark, lower(col("s"))).as("tc"),
+        size(filter(split(lower(col("s")), "[^a-z0-9']+"), t => t =!= ""))
+          .cast("long").as("td"),
+        GraftFunctions.stopCount(spark, lower(col("s"))).as("sc"),
+        size(regexp_extract_all(lower(col("s")), lit(stopPat), lit(0)))
+          .cast("long").as("sd"),
+        GraftFunctions.punctCount(spark, col("s")).as("pc"),
+        size(regexp_extract_all(col("s"), lit("[^a-z0-9\\s']"), lit(0)))
+          .cast("long").as("pd"),
+        col("s"))
+        .as[(Long, Long, Long, Long, Long, Long, String)].collect()
+      for ((tc, td, sc, sd, pc, pd, s) <- got) {
+        assert(tc == td, s"token_count on '$s'")
+        assert(sc == sd, s"stop_count on '$s'")
+        assert(pc == pd, s"punct_count on '$s'")
+      }
+    }
+    check()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try check()
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    // and over the real corpus: every document, all three counters
+    val corpus = Tables.load(spark, sf, "documents").select(
+      GraftFunctions.tokenCount(spark, lower(col("text"))).as("tc"),
+      size(filter(split(lower(col("text")), "[^a-z0-9']+"), t => t =!= ""))
+        .cast("long").as("td"),
+      GraftFunctions.stopCount(spark, lower(col("text"))).as("sc"),
+      size(regexp_extract_all(lower(col("text")), lit(stopPat), lit(0)))
+        .cast("long").as("sd"),
+      GraftFunctions.punctCount(spark, col("text")).as("pc"),
+      size(regexp_extract_all(col("text"), lit("[^a-z0-9\\s']"), lit(0)))
+        .cast("long").as("pd"))
+    assert(corpus.filter(col("tc") =!= col("td") || col("sc") =!= col("sd")
+      || col("pc") =!= col("pd")).count() == 0)
+  }
+
+  test("md5_prefix32 is bit-compatible with conv(substring(md5, 1, 8)), " +
+    "codegen and interpreted") {
+    import spark.implicits._
+    val df = (countFixtures :+ " binary ish").toDF("s")
+    def check(): Unit = {
+      val got = df.select(
+        GraftFunctions.md5Prefix32(spark, col("s")).as("f"),
+        conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("d"))
+        .as[(Long, Long)].collect()
+      for ((f, d) <- got) assert(f == d)
+    }
+    check()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try check()
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
 }
