@@ -432,21 +432,32 @@ object Vectors {
       max(col("sz")).as("max_sz_sub"),
       sum(col("sz") * col("sz")).as("join_mass_sub"))
     // the ASSIGNMENT cost audit (round-12 verdict weak #1's observable):
-    // assign_mass = exact dot-product count of the two-level corpus
-    // assignment — n × |active supers| probe dots plus, per vector, its
-    // probed super's shadow size. O(n·√k) by construction; the flat pass
-    // this replaced was n_cells × n. An operator compares the two columns
-    // before committing a 10⁹-vector build.
+    // assign_mass = exact dot-product count of the PATH TAKEN by the gated
+    // corpus assignment. Below HierMinK trained centroids that is the flat
+    // n × k pass (nv · n_cells); at and above it, the two-level probe —
+    // n × |active supers| probe dots plus, per vector, its probed super's
+    // shadow size, O(n·√k). n_supers is reported either way (it is the
+    // STRUCTURE's size, priced from the k-row centroid set), but the
+    // n×√k probe scan itself only runs when the hierarchy is the live
+    // path — the audit must not pay the cost it exists to gate.
     val (sca, shadow) = superQuantizer(spark, c2)
     val sup = sca.agg(count(lit(1)).as("n_supers"))
-    val shadowSz = shadow.groupBy(col("scid")).agg(count(lit(1)).as("ssz"))
-    val cand = superProbe(spark, base, sca).select(col("vec_id"), col("scid"))
-      .join(broadcast(shadowSz), "scid")
-      .agg(sum(col("ssz")).as("cand_mass"))
-    totalOrder(quant.crossJoin(sub).crossJoin(sup).crossJoin(cand)
-      .withColumn("assign_mass",
-        (col("nv") * col("n_supers") + col("cand_mass")).cast("long"))
-      .drop("nv", "cand_mass"))
+    val statsBase = quant.crossJoin(sub).crossJoin(sup)
+    totalOrder(if (c2.count() < HierMinK)
+      statsBase
+        .withColumn("assign_mass", (col("nv") * col("n_cells")).cast("long"))
+        .drop("nv")
+    else {
+      val shadowSz = shadow.groupBy(col("scid")).agg(count(lit(1)).as("ssz"))
+      val cand = superProbe(spark, base, sca)
+        .select(col("vec_id"), col("scid"))
+        .join(broadcast(shadowSz), "scid")
+        .agg(sum(col("ssz")).as("cand_mass"))
+      statsBase.crossJoin(cand)
+        .withColumn("assign_mass",
+          (col("nv") * col("n_supers") + col("cand_mass")).cast("long"))
+        .drop("nv", "cand_mass")
+    })
   }
 
   /** Persist a trained IVF index to `out` — the BUILD-ONCE half of the
@@ -607,7 +618,8 @@ object Vectors {
   private[graft] def upsertAppendBatch(spark: SparkSession, shard: DataFrame,
       out: String): Unit = {
     val cents = spark.read.parquet(s"$out/centroids")
-    assignCellsHier(spark, shard, cents).withColumn("gen", lit(1L))
+    assignCellsGated(spark, shard, cents, cents.count())
+      .withColumn("gen", lit(1L))
       .write.mode("append").partitionBy("cid").parquet(s"$out/lists")
   }
 
@@ -770,6 +782,32 @@ object Vectors {
         any_value(col("nrm")).as("nrm"))
   }
 
+  /** Flat/hier crossover for the corpus-grain assignment. The two-level
+    * routing wins asymptotically (O(n·√k) vs n×k) but carries a constant:
+    * the super-quantizer build, a second broadcast round, and the shadow
+    * join. Measured on the R15 curves the crossover sits between k = 141
+    * (sf1 — hier ~2× slower across the sim family) and k = 447 (sf10 —
+    * sim_ivf_stats/sim_knn_join dropped to n^0.28/0.29), so the switch is
+    * pinned at 256: below it the flat n×k pass is both cheaper and
+    * simpler; at and above it the hierarchy pays. The gate quantity is
+    * |c2| — the TRAINED centroid count (sample-empty cells drop out of the
+    * Lloyd update, so |c2| ≤ ⌊√n⌋) — which both engines compute from the
+    * same deterministic chain; the DuckDB twin gates on
+    * `(SELECT COUNT(*) FROM c2)` with the identical threshold, so the two
+    * engines always take the same branch ([[sqlAssignHier]]). */
+  private[graft] val HierMinK = 256L
+
+  /** The gated corpus-grain assignment every consumer rides: flat
+    * [[assignCells]] below [[HierMinK]] trained centroids,
+    * [[assignCellsHier]] at or above it. `k` is the trained centroid
+    * count, supplied by the caller (each caller already holds the tiny
+    * lineage-cut centroid frame, so the count is a metadata-priced
+    * action, never a corpus scan). */
+  private[graft] def assignCellsGated(spark: SparkSession, src: DataFrame,
+      cents: DataFrame, k: Long): DataFrame =
+    if (k < HierMinK) assignCells(spark, src, cents)
+    else assignCellsHier(spark, src, cents)
+
   /** HIERARCHICAL nearest-centroid assignment — the corpus-grain
     * replacement for the flat [[assignCells]] (round-12 verdict weak #1,
     * the last superlinear leg): probe the ~√k super-centroids first
@@ -847,8 +885,9 @@ object Vectors {
     val c1 = withCnrm(update(assign(tr, c0))).transform(lineageCut)
     val c2 = withCnrm(update(assign(tr, c1))).transform(lineageCut)
     // final inverted-list membership (vec_id, cid): the one corpus-grain
-    // pass goes through the TWO-LEVEL assignment — O(n·√k), not n×k
-    (c2, assignCellsHier(spark, base, c2))
+    // pass goes through the GATED assignment — flat below HierMinK trained
+    // centroids, two-level O(n·√k) at and above it
+    (c2, assignCellsGated(spark, base, c2, c2.count()))
   }
 
   /** Probe assignment: each query's `nprobe` nearest centroids — a |Q| × k
@@ -1417,25 +1456,45 @@ object Vectors {
        |  SELECT scid, svec, snrm FROM hsc1
        |  WHERE scid IN (SELECT scid FROM hsmap))""".stripMargin
 
-  /** [[assignCellsHier]]'s DuckDB twin: probe CTE `<a>p(vec_id, scid)` +
-    * final assignment `<a>(vec_id, cid)` over the shadow candidates.
+  /** [[assignCellsGated]]'s DuckDB twin: the flat branch `<a>f`, the
+    * two-level branch (probe CTE `<a>p(vec_id, scid)` + shadow argmax
+    * `<a>h`), and the union `<a>(vec_id, cid)`. Each branch's innermost
+    * FROM carries the [[HierMinK]] gate on `(SELECT COUNT(*) FROM c2)` —
+    * DuckDB constant-folds the uncorrelated scalar subquery and prunes
+    * the dead branch's whole subtree at plan time (verified: a
+    * constant-false guard collapses a 200k × 450 cross join to a constant
+    * projection), so the oracle pays only the branch the engine takes,
+    * and both engines gate on the same deterministic quantity.
     * Requires [[sqlSuperCtes]] (emitted once per query) before it. */
   private def sqlAssignHier(a: String, src: String = "base"): String =
-    s"""${a}p AS (
+    s"""${a}f AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT b.vec_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+       |        ${sqlDot.format("b.embedding", "c.cvec")}
+       |        / (b.nrm * c.cnrm) DESC, c.cid) AS rn
+       |    FROM $src b CROSS JOIN c2 c
+       |    WHERE (SELECT COUNT(*) FROM c2) < $HierMinK) WHERE rn = 1),
+       |${a}p AS (
        |  SELECT vec_id, scid FROM (
        |    SELECT b.vec_id, s.scid,
        |      ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
        |        ${sqlDot.format("b.embedding", "s.svec")}
        |        / (b.nrm * s.snrm) DESC, s.scid) AS rn
-       |    FROM $src b CROSS JOIN hsca s) WHERE rn = 1),
-       |$a AS (
+       |    FROM $src b CROSS JOIN hsca s
+       |    WHERE (SELECT COUNT(*) FROM c2) >= $HierMinK) WHERE rn = 1),
+       |${a}h AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT b.vec_id, m.cid,
        |      ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
        |        ${sqlDot.format("b.embedding", "m.cvec")}
        |        / (b.nrm * m.cnrm) DESC, m.cid) AS rn
        |    FROM ${a}p p JOIN hsmap m USING (scid)
-       |      JOIN $src b ON b.vec_id = p.vec_id) WHERE rn = 1)""".stripMargin
+       |      JOIN $src b ON b.vec_id = p.vec_id) WHERE rn = 1),
+       |$a AS (
+       |  SELECT vec_id, cid FROM ${a}f
+       |  UNION ALL
+       |  SELECT vec_id, cid FROM ${a}h)""".stripMargin
 
   /** Sub-split CTE chain ([[subSplit]]'s twin): a prior `a2(vec_id, cid)`
     * assignment CTE → `cells(vec_id, cid, sub)` — rank-balanced
@@ -1885,7 +1944,9 @@ object Vectors {
          |  FROM a2p p JOIN shsz s USING (scid))
          |SELECT n_cells, min_sz, max_sz, avg_sz, skew, join_mass,
          |  n_cells_sub, max_sz_sub, join_mass_sub, n_supers,
-         |  CAST(nv * n_supers + cand_mass AS BIGINT) AS assign_mass
+         |  CAST(CASE WHEN (SELECT COUNT(*) FROM c2) < $HierMinK
+         |    THEN nv * n_cells
+         |    ELSE nv * n_supers + cand_mass END AS BIGINT) AS assign_mass
          |FROM quant CROSS JOIN subq CROSS JOIN supq CROSS JOIN candq
          |${orderAll("n_cells", "min_sz", "max_sz", "avg_sz", "skew",
               "join_mass", "n_cells_sub", "max_sz_sub", "join_mass_sub",
