@@ -505,6 +505,11 @@ object Vectors {
     })
   }
 
+  /** Registry lookup for specs: the session dir registered under `key`,
+    * if any (None proves a branch REGISTERED nothing). */
+  private[graft] def indexDirFor(key: String): Option[String] =
+    synchronized { ivfIndexDirs.get(key) }
+
   /** Delete every persisted index and empty the registry (blocking file
     * deletes — the disk is really back before the caller proceeds). */
   def releaseIndexes(): Unit = synchronized {
@@ -682,6 +687,76 @@ object Vectors {
     upsertAudit(spark, out)
   }
 
+  /** Retrain trigger on the upsert drift ratio n_upserted / n_base — the
+    * threshold at which assign-don't-retrain has diluted the quantizer
+    * enough that the operator rebuilds. 5% is deliberately below the
+    * fixtures' ~11% shard so the response path is the one the gates
+    * exercise; the no-retrain path is spec-proven with a synthetic
+    * sub-threshold shard. */
+  private[graft] val RetrainMinDrift = 0.05
+
+  /** The RESPONSE the upsert audit points at (round-13 verdict #6): when
+    * the generation split of a persisted upsert index crosses
+    * [[RetrainMinDrift]], retrain the quantizer on base ∪ upserts — the
+    * membership READ FROM THE INDEX, not re-derived from the source
+    * table — and rebuild the inverted lists as generation 0 of a NEW
+    * index version in its own snapshot directory. The old version is
+    * never touched (in-flight searches keep serving it — the
+    * VersionedStore snapshot posture; spec-proven byte-untouched); below
+    * the threshold no new version is cut and the audit reports the live
+    * v1 index. Returns the per-cell audit of the LIVE version plus the
+    * decision columns (old_n_base, old_n_upserted, drift, retrained).
+    * Scale shape: the decision reads two counts off the lists table, the
+    * retrain is the standard O(n)-trained build, and the version cut is
+    * a directory swap — no serving downtime, no in-place rewrite. */
+  private[graft] def retrainIndex(spark: SparkSession, v1: String,
+      base: DataFrame, v2Key: String): DataFrame = {
+    val gens = spark.read.parquet(s"$v1/lists")
+      .agg(sum(when(col("gen") === 0L, 1L).otherwise(0L)).as("nb"),
+        sum(when(col("gen") === 1L, 1L).otherwise(0L)).as("nu")).head()
+    val nBase = gens.getLong(0)
+    val nUp = gens.getLong(1)
+    val drift = nUp.toDouble / nBase
+    val retrained = drift >= RetrainMinDrift
+    val live = if (!retrained) v1
+    else ensureIndexDir(v2Key, "ivf_retrain") { out =>
+      // retrain on what the index HOLDS: v1 membership (both generations)
+      // joined back to the vector store for the payloads
+      val members = spark.read.parquet(s"$v1/lists").select(col("vec_id"))
+      val union = members.join(base, "vec_id")
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+      val (c2r, listsR) = ivfIndex(spark, union)
+      c2r.select(col("cid"), col("cvec"), col("cnrm"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/centroids")
+      listsR.withColumn("gen", lit(0L))
+        .write.mode("overwrite").partitionBy("cid").parquet(s"$out/lists")
+    }
+    val lists = spark.read.parquet(s"$live/lists")
+      .withColumn("cid", col("cid").cast("long"))
+    val cents = spark.read.parquet(s"$live/centroids")
+    totalOrder(lists.groupBy(col("cid")).agg(count(lit(1)).as("n_vecs"))
+      .join(cents.select(col("cid"), col("cnrm")), "cid")
+      .select(col("cid"), col("n_vecs"), col("cnrm"))
+      .withColumn("old_n_base", lit(nBase))
+      .withColumn("old_n_upserted", lit(nUp))
+      .withColumn("drift", lit(drift))
+      .withColumn("retrained", lit(retrained)))
+  }
+
+  /** Retrain op over the session upsert index — gate: DuckDB computes the
+    * drift decision from the shard rule, then (CASE the SAME decision)
+    * retrains the quantizer on the full union corpus from scratch and
+    * must reproduce the new version's on-disk cells — or, below
+    * threshold, the v1 cells both generations included. */
+  def simIndexRetrain(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.vecDot
+    val base = load(spark, dir, "embeddings")
+      .withColumn("nrm", sqrt(vecDot(spark, col("embedding"), col("embedding"))))
+      .transform(graft.OpCaches.cached)
+    val v1 = ensureUpsertIndex(spark, dir, base)
+    retrainIndex(spark, v1, base, dir + "#retrain")
+  }
+
   /** Nearest centroid per vector by cosine (ties → lowest cid). The argmax
     * is max_by over (sim, -cid) — partial-aggregable, so each map task
     * reduces its n×k scored candidates to one row per vector before any
@@ -847,7 +922,7 @@ object Vectors {
     * which IS the index. Exact decimal means keep the trained k-means
     * oracle-able. Returns (centroids (cid, cvec, cnrm), inverted-list
     * membership (vec_id, cid)). Shared by [[simKnnIvf]] and [[simKnnIvfPq]]. */
-  private def ivfIndex(spark: SparkSession, base: DataFrame): (DataFrame, DataFrame) = {
+  private[graft] def ivfIndex(spark: SparkSession, base: DataFrame): (DataFrame, DataFrame) = {
     import graft.functions.GraftFunctions.vecDot
     // k = ⌊√n⌋ via seed stride ⌈n/k⌉ over the (dense) id space, and the
     // training-sample stride ⌊√n/16⌋ (sample ≈ 16·√n rows; 1 ⇒ full corpus
@@ -1342,7 +1417,7 @@ object Vectors {
     * evaluation harness ([[Dedup.dedupRecallReport]]) audits the SAME
     * generator the production op clusters. Pairs are unsorted and NOT
     * lineage-cut (cut where iterated). */
-  private[ops] def semanticPairGraph(spark: SparkSession,
+  private[graft] def semanticPairGraph(spark: SparkSession,
       dir: String): (DataFrame, DataFrame) = {
     import graft.functions.GraftFunctions.vecDot
     val base = load(spark, dir, "embeddings")
@@ -1388,6 +1463,7 @@ object Vectors {
     "sim_index_build" -> simIndexBuild,
     "sim_knn_indexed" -> simKnnIndexed,
     "sim_index_upsert" -> simIndexUpsert,
+    "sim_index_retrain" -> simIndexRetrain,
     "sim_cosine_lsh" -> simCosineLsh,
     "vec_centroid" -> vecCentroid,
     "vec_centroid_native" -> vecCentroidNative)
@@ -1702,7 +1778,60 @@ object Vectors {
          |    ANY_VALUE(c2.cnrm) AS cnrm
          |  FROM a2 JOIN c2 ON c2.cid = a2.cid
          |  GROUP BY a2.cid)
-         |${orderAll("cid", "n_vecs", "cnrm")}""".stripMargin)
+         |${orderAll("cid", "n_vecs", "cnrm")}""".stripMargin) +
+    // the retrain response: the drift decision is two counts off the shard
+    // rule; the SAME decision then gates the training corpus — retrained ⇒
+    // base is the full union (ONE standard chain reproduces the new
+    // version's cells), below threshold ⇒ base is the pre-shard corpus and
+    // the shard joins via the frozen-quantizer assignment (the v1 cells).
+    // Either way the heavy chain runs ONCE over the right corpus.
+    ("sim_index_retrain" ->
+      s"""WITH ball AS (
+         |  SELECT vec_id, embedding, ${sqlNorm.format("embedding")} AS nrm
+         |  FROM embeddings),
+         |old AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN $sqlIsUpsertShard THEN 0 ELSE 1 END)
+         |      AS BIGINT) AS old_n_base,
+         |    CAST(SUM(CASE WHEN $sqlIsUpsertShard THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS old_n_upserted
+         |  FROM embeddings),
+         |dec AS (
+         |  SELECT old_n_base, old_n_upserted,
+         |    CAST(old_n_upserted AS DOUBLE) / old_n_base AS drift,
+         |    CAST(old_n_upserted AS DOUBLE) / old_n_base >= $RetrainMinDrift
+         |      AS retrained
+         |  FROM old),
+         |base AS (
+         |  SELECT * FROM ball
+         |  WHERE NOT ($sqlIsUpsertShard) OR (SELECT retrained FROM dec)),
+         |$sqlIvfPrelude,
+         |c0 AS (
+         |  SELECT vec_id AS cid,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec,
+         |    ${sqlNorm.format("embedding")} AS cnrm
+         |  FROM base WHERE vec_id % (SELECT stride FROM p) = 0),
+         |${sqlAssign("a0", "c0", "tr")},
+         |${sqlUpdate("c1", "a0")},
+         |${sqlAssign("a1", "c1", "tr")},
+         |${sqlUpdate("c2", "a1")},
+         |$sqlSuperCtes,
+         |${sqlAssignHier("a2", "base")},
+         |nw AS (
+         |  SELECT * FROM ball
+         |  WHERE ($sqlIsUpsertShard) AND NOT (SELECT retrained FROM dec)),
+         |${sqlAssignHier("a3", "nw")},
+         |mem AS (SELECT cid FROM a2 UNION ALL SELECT cid FROM a3)
+         |SELECT g.cid, g.n_vecs, g.cnrm, d.old_n_base, d.old_n_upserted,
+         |  d.drift, d.retrained
+         |FROM (
+         |  SELECT m.cid AS cid, COUNT(*) AS n_vecs,
+         |    ANY_VALUE(c2.cnrm) AS cnrm
+         |  FROM mem m JOIN c2 ON c2.cid = m.cid
+         |  GROUP BY m.cid) g
+         |CROSS JOIN dec d
+         |${orderAll("cid", "n_vecs", "cnrm", "old_n_base", "old_n_upserted",
+                     "drift", "retrained")}""".stripMargin)
 
   private lazy val oracleMain: Map[String, String] = oracleBase +
     ("vec_quantize_int8" ->

@@ -344,11 +344,12 @@ class ExtensionSpec extends SparkTestBase {
       }
       val fromDisk = search(cents, lists)
       // in-memory twin: same frozen quantizer, but the cell MEMBERSHIP of
-      // the union corpus recomputed from scratch (the hierarchical
-      // assignment — the same path build + append ride), never read from
-      // disk — equality proves build + append together produced exactly
-      // the assignment a one-shot job over the union would
-      val fresh = search(cents, ops.Vectors.assignCellsHier(spark, base, cents))
+      // the union corpus recomputed from scratch (the GATED assignment —
+      // the same path build + append ride), never read from disk —
+      // equality proves build + append together produced exactly the
+      // assignment a one-shot job over the union would
+      val fresh = search(cents,
+        ops.Vectors.assignCellsGated(spark, base, cents, cents.count()))
       assert(fromDisk.nonEmpty && fromDisk == fresh)
     } finally {
       def rm(f: java.io.File): Unit = {
@@ -478,16 +479,23 @@ class ExtensionSpec extends SparkTestBase {
     assert(maxSzSub <= slabCap,
       s"slab of $maxSzSub exceeds the occupancy bound $slabCap")
     assert(massSub <= mass && massSub <= n * slabCap)
-    // the two-level assignment audit: its dot-product count must beat the
-    // flat n×k pass it replaced, and the super tier must be a real
-    // reduction (≈√k supers, strictly fewer than cells)
+    // the assignment audit prices the PATH THE GATE TAKES: below HierMinK
+    // trained centroids the flat n×k pass runs and assign_mass must equal
+    // it exactly; at or above, the two-level count must beat it. The super
+    // tier is structural either way (≈√k supers, strictly fewer than cells)
     val (nSupers, assignMass) =
       (r.getAs[Long]("n_supers"), r.getAs[Long]("assign_mass"))
     assert(nSupers >= 1 && nSupers < nCells)
-    assert(assignMass >= 2 * n, "every vector pays ≥1 probe + ≥1 candidate")
-    assert(assignMass < nCells * n,
-      s"hierarchical assignment ($assignMass dots) did not beat the flat " +
-        s"pass (${nCells * n})")
+    if (nCells < ops.Vectors.HierMinK)
+      assert(assignMass == nCells * n,
+        s"flat-path assign_mass ($assignMass) must equal n_cells*n " +
+          s"(${nCells * n})")
+    else {
+      assert(assignMass >= 2 * n, "every vector pays ≥1 probe + ≥1 candidate")
+      assert(assignMass < nCells * n,
+        s"hierarchical assignment ($assignMass dots) did not beat the flat " +
+          s"pass (${nCells * n})")
+    }
     OpCaches.releaseAll()
   }
 
