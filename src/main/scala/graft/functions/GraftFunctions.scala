@@ -49,6 +49,18 @@ object GraftFunctions {
     (new FunctionIdentifier("punct_count"),
       new ExpressionInfo(classOf[PunctCount].getName, "punct_count"),
       (children: Seq[Expression]) => PunctCount(children.head): Expression),
+    (new FunctionIdentifier("gram_buckets"),
+      new ExpressionInfo(classOf[GramBuckets].getName, "gram_buckets"),
+      (children: Seq[Expression]) => {
+        val m = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) =>
+            v.toLong
+          case other => throw new IllegalArgumentException(
+            s"gram_buckets(s, m): m must be an integer literal, got $other")
+        }
+        GramBuckets(children.head, m): Expression
+      }),
     (new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (children: Seq[Expression]) => {
@@ -108,6 +120,14 @@ object GraftFunctions {
   def md5Prefix32(spark: SparkSession, s: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("md5_prefix32", s)
+  }
+
+  /** `gram_buckets` as a Column: hashed unigram+bigram md5-prefix32
+    * buckets of an already-lowercased string, one byte-walk. */
+  def gramBuckets(spark: SparkSession, lowered: Column, m: Long): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("gram_buckets", lowered,
+      org.apache.spark.sql.functions.lit(m))
   }
 
   /** `token_count` as a Column: size of the canonical token split over an

@@ -596,27 +596,24 @@ object Pipeline {
     * [[Text.textLmSplit]] adjudication), with scoring unchanged. */
   def pipelineDsir(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val toks = Text.tokens(col("text"))
+    // the posting features come from the FUSED gram walker: token spans,
+    // unigram and bigram digests, and the bucket modulo in one byte pass
+    // over the lowered text — bit-identical to tokenize → concat_ws
+    // bigrams → md5_prefix32 % m, without materializing a single gram
+    // string (round-13 verdict #5: those allocations, not the digests,
+    // were the op's dominant per-row constant at sf1). The cache holds
+    // compact long arrays at DOC grain; the posting grain exists only
+    // inside the two exploding aggregates that consume it.
     val grams = load(spark, dir, "documents")
-      .withColumn("t", toks)
-      // guard: sequence(1, 0) would DESCEND, not come back empty, so
-      // single-token docs get unigrams only
-      .withColumn("g", concat(col("t"), when(size(col("t")) >= 2, transform(
-        sequence(lit(1), size(col("t")) - 1),
-        i => concat_ws(" ", element_at(col("t"), i),
-          element_at(col("t"), i + 1))))
-        .otherwise(array().cast("array<string>"))))
-      .select(col("doc_id"), DsirTarget.as("is_target"), col("g"))
-      // materialize the gram ARRAY before exploding — Generate re-evaluates
-      // its child per output row, which would rebuild the whole array per
-      // gram (the textTokenizeTf pitfall, quadratic in doc length)
+      .select(col("doc_id"), DsirTarget.as("is_target"),
+        graft.functions.GraftFunctions.gramBuckets(
+          spark, lower(col("text")), DsirBuckets).as("bs"))
+      // materialize the bucket ARRAY before exploding — Generate
+      // re-evaluates its child per output row, which would re-walk the
+      // text per gram (the textTokenizeTf pitfall, quadratic in doc
+      // length)
       .transform(graft.OpCaches.cached)
-      .select(col("doc_id"), col("is_target"), explode(col("g")).as("g"))
-      .withColumn("b",
-        graft.functions.GraftFunctions.md5Prefix32(spark, col("g"))
-          % DsirBuckets)
-      .select(col("doc_id"), col("is_target"), col("b"))
-      .transform(graft.OpCaches.cached)
+      .select(col("doc_id"), col("is_target"), explode(col("bs")).as("b"))
     val model = grams.groupBy(col("b")).agg(
       count(lit(1)).as("cr"),
       sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"))

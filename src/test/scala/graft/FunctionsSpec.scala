@@ -128,15 +128,16 @@ class FunctionsSpec extends SparkTestBase {
         col("d1"), col("d2"))
       .as[(Long, Long, Long, Long)].collect()
     for ((w1, w2, d1, d2) <- got) { assert(w1 == d1); assert(w2 == d2) }
-    // interpreted path (no codegen)
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    try {
+    // interpreted path: disabling wholeStage alone leaves expression
+    // codegen in FALLBACK (nullSafeEval never runs) — NO_CODEGEN forces
+    // the interpreted eval path for real (round-13 advice)
+    interpreted {
       val g2 = df.select(GraftFunctions.md5Words(spark, col("s")).as("w"),
           declarative(1).as("d1"))
         .select(element_at(col("w"), 1), col("d1"))
         .as[(Long, Long)].collect()
       for ((w1, d1) <- g2) assert(w1 == d1)
-    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
   }
 
   test("BitmapDistinct skips NULL ids — COUNT(DISTINCT) semantics") {
@@ -252,9 +253,7 @@ class FunctionsSpec extends SparkTestBase {
       }
     }
     check()
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    try check()
-    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    interpreted { check() }
     // and over the real corpus: every document, all three counters
     val corpus = Tables.load(spark, sf, "documents").select(
       GraftFunctions.tokenCount(spark, lower(col("text"))).as("tc"),
@@ -282,8 +281,66 @@ class FunctionsSpec extends SparkTestBase {
       for ((f, d) <- got) assert(f == d)
     }
     check()
+    interpreted { check() }
+  }
+
+  test("gram_buckets is bit-compatible with the tokenize + bigram " +
+    "concat_ws + md5_prefix32 chain, codegen and interpreted") {
+    import spark.implicits._
+    val m = 8192L
+    val df = (countFixtures ++ Seq("one", "", "   ", "a b", "don't stop",
+      "naïve mix 字 of scripts")).toDF("s")
+    def declarative = {
+      val t = filter(split(lower(col("s")), "[^a-z0-9']+"), x => x =!= "")
+      val g = concat(t, when(size(t) >= 2, transform(
+        sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+        .otherwise(array().cast("array<string>")))
+      transform(g, x =>
+        conv(substring(md5(x), 1, 8), 16, 10).cast("long") % m)
+    }
+    def check(): Unit = {
+      val got = df.select(
+        GraftFunctions.gramBuckets(spark, lower(col("s")), m).as("f"),
+        declarative.as("d"), col("s"))
+        .as[(Seq[Long], Seq[Long], String)].collect()
+      for ((f, d, s0) <- got) assert(f == d, s"gram_buckets on '$s0'")
+    }
+    check()
+    interpreted { check() }
+    // and the full corpus
+    val corpus = Tables.load(spark, sf, "documents")
+    val fused = corpus.select(col("doc_id"),
+      GraftFunctions.gramBuckets(spark, lower(col("text")), m).as("f"))
+    val decl = corpus.select(col("doc_id"),
+      declarative_text(m).as("d"))
+    val joined = fused.join(decl, "doc_id")
+      .filter(col("f") =!= col("d")).count()
+    assert(joined == 0L)
+  }
+
+  private def declarative_text(m: Long) = {
+    val t = filter(split(lower(col("text")), "[^a-z0-9']+"), x => x =!= "")
+    val g = concat(t, when(size(t) >= 2, transform(
+      sequence(lit(1), size(t) - 1),
+      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+      .otherwise(array().cast("array<string>")))
+    transform(g, x =>
+      conv(substring(md5(x), 1, 8), 16, 10).cast("long") % m)
+  }
+
+  /** Run `f` with BOTH wholeStage codegen off and expression codegen
+    * forced to NO_CODEGEN — disabling wholeStage alone leaves expression
+    * codegen in FALLBACK mode, so the interpreted nullSafeEval path of
+    * custom expressions would never actually execute (round-13 advice). */
+  private def interpreted[A](f: => A): A = {
+    val prevWs = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    val prevFm = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    try check()
-    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try f finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prevWs)
+      spark.conf.set("spark.sql.codegen.factoryMode", prevFm)
+    }
   }
 }
