@@ -146,9 +146,16 @@ object Bench {
     // ledgers and noop-sink ones are silently incomparable for map-only
     // ops — the field lets cross-round tooling refuse mixed comparisons
     // mechanically (round-12 verdict #7)
+    // build provenance: stale-artifact detection must be mechanical, not
+    // git archaeology (round-13 verdict #7) — the commit the numbers were
+    // measured on plus the full registered surface size ride every artifact
+    val commit = scala.util.Try(
+      scala.sys.process.Process(Seq("git", "rev-parse", "--short", "HEAD"))
+        .!!.trim).getOrElse("unknown")
+    val prov = s""""commit":"$commit","surface_n":${SparkEntry.queries.size}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},""" +
-        s""""sink":"noop","queries":${jsonMap(shown.sortBy(_._1))},""" +
+        s"""$prov,"sink":"noop","queries":${jsonMap(shown.sortBy(_._1))},""" +
         s""""omitted_fastest":$omitted,"full":"BENCH_LOCAL.json","sf":"$sfDir"}"""
     // min map for the re-run set: the floor a plan change must beat
     val mins = samples.filter(_._2.size > 1).toSeq
@@ -158,7 +165,7 @@ object Bench {
     val anchor = samples.get("dedup_exact")
       .map(ts => s""","anchor":{"dedup_exact":${r3(ts.min)}}""").getOrElse("")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","sink":"noop",""" +
+      s"""{"metric":"total","value":$total,"unit":"sec",$prov,"sink":"noop",""" +
         s""""queries":${jsonMap(results)},""" +
         s""""min_of_3":${jsonMap(mins)}$anchor,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")

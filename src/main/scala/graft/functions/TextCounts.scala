@@ -23,6 +23,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * point, exactly what the regex does on the decoded string (lead byte =
   * one code point; java.util.regex char classes match per code point).
   * The DuckDB oracles keep their regexp formulations and keep matching.
+  *
+  * NULL contract: as `UnaryExpression`s these return NULL for NULL input,
+  * where the `size(split(...))` / `size(regexp_extract_all(...))` chains
+  * they replaced return -1 under Spark's default legacy `sizeOfNull`
+  * (round-13 advice). The divergence is unreachable on the engine's own
+  * surface: `documents.text` is non-null in every fixture AND in the
+  * generator contract (TESTDATA.md's deterministic synthesis never emits
+  * null text), and every oracle twin runs the same non-null column — a
+  * future nullable-text source must wrap these in
+  * `coalesce(..., lit(-1))` if it wants the legacy size() convention.
   */
 object TextByteWalk { // public: generated Java calls the static forwarders
 

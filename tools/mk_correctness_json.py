@@ -17,25 +17,46 @@ behavior at scale (round-9 verdict — stream_pattern_match passed sf1
 and sf3 with 0 rows because its fixed threshold matched nothing above
 the density it was calibrated at).
 """
-import sys, json, re
+import sys, json, re, subprocess, os
+
+def git_commit():
+    """Build provenance for the ledger (round-13 verdict #7: the stale
+    sf10 ledger was only discoverable via git archaeology)."""
+    try:
+        return subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, check=True).stdout.strip()
+    except Exception:
+        return None
 
 def main():
-    log, out = sys.argv[1], sys.argv[2]
-    sf = sys.argv[3] if len(sys.argv) > 3 else None
+    args = [a for a in sys.argv[1:] if not a.startswith("--note=")]
+    note = next((a[len("--note="):] for a in sys.argv[1:]
+                 if a.startswith("--note=")), None)
+    log, out = args[0], args[1]
+    sf = args[2] if len(args) > 2 else None
     ref_rows = {}
-    if len(sys.argv) > 4:
-        ref = json.load(open(sys.argv[4]))
+    if len(args) > 3:
+        ref = json.load(open(args[3]))
         for name, entry in ref.get("queries", ref).items():
             if isinstance(entry, dict):
                 r = entry.get("rows", entry.get("spark_rows"))
                 if r is not None:
                     ref_rows[name] = r
     queries = {}
+    surface_n = None
     n_pass = n_rows = n_fail = n_vacuous = 0
     for line in open(log):
-        m = re.match(r"\[ ok \] (\S+) \((\d+) rows\)", line)
+        m = re.match(r"== surface (\d+) ==", line)
+        if m:
+            surface_n = int(m.group(1))
+            continue
+        m = re.match(r"\[ ok \] (\S+) \((\d+) rows(?:, ([^)]*))?\)", line)
         if m:
             queries[m.group(1)] = {"status": "pass", "rows": int(m.group(2))}
+            if m.group(3):
+                queries[m.group(1)]["check"] = m.group(3)
             n_pass += 1
             continue
         m = re.match(r"\[rows\] (\S+): (\d+) rows", line)
@@ -56,8 +77,11 @@ def main():
             print(f"[VACUOUS] {name}: 0 rows here but {ref_rows[name]} in "
                   "the reference ledger - a 0=0 match proves nothing",
                   file=sys.stderr)
-    doc = {"sf": sf, "n_pass": n_pass, "n_rows_only": n_rows,
+    doc = {"sf": sf, "commit": git_commit(), "surface_n": surface_n,
+           "n_pass": n_pass, "n_rows_only": n_rows,
            "n_fail": n_fail, "queries": dict(sorted(queries.items()))}
+    if note:
+        doc["note"] = note
     if ref_rows:
         doc["n_vacuous"] = n_vacuous
     json.dump(doc, open(out, "w"), indent=1)

@@ -12,8 +12,18 @@ no RNG, key-offset replication only — so the recipe IS the fixture).
 """
 import sys, json
 
+import subprocess, os
+
 ledger, out, src, n = sys.argv[1], sys.argv[2], sys.argv[3], int(sys.argv[4])
 d = json.load(open(ledger))
+# build provenance (round-13 verdict #7)
+try:
+    d["commit"] = subprocess.run(
+        ["git", "-C", os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "rev-parse", "--short", "HEAD"],
+        capture_output=True, text=True, check=True).stdout.strip()
+except Exception:
+    d["commit"] = None
 # sink generation stamp: pre-r12 count()-sink ledgers are incomparable with
 # noop-sink ones for map-only ops — tooling must refuse mixed comparisons
 d.setdefault("sink", "noop")

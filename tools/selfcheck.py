@@ -17,6 +17,30 @@ import numpy as np
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
+def bounded_con(sf):
+    """A DuckDB connection with explicit resource bounds (round-13 verdict
+    #2: the unbounded oracle blew container memory/disk at sf10 — 23 OOMs
+    — and the sweep silently kept a stale ledger). memory_limit + a spill
+    dir with headroom turn an abort into a spill; threads are capped so
+    one heavy oracle can't starve the box. Overridable via env."""
+    con = duckdb.connect()
+    spill = os.environ.get("GRAFT_DUCK_SPILL",
+                           os.path.join(os.path.dirname(
+                               os.path.dirname(os.path.abspath(__file__))),
+                               "target", "duck_spill"))
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET temp_directory='{spill}'")
+    con.execute("SET memory_limit='%s'"
+                % os.environ.get("GRAFT_DUCK_MEM", "24GB"))
+    con.execute("SET threads=%d"
+                % int(os.environ.get("GRAFT_DUCK_THREADS", "8")))
+    for t in TABLES:
+        pth = f"{sf}/{t}.parquet"
+        if os.path.exists(pth):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pth}')")
+    return con
+
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
@@ -71,11 +95,7 @@ def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
     only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
-    con = duckdb.connect()
-    for t in TABLES:
-        p = f"{sf}/{t}.parquet"
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    con = bounded_con(sf)
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
@@ -89,7 +109,22 @@ def main():
                 f"SELECT * FROM read_parquet({files!r})").fetchdf()
             duck_df = con.execute(sql).fetchdf()
         except Exception as e:
-            print(f"[FAIL] {name}: {e}");  n_fail += 1;  continue
+            # sequential retry on a FRESH bounded connection: a transient
+            # allocation failure (or a connection a prior OOM wedged) gets
+            # one more chance before the ledger records a fail
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = bounded_con(sf)
+            try:
+                spark_df = con.execute(
+                    f"SELECT * FROM read_parquet({files!r})").fetchdf()
+                duck_df = con.execute(sql).fetchdf()
+            except Exception as e2:
+                print(f"[FAIL] {name}: {e2} (after retry; first: {e})")
+                n_fail += 1
+                continue
         err = compare(name, spark_df, duck_df)
         if err:
             print(f"[FAIL] {name}: {err}");  n_fail += 1
@@ -106,6 +141,7 @@ def main():
             status = "rows" if nrows > 0 else "EMPTY"
             print(f"[{status}] {name}: {nrows} rows (no oracle)")
             if nrows == 0: n_fail += 1
+    print(f"== surface {len(oracle)} ==")
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
