@@ -31,9 +31,9 @@ def bounded_con(sf):
     os.makedirs(spill, exist_ok=True)
     con.execute(f"SET temp_directory='{spill}'")
     con.execute("SET memory_limit='%s'"
-                % os.environ.get("GRAFT_DUCK_MEM", "24GB"))
+                % os.environ.get("GRAFT_DUCK_MEM", "48GB"))
     con.execute("SET threads=%d"
-                % int(os.environ.get("GRAFT_DUCK_THREADS", "8")))
+                % int(os.environ.get("GRAFT_DUCK_THREADS", "24")))
     for t in TABLES:
         pth = f"{sf}/{t}.parquet"
         if os.path.exists(pth):
