@@ -367,22 +367,35 @@ object Analytics {
     * unrolls the B−2 fold steps as chained CTEs. */
   def tsDownsampleLttb(spark: SparkSession, dir: String): DataFrame = {
     val mid = LttbB - 2
-    def bucketOf(xv: String) = s"1 + ((($xv - 1) * $mid) div (n - 2))"
-    def innerAt(k: String) =
-      s"c.x >= 1 AND c.x <= n - 2 AND ${bucketOf("c.x")} = $k"
+    // Bucket k is a CONTIGUOUS x-range (bucketOf(x) = 1 + ((x-1)·mid div
+    // (n-2)) is monotone in x and zip is index-ordered), so its members
+    // are slice(zip, lo+1, len) with arithmetic bounds — the old
+    // filter(zip, bucketOf(c.x) = k) re-walked all n elements once per
+    // bucket AND per derived field (cands/cnt/sx/sy: 4·(B-2) interpreted
+    // passes per series); the slice form visits each element ~twice total.
+    // lo(k)-1 = ceil((k-1)(n-2)/mid), hi(k) = ceil(k(n-2)/mid): exactly
+    // the x with bucketOf(x) = k, clamped to [1, n-2] by construction.
+    // cnt/sx of the NEXT bucket collapse to closed forms (a count and a
+    // consecutive-integer sum) — no pass at all. Values are bit-identical
+    // to the filter form (same sets, same BIGINT arithmetic).
+    def cdiv(a: String) = s"((($a) + $mid - 1) DIV $mid)"
+    def lom1(kv: String) = cdiv(s"($kv - 1) * (n - 2)") // lo(k) - 1
+    def hi(kv: String) = cdiv(s"($kv) * (n - 2)")
     val bucketsSql =
       s"""transform(sequence(1, $mid), k -> named_struct(
          |  'k', CAST(k AS BIGINT),
-         |  'cands', filter(zip, c -> ${innerAt("k")}),
+         |  'cands', slice(zip, CAST(${lom1("k")} + 2 AS INT),
+         |    CAST(${hi("k")} - ${lom1("k")} AS INT)),
          |  'cnt', IF(k < $mid,
-         |    CAST(size(filter(zip, c -> ${innerAt("k + 1")})) AS BIGINT),
+         |    ${hi("k + 1")} - ${lom1("k + 1")},
          |    CAST(1 AS BIGINT)),
          |  'sx', IF(k < $mid,
-         |    aggregate(filter(zip, c -> ${innerAt("k + 1")}),
-         |      CAST(0 AS BIGINT), (a, c) -> a + c.x),
+         |    ((${lom1("k + 1")} + 1 + ${hi("k + 1")}) *
+         |      (${hi("k + 1")} - ${lom1("k + 1")})) DIV 2,
          |    element_at(zip, -1).x),
          |  'sy', IF(k < $mid,
-         |    aggregate(filter(zip, c -> ${innerAt("k + 1")}),
+         |    aggregate(slice(zip, CAST(${lom1("k + 1")} + 2 AS INT),
+         |        CAST(${hi("k + 1")} - ${lom1("k + 1")} AS INT)),
          |      CAST(0 AS BIGINT), (a, c) -> a + c.yu),
          |    element_at(zip, -1).yu)))""".stripMargin
     // |cnt·xp − Sx|·|yc − yp| ≤ 1e13·1e9-µ — DECIMAL(38,0) keeps every

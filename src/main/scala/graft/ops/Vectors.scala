@@ -49,6 +49,17 @@ object Vectors {
     load(spark, dir, "embeddings")
       .withColumn("nrm", norm(col("embedding")))
 
+  /** The cached (embeddings + fused-VecDot norm) frame every trained tier
+    * starts from. One definition ⇒ one canonical plan ⇒ Spark's cache
+    * manager serves every tier in a composite query from a single
+    * materialization. */
+  private def cachedBase(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.vecDot
+    load(spark, dir, "embeddings")
+      .withColumn("nrm", sqrt(vecDot(spark, col("embedding"), col("embedding"))))
+      .transform(graft.OpCaches.cached)
+  }
+
   /** Brute-force cosine top-k (SURVEY §2.10 sim_knn_bruteforce): a small
     * fixed query set ([[isQuery]]: strided ids, |Q| pinned) broadcast against the corpus;
     * exact top-5 neighbors per query via TakeOrdered-style window. */
@@ -164,11 +175,19 @@ object Vectors {
     * full DuckDB oracle; recall vs sim_knn_bruteforce is measured in the
     * spec. */
   def simKnnIvf(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.GraftFunctions.vecDot
-    val base = load(spark, dir, "embeddings")
-      .withColumn("nrm", sqrt(vecDot(spark, col("embedding"), col("embedding"))))
-      .transform(graft.OpCaches.cached)
+    val base = cachedBase(spark, dir)
     val (c2, lists) = ivfIndex(spark, base)
+    simKnnIvfFrom(spark, base, c2, lists)
+  }
+
+  /** [[simKnnIvf]] body over ALREADY-TRAINED structures — factored so the
+    * recall harness ([[simRecallReport]]), which prices many tiers in one
+    * query, trains the shared IVF index ONCE instead of once per tier
+    * (guide §1.2: don't compute things you throw away — the training chain
+    * is deterministic, so the result is bit-identical either way). */
+  private def simKnnIvfFrom(spark: SparkSession, base: DataFrame,
+      c2: DataFrame, lists: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions.vecDot
     val queries = base.filter(isQuery(col("vec_id")))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
@@ -302,11 +321,16 @@ object Vectors {
     * standard approximate-join recall trade, raised by nprobe in the
     * per-query tier. */
   def simKnnJoin(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.GraftFunctions.vecDot
-    val base = load(spark, dir, "embeddings")
-      .withColumn("nrm", sqrt(vecDot(spark, col("embedding"), col("embedding"))))
-      .transform(graft.OpCaches.cached)
+    val base = cachedBase(spark, dir)
     val (_, rawLists) = ivfIndex(spark, base)
+    simKnnJoinFrom(spark, base, rawLists)
+  }
+
+  /** [[simKnnJoin]] body over an already-trained list assignment — see
+    * [[simKnnIvfFrom]] for why. */
+  private def simKnnJoinFrom(spark: SparkSession, base: DataFrame,
+      rawLists: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions.vecDot
     val lists = subSplit(spark, rawLists, base)
       .transform(graft.OpCaches.cached)
     // ONE corpus-grain side (cell key + embedding + norm), self-joined on
@@ -1005,11 +1029,16 @@ object Vectors {
     * cosine → top-5, the standard PQ + re-rank pipeline. Recall vs the
     * brute-force baseline is asserted in the spec. */
   def simKnnPq(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.GraftFunctions.vecDot
-    val base = load(spark, dir, "embeddings")
-      .withColumn("nrm", sqrt(vecDot(spark, col("embedding"), col("embedding"))))
-      .transform(graft.OpCaches.cached)
+    val base = cachedBase(spark, dir)
     val (cb1, codes) = pqIndex(spark, base)
+    simKnnPqFrom(spark, base, cb1, codes)
+  }
+
+  /** [[simKnnPq]] body over an already-trained codebook — see
+    * [[simKnnIvfFrom]] for why. */
+  private def simKnnPqFrom(spark: SparkSession, base: DataFrame,
+      cb1: DataFrame, codes: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions.vecDot
     val queries = base.filter(isQuery(col("vec_id")))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
@@ -1106,12 +1135,18 @@ object Vectors {
     * ops, so the DuckDB oracle composes the two CTE chains verbatim;
     * recall ≥ the IVF tier's is asserted in the spec. */
   def simKnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.GraftFunctions.vecDot
-    val base = load(spark, dir, "embeddings")
-      .withColumn("nrm", sqrt(vecDot(spark, col("embedding"), col("embedding"))))
-      .transform(graft.OpCaches.cached)
+    val base = cachedBase(spark, dir)
     val (c2, lists) = ivfIndex(spark, base)
     val (cb1, codes) = pqIndex(spark, base)
+    simKnnIvfPqFrom(spark, base, c2, lists, cb1, codes)
+  }
+
+  /** [[simKnnIvfPq]] body over already-trained structures — see
+    * [[simKnnIvfFrom]] for why. */
+  private def simKnnIvfPqFrom(spark: SparkSession, base: DataFrame,
+      c2: DataFrame, lists: DataFrame, cb1: DataFrame,
+      codes: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions.vecDot
     val queries = base.filter(isQuery(col("vec_id")))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
@@ -1350,15 +1385,23 @@ object Vectors {
       .select(col("q_id"), col("neighbor_id"), col("rk"))
       .transform(graft.OpCaches.cached)
     val exact = exact5.select(col("q_id"), col("neighbor_id"))
-    val tiers: Seq[(String, Int, (SparkSession, String) => DataFrame)] = Seq(
-      ("ivf", 5, simKnnIvf),
-      ("ivfpq", 5, simKnnIvfPq),
-      ("mrl", 5, simKnnMrl),
-      ("pq", 5, simKnnPq),
-      ("rp", 5, simKnnRp),
-      ("sq8", 5, simKnnSq8))
-    val hits = tiers.map { case (name, k, fn) =>
-      fn(spark, dir).select(col("q_id"), col("neighbor_id"))
+    // ONE shared training for the report's tiers: the IVF quantizer feeds
+    // the ivf, ivfpq and join tiers and the PQ codebook feeds pq + ivfpq —
+    // training is deterministic, so reusing the trained frames is
+    // bit-identical to retraining per tier and saves two Lloyd chains +
+    // one PQ encode pass per report (guide §1.2, algorithm before constants)
+    val base = cachedBase(spark, dir)
+    val (c2, lists) = ivfIndex(spark, base)
+    val (cb1, codes) = pqIndex(spark, base)
+    val tiers: Seq[(String, Int, DataFrame)] = Seq(
+      ("ivf", 5, simKnnIvfFrom(spark, base, c2, lists)),
+      ("ivfpq", 5, simKnnIvfPqFrom(spark, base, c2, lists, cb1, codes)),
+      ("mrl", 5, simKnnMrl(spark, dir)),
+      ("pq", 5, simKnnPqFrom(spark, base, cb1, codes)),
+      ("rp", 5, simKnnRp(spark, dir)),
+      ("sq8", 5, simKnnSq8(spark, dir)))
+    val hits = tiers.map { case (name, k, df) =>
+      df.select(col("q_id"), col("neighbor_id"))
         .join(exact, Seq("q_id", "neighbor_id"))
         .agg(count(lit(1)).as("hits"))
         .withColumn("tier", lit(name)).withColumn("k", lit(k.toLong))
@@ -1367,7 +1410,7 @@ object Vectors {
     // occupancy-capped re-cell trades recall for linear mass — this row
     // is where that trade is CONTINUOUSLY measured instead of asserted):
     // recall@3 against the exact top-3, denominators at its own k
-    val joinHits = simKnnJoin(spark, dir)
+    val joinHits = simKnnJoinFrom(spark, base, lists)
       .filter(isQuery(col("q_id")))
       .select(col("q_id"), col("neighbor_id"))
       .join(exact5.filter(col("rk") <= 3)
@@ -1420,9 +1463,7 @@ object Vectors {
   private[graft] def semanticPairGraph(spark: SparkSession,
       dir: String): (DataFrame, DataFrame) = {
     import graft.functions.GraftFunctions.vecDot
-    val base = load(spark, dir, "embeddings")
-      .withColumn("nrm", sqrt(vecDot(spark, col("embedding"), col("embedding"))))
-      .transform(graft.OpCaches.cached)
+    val base = cachedBase(spark, dir)
     val (_, lists) = ivfIndex(spark, base)
     // the occupancy-capped sub-split bounds the self-join mass at
     // O(n·cap) — identical computation shape to simKnnJoin's side frame
