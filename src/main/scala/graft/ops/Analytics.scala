@@ -449,7 +449,10 @@ object Analytics {
       .withColumn("sel", expr(foldSql))
       .select(col("event_type"), explode(expr(tailSql)).as("pt"))
       .select(col("event_type"), col("pt.k").as("k"),
-        col("pt.ts").as("ts"), col("pt.value").as("value")))
+        col("pt.ts").as("ts"), col("pt.value").as("value"))
+      // cached: the per-series LTTB fold lives in the final pre-sort
+      // stage; without this the sort's sampling pass re-runs it
+      .transform(graft.OpCaches.cached))
   }
 
   /** Ordered conversion funnel view → click → purchase with a 7-day

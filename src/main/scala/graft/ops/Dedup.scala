@@ -942,7 +942,10 @@ object Dedup {
         size(col("clean")).cast("long").as("n_kept"),
         (size(col("t")) - size(col("clean"))).cast("long").as("n_dropped"),
         length(array_join(col("clean"), " ")).cast("long").as("clean_len"),
-        md5(array_join(col("clean"), " ")).as("clean_md5")))
+        md5(array_join(col("clean"), " ")).as("clean_md5"))
+      // cached: the positional cut + md5 rebuild is map-only above the
+      // total-order sort, whose sampling pass would re-run it per doc
+      .transform(graft.OpCaches.cached))
   }
 
   /** Cross-MODAL dedup clusters: connected components over the UNION of

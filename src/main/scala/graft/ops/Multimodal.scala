@@ -35,12 +35,14 @@ object Multimodal {
     * codegen'd (SURVEY §2.10). At scale the binary column lives in its own
     * parquet column chunk and is never read unless projected. */
   def mmBinary(spark: SparkSession, dir: String): DataFrame =
+    // cached: map-only md5/base64 child, sort sampling would run it twice
     totalOrder(load(spark, dir, "documents")
       .withColumn("payload", encode(col("text"), "UTF-8"))
       .select(col("doc_id"),
         octet_length(col("payload")).as("n_bytes"),
         md5(col("payload")).as("digest"),
-        substring(base64(col("payload")), 1, 16).as("b64_prefix")))
+        substring(base64(col("payload")), 1, 16).as("b64_prefix"))
+      .transform(graft.OpCaches.cached))
 
   /** Resize / thumbnail (SURVEY §2.10): stride-sample the payload down to a
     * fixed-width vector — the image-resize analog on the text-as-bytes
@@ -58,7 +60,10 @@ object Multimodal {
       .select(col("doc_id"), col("n_chars"),
         round(element_at(col("thumb"), 1), 6).as("t0"),
         round(element_at(col("thumb"), 4), 6).as("t3"),
-        round(element_at(col("thumb"), 8), 6).as("t7")))
+        round(element_at(col("thumb"), 8), 6).as("t7"))
+      // cached: map-only substring-sampling child, sort sampling would
+      // run it twice
+      .transform(graft.OpCaches.cached))
 
   /** Frame sampling (SURVEY §2.10): the video-keyframe analog — split the
     * payload into fixed 32-char frames, keep every 3rd, digest each. The
@@ -338,6 +343,15 @@ object Multimodal {
 /** Typed per-partition media pipeline (the mapPartitions path). */
 object MultimodalLib {
 
+  // ImageIO's default stream cache is DISK-backed: every read()/write()
+  // call creates and deletes a temp FILE (FileCacheImage{Input,Output}
+  // Stream) — thousands of filesystem round-trips per query for 16×16
+  // payloads, and the source of multi-second run-to-run variance on the
+  // mm_* ops. Heap-backed streams decode the same bytes to the same
+  // pixels; this is plumbing, not semantics. JVM-global, set once at
+  // first use of the codec on driver and executors alike.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** One media record: opaque payload + metadata. */
   case class MediaRecord(doc_id: Long, payload: Array[Byte], source: String)
 
@@ -479,11 +493,15 @@ object MultimodalLib {
           Array(px.sum / px.length, px.min, px.max))
       }
     }
+    // cache before the total-order sort: the sort's range-sampling pass
+    // re-executes its child, and this child is the map-only double codec
+    // round-trip — without the cache every payload encodes+decodes TWICE
     Relational.totalOrder(out.toDF()
       .select(col("doc_id"), col("source"), col("n_bytes"),
         col("width"), col("height"),
         round(element_at(col("feature"), 1), 6).as("f0"),
         round(element_at(col("feature"), 2), 6).as("f_min"),
-        round(element_at(col("feature"), 3), 6).as("f_max")))
+        round(element_at(col("feature"), 3), 6).as("f_max"))
+      .transform(graft.OpCaches.cached))
   }
 }

@@ -102,8 +102,12 @@ object Text {
         col("a"), col("b")))), 1, BpeMerges).as("ms"))
       .select(transform(col("ms"),
         m => concat_ws(" ", m.getField("a"), m.getField("b"))).as("merges"))
+    // cached: the encode fold (BpeMerges string replaces over the whole
+    // document) is map-only — without this the sort's sampling pass runs
+    // every fold twice
     totalOrder(bpeApply(docs, merges).drop("encoded").withColumn("n_merged",
-      col("n_ws_tokens") - col("n_bpe_tokens")))
+      col("n_ws_tokens") - col("n_bpe_tokens"))
+      .transform(graft.OpCaches.cached))
   }
 
   /** The encode fold of [[textBpeEncode]], split out so the spec can feed
@@ -227,19 +231,40 @@ object Text {
   def textEntropy(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val n = size(col("t")).cast(DoubleType)
+    // One run-length pass over the SORTED token array instead of the
+    // per-distinct-token filter rescan (that form was O(u·n) interpreted
+    // lambda evals per document — each of u distinct tokens re-walked all
+    // n). Per-token term and 6-dp rounding are unchanged and decimal
+    // addition is exact/commutative, so the sum over run-lengths equals
+    // the sum over array_distinct order bit-for-bit (oracle hash-green).
+    def term(c: org.apache.spark.sql.Column) = {
+      val p = c.cast(DoubleType) / n
+      round(-p * log2(p), 6).cast(DecimalType(38, 6))
+    }
+    val runState = struct(lit("").as("tok"), lit(0L).as("run"),
+      lit(0).cast(DecimalType(38, 6)).as("acc"))
+    val entropy = aggregate(
+      array_sort(col("t")),
+      runState,
+      (s, x) => when(s.getField("run") === 0L,
+          struct(x.as("tok"), lit(1L).as("run"),
+            s.getField("acc").as("acc")))
+        .when(x === s.getField("tok"),
+          struct(x.as("tok"), (s.getField("run") + 1L).as("run"),
+            s.getField("acc").as("acc")))
+        .otherwise(struct(x.as("tok"), lit(1L).as("run"),
+          (s.getField("acc") + term(s.getField("run"))).as("acc"))),
+      s => (s.getField("acc") + term(s.getField("run"))).cast(DoubleType))
     totalOrder(load(spark, dir, "documents")
       .withColumn("t", tokens(col("text")))
       .filter(size(col("t")) > 0)
       .select(col("doc_id"),
         size(col("t")).as("n_tokens"),
         size(array_distinct(col("t"))).as("n_distinct"),
-        aggregate(array_distinct(col("t")),
-          lit(0).cast(DecimalType(38, 6)),
-          (acc, x) => {
-            val p = size(filter(col("t"), y => y === x)).cast(DoubleType) / n
-            acc + round(-p * log2(p), 6).cast(DecimalType(38, 6))
-          })
-          .cast(DoubleType).as("entropy_bits")))
+        entropy.as("entropy_bits"))
+      // cache before the total-order sort: the range-sampling pass would
+      // otherwise re-run the whole per-row entropy fold a second time
+      .transform(graft.OpCaches.cached))
   }
 
   /** Language ID by stopword-list hits (the n-gram heuristic of SURVEY
@@ -287,7 +312,10 @@ object Text {
         array_min(transform(
           sequence(lit(1), greatest(length(col("norm")) - 7, lit(1))),
           i => sha2(col("norm").substr(i, lit(8)), 256)))
-          .as("min_shingle_hash")))
+          .as("min_shingle_hash"))
+      // cache before the total-order sort: the range-sampling pass would
+      // otherwise re-run the len(norm) sha256 digests per doc a second time
+      .transform(graft.OpCaches.cached))
 
   // ----------------------------------------------------------------- wiring
 
@@ -409,7 +437,11 @@ object Text {
   private[graft] def lmBigram(docs: DataFrame,
       floor: Long = LmCountFloor): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val bi = bigramPostings(docs)
+    // cached: bi feeds BOTH the model-count shuffle and the final scoring
+    // join — without the cache the tokenize + bigram-explode pass runs
+    // twice (ReuseExchange can't help; the two consumers shuffle by
+    // different keys)
+    val bi = bigramPostings(docs).transform(graft.OpCaches.cached)
     val c2 = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c2"))
     val kept2 = c2.filter(col("c2") >= floor)
     // head totals keep the FULL row mass (the conditional's denominator is
@@ -508,6 +540,9 @@ object Text {
     * carries a full DuckDB oracle. At 100 TB the selected prints (a
     * ~2/(w+1) fraction of shingles) are what a dedup index stores. */
   def textWinnowing(spark: SparkSession, dir: String): DataFrame =
+    // (round-14 opt note: a pre-sort cache was tried here and measured a
+    // wash — the print-grain output is large relative to its compute, so
+    // the materialization cost cancels the saved sampling re-run)
     totalOrder(winnowedPrints(load(spark, dir, "documents")))
 
   /** The winnowed (doc_id, pos, fp) print set of [[textWinnowing]],

@@ -372,6 +372,11 @@ object TimeSeries {
     val mu = (aggregate(win, lit(0).cast(DecimalType(38, 6)),
       (a, x) => a + x.cast(DecimalType(38, 6))).cast(DoubleType) / L).as("mu")
     val salt = pmod(col("event_id"), lit(PmSaltBuckets))
+    // (round-14 opt note: an L−1 × lead() reformulation of the window
+    // formation was tried and MEASURED SLOWER — 4.96 → 7.34 s min-of-3 at
+    // sf0.1: seven offset window frames each re-iterate the partition
+    // buffer where the single sliding collect_list frame pays one add/
+    // remove per row — so the collect_list form stays)
     val windows = load(spark, dir, "events")
       .withColumn("win", collect_list(col("value")).over(wWin))
       .filter(size(col("win")) === L)

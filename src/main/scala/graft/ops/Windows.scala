@@ -59,12 +59,15 @@ object Windows {
     val w = Window.partitionBy(col("o_orderpriority"))
       .orderBy(col("o_totalprice"))
       .rangeBetween(-1000L, 0L)
+    // cached: the decimal range-frame window is the final pre-sort stage,
+    // which the sort's range-sampling pass would otherwise execute twice
     totalOrder(load(spark, dir, "orders")
       .withColumn("near_sum",
         sum(col("o_totalprice").cast(DecimalType(38, 6))).over(w).cast(DoubleType))
       .withColumn("near_n", count(lit(1)).over(w))
       .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
-        col("near_sum"), col("near_n")))
+        col("near_sum"), col("near_n"))
+      .transform(graft.OpCaches.cached))
   }
 
   /** Distribution-rank family: percent_rank / cume_dist (frameless) plus
