@@ -26,8 +26,13 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // one retry on Spark's INTERNAL_ERROR wrapper (the rare
+      // resetMetrics/null-session race — see Tables.retryInternalOnce):
+      // without it a transient internal race would land as a spurious red
+      // row in the driver's ledger; a repeat failure is still loud
+      try Tables.retryInternalOnce(s"verify '$name'")(
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name"))
       catch { case e: Throwable =>
         val msg = s"${e.getClass.getName}: ${e.getMessage}"
         System.err.println(s"[verify] $name failed: $msg")

@@ -703,6 +703,19 @@ object Dedup {
     val sym = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .unionAll(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
       .transform(lineageCut)
+    // AQE gate on the MATERIALIZED graph size (sym is a checkpointed
+    // LogicalRDD, so the count is a read of what the checkpoint already
+    // computed, not a recompute): below the threshold every per-round
+    // stage is a tiny fixed-width shuffle where adaptive per-stage
+    // re-planning/scheduling costs more wall-clock than it can recover
+    // (measured ~20% of the cluster queries at sf0.1); above it the pair
+    // graph is big enough that AQE's skew-split (hot labels in the
+    // propagation join) and partition coalescing earn their keep. Plan
+    // shape is the only thing that changes — labels are bit-identical.
+    val aqeGate = 4L * 1000 * 1000
+    val symRows = graft.Tables.retryInternalOnce("cc graph size probe")(
+      sym.count())
+    s.conf.set("spark.sql.adaptive.enabled", (symRows >= aqeGate).toString)
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id")).transform(lineageCut)
     var changed = 1L
@@ -725,7 +738,11 @@ object Dedup {
           col("lbl") === col("jid"))
         .select(col("id"), col("prev"), least(col("lbl"), col("jlbl")).as("lbl"))
         .transform(lineageCut)
-      changed = next.filter(col("lbl") =!= col("prev")).count()
+      // the convergence probe is a fresh tiny count each round — the one
+      // observed strike point of the rare resetMetrics/null-session race
+      // (see Tables.retryInternalOnce); counting is idempotent, retry once
+      changed = graft.Tables.retryInternalOnce("cc convergence count")(
+        next.filter(col("lbl") =!= col("prev")).count())
       labels = next.select(col("id"), col("lbl"))
     }
     val sizes = labels.groupBy(col("lbl").as("canonical_id"))

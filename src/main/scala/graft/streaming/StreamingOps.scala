@@ -33,13 +33,23 @@ object StreamingOps {
     * read of the SAME file under the SAME session confs — whatever the
     * batch reader infers is by construction what the stream reader can
     * decode — and [[Tables.normalizeTs]] converts by actual type. */
+  /** Per-dir memo of the RAW (pre-normalizeTs) events schema: the footer
+    * read costs ~0.1 s and every streaming op re-did it per query. The
+    * fixture layout is immutable within a run, and spec dirs that land
+    * extra `events_<n>.parquet` shards do so with the SAME schema (the
+    * split-invariance contract), so one footer read per dir is exact. */
+  private val eventsSchemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, StructType]()
+
   private def eventsStream(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     // `events*.parquet`: the fixture ships one `events.parquet` file, and
     // multi-batch specs land ordered `events_<n>.parquet` files — the
     // glob admits both while still excluding the other fixture tables
-    val schema = spark.read.option("pathGlobFilter", "events*.parquet")
-      .parquet(dir).schema
+    if (eventsSchemaMemo.size > 64) eventsSchemaMemo.clear()
+    val schema = eventsSchemaMemo.computeIfAbsent(dir, _ =>
+      spark.read.option("pathGlobFilter", "events*.parquet")
+        .parquet(dir).schema)
     val rd = spark.readStream
       .schema(schema)
       // the file source wants a directory; select just the events table
