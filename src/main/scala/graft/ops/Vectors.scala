@@ -884,17 +884,23 @@ object Vectors {
   /** Flat/hier crossover for the corpus-grain assignment. The two-level
     * routing wins asymptotically (O(n·√k) vs n×k) but carries a constant:
     * the super-quantizer build, a second broadcast round, and the shadow
-    * join. Measured on the R15 curves the crossover sits between k = 141
-    * (sf1 — hier ~2× slower across the sim family) and k = 447 (sf10 —
-    * sim_ivf_stats/sim_knn_join dropped to n^0.28/0.29), so the switch is
-    * pinned at 256: below it the flat n×k pass is both cheaper and
-    * simpler; at and above it the hierarchy pays. The gate quantity is
-    * |c2| — the TRAINED centroid count (sample-empty cells drop out of the
-    * Lloyd update, so |c2| ≤ ⌊√n⌋) — which both engines compute from the
-    * same deterministic chain; the DuckDB twin gates on
-    * `(SELECT COUNT(*) FROM c2)` with the identical threshold, so the two
-    * engines always take the same branch ([[sqlAssignHier]]). */
-  private[graft] val HierMinK = 256L
+    * join. Measured on the R15 curves the crossover sits between sf1
+    * (hier ~2× slower across the sim family) and sf10
+    * (sim_ivf_stats/sim_knn_join dropped to n^0.28/0.29). The gate
+    * quantity is |c2| — the TRAINED centroid count (Lloyd collapses
+    * near-duplicate seed cells, so |c2| is well below the ⌊√n⌋ SEED
+    * count: the fixture trains 250 cells at sf10 where 447 are seeded,
+    * and ~141 seeds at sf1). The original 256 threshold was pinned
+    * against the SEED count and silently put sf10's 250 trained cells
+    * back on the flat n×k path — sim_ivf_stats/sim_knn_join regressed
+    * 9→24 s on the R16 sf10 curve before this was caught (the
+    * `assign_mass`/`n_cells` audit columns are what exposed it). 192
+    * sits between sf1's trained count (≤141) and sf10's 250 on the
+    * TRAINED scale. Both engines compute |c2| from the same
+    * deterministic chain; the DuckDB twin gates on
+    * `(SELECT COUNT(*) FROM c2)` with the identical threshold, so the
+    * two engines always take the same branch ([[sqlAssignHier]]). */
+  private[graft] val HierMinK = 192L
 
   /** The gated corpus-grain assignment every consumer rides: flat
     * [[assignCells]] below [[HierMinK]] trained centroids,

@@ -19,10 +19,9 @@ Prints a selfcheck-style [ ok ]/[FAIL] line for `sim_knn_join` (suffixed
 `sampled-queries`), exit 0 on pass.
 """
 import sys, os, json, glob
-import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from selfcheck import compare, TABLES
+from selfcheck import compare, bounded_con
 
 Q_FILTER = "vec_id % 100 = 0 AND vec_id < 2000"
 ANCHOR = "FROM cells cl JOIN base b ON b.vec_id = cl.vec_id)"
@@ -30,11 +29,10 @@ ANCHOR = "FROM cells cl JOIN base b ON b.vec_id = cl.vec_id)"
 
 def main():
     sf, out = sys.argv[1], sys.argv[2]
-    con = duckdb.connect()
-    for t in TABLES:
-        p = f"{sf}/{t}.parquet"
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    # bounded_con, not a raw connect: the raw connection has no
+    # memory_limit/spill dir and died with an in-memory OOM at sf10
+    # (round 14) — the same failure mode selfcheck.py was bounded against
+    con = bounded_con(sf)
     sql = json.load(open(f"{out}/oracle_sql.json"))["sim_knn_join"]
     if ANCHOR not in sql:
         print("[FAIL] sim_knn_join: oracle q-CTE anchor not found - "

@@ -16,7 +16,12 @@ SFB=target/sfbig
 # sim_index_retrain; sf10 gains sim_knn_join via the sampled-query
 # differential check
 SF3_IDS=$(python3 -c "import json;print(','.join(sorted(set(json.load(open('CORRECTNESS_SF3.json'))['queries'])|{'sim_index_retrain'})))")
-SF10_IDS=$(python3 -c "import json;print(','.join(sorted(set(json.load(open('CORRECTNESS_SF10.json'))['queries'])|{'sim_index_retrain'})))")
+# sim_index_retrain joins the sf3 subset only: its DuckDB twin retrains
+# the quantizer over the union corpus, and at sf10 (1M vectors) the
+# oracle-side Lloyd chain spilled >57 GB and filled the disk even under
+# the bounded config (measured round 14) — the op stays proven at
+# sf0.001/0.01/1/3; sf10 keeps the tractable-oracle subset rule
+SF10_IDS=$(python3 -c "import json;print(','.join(sorted(set(json.load(open('CORRECTNESS_SF10.json'))['queries'])-{'sim_index_retrain'})))")
 CURVE_Q=dedup_clusters,dedup_exact,dedup_minhash,dedup_multimodal_clusters,dedup_recall_report,dedup_semantic,pipeline_dsir,pipeline_gopher_rules,pipeline_quality_classifier,pipeline_sample_weighted,pipeline_soft_dedup,sample_stratified,sim_index_upsert,sim_ivf_stats,sim_knn_join,text_readability
 CURVE30_Q=dedup_clusters,dedup_exact,dedup_multimodal_clusters,dedup_recall_report,dedup_semantic,pipeline_dsir,pipeline_gopher_rules,pipeline_quality_classifier,sim_ivf_stats,sim_knn_join,text_readability
 SF10_NOTE="tractable-oracle subset regenerated on this commit with the bounded DuckDB oracle (memory_limit+spill+retry); sim_knn_join is covered by the sampled-query differential (full engine-side join, oracle restricted to the pinned query stride) recorded in its 'check' field"
