@@ -49,6 +49,16 @@ object GraftFunctions {
     (new FunctionIdentifier("punct_count"),
       new ExpressionInfo(classOf[PunctCount].getName, "punct_count"),
       (children: Seq[Expression]) => PunctCount(children.head): Expression),
+    (new FunctionIdentifier("gopher_word_stats"),
+      new ExpressionInfo(classOf[GopherWordStats].getName, "gopher_word_stats"),
+      (children: Seq[Expression]) => GopherWordStats(children.head): Expression),
+    (new FunctionIdentifier("gopher_line_stats"),
+      new ExpressionInfo(classOf[GopherLineStats].getName, "gopher_line_stats"),
+      (children: Seq[Expression]) => GopherLineStats(children.head): Expression),
+    (new FunctionIdentifier("pq_assign"),
+      new ExpressionInfo(classOf[PqAssign].getName, "pq_assign"),
+      (children: Seq[Expression]) =>
+        PqAssign(children.head, children(1)): Expression),
     (new FunctionIdentifier("gram_buckets"),
       new ExpressionInfo(classOf[GramBuckets].getName, "gram_buckets"),
       (children: Seq[Expression]) => {
@@ -148,6 +158,27 @@ object GraftFunctions {
   def punctCount(spark: SparkSession, raw: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("punct_count", raw)
+  }
+
+  /** `gopher_word_stats` as a Column: [n_words, word_chars, n_alpha,
+    * n_stop] over an already-lowercased string, one byte-walk. */
+  def gopherWordStats(spark: SparkSession, lowered: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("gopher_word_stats", lowered)
+  }
+
+  /** `gopher_line_stats` as a Column: [n_lines, n_bullet, n_ell_line,
+    * n_hash, n_ell] over raw text, one byte-walk. */
+  def gopherLineStats(spark: SparkSession, raw: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("gopher_line_stats", raw)
+  }
+
+  /** `pq_assign` as a Column: cid of the nearest codeword in `books`
+    * (collected per-subspace codebook) to `sub`, ties → lowest cid. */
+  def pqAssign(spark: SparkSession, sub: Column, books: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("pq_assign", sub, books)
   }
 
   /** `minhash_sig` as a Column (n must be a literal). */

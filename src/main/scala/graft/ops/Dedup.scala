@@ -703,18 +703,22 @@ object Dedup {
     val sym = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .unionAll(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
       .transform(lineageCut)
-    // AQE gate on the MATERIALIZED graph size (sym is a checkpointed
-    // LogicalRDD, so the count is a read of what the checkpoint already
-    // computed, not a recompute): below the threshold every per-round
-    // stage is a tiny fixed-width shuffle where adaptive per-stage
-    // re-planning/scheduling costs more wall-clock than it can recover
-    // (measured ~20% of the cluster queries at sf0.1); above it the pair
-    // graph is big enough that AQE's skew-split (hot labels in the
-    // propagation join) and partition coalescing earn their keep. Plan
-    // shape is the only thing that changes — labels are bit-identical.
+    // AQE gate on the MATERIALIZED graph size: below the threshold every
+    // per-round stage is a tiny fixed-width shuffle where adaptive
+    // per-stage re-planning/scheduling costs more wall-clock than it can
+    // recover (measured ~20% of the cluster queries at sf0.1); above it
+    // the pair graph is big enough that AQE's skew-split (hot labels in
+    // the propagation join) and partition coalescing earn their keep.
+    // Plan shape is the only thing that changes — labels are
+    // bit-identical. The probe must be FREE (round-14 finding: a SQL
+    // `sym.count()` is its own 2-stage AQE query — agg + SinglePartition
+    // exchange — and on the small cluster ids it cost more than the gate
+    // saved): sym is a checkpointed LogicalRDD, so counting its
+    // `queryExecution.toRdd` is ONE narrow job over the already-cached
+    // blocks — no exchange, no AQE compile, no SQL machinery.
     val aqeGate = 4L * 1000 * 1000
     val symRows = graft.Tables.retryInternalOnce("cc graph size probe")(
-      sym.count())
+      sym.queryExecution.toRdd.count())
     s.conf.set("spark.sql.adaptive.enabled", (symRows >= aqeGate).toString)
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id")).transform(lineageCut)

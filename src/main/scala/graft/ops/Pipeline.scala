@@ -504,29 +504,33 @@ object Pipeline {
     * computation is stateless per-row expressions, so the unbounded query
     * is the same plan in append mode and carries the same oracle. */
   private[graft] def gopherFrame(src: DataFrame): DataFrame = {
+    // all eleven counters fused into TWO byte-walk expressions
+    // ([[graft.functions.GopherWalk]] — the TextCounts pattern): the
+    // declarative chain evaluated two regex splits, three interpreted
+    // higher-order lambdas (two with per-element regexes), eight
+    // array_contains traversals, and two full-text regexp_replace passes
+    // per row — all interpreted inside the codegen stage. Counts are
+    // bit-identical (byte classes are pure ASCII; proof at the walker).
+    // The two-step select keeps each array expression evaluated ONCE:
+    // CollapseProject does not inline a non-cheap expression referenced
+    // more than once.
+    val spark = src.sparkSession
     val docs = src
-      .withColumn("w", Text.tokens(col("text")))
-      .withColumn("ln", split(col("text"), "\n", -1))
-      .withColumn("n_words", size(col("w")).cast("long"))
-      .withColumn("word_chars", aggregate(col("w"), lit(0L),
-        (a, x) => a + length(x).cast("long")))
-      .withColumn("n_alpha",
-        size(filter(col("w"), x => x.rlike("[a-z]"))).cast("long"))
-      .withColumn("n_stop", GopherStops.map(s =>
-          when(array_contains(col("w"), s), 1L).otherwise(0L))
-        .reduce(_ + _))
-      .withColumn("n_lines", size(col("ln")).cast("long"))
-      .withColumn("n_bullet",
-        size(filter(col("ln"), x => x.rlike("^\\s*[-*•]"))).cast("long"))
-      .withColumn("n_ell_line",
-        size(filter(col("ln"), x => x.endsWith("..."))).cast("long"))
-      .withColumn("n_hash",
-        (length(col("text")) - length(regexp_replace(col("text"), "#", "")))
-          .cast("long"))
-      .withColumn("n_ell",
-        ((length(col("text"))
-          - length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3)
-          .cast("long"))
+      .withColumn("wstats",
+        graft.functions.GraftFunctions.gopherWordStats(spark,
+          lower(col("text"))))
+      .withColumn("lstats",
+        graft.functions.GraftFunctions.gopherLineStats(spark, col("text")))
+      .select(col("doc_id"),
+        col("wstats").getItem(0).as("n_words"),
+        col("wstats").getItem(1).as("word_chars"),
+        col("wstats").getItem(2).as("n_alpha"),
+        col("wstats").getItem(3).as("n_stop"),
+        col("lstats").getItem(0).as("n_lines"),
+        col("lstats").getItem(1).as("n_bullet"),
+        col("lstats").getItem(2).as("n_ell_line"),
+        col("lstats").getItem(3).as("n_hash"),
+        col("lstats").getItem(4).as("n_ell"))
     val rWordCount = col("n_words") >= 50L && col("n_words") <= 100000L
     val rMeanLen = col("word_chars") >= lit(3L) * col("n_words") &&
       col("word_chars") <= lit(10L) * col("n_words")

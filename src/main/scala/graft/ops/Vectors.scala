@@ -1118,7 +1118,24 @@ object Vectors {
       .groupBy(col("m"), col("cid"))
       .agg(subAgg(col("sub")).as("cvec"))
       .transform(lineageCut)
-    (cb1, assign(subs, cb1))
+    // corpus ENCODE under the trained book as ONE fused argmin per
+    // (vector, subspace) row ([[graft.functions.PqAssign]], the VecDot
+    // precedent): the declarative assign() explodes n·M·K scored rows
+    // through the broadcast join, pays an interpreted 16-dim lambda fold
+    // per row, and re-collapses them in a (vec_id, m) hash agg — an
+    // Exchange over the whole code table. Collecting the K codewords
+    // into ONE list per subspace (M=4 rows, broadcast) makes the encode
+    // a map-only codegen projection: n·M rows, zero exchanges. cids are
+    // bit-identical (same fold order, same tie rule — see PqAssign);
+    // training assignment (1024-vector sample) keeps the declarative
+    // shape.
+    val books = cb1.groupBy(col("m"))
+      .agg(collect_list(struct(col("cid"), col("cvec"))).as("books"))
+    val codes = subs.join(broadcast(books), "m")
+      .select(col("vec_id"), col("m"),
+        graft.functions.GraftFunctions.pqAssign(spark,
+          col("sub"), col("books")).as("cid"))
+    (cb1, codes)
   }
 
   /** ADC tables: |Q|·M·K per-subspace query-to-codeword distances — tiny,
